@@ -1,13 +1,121 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.aggGroupBy(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_groupby"        -> ((s, d) => Relational.aggGroupBy(s, d)),
+    "q_grep"               -> ((s, d) => Relational.grep(s, d)),
+    "q_wordcount"          -> ((s, d) => Relational.wordCount(s, d)),
+    "q_topical_wordcount"  -> ((s, d) => Relational.topicalWordCount(s, d)),
+    "q_wordcount_stopwords" -> ((s, d) => Relational.wordCountStopWords(s, d)),
+    "q_secondary_sort"     -> ((s, d) => Relational.secondarySort(s, d)),
+    "q_topn_per_group"     -> ((s, d) => Relational.topNPerGroup(s, d)),
+    "q_rollup"             -> ((s, d) => Relational.rollupAgg(s, d)),
+    "q_join_reduce_side"   -> ((s, d) => Relational.joinReduceSide(s, d)),
+    "q_join_broadcast"     -> ((s, d) => Relational.joinBroadcast(s, d)),
+    "q_cogroup"            -> ((s, d) => Relational.coGroup(s, d)),
+    "q_moving_avg"         -> ((s, d) => Relational.movingAverage(s, d)),
+    "q_normalize"          -> ((s, d) => Relational.normalize(s, d)),
+    "q_topic_fingerprint"  -> ((s, d) => Relational.topicFingerprint(s, d)),
+    "q_distinct"           -> ((s, d) => Relational.distinctUsers(s, d)),
+  )
+
+  /** DuckDB-equivalent SQL per query key (same column aliases — the driver
+    * sorts columns by name before hashing).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_agg_groupby" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_quantity), 6) AS avg_qty,
+        | round(avg(l_discount), 6) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_grep" ->
+      "SELECT doc_id, source, n_chars FROM documents WHERE regexp_matches(text, 'merge .*batch')",
+    "q_wordcount" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |WHERE word <> '' GROUP BY word""".stripMargin,
+    "q_topical_wordcount" ->
+      """SELECT source, word, count(*) AS cnt
+        |FROM (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents) t
+        |WHERE word <> '' GROUP BY source, word""".stripMargin,
+    "q_wordcount_stopwords" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |WHERE word <> '' AND word NOT IN ('a', 'the') GROUP BY word""".stripMargin,
+    "q_secondary_sort" ->
+      """SELECT user_id, event_type, epoch_ms(ts) AS first_ts_ms, round(value, 6) AS first_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        |      FROM events) t
+        |WHERE rn = 1""".stripMargin,
+    "q_topn_per_group" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |      FROM orders) t
+        |WHERE rk <= 3""".stripMargin,
+    "q_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+    "q_join_reduce_side" ->
+      """SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q_cogroup" ->
+      """SELECT o_orderkey, o_totalprice,
+        |       coalesce(line_total, 0.0) AS line_total,
+        |       coalesce(n_lines, 0) AS n_lines
+        |FROM orders LEFT JOIN (
+        |  SELECT l_orderkey, round(sum(l_extendedprice), 2) AS line_total, count(*) AS n_lines
+        |  FROM lineitem GROUP BY l_orderkey) l
+        |ON o_orderkey = l_orderkey""".stripMargin,
+    "q_moving_avg" ->
+      """SELECT user_id, day, clicks,
+        |       round(avg(clicks) OVER (PARTITION BY user_id ORDER BY day
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg
+        |FROM (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS clicks
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2) t""".stripMargin,
+    "q_normalize" ->
+      """SELECT user_id, event_type, cnt,
+        |       round(CAST(cnt AS DOUBLE) / total, 6) AS share
+        |FROM (SELECT user_id, event_type, count(*) AS cnt,
+        |             sum(count(*)) OVER (PARTITION BY user_id) AS total
+        |      FROM events GROUP BY user_id, event_type) t""".stripMargin,
+    "q_topic_fingerprint" ->
+      """SELECT source, rk, word, cnt
+        |FROM (SELECT source, word, cnt,
+        |             row_number() OVER (PARTITION BY source ORDER BY cnt DESC, word) AS rk
+        |      FROM (SELECT source, word, count(*) AS cnt
+        |            FROM (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents) u
+        |            WHERE word <> '' GROUP BY source, word) c) t
+        |WHERE rk <= 5""".stripMargin,
+    "q_distinct" ->
+      """SELECT event_type, count(*) AS n_users
+        |FROM (SELECT DISTINCT event_type, user_id FROM events) t
+        |GROUP BY event_type""".stripMargin,
+  )
 }

@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Core Tuple-MapReduce-equivalent relational operators, Spark-first.
+  *
+  * Each method is one row of SURVEY.md §2A. Pangool expressed these as
+  * TupleMRBuilder jobs (group-by fields + orderBy + reducer callbacks,
+  * reference: core/src/main/java/com/datasalt/pangool/tuplemr/TupleMRBuilder.java);
+  * here every one is a declarative DataFrame plan so Catalyst gets pushdown,
+  * pruning, partial aggregation and join planning for free.
+  *
+  * Scale notes (100 TB): aggregations use groupBy().agg() (map-side partial
+  * agg); per-group ranking uses window functions (one shuffle by the group
+  * key, no global sort); small dimensions are broadcast explicitly.
+  */
+object Relational {
+
+  /** A1 — TPC-H Q1-shaped aggregation: the canonical Pangool
+    * groupBy+combiner job. Partial aggregation happens map-side; the single
+    * shuffle carries only (flag,status)-keyed partials.
+    */
+  def aggGroupBy(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** A2 — Grep: map-only regex filter
+    * (reference: examples/.../Grep.java on MapOnlyJobBuilder).
+    * Narrow, no shuffle; the regexp can't push into parquet but doc_id/source
+    * pruning does.
+    */
+  def grep(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .where(col("text").rlike("merge .*batch"))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+
+  /** A3 — word count (reference: examples/.../TopicalWordCount.java family).
+    * explode+groupBy: partial agg keeps the shuffle proportional to distinct
+    * words per partition, not total tokens.
+    */
+  def wordCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** A4 — topical word count: two-field group key (source = topic). */
+  def topicalWordCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** A5 — word count with stop words removed
+    * (reference: examples/.../TopicalWordCountWithStopWords.java).
+    * The stop list is tiny → literal IN-list (Catalyst folds it); a big list
+    * would be a broadcast anti-join.
+    */
+  val StopWords: Seq[String] = Seq("a", "the")
+  def wordCountStopWords(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "" && !col("word").isInCollection(StopWords))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** A6 — secondary sort (reference: examples/.../SecondarySort.java): group
+    * by (user_id, event_type), order within group by ts, emit the first
+    * event. One shuffle keyed by the group fields; the sort rides the same
+    * exchange (window), exactly Pangool's sort-comparator trick.
+    */
+  def secondarySort(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("first_ts_ms"),
+        round(col("value"), 6).as("first_value"))
+  }
+
+  /** A7 — top-N per group (reference: examples/.../TopNHashTags.java).
+    * Window row_number ≤ N: single hash-shuffle by group key, no global
+    * sort, no driver-side heap.
+    */
+  def topNPerGroup(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= n)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+  }
+
+  /** A8 — rollup (reference: tuplemr/TupleRollupReducer.java +
+    * TupleMRConfigBuilder.setRollupFrom): hierarchical aggregates
+    * region → nation in one pass via GROUP BY ROLLUP. Dimensions broadcast.
+    */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = broadcast(Tables.nation(spark, dir))
+    val r = broadcast(Tables.region(spark, dir))
+    c.join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("acctbal"))
+  }
+
+  /** A9 — reduce-side join (reference: examples/.../UrlResolution.java):
+    * two large inputs co-partitioned on the join key. Spark plans a
+    * sort-merge join; AQE handles skew. Filter first so the shuffle carries
+    * only surviving rows.
+    */
+  def joinReduceSide(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_name"), col("c_mktsegment"), col("o_totalprice"))
+
+  /** A10 — broadcast join: revenue per nation. supplier/nation are dims →
+    * broadcast; lineitem never shuffles.
+    */
+  def joinBroadcast(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** A11 — co-group (reference: multi-schema TupleMRBuilder co-grouping,
+    * MultipleInputsInterface.java): orders and lineitem grouped on orderkey.
+    * Expressed as aggregate-then-join so both sides stay in whole-stage
+    * codegen; the typed Dataset.cogroup equivalent lives in
+    * [[graft.api.TupleJob]] for arbitrary reducer logic.
+    */
+  def coGroup(spark: SparkSession, dir: String): DataFrame = {
+    val lineAgg = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("line_total"),
+        count(lit(1)).as("n_lines"))
+    Tables.orders(spark, dir)
+      .join(lineAgg, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        coalesce(col("line_total"), lit(0.0)).as("line_total"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"))
+  }
+
+  /** A12 — moving average (reference: examples/.../MovingAverage.java):
+    * per-user daily click counts, 3-day trailing mean. Two window passes ride
+    * one exchange keyed by user_id.
+    */
+  def movingAverage(spark: SparkSession, dir: String, days: Int = 3): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .where(col("event_type") === "click")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("clicks"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(-(days - 1), Window.currentRow)
+    daily.withColumn("mavg", round(avg(col("clicks")).over(w), 6))
+  }
+
+  /** A13 — per-group normalization
+    * (reference: examples/.../UserActivityNormalizer.java): each user's
+    * activity share per event type. Pangool needed a two-job pass; here the
+    * group total is a window sum over the same shuffle.
+    */
+  def normalize(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("user_id"))
+    counts
+      .withColumn("total", sum(col("cnt")).over(w))
+      .select(col("user_id"), col("event_type"), col("cnt"),
+        round(col("cnt") / col("total"), 6).as("share"))
+  }
+
+  /** A16 — topic fingerprint (reference: examples/.../TopicFingerprint.java):
+    * top-N words per topic. Reuses the topical word count then one window.
+    */
+  def topicFingerprint(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("cnt").desc, col("word"))
+    topicalWordCount(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= n)
+      .select(col("source"), col("rk"), col("word"), col("cnt"))
+  }
+
+  /** A17 — distinct / exact row dedup: distinct users per event type. */
+  def distinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"))
+      .distinct()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+}

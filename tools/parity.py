@@ -1,0 +1,51 @@
+#!/usr/bin/env python3
+"""Dev-side oracle parity checker mimicking the driver's DuckDB compare.
+
+Usage: python3 tools/parity.py <sfDir> <verifyOutDir>
+Registers each parquet table by name, runs oracle_sql.json queries,
+and compares against the Spark-written parquet (column-name-sorted,
+row-sorted, stringified values).
+"""
+import sys, os, json, glob
+import duckdb
+
+def canon(rel):
+    df = rel.df()
+    df = df.reindex(sorted(df.columns), axis=1)
+    rows = sorted(tuple(str(v) for v in row) for row in df.itertuples(index=False))
+    return list(df.columns), rows
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for f in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(f)[:-len(".parquet")]
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_ok = 0
+    keys = sorted(os.listdir(out_dir))
+    for name in keys:
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        got_cols, got = canon(con.sql(f"SELECT * FROM '{d}/*.parquet'"))
+        if name not in oracle:
+            print(f"[rows-only] {name}: {len(got)} rows")
+            continue
+        exp_cols, exp = canon(con.sql(oracle[name]))
+        if got_cols != exp_cols:
+            print(f"[FAIL cols] {name}: spark={got_cols} oracle={exp_cols}")
+        elif got != exp:
+            print(f"[FAIL rows] {name}: spark {len(got)} rows vs oracle {len(exp)}")
+            for i, (g, e) in enumerate(zip(got, exp)):
+                if g != e:
+                    print(f"  first diff at row {i}:\n   spark : {g}\n   oracle: {e}")
+                    break
+            else:
+                print(f"  (length mismatch only; spark[0]={got[0] if got else None})")
+        else:
+            n_ok += 1
+            print(f"[ok] {name}: {len(got)} rows")
+    print(f"== {n_ok} matched")
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
