@@ -1,0 +1,148 @@
+package graft
+
+import graft.functions.TextHash.{permA, permB, Bands, P}
+
+/** DuckDB oracle SQL for the C/D-block queries. MinHash permutation
+  * constants are generated from the same [[graft.functions.TextHash]]
+  * definitions the Spark plans use, so both engines derive identical hashes.
+  */
+object Oracles {
+
+  private val hash60Sql = "CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)"
+  private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+  private val stopListSql = "['the','a','of','and','to','in','is','on']"
+
+  val dedupExact: String =
+    "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1"
+
+  val dedupMinhash: String = {
+    def m(i: Int) = s"list_min(list_transform(h0, h -> (h * ${permA(i)} + ${permB(i)}) % $P))"
+    val bandSelects = (0 until Bands).map { j =>
+      s"SELECT doc_id, $j AS bid, (${m(2 * j)}::VARCHAR || ',' || ${m(2 * j + 1)}::VARCHAR) AS bkey FROM hs"
+    }.mkString(" UNION ALL ")
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS w FROM documents),
+       |tk AS (SELECT doc_id, w FROM tok WHERE len(w) >= 3),
+       |shs AS (SELECT doc_id, list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] FOR i IN range(1, len(w)-1)]) AS sh FROM tk),
+       |hs AS (SELECT doc_id, list_transform(sh, s -> $hash60Sql % $P) AS h0 FROM shs),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2 FROM bands x
+       |         JOIN bands y ON x.bid = y.bid AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |ver AS (SELECT d1, d2,
+       |          round(len(list_intersect(a.sh, b.sh))::DOUBLE
+       |                / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jac
+       |        FROM cand JOIN shs a ON d1 = a.doc_id JOIN shs b ON d2 = b.doc_id)
+       |SELECT d1, d2, jac FROM ver WHERE jac >= 0.5""".stripMargin
+  }
+
+  val dedupSimhash: String =
+    s"""WITH t AS (SELECT doc_id, list_transform($toksSql, s -> $hash60Sql) AS hs FROM documents)
+       |SELECT doc_id, CAST(list_sum([CASE WHEN list_sum([CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0
+       |       THEN (1::BIGINT << b) ELSE 0 END FOR b IN range(60)]) AS BIGINT) AS simhash FROM t""".stripMargin
+
+  val ngramJaccard: String =
+    s"""WITH g AS (SELECT doc_id, (n_chars // 100) AS bucket,
+       |            list_distinct([substr(text, i, 4) FOR i IN range(1, len(text) - 2)]) AS grams
+       |           FROM documents),
+       |p AS (SELECT x.doc_id AS d1, y.doc_id AS d2,
+       |        round(len(list_intersect(x.grams, y.grams))::DOUBLE
+       |              / len(list_distinct(list_concat(x.grams, y.grams))), 6) AS jac
+       |      FROM g x JOIN g y ON x.bucket = y.bucket AND x.doc_id < y.doc_id)
+       |SELECT d1, d2, jac FROM p WHERE jac >= 0.35""".stripMargin
+
+  val dedupEmbedding: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+      |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |        round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS cos4
+      |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      |SELECT id1, id2, cos4 FROM p WHERE cos4 >= 0.4""".stripMargin
+
+  val annBruteForce: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+      |q AS (SELECT * FROM n WHERE vec_id < 20),
+      |p AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+      |        round(list_dot_product(q.e, n.e) / (q.nrm * n.nrm), 4) AS cos4
+      |      FROM q JOIN n ON n.vec_id <> q.vec_id),
+      |r AS (SELECT query_id, neighbor_id, cos4,
+      |        row_number() OVER (PARTITION BY query_id ORDER BY cos4 DESC, neighbor_id) AS rk
+      |      FROM p)
+      |SELECT query_id, rk, neighbor_id, cos4 FROM r WHERE rk <= 5""".stripMargin
+
+  val tokenCount: String =
+    s"""SELECT doc_id, len($toksSql)::BIGINT AS n_tokens,
+       |       len(list_distinct($toksSql))::BIGINT AS n_unique FROM documents""".stripMargin
+
+  val langId: String =
+    s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+       |h AS (SELECT doc_id, lang,
+       |        len(list_filter(toks, x -> list_contains($stopListSql, x)))::DOUBLE AS hits,
+       |        len(toks) AS n FROM t),
+       |p AS (SELECT doc_id, lang,
+       |        CASE WHEN hits / n >= 0.05 THEN 'en' ELSE 'unknown' END AS predicted FROM h)
+       |SELECT doc_id, lang, predicted, (predicted = lang) AS correct FROM p""".stripMargin
+
+  val qualityScore: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |f AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+       |        len(list_distinct(toks))::DOUBLE / len(toks) AS unique_ratio,
+       |        len(list_filter(toks, x -> list_contains($stopListSql, x)))::DOUBLE / len(toks) AS stop_ratio
+       |      FROM t)
+       |SELECT doc_id, n_tokens, round(unique_ratio, 6) AS unique_ratio,
+       |       round(stop_ratio, 6) AS stop_ratio,
+       |       round(0.5 * stop_ratio + 0.3 * unique_ratio
+       |             + 0.2 * least(n_tokens::DOUBLE / 100.0, 1.0), 6) AS quality FROM f""".stripMargin
+
+  val fingerprint: String =
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS w FROM documents),
+       |tk AS (SELECT doc_id, w FROM tok WHERE len(w) >= 3),
+       |shs AS (SELECT doc_id, list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] FOR i IN range(1, len(w)-1)]) AS sh FROM tk)
+       |SELECT doc_id, list_min(list_transform(sh, s -> $hash60Sql)) AS fp FROM shs""".stripMargin
+
+  val nbTrain: String =
+    s"""WITH words AS (SELECT source, unnest($toksSql) AS word FROM documents),
+       |c AS (SELECT source, word, count(*) AS cnt FROM words GROUP BY 1, 2),
+       |t AS (SELECT source, count(*) AS cat_total FROM words GROUP BY 1)
+       |SELECT c.source, word, cnt, cat_total FROM c JOIN t ON c.source = t.source""".stripMargin
+
+  val nbClassify: String =
+    s"""WITH words AS (SELECT doc_id, unnest($toksSql) AS word FROM documents),
+       |dw AS (SELECT doc_id, word, count(*) AS wcnt FROM words GROUP BY 1, 2),
+       |cw AS (SELECT source, unnest($toksSql) AS word FROM documents),
+       |model AS (SELECT source, word, count(*) AS cnt FROM cw GROUP BY 1, 2),
+       |totals AS (SELECT source, count(*) AS cat_total FROM cw GROUP BY 1),
+       |vocab AS (SELECT count(DISTINCT word) AS v FROM model),
+       |scored AS (SELECT dw.doc_id, t.source,
+       |             sum(dw.wcnt * ln((coalesce(m.cnt, 0) + 1)::DOUBLE / (t.cat_total + v.v))) AS score
+       |           FROM dw CROSS JOIN totals t CROSS JOIN vocab v
+       |           LEFT JOIN model m ON m.source = t.source AND m.word = dw.word
+       |           GROUP BY 1, 2),
+       |r AS (SELECT doc_id, source,
+       |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, source) AS rk FROM scored)
+       |SELECT doc_id, source AS predicted FROM r WHERE rk = 1""".stripMargin
+
+  val eventsWindow: String =
+    """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+      |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  val sessionize: String =
+    """WITH e AS (SELECT user_id, event_id, ts,
+      |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |           FROM events),
+      |b AS (SELECT user_id, event_id, ts,
+      |        CASE WHEN prev_ts IS NULL OR (epoch_ms(ts) - epoch_ms(prev_ts)) > 1800000
+      |             THEN 1 ELSE 0 END AS brk FROM e),
+      |s AS (SELECT user_id, ts,
+      |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      |      FROM b)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+      |       epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms
+      |FROM s GROUP BY 1, 2""".stripMargin
+
+  val topUsers: String =
+    """WITH c AS (SELECT event_type, user_id, count(*) AS cnt FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type, user_id, cnt,
+      |        row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, user_id) AS rk FROM c)
+      |SELECT event_type, rk, user_id, cnt FROM r WHERE rk <= 5""".stripMargin
+}

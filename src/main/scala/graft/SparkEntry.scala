@@ -28,6 +28,22 @@ object SparkEntry {
     "q_normalize"          -> ((s, d) => Relational.normalize(s, d)),
     "q_topic_fingerprint"  -> ((s, d) => Relational.topicFingerprint(s, d)),
     "q_distinct"           -> ((s, d) => Relational.distinctUsers(s, d)),
+    "q_nb_train"           -> ((s, d) => TextAnalysis.nbTrain(s, d)),
+    "q_nb_classify"        -> ((s, d) => TextAnalysis.nbClassify(s, d)),
+    "q_dedup_exact"        -> ((s, d) => Dedup.exact(s, d)),
+    "q_dedup_minhash"      -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "q_dedup_simhash"      -> ((s, d) => Dedup.simhash(s, d)),
+    "q_ngram_jaccard"      -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "q_dedup_embedding"    -> ((s, d) => Dedup.embeddingNearDup(s, d)),
+    "q_ann_bruteforce"     -> ((s, d) => Ann.bruteForceTopK(s, d)),
+    "q_ann_lsh"            -> ((s, d) => Ann.lshTopK(s, d)),
+    "q_token_count"        -> ((s, d) => TextAnalysis.tokenCount(s, d)),
+    "q_lang_id"            -> ((s, d) => TextAnalysis.langId(s, d)),
+    "q_quality_score"      -> ((s, d) => TextAnalysis.qualityScore(s, d)),
+    "q_fingerprint"        -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "q_events_window"      -> ((s, d) => Events.hourlyWindow(s, d)),
+    "q_sessionize"         -> ((s, d) => Events.sessionize(s, d)),
+    "q_events_topusers"    -> ((s, d) => Events.topUsers(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same column aliases — the driver
@@ -117,5 +133,22 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_users
         |FROM (SELECT DISTINCT event_type, user_id FROM events) t
         |GROUP BY event_type""".stripMargin,
+    "q_nb_train"        -> Oracles.nbTrain,
+    "q_nb_classify"     -> Oracles.nbClassify,
+    "q_dedup_exact"     -> Oracles.dedupExact,
+    "q_dedup_minhash"   -> Oracles.dedupMinhash,
+    "q_dedup_simhash"   -> Oracles.dedupSimhash,
+    "q_ngram_jaccard"   -> Oracles.ngramJaccard,
+    "q_dedup_embedding" -> Oracles.dedupEmbedding,
+    "q_ann_bruteforce"  -> Oracles.annBruteForce,
+    // q_ann_lsh intentionally has no oracle (approximate op) — recall is
+    // spec-tested against q_ann_bruteforce instead.
+    "q_token_count"     -> Oracles.tokenCount,
+    "q_lang_id"         -> Oracles.langId,
+    "q_quality_score"   -> Oracles.qualityScore,
+    "q_fingerprint"     -> Oracles.fingerprint,
+    "q_events_window"   -> Oracles.eventsWindow,
+    "q_sessionize"      -> Oracles.sessionize,
+    "q_events_topusers" -> Oracles.topUsers,
   )
 }

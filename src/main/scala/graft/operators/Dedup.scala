@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash._
+import graft.io.Tables
+
+/** Deduplication family for large-scale corpus curation (SURVEY.md §2C).
+  *
+  * Scale design: every variant avoids the O(n²) all-pairs comparison by
+  * blocking — exact dedup blocks on a full-content hash, MinHash on LSH band
+  * keys, SimHash on signature, n-gram Jaccard on a length bucket. The only
+  * shuffles are (a) the block-key self-join and (b) the final distinct.
+  * Nothing is ever collected to the driver.
+  */
+object Dedup {
+
+  /** C1 — exact dedup: md5-of-content blocking; keeps the smallest doc_id
+    * per content group and reports group size.
+    */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Shingled docs: doc_id + distinct 3-word shingle array (narrow). */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), shingles3(col("toks")).as("sh"))
+
+  /** C2 — MinHash + LSH near-dup pairs.
+    *
+    * Pipeline (all narrow until the band self-join):
+    * shingle → hash mod P → K=32 permutation minima → 16 band keys →
+    * self-join on (bid, bkey) → distinct candidate pairs → exact-jaccard
+    * verify ≥ threshold.
+    *
+    * At 100 TB the band join shuffles only (doc_id, band key) pairs — tiny
+    * next to the corpus — and verification touches only candidates.
+    */
+  def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val sh = shingled(spark, dir).cache()
+    val bands = sh
+      .select(col("doc_id"),
+        explode(bandKeys(minhashSignature(shingleHashes(col("sh"))))).as("b"))
+      .select(col("doc_id"), col("b.bid"), col("b.bkey"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.bid") === col("y.bid") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+      .select(col("d1"), col("d2"), round(jaccard(col("sh1"), col("sh2")), 6).as("jac"))
+      .where(col("jac") >= threshold)
+  }
+
+  /** C3 — 60-bit SimHash signatures (narrow, no shuffle at all).
+    * Downstream blocking joins on the signature (or rotated bands of it) find
+    * hamming-close docs; the signature itself is the deliverable here.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), simhash60("toks").as("simhash"))
+
+  /** C4 — n-gram Jaccard near-dup pairs, blocked by length bucket
+    * (n_chars/100). Character 4-grams; same verify-after-block shape as
+    * MinHash but with a cheap deterministic blocker.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
+    val g = Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("n_chars") / 100).cast("long").as("bucket"),
+        charGrams4("text").as("grams"))
+    g.as("x").join(g.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        round(jaccard(col("x.grams"), col("y.grams")), 6).as("jac"))
+      .where(col("jac") >= threshold)
+  }
+
+  /** C5 — embedding cosine near-dup pairs (ids + rounded score only, so the
+    * result is FP-stable across engines). Brute-force within this query; the
+    * LSH-bucketed scale path is [[Ann.lshBuckets]].
+    */
+  def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    val v = Ann.normed(spark, dir)
+    v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        round(Ann.cosine(col("a.e"), col("b.e"), col("a.nrm"), col("b.nrm")), 4).as("cos4"))
+      .where(col("cos4") >= threshold)
+  }
+}
