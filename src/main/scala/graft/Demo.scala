@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.api.TupleJob
+import graft.io.{AvroSource, GSchema, MultiSink, Tables, TextTupleSource}
+import graft.operators.{GameOfLife, Multimodal}
+
+/** End-to-end tour of the library surface beyond the driver contract:
+  * Tuple MapReduce façade, I/O formats, multimodal plumbing, iterative jobs.
+  * `sbt "runMain graft.Demo [sfDir]"`.
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // 1. TupleJob grouped reduce with secondary sort (Pangool's core op)
+    val out = TupleJob.groupBy(Tables.events(spark, sfDir), "user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+      .reduce(GSchema.parse("user_id:long, event_type:string, first_value:double")) {
+        (key, rows) =>
+          val first = rows.next(); while (rows.hasNext) rows.next()
+          Iterator(Row(key.get(0), key.get(1), first.getAs[Double]("value")))
+      }
+    println(s"[demo] TupleJob secondary-sort reduce: ${out.count()} groups")
+
+    // 2. Rollup via GROUP BY ROLLUP (declarative twin of TupleRollupReducer)
+    println(s"[demo] rollup rows: ${operators.Relational.rollupAgg(spark, sfDir).count()}")
+
+    // 3. I/O: avro round-trip + multi-sink named outputs
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft-demo").toString
+    val sample = Tables.nation(spark, sfDir)
+    AvroSource.write(sample, s"$tmpDir/nation-avro")
+    val back = AvroSource.read(spark, s"$tmpDir/nation-avro", sample.schema)
+    println(s"[demo] avro round-trip: wrote ${sample.count()}, read ${back.count()}")
+    MultiSink.partitionByLabel(
+      Tables.events(spark, sfDir).select("event_id", "event_type", "value"),
+      "event_type", s"$tmpDir/by-type")
+    println(s"[demo] multi-sink labels: ${new java.io.File(s"$tmpDir/by-type").listFiles().count(_.getName.startsWith("event_type="))}")
+
+    // 4. Multimodal: binary column → batched feature extraction
+    val feats = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sfDir))
+    println(s"[demo] media features: ${feats.count()} rows, dim=${feats.head().features.length}")
+
+    // 5. Iterative job: Game of Life glider, 4 generations
+    val glider = Seq((1L, 0L), (2L, 1L), (0L, 2L), (1L, 2L), (2L, 2L))
+    println(s"[demo] glider cells after 4 gens: ${GameOfLife.run(spark, glider, 4).count()}")
+
+    spark.stop()
+  }
+}

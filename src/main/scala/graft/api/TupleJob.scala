@@ -1,0 +1,152 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Pangool-façade: Tuple MapReduce as a thin builder over Spark.
+  *
+  * Mirrors the reference API surface —
+  * TupleMRBuilder.setGroupByFields / setOrderBy / setRollupFrom
+  * (reference: core/src/main/java/com/datasalt/pangool/tuplemr/TupleMRBuilder.java,
+  * TupleMRConfigBuilder.java, OrderBy.java) and TupleReducer /
+  * TupleRollupReducer callbacks — but compiles to Spark plans.
+  *
+  * Prefer plain DataFrame ops (groupBy/agg/window): they stay in Catalyst
+  * and whole-stage codegen. This façade exists for the cases Pangool
+  * existed for: arbitrary per-group reducer logic over a *sorted* group
+  * stream. It uses the classic MapReduce shape — repartition by group key +
+  * sortWithinPartitions(group ++ sort) + a streaming mapPartitions — so a
+  * group is never materialized in memory (Pangool's exact execution model,
+  * and the scalable one at 100 TB: only the shuffle moves data, the reduce
+  * is a single forward scan).
+  */
+final class TupleJob private (
+    df: DataFrame,
+    groupCols: Seq[String],
+    sortSpec: Seq[Column]) {
+
+  /** Secondary sort: total order within each group (Pangool OrderBy). */
+  def orderBy(cols: Column*): TupleJob = new TupleJob(df, groupCols, cols)
+
+  private def sorted: DataFrame = {
+    val part = df.repartition(groupCols.map(col): _*)
+    part.sortWithinPartitions(groupCols.map(col) ++ sortSpec: _*)
+  }
+
+  /** Streaming grouped reduce (Pangool TupleReducer.reduce): the reducer
+    * sees (groupKey, sorted iterator over the group's rows) and emits any
+    * number of output rows with `outSchema`.
+    */
+  def reduce(outSchema: StructType)(
+      reducer: (Row, Iterator[Row]) => Iterator[Row]): DataFrame = {
+    val gc = groupCols
+    val enc = Encoders.row(outSchema)
+    sorted.mapPartitions { it =>
+      TupleJob.groupRuns(it, gc).flatMap { case (key, rows) => reducer(key, rows) }
+    }(enc)
+  }
+
+  /** Rollup reduce (Pangool TupleRollupReducer + setRollupFrom): callbacks
+    * fire when any group-prefix at depth >= rollupFromDepth opens/closes,
+    * in one forward scan — hierarchical aggregation without re-shuffling.
+    */
+  def rollup(outSchema: StructType, rollupFromDepth: Int)(
+      handler: RollupHandler): DataFrame = {
+    val gc = groupCols
+    val enc = Encoders.row(outSchema)
+    sorted.mapPartitions { it =>
+      TupleJob.rollupScan(it, gc, rollupFromDepth, handler)
+    }(enc)
+  }
+}
+
+/** Callbacks mirroring TupleRollupReducer.onOpenGroup/onCloseGroup/onElement
+  * (reference: tuplemr/TupleRollupReducer.java). Each returns rows to emit.
+  */
+trait RollupHandler extends Serializable {
+  def onOpenGroup(depth: Int, first: Row): Iterator[Row] = Iterator.empty
+  def onElement(row: Row): Iterator[Row] = Iterator.empty
+  def onCloseGroup(depth: Int, last: Row): Iterator[Row] = Iterator.empty
+}
+
+object TupleJob {
+
+  /** Entry point (Pangool TupleMRBuilder.setGroupByFields). */
+  def groupBy(df: DataFrame, cols: String*): TupleJob =
+    new TupleJob(df, cols, Nil)
+
+  /** Map-only job (reference: tuplemr/MapOnlyJobBuilder.java): just the
+    * narrow transforms, named for API parity.
+    */
+  def mapOnly(df: DataFrame)(f: DataFrame => DataFrame): DataFrame = f(df)
+
+  /** Multi-schema co-group (reference: MultipleInputsInterface.java): both
+    * sides keyed on `keys` (stringified composite — injective for primitive
+    * key types); reducer sees both sorted-by-input iterators, Pangool's
+    * schema-order semantics.
+    */
+  def coGroup(left: DataFrame, right: DataFrame, keys: Seq[String],
+      outSchema: StructType)(
+      reducer: (Row, Iterator[Row], Iterator[Row]) => Iterator[Row]): DataFrame = {
+    val enc = Encoders.row(outSchema)
+    val keyOf = (r: Row) => keys.map(k => String.valueOf(r.getAs[Any](k))).mkString("\u0001")
+    val l = left.groupByKey(keyOf)(Encoders.STRING)
+    val r = right.groupByKey(keyOf)(Encoders.STRING)
+    l.cogroup(r) { (k, li, ri) =>
+      val parts = k.split('\u0001')
+      reducer(Row.fromSeq(parts.toSeq), li, ri)
+    }(enc)
+  }
+
+  /** Lazily group a key-sorted iterator into (key, run iterator) pairs.
+    * The run iterator MUST be fully consumed by the caller before the next
+    * run is requested (single forward scan, zero buffering) — same contract
+    * as Hadoop's reduce values iterator.
+    */
+  private[api] def groupRuns(it: Iterator[Row], groupCols: Seq[String]): Iterator[(Row, Iterator[Row])] = {
+    val buf = it.buffered
+    new Iterator[(Row, Iterator[Row])] {
+      private var lastRun: Iterator[Row] = Iterator.empty
+      def hasNext: Boolean = { while (lastRun.hasNext) lastRun.next(); buf.hasNext }
+      def next(): (Row, Iterator[Row]) = {
+        while (lastRun.hasNext) lastRun.next()
+        val keyVals = groupCols.map(c => buf.head.getAs[Any](c))
+        val run = new Iterator[Row] {
+          def hasNext: Boolean =
+            buf.hasNext && groupCols.map(c => buf.head.getAs[Any](c)) == keyVals
+          def next(): Row = buf.next()
+        }
+        lastRun = run
+        (Row.fromSeq(keyVals), run)
+      }
+    }
+  }
+
+  /** One forward scan emitting open/element/close callbacks at every depth
+    * in [rollupFrom, groupCols.size-1], exactly Pangool's RollupReducer
+    * event order (reference: tuplemr/mapred/RollupReducer.java).
+    */
+  private[api] def rollupScan(it: Iterator[Row], groupCols: Seq[String],
+      rollupFrom: Int, handler: RollupHandler): Iterator[Row] = {
+    val depths = rollupFrom until groupCols.size
+    var prev: Row = null
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    def keyPrefix(r: Row, d: Int): Seq[Any] = groupCols.take(d + 1).map(r.getAs[Any](_))
+    it.foreach { row =>
+      if (prev == null) depths.foreach(d => out ++= handler.onOpenGroup(d, row))
+      else {
+        // find shallowest depth where the prefix changed
+        val changed = depths.find(d => keyPrefix(prev, d) != keyPrefix(row, d))
+        changed.foreach { c =>
+          depths.reverse.filter(_ >= c).foreach(d => out ++= handler.onCloseGroup(d, prev))
+          depths.filter(_ >= c).foreach(d => out ++= handler.onOpenGroup(d, row))
+        }
+      }
+      out ++= handler.onElement(row)
+      prev = row
+    }
+    if (prev != null) depths.reverse.foreach(d => out ++= handler.onCloseGroup(d, prev))
+    out.iterator
+  }
+}

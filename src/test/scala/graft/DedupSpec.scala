@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash
+import graft.operators.{Ann, Dedup}
+
+class DedupSpec extends GraftSuite {
+
+  test("hash60 matches the md5-derived reference value") {
+    // first 15 hex chars of md5('hello') = 5d41402abc4b2a7, base 16
+    val v = spark.range(1).select(TextHash.hash60(lit("hello"))).head.getLong(0)
+    assert(v == 419982666956583591L)
+  }
+
+  test("minhash LSH finds exactly the brute-force jaccard pairs") {
+    import spark.implicits._
+    val docs = io.Tables.documents(spark, sf)
+      .select(col("doc_id"), TextHash.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), TextHash.shingles3(col("toks")).as("sh"))
+    val bf = docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        round(TextHash.jaccard(col("a.sh"), col("b.sh")), 6).as("jac"))
+      .where(col("jac") >= 0.5)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLsh(spark, sf)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(lsh == bf)
+  }
+
+  test("simhash: near-dup pairs have small hamming distance vs random pairs") {
+    import spark.implicits._
+    val sig = Dedup.simhash(spark, sf)
+    val near = Dedup.minhashLsh(spark, sf).select("d1", "d2")
+    val ham = near
+      .join(sig.select(col("doc_id").as("d1"), col("simhash").as("s1")), "d1")
+      .join(sig.select(col("doc_id").as("d2"), col("simhash").as("s2")), "d2")
+      .select(bit_count(col("s1").bitwiseXOR(col("s2"))).as("h")).as[Int].collect()
+    if (ham.nonEmpty) assert(ham.forall(_ <= 20), s"near-dup hamming too large: ${ham.mkString(",")}")
+    // random-pair baseline: expected ~30 of 60 bits differ
+    val ids = sig.select("doc_id", "simhash").as[(Long, Long)].collect()
+    val randHam = ids.take(20).flatMap(a => ids.takeRight(20).filter(_._1 > a._1 + 5)
+      .map(b => java.lang.Long.bitCount(a._2 ^ b._2)))
+    assert(randHam.sum.toDouble / randHam.length > 15.0)
+  }
+
+  test("exact dedup keeps one id per content hash") {
+    val d = Dedup.exact(spark, sf)
+    assert(d.groupBy("content_hash").count().where(col("count") > 1).count() == 0)
+  }
+
+  test("ann lsh recall vs brute force >= 0.4") {
+    import spark.implicits._
+    val bf = Ann.bruteForceTopK(spark, sf).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val lsh = Ann.lshTopK(spark, sf).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (bf & lsh).size.toDouble / bf.size
+    assert(recall >= 0.4, s"recall $recall")
+  }
+}

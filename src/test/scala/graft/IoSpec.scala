@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.io.{AvroSource, GSchema, MultiSink, TextTupleSource}
+
+class IoSpec extends GraftSuite {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("GSchema.parse mirrors Pangool Fields.parse incl. nullable marker") {
+    val s = GSchema.parse("a:int, b:string?, c:double, d:bytes")
+    assert(s.fieldNames.toSeq == Seq("a", "b", "c", "d"))
+    assert(s("b").nullable && !s("a").nullable)
+    assert(s("d").dataType.typeName == "binary")
+  }
+
+  test("csv reader honors quotes, escapes and nullString (NullableCSVTokenizer)") {
+    val dir = tmp("csv")
+    Files.writeString(java.nio.file.Paths.get(dir, "data.csv"),
+      "1,\"hello, world\",2.5\n2,\\N,3.5\n3,\"esc\\\"aped\",\\N\n")
+    val df = TextTupleSource.csv(spark, dir, GSchema.parse("id:int, s:string?, v:double?"))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getString(1) == "hello, world")
+    assert(rows(1).isNullAt(1))
+    assert(rows(2).getString(1) == "esc\"aped")
+    assert(rows(2).isNullAt(2))
+  }
+
+  test("fixed-width reader slices byte ranges (FixedWidthCSVTokenizer)") {
+    val dir = tmp("fw")
+    Files.writeString(java.nio.file.Paths.get(dir, "data.txt"),
+      "0001alice   NY\n0002bob     SF\n0003        LA\n")
+    val df = TextTupleSource.fixedWidth(spark, dir,
+      Seq(("id", 0, 4), ("name", 4, 12), ("city", 12, 14)))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getString(1) == "alice" && rows(0).getString(2) == "NY")
+    assert(rows(1).getString(1) == "bob")
+    assert(rows(2).isNullAt(1)) // all-padding becomes null via nullString=""
+  }
+
+  test("avro round-trip preserves the Pangool primitive type set") {
+    val dir = tmp("avro") + "/out"
+    val df = spark.createDataFrame(Seq(
+      (1, 10L, 1.5f, 2.5, true, "x", Array[Byte](1, 2)),
+      (2, 20L, 3.5f, 4.5, false, "y", Array[Byte](3))
+    )).toDF("i", "l", "f", "d", "b", "s", "bin")
+    AvroSource.write(df, dir)
+    val back = AvroSource.read(spark, dir, df.schema).orderBy("i").collect()
+    assert(back.length == 2)
+    assert(back(0).getInt(0) == 1 && back(0).getLong(1) == 10L)
+    assert(back(0).getString(5) == "x")
+    assert(back(0).getAs[Array[Byte]](6).toSeq == Seq[Byte](1, 2))
+    assert(back(1).getBoolean(4) == false)
+  }
+
+  test("multi-sink writes one partition dir per label in a single pass") {
+    val base = tmp("msink") + "/out"
+    val df = io.Tables.events(spark, sf).select("event_id", "event_type", "user_id")
+    MultiSink.partitionByLabel(df, "event_type", base)
+    val labels = new java.io.File(base).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(labels.count(_.startsWith("event_type=")) == 5)
+    val click = spark.read.parquet(base).where(col("event_type") === "click").count()
+    val expected = df.where(col("event_type") === "click").count()
+    assert(click == expected)
+  }
+}

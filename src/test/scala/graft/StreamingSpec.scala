@@ -1,0 +1,52 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventsStream
+import graft.streaming.EventsStream.Event
+
+class StreamingSpec extends GraftSuite {
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(1700000000000L + minutes * 60000)
+
+  test("streaming hourly window matches batch aggregation semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStream.hourlyCounts(input.toDF())
+      .writeStream.format("memory").queryName("hourly").outputMode("complete").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0), Event(2, ts(10), 1, "click", 2.0),
+        Event(3, ts(70), 2, "view", 3.0))
+      q.processAllAvailable()
+      val out = spark.table("hourly").select("event_type", "n_events").as[(String, Long)]
+        .collect().toMap
+      assert(out == Map("click" -> 2L, "view" -> 1L))
+    } finally q.stop()
+  }
+
+  test("streaming sessionization closes sessions on gap and emits on timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStream.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // session 1: two events 5 min apart; then 60-min silence breaks it
+      input.addData(Event(1, ts(0), 7, "click", 0), Event(2, ts(5), 7, "click", 0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(65), 7, "click", 0))
+      q.processAllAvailable()
+      // advance watermark well past everything so the first session flushes
+      input.addData(Event(4, ts(600), 8, "view", 0))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions")
+        .where(col("user_id") === 7).select("n_events").as[Long].collect().sorted.toSeq
+      assert(sessions.contains(2L), s"expected the 2-event session closed, got $sessions")
+    } finally q.stop()
+  }
+}

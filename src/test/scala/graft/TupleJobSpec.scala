@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.api.{RollupHandler, TupleJob}
+
+class TupleJobSpec extends GraftSuite {
+
+  test("grouped reduce with secondary sort reproduces the window-based first-event query") {
+    import spark.implicits._
+    val events = io.Tables.events(spark, sf)
+    val outSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("first_value", DoubleType)))
+    val viaTupleJob = TupleJob.groupBy(events, "user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+      .reduce(outSchema) { (key, rows) =>
+        val first = rows.next()
+        while (rows.hasNext) rows.next() // consume (contract) — streaming scan
+        Iterator(Row(key.get(0), key.get(1), first.getAs[Double]("value")))
+      }
+      .as[(Long, String, Double)].collect().toSet
+    val viaWindow = operators.Relational.secondarySort(spark, sf)
+      .select(col("user_id"), col("event_type"), col("first_value"))
+      .as[(Long, String, Double)].collect()
+      .map { case (u, e, v) => (u, e, math.rint(v * 1e6) / 1e6) }.toSet
+    val tj = viaTupleJob.map { case (u, e, v) => (u, e, math.rint(v * 1e6) / 1e6) }
+    assert(tj == viaWindow)
+  }
+
+  test("rollup handler fires open/close per depth like TupleRollupReducer") {
+    val df = spark.createDataFrame(Seq(
+      ("r1", "n1", 1), ("r1", "n1", 2), ("r1", "n2", 3), ("r2", "n3", 4)
+    )).toDF("r", "n", "v")
+    val outSchema = StructType(Seq(
+      StructField("depth", IntegerType), StructField("evt", StringType),
+      StructField("key", StringType)))
+    val out = TupleJob.groupBy(df.coalesce(1), "r", "n")
+      .orderBy(col("v"))
+      .rollup(outSchema, 0)(new RollupHandler {
+        override def onOpenGroup(d: Int, first: Row) =
+          Iterator(Row(d, "open", s"${first.getAs[String]("r")}/${first.getAs[String]("n")}"))
+        override def onCloseGroup(d: Int, last: Row) =
+          Iterator(Row(d, "close", s"${last.getAs[String]("r")}/${last.getAs[String]("n")}"))
+      })
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    // r1 opens once at depth 0, n-groups open at depth 1 twice; r2 once each
+    assert(out.count(e => e._1 == 0 && e._2 == "open") == 2)
+    assert(out.count(e => e._1 == 1 && e._2 == "open") == 3)
+    assert(out.count(e => e._1 == 1 && e._2 == "close") == 3)
+    assert(out.count(e => e._1 == 0 && e._2 == "close") == 2)
+  }
+
+  test("coGroup joins heterogeneous schemas on a common key") {
+    import spark.implicits._
+    val orders = io.Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    val lines = io.Tables.lineitem(spark, sf).select("l_orderkey", "l_extendedprice")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    val outSchema = StructType(Seq(
+      StructField("orderkey", StringType), StructField("n_orders", IntegerType),
+      StructField("n_lines", IntegerType)))
+    val out = TupleJob.coGroup(orders, lines, Seq("o_orderkey"), outSchema) { (k, l, r) =>
+      Iterator(Row(k.getString(0), l.size, r.size))
+    }
+    val bad = out.where(col("n_orders") =!= 1).count()
+    assert(bad == 0) // every orderkey has exactly one order
+    assert(out.count() > 0)
+  }
+}
