@@ -28,9 +28,9 @@ object Oracles {
        |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2 FROM bands x
        |         JOIN bands y ON x.bid = y.bid AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
        |ver AS (SELECT d1, d2,
-       |          round(len(list_intersect(a.sh, b.sh))::DOUBLE
-       |                / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jac
-       |        FROM cand JOIN shs a ON d1 = a.doc_id JOIN shs b ON d2 = b.doc_id)
+       |          round(len(list_intersect(a.h0, b.h0))::DOUBLE
+       |                / len(list_distinct(list_concat(a.h0, b.h0))), 6) AS jac
+       |        FROM cand JOIN hs a ON d1 = a.doc_id JOIN hs b ON d2 = b.doc_id)
        |SELECT d1, d2, jac FROM ver WHERE jac >= 0.5""".stripMargin
   }
 
@@ -40,8 +40,9 @@ object Oracles {
        |       THEN (1::BIGINT << b) ELSE 0 END FOR b IN range(60)]) AS BIGINT) AS simhash FROM t""".stripMargin
 
   val ngramJaccard: String =
-    s"""WITH g AS (SELECT doc_id, (n_chars // 100) AS bucket,
-       |            list_distinct([substr(text, i, 4) FOR i IN range(1, len(text) - 2)]) AS grams
+    s"""WITH g AS (SELECT doc_id, (n_chars // 25) AS bucket,
+       |            list_transform(list_distinct([substr(text, i, 4) FOR i IN range(1, len(text) - 2)]),
+       |                           s -> $hash60Sql) AS grams
        |           FROM documents),
        |p AS (SELECT x.doc_id AS d1, y.doc_id AS d2,
        |        round(len(list_intersect(x.grams, y.grams))::DOUBLE

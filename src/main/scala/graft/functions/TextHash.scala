@@ -50,11 +50,11 @@ object TextHash {
   def shingleHashes(sh: Column): Column =
     transform(sh, s => hash60(s) % P)
 
-  /** MinHash signature: array of K minima, one narrow pass, no shuffle. */
-  def minhashSignature(h0s: Column): Column =
-    array((0 until K).map { i =>
-      array_min(transform(h0s, h => (h * permA(i) + permB(i)) % P))
-    }: _*)
+  /** MinHash signature: array of K minima in one fused codegen pass
+    * ([[MinHashSig]]) — the K× transform+array_min HOF chain is interpreted
+    * and was the sf0.1 bottleneck.
+    */
+  def minhashSignature(h0s: Column): Column = VectorExpressions.minhashSig(h0s)
 
   /** LSH band keys: Bands structs of (bid, "sig[2j],sig[2j+1]"). */
   def bandKeys(sig: Column): Column =
@@ -63,16 +63,11 @@ object TextHash {
         concat_ws(",", sig(2 * j).cast("string"), sig(2 * j + 1).cast("string")).as("bkey"))
     }: _*)
 
-  /** 60-bit SimHash over the token multiset (counts weigh the ±1 votes).
-    * Nested higher-order functions keep this a narrow per-row expression —
-    * no shuffle, whole-stage-codegen friendly.
+  /** 60-bit SimHash over the token multiset (counts weigh the ±1 votes):
+    * hash each token once, then one fused vote pass ([[SimHash64]]).
     */
-  def simhash60(toksCol: String): Column =
-    expr(
-      s"""aggregate(sequence(0, 59), 0L, (acc, b) -> acc +
-         |  IF(aggregate(transform($toksCol, t -> conv(substring(md5(t), 1, 15), 16, 10)),
-         |               0L, (a2, h) -> a2 + IF(((CAST(h AS BIGINT) >> b) & 1) = 1, 1L, -1L)) > 0,
-         |     shiftleft(1L, b), 0L))""".stripMargin)
+  def simhash60(toks: Column): Column =
+    VectorExpressions.simhash64(transform(toks, hash60(_)))
 
   /** Distinct character 4-grams (SQL-portable near-dup blocking unit).
     * Takes the column NAME (position arg of substring must be an expression,

@@ -1,0 +1,204 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the hot array kernels.
+  *
+  * The higher-order-function formulations (`aggregate(zip_with(...))`) are
+  * interpreted per element — measured 43 s for 12.5M×64-dim cosine pairs at
+  * sf0.1. These expressions generate a tight Java loop inside whole-stage
+  * codegen instead (preference order (b) from the design brief: custom
+  * Expression before UDF).
+  */
+object VectorExpressions {
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def minhashSig(h0s: Column): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(h0s)))
+
+  def simhash64(hashes: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(hashes)))
+
+  def sortedJaccard(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** Jaccard similarity of two SORTED, DISTINCT array<long> columns via a
+  * zero-allocation merge walk: |∩| by two pointers, |∪| = n1+n2-|∩|.
+  * The builtin array_intersect/array_union pair builds two hash sets per
+  * row pair — measured 8× slower on the sf0.1 all-pairs n-gram query.
+  */
+case class SortedJaccard(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n1 = x.numElements(); val n2 = y.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < n1 && j < n2) {
+      val u = x.getLong(i); val v = y.getLong(j)
+      if (u == v) { c += 1; i += 1; j += 1 }
+      else if (u < v) i += 1 else j += 1
+    }
+    val union = n1 + n2 - c
+    if (union == 0) 0.0 else c.toDouble / union
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j"); val c = ctx.freshName("c")
+      val n1 = ctx.freshName("n1"); val n2 = ctx.freshName("n2")
+      val u = ctx.freshName("u"); val v = ctx.freshName("v"); val un = ctx.freshName("un")
+      s"""
+         |int $n1 = $a.numElements(); int $n2 = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $n1 && $j < $n2) {
+         |  long $u = $a.getLong($i); long $v = $b.getLong($j);
+         |  if ($u == $v) { $c++; $i++; $j++; }
+         |  else if ($u < $v) { $i++; } else { $j++; }
+         |}
+         |int $un = $n1 + $n2 - $c;
+         |${ev.value} = ($un == 0) ? 0.0 : ((double) $c) / $un;
+       """.stripMargin
+    })
+}
+
+/** Dot product of two array<double> columns (element-null-free arrays). */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+}
+
+/** MinHash signature: K permutation minima over an array<long> of shingle
+  * hashes (already reduced mod P), one fused pass — replaces K interpreted
+  * transform+array_min HOF chains.
+  */
+case class MinHashSig(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val in = v.asInstanceOf[ArrayData]
+    val n = in.numElements()
+    if (n == 0) null
+    else {
+      val sig = Array.fill(TextHash.K)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        val h = in.getLong(i); var k = 0
+        while (k < TextHash.K) {
+          val x = (h * MinHashSig.A(k) + MinHashSig.B(k)) % TextHash.P
+          if (x < sig(k)) sig(k) = x
+          k += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(sig)
+    }
+  }
+
+  override def nullable: Boolean = true
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("permA", MinHashSig.A, "long[]")
+    val bRef = ctx.addReferenceObj("permB", MinHashSig.B, "long[]")
+    val k = TextHash.K; val p = TextHash.P
+    nullSafeCodeGen(ctx, ev, in => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val sig = ctx.freshName("sig"); val h = ctx.freshName("h")
+      val x = ctx.freshName("x")
+      s"""
+         |int $n = $in.numElements();
+         |if ($n == 0) { ${ev.isNull} = true; } else {
+         |  long[] $sig = new long[$k];
+         |  java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $h = $in.getLong($i);
+         |    for (int $j = 0; $j < $k; $j++) {
+         |      long $x = ($h * $aRef[$j] + $bRef[$j]) % ${p}L;
+         |      if ($x < $sig[$j]) $sig[$j] = $x;
+         |    }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+         |}
+       """.stripMargin
+    })
+  }
+}
+
+object MinHashSig {
+  val A: Array[Long] = Array.tabulate(TextHash.K)(TextHash.permA)
+  val B: Array[Long] = Array.tabulate(TextHash.K)(TextHash.permB)
+}
+
+/** 60-bit SimHash over an array<long> of token hashes (multiset: repeats
+  * vote repeatedly), single fused pass.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val in = v.asInstanceOf[ArrayData]
+    val votes = new Array[Int](60)
+    var i = 0
+    while (i < in.numElements()) {
+      val h = in.getLong(i); var b = 0
+      while (b < 60) { if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
+      i += 1
+    }
+    var out = 0L; var b = 0
+    while (b < 60) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val i = ctx.freshName("i"); val b = ctx.freshName("b")
+      val votes = ctx.freshName("votes"); val h = ctx.freshName("h"); val out = ctx.freshName("out")
+      s"""
+         |int[] $votes = new int[60];
+         |for (int $i = 0; $i < $in.numElements(); $i++) {
+         |  long $h = $in.getLong($i);
+         |  for (int $b = 0; $b < 60; $b++) {
+         |    if ((($h >> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < 60; $b++) { if ($votes[$b] > 0) $out |= (1L << $b); }
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+}
