@@ -15,11 +15,8 @@ import graft.operators.{GameOfLife, Multimodal}
 object Demo {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    val spark = GraftSession.builder("local[4]", 4)
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -54,6 +51,17 @@ object Demo {
     // 5. Iterative job: Game of Life glider, 4 generations
     val glider = Seq((1L, 0L), (2L, 1L), (0L, 2L), (1L, 2L), (2L, 2L))
     println(s"[demo] glider cells after 4 gens: ${GameOfLife.run(spark, glider, 4).count()}")
+
+    // 6. SQL surface via GraftExtensions
+    val dot = spark.sql("SELECT graft_dot(array(1.0d,2.0d), array(3.0d,4.0d)) AS d").head.getDouble(0)
+    println(s"[demo] SQL graft_dot = $dot")
+
+    // 7. Skew tooling: salted join equals plain join
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(spark, sfDir).select(col("c_custkey").as("o_custkey"), col("c_name"))
+    val n1 = operators.Skew.saltedJoin(o, c, "o_custkey", 7).count()
+    val n2 = o.join(c, "o_custkey").count()
+    println(s"[demo] salted join rows=$n1 plain=$n2 equal=${n1 == n2}")
 
     spark.stop()
   }
