@@ -20,6 +20,15 @@ object SparkEntry {
     "q_wordcount_stopwords" -> ((s, d) => Relational.wordCountStopWords(s, d)),
     "q_secondary_sort"     -> ((s, d) => Relational.secondarySort(s, d)),
     "q_topn_per_group"     -> ((s, d) => Relational.topNPerGroup(s, d)),
+    // same result as q_topn_per_group via map-side partial top-k (TopK):
+    // shuffle carries ≤ k×groups×partitions rows instead of all rows
+    "q_topn_scalable"      -> ((s, d) => TopK.perGroup(
+      io.Tables.orders(s, d),
+      Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+      .select(org.apache.spark.sql.functions.col("o_custkey"),
+        org.apache.spark.sql.functions.col("rk"),
+        org.apache.spark.sql.functions.col("o_orderkey"),
+        org.apache.spark.sql.functions.col("o_totalprice"))),
     "q_rollup"             -> ((s, d) => Relational.rollupAgg(s, d)),
     "q_join_reduce_side"   -> ((s, d) => Relational.joinReduceSide(s, d)),
     "q_join_broadcast"     -> ((s, d) => Relational.joinBroadcast(s, d)),
@@ -81,6 +90,12 @@ object SparkEntry {
         |      FROM events) t
         |WHERE rn = 1""".stripMargin,
     "q_topn_per_group" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |      FROM orders) t
+        |WHERE rk <= 3""".stripMargin,
+    "q_topn_scalable" ->
       """SELECT o_custkey, rk, o_orderkey, o_totalprice
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
         |             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk

@@ -21,16 +21,33 @@ import org.apache.spark.sql.types.StructType
   * and the scalable one at 100 TB: only the shuffle moves data, the reduce
   * is a single forward scan).
   */
-final class TupleJob private (
+final class TupleJob private[api] (
     df: DataFrame,
     groupCols: Seq[String],
-    sortSpec: Seq[Column]) {
+    sortSpec: Seq[Column],
+    partitionCols: Option[Seq[String]] = None) {
 
-  /** Secondary sort: total order within each group (Pangool OrderBy). */
-  def orderBy(cols: Column*): TupleJob = new TupleJob(df, groupCols, cols)
+  /** Secondary sort: total order within each group (Pangool OrderBy).
+    * Null placement via the Column API (`asc_nulls_first` etc.) mirrors
+    * Pangool's Criteria.NullOrder.
+    */
+  def orderBy(cols: Column*): TupleJob =
+    new TupleJob(df, groupCols, cols, partitionCols)
+
+  /** Custom partition fields (Pangool
+    * TupleMRConfigBuilder.setCustomPartitionFields): must be a subset of the
+    * group fields so a group never straddles partitions. Fewer partition
+    * fields co-locate related groups (e.g. partition by user, group by
+    * (user, day)) at the cost of coarser parallelism.
+    */
+  def partitionBy(cols: String*): TupleJob = {
+    require(cols.forall(groupCols.contains),
+      s"partition fields ${cols.mkString(",")} must be a subset of group fields ${groupCols.mkString(",")}")
+    new TupleJob(df, groupCols, sortSpec, Some(cols))
+  }
 
   private def sorted: DataFrame = {
-    val part = df.repartition(groupCols.map(col): _*)
+    val part = df.repartition(partitionCols.getOrElse(groupCols).map(col): _*)
     part.sortWithinPartitions(groupCols.map(col) ++ sortSpec: _*)
   }
 
@@ -74,7 +91,7 @@ object TupleJob {
 
   /** Entry point (Pangool TupleMRBuilder.setGroupByFields). */
   def groupBy(df: DataFrame, cols: String*): TupleJob =
-    new TupleJob(df, cols, Nil)
+    new TupleJob(df, cols, Nil, None)
 
   /** Map-only job (reference: tuplemr/MapOnlyJobBuilder.java): just the
     * narrow transforms, named for API parity.

@@ -1,0 +1,60 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed top-k per group with map-side partial reduction.
+  *
+  * The window-function form (`row_number().over(partitionBy(g).orderBy(o))`)
+  * shuffles EVERY row to its group's reducer. Here each input partition
+  * first keeps at most k rows per group (bounded heaps, one narrow pass), so
+  * the shuffle carries ≤ k × groups × partitions rows — at 100 TB with
+  * thousands of rows per group this cuts shuffle volume by rows/k, the same
+  * trick as Pangool's combiner-side PriorityQueue in TopNHashTags
+  * (reference: examples/.../TopNHashTags.java), but expressed as a partial
+  * physical reduction feeding a normal Catalyst window for the final rank.
+  *
+  * `orderCols` must be a TOTAL order (include a tiebreak column) — partial
+  * pruning at the k-boundary is only correct under a total order.
+  */
+object TopK {
+
+  /** @param orderCols (column name, ascending?) — evaluated in sequence. */
+  def perGroup(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val schema = df.schema
+    val gIdx = groupCols.map(schema.fieldIndex)
+    val oIdx = orderCols.map { case (c, asc) => (schema.fieldIndex(c), asc) }
+
+    // total order on the sort key tuple; heap keeps the WORST at the top
+    val rowOrd: Ordering[Row] = (x: Row, y: Row) => {
+      var i = 0; var cmp = 0
+      while (cmp == 0 && i < oIdx.length) {
+        val (idx, asc) = oIdx(i)
+        val c = x.getAs[Any](idx).asInstanceOf[Comparable[Any]]
+          .compareTo(y.getAs[Any](idx))
+        cmp = if (asc) c else -c
+        i += 1
+      }
+      cmp
+    }
+
+    val partial = df.mapPartitions { it =>
+      val heaps = mutable.HashMap.empty[Seq[Any], mutable.PriorityQueue[Row]]
+      it.foreach { row =>
+        val key = gIdx.map(row.getAs[Any](_))
+        val h = heaps.getOrElseUpdate(key, mutable.PriorityQueue.empty[Row](rowOrd))
+        if (h.size < k) h.enqueue(row)
+        else if (rowOrd.compare(row, h.head) < 0) { h.dequeue(); h.enqueue(row) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }(Encoders.row(schema))
+
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(orderCols.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }: _*)
+    partial.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+}

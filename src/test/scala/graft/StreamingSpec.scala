@@ -29,6 +29,25 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("file-source streaming over an events landing dir matches batch counts") {
+    import spark.implicits._
+    // stage the events parquet as a landing directory
+    val dir = java.nio.file.Files.createTempDirectory("events-stream").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    raw.write.mode("overwrite").parquet(dir)
+    val stream = EventsStream.fromDirectory(spark, dir, raw.schema)
+      .groupBy("event_type").count()
+    val q = stream.writeStream.format("memory").queryName("filestream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("filestream").as[(String, Long)].collect().toMap
+      val batch = raw.groupBy("event_type").count().as[(String, Long)].collect().toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions on gap and emits on timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
