@@ -122,6 +122,54 @@ object Oracles {
        |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, source) AS rk FROM scored)
        |SELECT doc_id, source AS predicted FROM r WHERE rk = 1""".stripMargin
 
+  val asofJoin: String =
+    """WITH c AS (SELECT user_id, ts, event_id, 0 AS tag FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts, event_id, 1 AS tag FROM events WHERE event_type = 'purchase'),
+      |u AS (SELECT * FROM c UNION ALL SELECT * FROM p),
+      |w AS (SELECT user_id, ts, event_id, tag,
+      |        last_value(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS)
+      |          OVER (PARTITION BY user_id ORDER BY ts, tag, event_id ROWS UNBOUNDED PRECEDING) AS last_click_id,
+      |        last_value(CASE WHEN tag = 0 THEN epoch_us(ts) END IGNORE NULLS)
+      |          OVER (PARTITION BY user_id ORDER BY ts, tag, event_id ROWS UNBOUNDED PRECEDING) AS last_click_us
+      |      FROM u)
+      |SELECT event_id AS purchase_id, user_id, last_click_id,
+      |       (epoch_us(ts) - last_click_us) AS gap_us
+      |FROM w WHERE tag = 1""".stripMargin
+
+  val rangeJoin: String =
+    """SELECT e.event_id, count(c.event_id) AS n_recent_clicks
+      |FROM events e LEFT JOIN events c
+      |  ON c.event_type = 'click'
+      | AND epoch_us(c.ts) >= epoch_us(e.ts) - 60000000
+      | AND epoch_us(c.ts) <= epoch_us(e.ts)
+      |WHERE e.event_type = 'error'
+      |GROUP BY e.event_id""".stripMargin
+
+  val pivot: String =
+    """SELECT user_id,
+      |  count(*) FILTER (WHERE event_type = 'click') AS click,
+      |  count(*) FILTER (WHERE event_type = 'error') AS error,
+      |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  count(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events GROUP BY user_id""".stripMargin
+
+  val cube: String =
+    """SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders,
+      |       round(sum(o_totalprice), 2) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY CUBE (c_mktsegment, o_orderpriority)""".stripMargin
+
+  val percentiles: String =
+    """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
+      |       round(quantile_cont(value, 0.95), 6) AS p95
+      |FROM events GROUP BY event_type""".stripMargin
+
+  val jsonExtract: String =
+    """SELECT (CAST(json_extract_string(props, '$.k') AS BIGINT) // 10) AS k_bucket,
+      |       count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1""".stripMargin
+
   val eventsWindow: String =
     """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
       |       count(*) AS n_events, round(sum(value), 2) AS sum_value

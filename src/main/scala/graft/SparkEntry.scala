@@ -50,6 +50,12 @@ object SparkEntry {
     "q_lang_id"            -> ((s, d) => TextAnalysis.langId(s, d)),
     "q_quality_score"      -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "q_fingerprint"        -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "q_asof_join"          -> ((s, d) => Analytics.asofPurchaseClick(s, d)),
+    "q_range_join"         -> ((s, d) => Analytics.rangeJoinErrorClicks(s, d)),
+    "q_pivot"              -> ((s, d) => Analytics.pivotUserActivity(s, d)),
+    "q_cube"               -> ((s, d) => Analytics.cubeSegmentPriority(s, d)),
+    "q_percentiles"        -> ((s, d) => Analytics.percentiles(s, d)),
+    "q_json_extract"       -> ((s, d) => Analytics.jsonExtract(s, d)),
     "q_events_window"      -> ((s, d) => Events.hourlyWindow(s, d)),
     "q_sessionize"         -> ((s, d) => Events.sessionize(s, d)),
     "q_events_topusers"    -> ((s, d) => Events.topUsers(s, d)),
@@ -162,6 +168,12 @@ object SparkEntry {
     "q_lang_id"         -> Oracles.langId,
     "q_quality_score"   -> Oracles.qualityScore,
     "q_fingerprint"     -> Oracles.fingerprint,
+    "q_asof_join"       -> Oracles.asofJoin,
+    "q_range_join"      -> Oracles.rangeJoin,
+    "q_pivot"           -> Oracles.pivot,
+    "q_cube"            -> Oracles.cube,
+    "q_percentiles"     -> Oracles.percentiles,
+    "q_json_extract"    -> Oracles.jsonExtract,
     "q_events_window"   -> Oracles.eventsWindow,
     "q_sessionize"      -> Oracles.sessionize,
     "q_events_topusers" -> Oracles.topUsers,

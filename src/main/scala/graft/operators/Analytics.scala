@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Analytics operators beyond the reference's own surface: as-of / range
+  * joins, pivot, cube, exact percentiles, JSON extraction. Each has a DuckDB
+  * oracle; each is designed around one bounded shuffle.
+  */
+object Analytics {
+
+  /** Generic as-of join: for each left row, the latest right row with
+    * right ts <= left ts within the same key — the classic
+    * point-in-time-correct feature lookup.
+    *
+    * Spark has no ASOF JOIN; the naive per-row subquery is O(n²). This is
+    * the single-shuffle formulation: tag both inputs, union, and carry the
+    * last right value forward with one ordered window per key. At 100 TB the
+    * cost is exactly one repartition by key + one sort — the same exchange a
+    * plain join would need.
+    */
+  def asOf(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+      idCol: String, rightId: String): DataFrame = {
+    val l = left.select(col(key), col(tsCol).as("__ts"), col(idCol).as("__lid"),
+      lit(null).cast("long").as("__rid"), lit(1).as("__tag"))
+    val r = right.select(col(key), col(tsCol).as("__ts"), lit(null).cast("long").as("__lid"),
+      col(rightId).cast("long").as("__rid"), lit(0).as("__tag"))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__tag"), coalesce(col("__rid"), col("__lid")))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__asof_rid", last(col("__rid"), ignoreNulls = true).over(w))
+      .withColumn("__asof_ts",
+        last(when(col("__tag") === 0, unix_micros(col("__ts"))), ignoreNulls = true).over(w))
+      .where(col("__tag") === 1)
+      .select(col(key), col("__lid").as(idCol), col("__asof_rid"),
+        col("__ts").as(tsCol), col("__asof_ts"))
+  }
+
+  /** q_asof_join — for each purchase, the user's most recent prior click. */
+  def asofPurchaseClick(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+    val clicks = ev.where(col("event_type") === "click")
+    asOf(purchases, clicks, "user_id", "ts", "event_id", "event_id")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("__asof_rid").as("last_click_id"),
+        (unix_micros(col("ts")) - col("__asof_ts")).as("gap_us"))
+  }
+
+  /** q_range_join — for each error event, clicks (any user) in the previous
+    * 60 s. Implemented as a bucketed equi-join: bucket = 60 s of epoch-µs,
+    * each error probes its own and the previous bucket, the exact range
+    * predicate filters inside the join. Converts an O(n²)
+    * BroadcastNestedLoop into a hash join whose fan-out is 2× — the
+    * standard range-join-at-scale pattern.
+    */
+  def rangeJoinErrorClicks(spark: SparkSession, dir: String): DataFrame = {
+    val winUs = 60L * 1000000
+    val ev = Tables.events(spark, dir)
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        (unix_micros(col("ts")) / winUs).cast("long").as("bucket"))
+      .withColumn("probe", explode(array(col("bucket") - 1, col("bucket"))))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), unix_micros(col("ts")).as("cus"),
+        (unix_micros(col("ts")) / winUs).cast("long").as("cbucket"))
+    errors.join(clicks,
+        col("cbucket") === col("probe") &&
+          col("cus") >= col("us") - winUs && col("cus") <= col("us"), "left")
+      .groupBy(col("event_id"))
+      .agg(count(col("click_id")).as("n_recent_clicks"))
+  }
+
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** q_pivot — event-type counts pivoted to columns per user. */
+  def pivotUserActivity(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", EventTypes)
+      .count()
+    p.select(col("user_id") +: EventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+  }
+
+  /** q_cube — CUBE over (market segment × order priority). */
+  def cubeSegmentPriority(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+
+  /** q_percentiles — exact interpolated median/p95 of value per event type
+    * (Spark `percentile` ↔ DuckDB `quantile_cont`, same linear
+    * interpolation).
+    */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, array(0.5D, 0.95D))").as("p"))
+      .select(col("event_type"),
+        round(element_at(col("p"), 1), 6).as("p50"),
+        round(element_at(col("p"), 2), 6).as("p95"))
+
+  /** q_json_extract — pull a typed field out of the semi-structured props
+    * column and aggregate on it (narrow parse, one shuffle).
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"), col("value"))
+      .groupBy(expr("k div 10").as("k_bucket"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+}
