@@ -83,14 +83,37 @@ object Dedup {
     * oracle applies the same rule).
     */
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
+    import spark.implicits._
     val g = Tables.documents(spark, dir)
       .select(col("doc_id"), (col("n_chars") / 25).cast("long").as("bucket"),
         array_sort(array_distinct(transform(charGrams4("text"), hash60(_)))).as("grams"))
-    g.as("x").join(g.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-        round(graft.functions.VectorExpressions.sortedJaccard(col("x.grams"), col("y.grams")), 6)
-          .as("jac"))
+    // Block-local all-pairs: each doc's gram set crosses the shuffle ONCE
+    // (grouped by bucket), pairs are generated in-memory per block with a
+    // zero-allocation merge walk. A bucket join instead copies both arrays
+    // into every joined row — measured 9 s vs 2 s at sf0.1. Memory is
+    // bounded by the largest block (all-pairs within a block is O(n_b²)
+    // work regardless, so blocks must stay moderate by construction).
+    g.groupByKey(_.getAs[Long]("bucket"))
+      .flatMapGroups { (_, it) =>
+        val docs = it.map(r => (r.getAs[Long]("doc_id"), r.getSeq[Long](2).toArray))
+          .toArray.sortBy(_._1)
+        for {
+          i <- docs.indices.iterator
+          j <- (i + 1 until docs.length).iterator
+          jac = {
+            val a = docs(i)._2; val b = docs(j)._2
+            var x = 0; var y = 0; var c = 0
+            while (x < a.length && y < b.length) {
+              if (a(x) == b(y)) { c += 1; x += 1; y += 1 }
+              else if (a(x) < b(y)) x += 1 else y += 1
+            }
+            val union = a.length + b.length - c
+            if (union == 0) 0.0 else c.toDouble / union
+          }
+        } yield (docs(i)._1, docs(j)._1, jac)
+      }
+      .toDF("d1", "d2", "jac_raw")
+      .select(col("d1"), col("d2"), round(col("jac_raw"), 6).as("jac"))
       .where(col("jac") >= threshold)
   }
 
