@@ -47,6 +47,9 @@ object SparkEntry {
     "q_ann_bruteforce"     -> ((s, d) => Ann.bruteForceTopK(s, d)),
     "q_ann_lsh"            -> ((s, d) => Ann.lshTopK(s, d)),
     "q_token_count"        -> ((s, d) => TextAnalysis.tokenCount(s, d)),
+    "q_token_bpe"          -> ((s, d) => TextAnalysis.tokenCountBpe(s, d)),
+    "q_rolling_hash"       -> ((s, d) => TextAnalysis.rollingHash(s, d)),
+    "q_ann_ivf"            -> ((s, d) => Ivf.topK(s, d)),
     "q_lang_id"            -> ((s, d) => TextAnalysis.langId(s, d)),
     "q_quality_score"      -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "q_fingerprint"        -> ((s, d) => TextAnalysis.fingerprint(s, d)),
@@ -165,6 +168,14 @@ object SparkEntry {
     // q_ann_lsh intentionally has no oracle (approximate op) — recall is
     // spec-tested against q_ann_bruteforce instead.
     "q_token_count"     -> Oracles.tokenCount,
+    "q_token_bpe"       ->
+      "SELECT doc_id, len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS n_bpe_tokens FROM documents",
+    "q_rolling_hash"    ->
+      """SELECT doc_id, list_reduce(
+        |         list_prepend(7::BIGINT, list_transform(string_split(text, ''), c -> ord(c)::BIGINT)),
+        |         (acc, x) -> (acc * 31 + x) % 2147483647) AS rh
+        |FROM documents""".stripMargin,
+    // q_ann_ivf: approximate op, rows-only (recall spec vs q_ann_bruteforce)
     "q_lang_id"         -> Oracles.langId,
     "q_quality_score"   -> Oracles.qualityScore,
     "q_fingerprint"     -> Oracles.fingerprint,

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExpressions
+
+/** IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
+  * scale path alongside [[Ann.lshTopK]] (SURVEY.md §2 C7b).
+  *
+  * Build: C centroids seeded deterministically from the first C vectors,
+  * refined with Lloyd iterations expressed as DataFrame jobs (assign =
+  * broadcast argmin, update = 64 per-dimension avgs — one shuffle per
+  * iteration keyed by centroid id). The centroid table (C×64 doubles) is a
+  * model artifact small enough to collect and re-broadcast — the corpus
+  * itself never leaves the executors.
+  *
+  * Search: each query probes its nprobe nearest centroids' inverted lists;
+  * candidates = corpus rows in those cells (cell equi-join, no all-pairs).
+  */
+object Ivf {
+
+  private def sqDist(e: Column, cen: Seq[Double]): Column = {
+    val c = typedlit(cen)
+    VectorExpressions.dot(e, e) - lit(2.0) * VectorExpressions.dot(e, c) +
+      lit(cen.map(x => x * x).sum)
+  }
+
+  /** argmin over centroids as array_min of (dist, cid) structs. */
+  private def nearestCid(e: Column, centroids: Seq[(Int, Seq[Double])]): Column =
+    array_min(array(centroids.map { case (cid, cen) =>
+      struct(sqDist(e, cen).as("d"), lit(cid).as("cid"))
+    }: _*)).getField("cid")
+
+  /** Train the coarse quantizer; returns (cid, centroid vector) pairs. */
+  def train(spark: SparkSession, dir: String, c: Int = 16, iters: Int = 2): Seq[(Int, Seq[Double])] = {
+    val v = Ann.normed(spark, dir).select(col("vec_id"), col("e")).cache()
+    var centroids: Seq[(Int, Seq[Double])] = v.where(col("vec_id") < c)
+      .orderBy("vec_id").collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
+    for (_ <- 1 to iters) {
+      val assigned = v.withColumn("cid", nearestCid(col("e"), centroids))
+      val dims = 0 until centroids.head._2.length
+      val updated = assigned.groupBy(col("cid"))
+        .agg(array(dims.map(d => avg(col("e")(d))): _*).as("cen"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq.sortBy(_._1)
+      centroids = updated
+    }
+    centroids
+  }
+
+  /** Top-k within the query's nprobe nearest cells. */
+  def topK(spark: SparkSession, dir: String, nQueries: Int = 20, k: Int = 5,
+      c: Int = 16, nprobe: Int = 4): DataFrame = {
+    val centroids = train(spark, dir, c)
+    val v = Ann.normed(spark, dir)
+      .withColumn("cid", nearestCid(col("e"), centroids))
+    val probeArr = array_sort(array(centroids.map { case (cid, cen) =>
+      struct(sqDist(col("e"), cen).as("d"), lit(cid).as("cid"))
+    }: _*))
+    val q = broadcast(v.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"),
+        explode(slice(probeArr, 1, nprobe)).as("p"))
+      .select(col("query_id"), col("qe"), col("qn"), col("p.cid").as("cid")))
+    val scored = q.join(v, Seq("cid"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(Ann.cosine(col("qe"), col("e"), col("qn"), col("nrm")), 4).as("cos4"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos4").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos4"))
+  }
+}

@@ -55,6 +55,27 @@ object TextAnalysis {
         round(lit(0.5) * col("stop_ratio") + lit(0.3) * col("unique_ratio")
           + lit(0.2) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)), 6).as("quality"))
 
+  /** C8b — BPE-ish token count: regex tokenizer (letter runs / digit runs /
+    * single punctuation), the pre-merge shape of byte-pair tokenizers.
+    * Pattern restricted to constructs Java regex and RE2 agree on.
+    */
+  def tokenCountBpe(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("n_bpe_tokens"))
+
+  /** C11b — polynomial rolling hash of the full text (base 31 mod 2³¹-1),
+    * the streaming-friendly content fingerprint; a narrow codegen'd fold.
+    */
+  def rollingHash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        aggregate(
+          filter(split(col("text"), ""), c => c =!= lit("")),
+          lit(7L),
+          (acc, ch) => (acc * 31L + ascii(ch)) % lit(P)).as("rh"))
+
   /** C11 — document fingerprint: minimum 60-bit shingle hash (the classic
     * min-hash-of-shingles content fingerprint). Narrow.
     */

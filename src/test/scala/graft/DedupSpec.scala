@@ -50,6 +50,16 @@ class DedupSpec extends GraftSuite {
     assert(d.groupBy("content_hash").count().where(col("count") > 1).count() == 0)
   }
 
+  test("ann ivf recall vs brute force >= 0.5 probing 4/16 cells") {
+    import spark.implicits._
+    val bf = Ann.bruteForceTopK(spark, sf).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val ivf = operators.Ivf.topK(spark, sf).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"ivf recall $recall")
+  }
+
   test("ann lsh recall vs brute force >= 0.4") {
     import spark.implicits._
     val bf = Ann.bruteForceTopK(spark, sf).select("query_id", "neighbor_id")
