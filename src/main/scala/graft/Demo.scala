@@ -48,6 +48,9 @@ object Demo {
     val feats = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sfDir))
     println(s"[demo] media features: ${feats.count()} rows, dim=${feats.head().features.length}")
 
+    val resized = Multimodal.resize(Multimodal.mediaTable(spark, sfDir), 8, 6)
+    println(s"[demo] resized to 8x6: ${resized.filter(_.media.length == 48).count()} of ${resized.count()}")
+
     // 5. Iterative job: Game of Life glider, 4 generations
     val glider = Seq((1L, 0L), (2L, 1L), (0L, 2L), (1L, 2L), (2L, 2L))
     println(s"[demo] glider cells after 4 gens: ${GameOfLife.run(spark, glider, 4).count()}")

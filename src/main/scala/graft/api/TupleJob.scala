@@ -116,6 +116,23 @@ object TupleJob {
     }(enc)
   }
 
+  /** Multi-schema co-group with per-schema secondary sort (reference:
+    * TupleMRConfigBuilder.setSpecificOrderBy): each side's iterator arrives
+    * sorted by its own order — Spark's `cogroupSorted` pushes both sorts
+    * into the shuffle, so nothing is buffered in the reducer.
+    */
+  def coGroupSorted(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftOrder: Seq[Column], rightOrder: Seq[Column], outSchema: StructType)(
+      reducer: (Row, Iterator[Row], Iterator[Row]) => Iterator[Row]): DataFrame = {
+    val enc = Encoders.row(outSchema)
+    val keyOf = (r: Row) => keys.map(k => String.valueOf(r.getAs[Any](k))).mkString("\u0001")
+    val l = left.groupByKey(keyOf)(Encoders.STRING)
+    val r = right.groupByKey(keyOf)(Encoders.STRING)
+    l.cogroupSorted(r)(leftOrder: _*)(rightOrder: _*) { (k, li, ri) =>
+      reducer(Row.fromSeq(k.split('\u0001').toSeq), li, ri)
+    }(enc)
+  }
+
   /** Lazily group a key-sorted iterator into (key, run iterator) pairs.
     * The run iterator MUST be fully consumed by the caller before the next
     * run is requested (single forward scan, zero buffering) — same contract

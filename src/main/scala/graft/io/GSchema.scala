@@ -19,6 +19,8 @@ object GSchema {
     "boolean" -> BooleanType, "bool" -> BooleanType,
     "string" -> StringType, "utf8" -> StringType,
     "bytes" -> BinaryType, "binary" -> BinaryType,
+    // Pangool ENUM fields serialize as their name; OBJECT as opaque bytes
+    "enum" -> StringType, "object" -> BinaryType,
     "date" -> DateType, "timestamp" -> TimestampType)
 
   /** Parse "name:type, name:type" (Pangool Fields.parse). A trailing `?`

@@ -62,6 +62,25 @@ object Multimodal {
     }
   }
 
+  /** Resize: STUB for the image-resize kernel — deterministically
+    * downsamples the payload to targetW×targetH bytes by even-stride
+    * sampling (a real implementation decodes, resamples, re-encodes here).
+    * The metadata struct is updated in lockstep, which is the part
+    * downstream operators depend on.
+    */
+  def resize(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val n = targetW * targetH
+        val out =
+          if (m.media.isEmpty) Array.empty[Byte]
+          else Array.tabulate(n)(i => m.media(((i.toLong * m.media.length) / n).toInt))
+        m.copy(media = out, width = targetW, height = targetH)
+      }
+    }
+  }
+
   /** Frame sampling: emit n evenly-spaced "frames" (byte slices) per media
     * row — the video-frame-sample shape (explode with controlled fan-out).
     */

@@ -26,6 +26,15 @@ class MultimodalSpec extends GraftSuite {
       .forall { case (a, b) => a.features.sameElements(b.features) })
   }
 
+  test("resize stub yields exactly targetW×targetH bytes with updated metadata") {
+    val r = Multimodal.resize(Multimodal.mediaTable(spark, sf), 8, 6).collect()
+    assert(r.forall(m => m.media.length == 48 && m.width == 8 && m.height == 6))
+    // deterministic
+    val r2 = Multimodal.resize(Multimodal.mediaTable(spark, sf), 8, 6).collect()
+    assert(r.sortBy(_.doc_id).zip(r2.sortBy(_.doc_id))
+      .forall { case (a, b) => a.media.sameElements(b.media) })
+  }
+
   test("frame sampling fans out n slices covering the payload") {
     val frames = Multimodal.sampleFrames(Multimodal.mediaTable(spark, sf), n = 4)
     val perDoc = frames.groupBy("doc_id").count().where(col("count") =!= 4).count()

@@ -68,4 +68,24 @@ class TupleJobSpec extends GraftSuite {
     assert(bad == 0) // every orderkey has exactly one order
     assert(out.count() > 0)
   }
+
+  test("coGroupSorted delivers per-side sorted iterators (specificOrderBy)") {
+    val orders = io.Tables.orders(spark, sf).select("o_custkey", "o_orderkey", "o_totalprice")
+    val events = io.Tables.events(spark, sf)
+      .select(col("user_id").as("o_custkey"), col("event_id"), col("ts"))
+    val outSchema = StructType(Seq(
+      StructField("key", StringType), StructField("orders_sorted", BooleanType),
+      StructField("events_sorted", BooleanType)))
+    def isSorted(xs: Seq[Long]): Boolean =
+      xs.zip(xs.drop(1)).forall { case (a, b) => a <= b }
+    val out = TupleJob.coGroupSorted(orders, events, Seq("o_custkey"),
+      Seq(col("o_totalprice").desc, col("o_orderkey")),
+      Seq(col("ts"), col("event_id")), outSchema) { (k, l, r) =>
+      val lp = l.map(row => -math.round(row.getAs[Double]("o_totalprice") * 100)).toSeq
+      val rp = r.map(_.getAs[java.sql.Timestamp]("ts").getTime).toSeq
+      Iterator(Row(k.getString(0), isSorted(lp), isSorted(rp)))
+    }
+    assert(out.where(!col("orders_sorted") || !col("events_sorted")).count() == 0)
+    assert(out.count() > 0)
+  }
 }
