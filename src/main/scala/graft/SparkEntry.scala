@@ -37,6 +37,9 @@ object SparkEntry {
     "q_normalize"          -> ((s, d) => Relational.normalize(s, d)),
     "q_topic_fingerprint"  -> ((s, d) => Relational.topicFingerprint(s, d)),
     "q_distinct"           -> ((s, d) => Relational.distinctUsers(s, d)),
+    "q_semi_join"          -> ((s, d) => Relational.semiJoin(s, d)),
+    "q_anti_join"          -> ((s, d) => Relational.antiJoin(s, d)),
+    "q_lag_delta"          -> ((s, d) => Relational.lagDelta(s, d)),
     "q_nb_train"           -> ((s, d) => TextAnalysis.nbTrain(s, d)),
     "q_nb_classify"        -> ((s, d) => TextAnalysis.nbClassify(s, d)),
     "q_dedup_exact"        -> ((s, d) => Dedup.exact(s, d)),
@@ -157,6 +160,20 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_users
         |FROM (SELECT DISTINCT event_type, user_id FROM events) t
         |GROUP BY event_type""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
+    "q_lag_delta" ->
+      """SELECT user_id, count(*) AS n_gaps, round(avg(gap), 4) AS avg_gap_us
+        |FROM (SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |      FROM events) t
+        |WHERE gap IS NOT NULL GROUP BY user_id""".stripMargin,
     "q_nb_train"        -> Oracles.nbTrain,
     "q_nb_classify"     -> Oracles.nbClassify,
     "q_dedup_exact"     -> Oracles.dedupExact,

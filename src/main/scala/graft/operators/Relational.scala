@@ -203,6 +203,34 @@ object Relational {
       .select(col("source"), col("rk"), col("word"), col("cnt"))
   }
 
+  /** A20 — left-semi join: customers having ≥1 urgent order. Semi joins
+    * shuffle only the join keys of the right side — the cheapest existence
+    * check at scale.
+    */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).where(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+
+  /** A21 — left-anti join: customers with no urgent order. */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).where(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** A22 — lag windows: mean gap between consecutive events per user. */
+  def lagDelta(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .where(col("prev_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(avg(unix_micros(col("ts")) - col("prev_us")), 4).as("avg_gap_us"))
+  }
+
   /** A17 — distinct / exact row dedup: distinct users per event type. */
   def distinctUsers(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
