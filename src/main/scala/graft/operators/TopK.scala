@@ -8,7 +8,13 @@ import org.apache.spark.sql.functions._
 
 /** Distributed top-k per group with map-side partial reduction.
   *
-  * The window-function form (`row_number().over(partitionBy(g).orderBy(o))`)
+  * NOTE: for the exact `row_number() <= k` filter pattern, Spark ≥3.5 plans
+  * a `WindowGroupLimit` that already prunes map-side (pinned in PlanSpec) —
+  * use the plain window form there. This operator is for the shapes the
+  * optimizer's pattern-match misses: custom comparator logic, top-k feeding
+  * a non-window consumer, or rank-free "keep k per group" semantics.
+  *
+  * Without such pruning, a per-group ranking
   * shuffles EVERY row to its group's reducer. Here each input partition
   * first keeps at most k rows per group (bounded heaps, one narrow pass), so
   * the shuffle carries ≤ k × groups × partitions rows — at 100 TB with

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Pins the physical-plan properties PLANS.md documents — a regression here
+  * means a scale property silently degraded even if results stay correct.
+  */
+class PlanSpec extends GraftSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.explainString(FormattedMode)
+
+  /** count shuffle exchanges via the detail headers "(n) Exchange" only —
+    * each operator appears twice in formatted mode (tree + detail).
+    */
+  private def shuffles(p: String): Int =
+    p.linesIterator.count(_.matches("""^\(\d+\) Exchange\s*$"""))
+
+  test("q_agg_groupby pushes the date filter into the parquet scan") {
+    val p = plan("q_agg_groupby")
+    assert(p.contains("PushedFilters:") && p.contains("LessThanOrEqual(l_shipdate"))
+    // column pruning: shipdate present, orderkey pruned away
+    assert(p.contains("l_shipdate") && !p.contains("l_orderkey"))
+  }
+
+  test("q_join_broadcast never shuffles the fact table") {
+    val p = plan("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"))
+    // the only Exchange allowed is the final tiny group-by on n_name
+    assert(shuffles(p) <= 1, s"unexpected shuffles:\n$p")
+  }
+
+  test("q_topn_per_group is a single-exchange window with group-limit pushdown") {
+    val p = plan("q_topn_per_group")
+    assert(shuffles(p) == 1, p)
+    assert(!p.contains("TakeOrderedAndProject"))
+    // Spark 4 inserts WindowGroupLimit (partial per-partition top-k before
+    // the shuffle) for rank<=k filters — pin it so a plan regression shows
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q_ann_bruteforce pushes the query-set predicate to the scan") {
+    val p = plan("q_ann_bruteforce")
+    assert(p.contains("LessThan(vec_id,20)"))
+  }
+
+  test("q_grep prunes to the three projected columns") {
+    val p = plan("q_grep")
+    assert(!p.contains("lang") && !p.contains("embedding"))
+  }
+}
