@@ -70,6 +70,31 @@ object Oracles {
       |      FROM p)
       |SELECT query_id, rk, neighbor_id, cos4 FROM r WHERE rk <= 5""".stripMargin
 
+  /** Full LSH pipeline re-derived in SQL: the hyperplanes are integer
+    * arithmetic ((p*64+d)*2654435761 mod 1000003, scaled), so DuckDB
+    * reconstructs bit-identical buckets, candidates and re-ranking.
+    */
+  val annLsh: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+      |planes AS (
+      |  SELECT t, j,
+      |    [ ((((t*4 + j)*64 + d) * 2654435761) % 1000003) / 1000003.0 - 0.5 FOR d IN range(64) ] AS w
+      |  FROM (SELECT unnest(range(8)) AS t) tt, (SELECT unnest(range(4)) AS j) jj),
+      |bt AS (SELECT vec_id, t,
+      |         CAST(sum(CASE WHEN list_dot_product(e, w) > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+      |       FROM n, planes GROUP BY vec_id, t),
+      |cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+      |         FROM bt a JOIN bt b ON a.t = b.t AND a.bucket = b.bucket
+      |         WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id),
+      |scored AS (SELECT qid AS query_id, nid AS neighbor_id,
+      |             round(list_dot_product(q.e, x.e) / (q.nrm * x.nrm), 4) AS cos4
+      |           FROM cand JOIN n q ON qid = q.vec_id JOIN n x ON nid = x.vec_id),
+      |r AS (SELECT query_id, neighbor_id, cos4,
+      |        row_number() OVER (PARTITION BY query_id ORDER BY cos4 DESC, neighbor_id) AS rk
+      |      FROM scored)
+      |SELECT query_id, rk, neighbor_id, cos4 FROM r WHERE rk <= 5""".stripMargin
+
   val tokenCount: String =
     s"""SELECT doc_id, len($toksSql)::BIGINT AS n_tokens,
        |       len(list_distinct($toksSql))::BIGINT AS n_unique FROM documents""".stripMargin

@@ -182,8 +182,7 @@ object SparkEntry {
     "q_ngram_jaccard"   -> Oracles.ngramJaccard,
     "q_dedup_embedding" -> Oracles.dedupEmbedding,
     "q_ann_bruteforce"  -> Oracles.annBruteForce,
-    // q_ann_lsh intentionally has no oracle (approximate op) — recall is
-    // spec-tested against q_ann_bruteforce instead.
+    "q_ann_lsh"         -> Oracles.annLsh,
     "q_token_count"     -> Oracles.tokenCount,
     "q_token_bpe"       ->
       "SELECT doc_id, len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS n_bpe_tokens FROM documents",

@@ -88,29 +88,47 @@ object Dedup {
       .select(col("doc_id"), (col("n_chars") / 25).cast("long").as("bucket"),
         array_sort(array_distinct(transform(charGrams4("text"), hash60(_)))).as("grams"))
     // Block-local all-pairs: each doc's gram set crosses the shuffle ONCE
-    // (grouped by bucket), pairs are generated in-memory per block with a
+    // (grouped by block), pairs are generated in-memory per block with a
     // zero-allocation merge walk. A bucket join instead copies both arrays
-    // into every joined row — measured 9 s vs 2 s at sf0.1. Memory is
-    // bounded by the largest block (all-pairs within a block is O(n_b²)
-    // work regardless, so blocks must stay moderate by construction).
-    g.groupByKey(_.getAs[Long]("bucket"))
-      .flatMapGroups { (_, it) =>
-        val docs = it.map(r => (r.getAs[Long]("doc_id"), r.getSeq[Long](2).toArray))
-          .toArray.sortBy(_._1)
+    // into every joined row — measured 9 s vs 2 s at sf0.1.
+    //
+    // Salting: with only ~16 length buckets, parallelism caps at 16 tasks.
+    // Each bucket is split into S doc-bands; a doc lands in the S groups
+    // (bucket, min(band, x), max(band, x)) so every cross- and within-band
+    // pair is generated exactly once — S(S+1)/2 groups per bucket, same
+    // total work, S× smaller per-group memory. Trade-off (measured): the
+    // gram arrays are duplicated S× across the shuffle, which cancels the
+    // gain on local[32]; on a wide cluster where 16 tasks would idle
+    // hundreds of cores, the duplication is the right price. S=1 disables.
+    val S = 4
+    g.flatMap { r =>
+      val doc = r.getAs[Long]("doc_id"); val bucket = r.getAs[Long]("bucket")
+      val grams = r.getSeq[Long](2).toArray
+      val band = (doc % S).toInt
+      (0 until S).map { x =>
+        (bucket, math.min(band, x), math.max(band, x), band, doc, grams)
+      }
+    }
+      .groupByKey { case (bucket, lo, hi, _, _, _) => (bucket, lo, hi) }
+      .flatMapGroups { (key: (Long, Int, Int), it: Iterator[(Long, Int, Int, Int, Long, Array[Long])]) =>
+        val (_, lo, hi) = key
+        val docs = it.map { case (_, _, _, band, doc, grams) => (band, doc, grams) }
+          .toArray.sortBy(_._2)
+        def jacOf(a: Array[Long], b: Array[Long]): Double = {
+          var x = 0; var y = 0; var c = 0
+          while (x < a.length && y < b.length) {
+            if (a(x) == b(y)) { c += 1; x += 1; y += 1 }
+            else if (a(x) < b(y)) x += 1 else y += 1
+          }
+          val union = a.length + b.length - c
+          if (union == 0) 0.0 else c.toDouble / union
+        }
         for {
           i <- docs.indices.iterator
           j <- (i + 1 until docs.length).iterator
-          jac = {
-            val a = docs(i)._2; val b = docs(j)._2
-            var x = 0; var y = 0; var c = 0
-            while (x < a.length && y < b.length) {
-              if (a(x) == b(y)) { c += 1; x += 1; y += 1 }
-              else if (a(x) < b(y)) x += 1 else y += 1
-            }
-            val union = a.length + b.length - c
-            if (union == 0) 0.0 else c.toDouble / union
-          }
-        } yield (docs(i)._1, docs(j)._1, jac)
+          // within-band pairs belong to the (band, band) group only
+          if (lo == hi) || (docs(i)._1 != docs(j)._1)
+        } yield (docs(i)._2, docs(j)._2, jacOf(docs(i)._3, docs(j)._3))
       }
       .toDF("d1", "d2", "jac_raw")
       .select(col("d1"), col("d2"), round(col("jac_raw"), 6).as("jac"))
