@@ -169,7 +169,9 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
     "q_lag_delta" ->
-      """SELECT user_id, count(*) AS n_gaps, round(avg(gap), 4) AS avg_gap_us
+      """SELECT user_id, count(*) AS n_gaps,
+        |       CAST(sum(gap) AS BIGINT) AS total_gap_us,
+        |       (CAST(sum(gap) AS BIGINT) // count(*)) AS mean_gap_us
         |FROM (SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER
         |        (PARTITION BY user_id ORDER BY ts, event_id) AS gap
         |      FROM events) t

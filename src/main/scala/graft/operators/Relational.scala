@@ -227,8 +227,12 @@ object Relational {
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
       .where(col("prev_us").isNotNull)
       .groupBy(col("user_id"))
+      // integer-exact outputs: engines disagree on round() at 4dp
+      // boundaries (BigDecimal HALF_UP vs double-multiply), so emit the
+      // exact sum and its floor-division mean instead of a rounded double
       .agg(count(lit(1)).as("n_gaps"),
-        round(avg(unix_micros(col("ts")) - col("prev_us")), 4).as("avg_gap_us"))
+        sum(unix_micros(col("ts")) - col("prev_us")).as("total_gap_us"))
+      .withColumn("mean_gap_us", expr("total_gap_us div n_gaps"))
   }
 
   /** A17 — distinct / exact row dedup: distinct users per event type. */
