@@ -95,6 +95,33 @@ object Oracles {
       |      FROM scored)
       |SELECT query_id, rk, neighbor_id, cos4 FROM r WHERE rk <= 5""".stripMargin
 
+  /** IVF search with the raw seed codebook (first 16 vectors): assignment,
+    * nprobe=4 probing and re-ranking re-derived in SQL. Distances use the
+    * same expansion as the Spark plan: |e|² - 2·e·c + |c|².
+    */
+  val annIvf: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+      |cen AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cid, e AS ce
+      |        FROM v WHERE vec_id < 16),
+      |d AS (SELECT n.vec_id, cen.cid,
+      |        (list_dot_product(e, e) - 2 * list_dot_product(e, ce)
+      |         + list_dot_product(ce, ce)) AS dist
+      |      FROM n, cen),
+      |ranked AS (SELECT vec_id, cid, dist,
+      |             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS r FROM d),
+      |assign AS (SELECT vec_id, cid FROM ranked WHERE r = 1),
+      |probes AS (SELECT vec_id AS qid, cid FROM ranked WHERE vec_id < 20 AND r <= 4),
+      |cand AS (SELECT DISTINCT p.qid, a.vec_id AS nid
+      |         FROM probes p JOIN assign a ON p.cid = a.cid WHERE a.vec_id <> p.qid),
+      |scored AS (SELECT qid AS query_id, nid AS neighbor_id,
+      |             round(list_dot_product(q.e, x.e) / (q.nrm * x.nrm), 4) AS cos4
+      |           FROM cand JOIN n q ON qid = q.vec_id JOIN n x ON nid = x.vec_id),
+      |rr AS (SELECT query_id, neighbor_id, cos4,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY cos4 DESC, neighbor_id) AS rk
+      |       FROM scored)
+      |SELECT query_id, rk, neighbor_id, cos4 FROM rr WHERE rk <= 5""".stripMargin
+
   val tokenCount: String =
     s"""SELECT doc_id, len($toksSql)::BIGINT AS n_tokens,
        |       len(list_distinct($toksSql))::BIGINT AS n_unique FROM documents""".stripMargin

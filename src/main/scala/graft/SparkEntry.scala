@@ -52,7 +52,10 @@ object SparkEntry {
     "q_token_count"        -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "q_token_bpe"          -> ((s, d) => TextAnalysis.tokenCountBpe(s, d)),
     "q_rolling_hash"       -> ((s, d) => TextAnalysis.rollingHash(s, d)),
-    "q_ann_ivf"            -> ((s, d) => Ivf.topK(s, d)),
+    // iters=0: raw seed codebook — zero FP accumulation, so the whole IVF
+    // search path is oracle-checkable; the Lloyd-refined codebook (iters=2)
+    // is recall-spec-tested instead (centroid sums are FP-order-sensitive)
+    "q_ann_ivf"            -> ((s, d) => Ivf.topK(s, d, iters = 0)),
     "q_lang_id"            -> ((s, d) => TextAnalysis.langId(s, d)),
     "q_quality_score"      -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "q_fingerprint"        -> ((s, d) => TextAnalysis.fingerprint(s, d)),
@@ -193,7 +196,7 @@ object SparkEntry {
         |         list_prepend(7::BIGINT, list_transform(string_split(text, ''), c -> ord(c)::BIGINT)),
         |         (acc, x) -> (acc * 31 + x) % 2147483647) AS rh
         |FROM documents""".stripMargin,
-    // q_ann_ivf: approximate op, rows-only (recall spec vs q_ann_bruteforce)
+    "q_ann_ivf"         -> Oracles.annIvf,
     "q_lang_id"         -> Oracles.langId,
     "q_quality_score"   -> Oracles.qualityScore,
     "q_fingerprint"     -> Oracles.fingerprint,

@@ -33,7 +33,12 @@ object Ivf {
       struct(sqDist(e, cen).as("d"), lit(cid).as("cid"))
     }: _*)).getField("cid")
 
-  /** Train the coarse quantizer; returns (cid, centroid vector) pairs. */
+  /** Train the coarse quantizer; returns (cid, centroid vector) pairs.
+    * iters=0 keeps the raw seed vectors as the codebook — fully
+    * deterministic (no FP accumulation), which is what the oracle-checked
+    * query uses; refined codebooks (iters≥1) give better recall but their
+    * centroids depend on partial-aggregation summation order.
+    */
   def train(spark: SparkSession, dir: String, c: Int = 16, iters: Int = 2): Seq[(Int, Seq[Double])] = {
     val v = Ann.normed(spark, dir).select(col("vec_id"), col("e")).cache()
     var centroids: Seq[(Int, Seq[Double])] = v.where(col("vec_id") < c)
@@ -53,8 +58,8 @@ object Ivf {
 
   /** Top-k within the query's nprobe nearest cells. */
   def topK(spark: SparkSession, dir: String, nQueries: Int = 20, k: Int = 5,
-      c: Int = 16, nprobe: Int = 4): DataFrame = {
-    val centroids = train(spark, dir, c)
+      c: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    val centroids = train(spark, dir, c, iters)
     val v = Ann.normed(spark, dir)
       .withColumn("cid", nearestCid(col("e"), centroids))
     val probeArr = array_sort(array(centroids.map { case (cid, cen) =>
