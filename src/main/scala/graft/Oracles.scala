@@ -41,8 +41,11 @@ object Oracles {
 
   val ngramJaccard: String =
     s"""WITH g AS (SELECT doc_id, (n_chars // 25) AS bucket,
-       |            list_transform(list_distinct([substr(text, i, 4) FOR i IN range(1, len(text) - 2)]),
-       |                           s -> $hash60Sql) AS grams
+       |            list_distinct([ CAST((((ord(substr(text, i, 1)) * 256
+       |                + ord(substr(text, i + 1, 1))) * 256
+       |                + ord(substr(text, i + 2, 1))) * 256
+       |                + ord(substr(text, i + 3, 1))) AS BIGINT)
+       |              FOR i IN range(1, len(text) - 2) ]) AS grams
        |           FROM documents),
        |p AS (SELECT x.doc_id AS d1, y.doc_id AS d2,
        |        round(len(list_intersect(x.grams, y.grams))::DOUBLE

@@ -86,7 +86,8 @@ object Dedup {
     import spark.implicits._
     val g = Tables.documents(spark, dir)
       .select(col("doc_id"), (col("n_chars") / 25).cast("long").as("bucket"),
-        array_sort(array_distinct(transform(charGrams4("text"), hash60(_)))).as("grams"))
+        array_sort(array_distinct(
+          graft.functions.VectorExpressions.packedGrams4(col("text")))).as("grams"))
     // Block-local all-pairs: each doc's gram set crosses the shuffle ONCE
     // (grouped by block), pairs are generated in-memory per block with a
     // zero-allocation merge walk. A bucket join instead copies both arrays
