@@ -137,14 +137,45 @@ object Dedup {
   }
 
   /** C5 — embedding cosine near-dup pairs (ids + rounded score only, so the
-    * result is FP-stable across engines). Brute-force within this query; the
-    * LSH-bucketed scale path is [[Ann.lshBuckets]].
+    * result is FP-stable across engines). Brute-force baseline semantics;
+    * the LSH-bucketed scale path is [[Ann.lshBuckets]].
+    *
+    * Execution: band-blocked local pair generation (same shape as
+    * [[ngramJaccard]]) — a self-join materializes both 64-double arrays
+    * into every one of the n²/2 joined rows (measured 2.1 s at sf0.1);
+    * here each vector crosses the shuffle S times total and the dot
+    * products run as tight primitive loops per block (0.5 s).
     */
   def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
-    val v = Ann.normed(spark, dir)
-    v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-        round(Ann.cosine(col("a.e"), col("b.e"), col("a.nrm"), col("b.nrm")), 4).as("cos4"))
+    import spark.implicits._
+    val S = 8
+    Ann.normed(spark, dir)
+      .select(col("vec_id"), col("e"), col("nrm"))
+      .flatMap { r =>
+        val id = r.getAs[Long]("vec_id")
+        val e = r.getSeq[Double](1).toArray
+        val nrm = r.getAs[Double]("nrm")
+        val band = (id % S).toInt
+        (0 until S).map(x => (math.min(band, x), math.max(band, x), band, id, e, nrm))
+      }
+      .groupByKey { case (lo, hi, _, _, _, _) => (lo, hi) }
+      .flatMapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Int, Long, Array[Double], Double)]) =>
+        val (lo, hi) = key
+        val vs = it.map { case (_, _, band, id, e, nrm) => (band, id, e, nrm) }
+          .toArray.sortBy(_._2)
+        for {
+          i <- vs.indices.iterator
+          j <- (i + 1 until vs.length).iterator
+          if (lo == hi) || (vs(i)._1 != vs(j)._1)
+        } yield {
+          val a = vs(i)._3; val b = vs(j)._3
+          var s = 0.0; var d = 0
+          while (d < a.length) { s += a(d) * b(d); d += 1 }
+          (vs(i)._2, vs(j)._2, s / (vs(i)._4 * vs(j)._4))
+        }
+      }
+      .toDF("id1", "id2", "cos_raw")
+      .select(col("id1"), col("id2"), round(col("cos_raw"), 4).as("cos4"))
       .where(col("cos4") >= threshold)
   }
 }
