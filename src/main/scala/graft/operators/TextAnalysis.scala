@@ -109,6 +109,10 @@ object TextAnalysis {
     val docWords = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("wcnt"))
+    // NOTE: do NOT cache the model here — model/cats/vocab re-derive
+    // nbTrain, but the recomputation is cheap (tiny aggregates) while an
+    // InMemoryRelation in the middle degraded join planning 3.5× when
+    // measured at sf0.1 (2.0 s → 7.1 s).
     val model = nbTrain(spark, dir)
     val vocab = broadcast(model.select(countDistinct(col("word")).as("v")))
     val cats = broadcast(model.select(col("source"), col("cat_total")).distinct())
