@@ -37,6 +37,7 @@ object SparkEntry {
     "q_normalize"          -> ((s, d) => Relational.normalize(s, d)),
     "q_topic_fingerprint"  -> ((s, d) => Relational.topicFingerprint(s, d)),
     "q_distinct"           -> ((s, d) => Relational.distinctUsers(s, d)),
+    "q_set_ops"            -> ((s, d) => Relational.setOps(s, d)),
     "q_semi_join"          -> ((s, d) => Relational.semiJoin(s, d)),
     "q_anti_join"          -> ((s, d) => Relational.antiJoin(s, d)),
     "q_lag_delta"          -> ((s, d) => Relational.lagDelta(s, d)),
@@ -163,6 +164,12 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_users
         |FROM (SELECT DISTINCT event_type, user_id FROM events) t
         |GROUP BY event_type""".stripMargin,
+    "q_set_ops" ->
+      """SELECT user_id, epoch_ms(date_trunc('hour', ts)) AS hour_ms FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id, epoch_ms(date_trunc('hour', ts)) FROM events WHERE event_type = 'purchase'
+        |EXCEPT
+        |SELECT user_id, epoch_ms(date_trunc('hour', ts)) FROM events WHERE event_type = 'error'""".stripMargin,
     "q_semi_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders

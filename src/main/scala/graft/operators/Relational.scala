@@ -235,6 +235,20 @@ object Relational {
       .withColumn("mean_gap_us", expr("total_gap_us div n_gaps"))
   }
 
+  /** A23 — relational set ops at (user, hour) granularity: hours where a
+    * user both clicked and purchased but reported no error.
+    * INTERSECT/EXCEPT plan as semi/anti joins with set semantics.
+    * (User-level sets are vacuous on this data — every user has every
+    * event type — so the sparser slot granularity keeps the query honest.)
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    def slots(t: String) = Tables.events(spark, dir)
+      .where(col("event_type") === t)
+      .select(col("user_id"), unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"))
+      .distinct()
+    slots("click").intersect(slots("purchase")).except(slots("error"))
+  }
+
   /** A17 — distinct / exact row dedup: distinct users per event type. */
   def distinctUsers(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
