@@ -14,6 +14,11 @@ Test / fork := true
 // session — keep suite execution sequential to avoid cross-suite races
 Test / parallelExecution := false
 run / fork := true
+// Pass the forked process's stdout straight through instead of routing it
+// via sbt's logger: the driver parses Bench's single JSON stdout line, and
+// the logger's "[info] " prefix broke that parse in round 1 (BENCH_r01.json
+// "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -24,19 +24,30 @@ object Bench {
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
 
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    // per query: Right(best seconds) on success, Left(error) if any iter threw
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var err: Option[String] = None
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: $e")
+          err = Some(e.toString.takeWhile(_ != '\n').take(200))
+        }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min // steady-state: best of N (JIT/cache warm)
+      name -> err.toLeft(times.min) // steady-state: best of N (JIT/cache warm)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a crashed query must not make the bench look faster: its time is null
+    // in the JSON, it's listed under "failed", and the process exits non-zero
+    val qs = results.map {
+      case (k, Right(v)) => "\"" + k + f"""\":$v%.3f"""
+      case (k, Left(_)) => "\"" + k + "\":null"
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, Left(_)) => "\"" + k + "\"" }
+    val total = results.collect { case (_, Right(v)) => v }.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

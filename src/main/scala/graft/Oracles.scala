@@ -15,12 +15,15 @@ object Oracles {
   val dedupExact: String =
     "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1"
 
-  val dedupMinhash: String = {
+  /** Shared CTE chain deriving the verified MinHash-LSH near-dup pairs
+    * (`ver`: d1, d2, jac) — reused by [[dedupMinhash]] and [[dedupCluster]].
+    */
+  private val minhashVerCtes: String = {
     def m(i: Int) = s"list_min(list_transform(h0, h -> (h * ${permA(i)} + ${permB(i)}) % $P))"
     val bandSelects = (0 until Bands).map { j =>
       s"SELECT doc_id, $j AS bid, (${m(2 * j)}::VARCHAR || ',' || ${m(2 * j + 1)}::VARCHAR) AS bkey FROM hs"
     }.mkString(" UNION ALL ")
-    s"""WITH tok AS (SELECT doc_id, $toksSql AS w FROM documents),
+    s"""tok AS (SELECT doc_id, $toksSql AS w FROM documents),
        |tk AS (SELECT doc_id, w FROM tok WHERE len(w) >= 3),
        |shs AS (SELECT doc_id, list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] FOR i IN range(1, len(w)-1)]) AS sh FROM tk),
        |hs AS (SELECT doc_id, list_transform(sh, s -> $hash60Sql % $P) AS h0 FROM shs),
@@ -30,9 +33,28 @@ object Oracles {
        |ver AS (SELECT d1, d2,
        |          round(len(list_intersect(a.h0, b.h0))::DOUBLE
        |                / len(list_distinct(list_concat(a.h0, b.h0))), 6) AS jac
-       |        FROM cand JOIN hs a ON d1 = a.doc_id JOIN hs b ON d2 = b.doc_id)
-       |SELECT d1, d2, jac FROM ver WHERE jac >= 0.5""".stripMargin
+       |        FROM cand JOIN hs a ON d1 = a.doc_id JOIN hs b ON d2 = b.doc_id)""".stripMargin
   }
+
+  val dedupMinhash: String =
+    s"""WITH $minhashVerCtes
+       |SELECT d1, d2, jac FROM ver WHERE jac >= 0.5""".stripMargin
+
+  /** Transitive closure of the near-dup pairs via recursive CTE: label =
+    * min reachable doc_id (the und edge set is symmetric, so every node
+    * reaches its whole component). Matches the Spark min-label-propagation
+    * fixpoint in graft.operators.Curation.connectedComponents.
+    */
+  val dedupCluster: String =
+    s"""WITH RECURSIVE $minhashVerCtes,
+       |pairs AS (SELECT d1, d2 FROM ver WHERE jac >= 0.5),
+       |und AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION SELECT d2, d1 FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM und
+       |  UNION
+       |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src)
+       |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |FROM reach GROUP BY src""".stripMargin
 
   val dedupSimhash: String =
     s"""WITH t AS (SELECT doc_id, list_transform($toksSql, s -> $hash60Sql) AS hs FROM documents)
@@ -41,10 +63,10 @@ object Oracles {
 
   val ngramJaccard: String =
     s"""WITH g AS (SELECT doc_id, (n_chars // 25) AS bucket,
-       |            list_distinct([ CAST((((ord(substr(text, i, 1)) * 256
-       |                + ord(substr(text, i + 1, 1))) * 256
-       |                + ord(substr(text, i + 2, 1))) * 256
-       |                + ord(substr(text, i + 3, 1))) AS BIGINT)
+       |            list_distinct([ CAST((((least(ord(substr(text, i, 1)), 255) * 256
+       |                + least(ord(substr(text, i + 1, 1)), 255)) * 256
+       |                + least(ord(substr(text, i + 2, 1)), 255)) * 256
+       |                + least(ord(substr(text, i + 3, 1)), 255)) AS BIGINT)
        |              FOR i IN range(1, len(text) - 2) ]) AS grams
        |           FROM documents),
        |p AS (SELECT x.doc_id AS d1, y.doc_id AS d2,
@@ -124,6 +146,48 @@ object Oracles {
       |         row_number() OVER (PARTITION BY query_id ORDER BY cos4 DESC, neighbor_id) AS rk
       |       FROM scored)
       |SELECT query_id, rk, neighbor_id, cos4 FROM rr WHERE rk <= 5""".stripMargin
+
+  /** Same salted hash construction as Curation.hashSplit (engine-portable
+    * md5-prefix bucket).
+    */
+  val hashSplit: String =
+    """SELECT doc_id, source,
+      |  CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+      |FROM (SELECT doc_id, source,
+      |        CAST(concat('0x', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS b
+      |      FROM documents) t""".stripMargin
+
+  /** Exact-integer tf-idf: same floor-division formula as Curation.tfidf. */
+  val tfidf: String =
+    """WITH tok2 AS (SELECT doc_id, word
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) u
+      |  WHERE word <> ''),
+      |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+      |dlen AS (SELECT doc_id, count(*) AS dlen FROM tok2 GROUP BY 1),
+      |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |s AS (SELECT tf.doc_id, tf.word,
+      |        CAST((tf.tf * 1000000 * n.n_docs) // (dlen.dlen * dfreq.df) AS BIGINT) AS tfidf_scaled
+      |      FROM tf CROSS JOIN n
+      |      JOIN dlen ON tf.doc_id = dlen.doc_id
+      |      JOIN dfreq ON tf.word = dfreq.word)
+      |SELECT doc_id, rk, word, tfidf_scaled
+      |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_scaled DESC, word) AS rk
+      |      FROM s) r
+      |WHERE rk <= 3""".stripMargin
+
+  /** Plain equi-join — the salted Spark plan must be row-identical. */
+  val saltedJoin: String =
+    """SELECT s_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_name""".stripMargin
+
+  val vocabPerSource: String =
+    """SELECT source, string_agg(DISTINCT word, ',' ORDER BY word) AS vocab,
+      |       count(DISTINCT word) AS n_vocab
+      |FROM (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents) t
+      |WHERE word <> '' GROUP BY source""".stripMargin
 
   val tokenCount: String =
     s"""SELECT doc_id, len($toksSql)::BIGINT AS n_tokens,

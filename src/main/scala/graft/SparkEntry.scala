@@ -45,6 +45,13 @@ object SparkEntry {
     "q_nb_classify"        -> ((s, d) => TextAnalysis.nbClassify(s, d)),
     "q_dedup_exact"        -> ((s, d) => Dedup.exact(s, d)),
     "q_dedup_minhash"      -> ((s, d) => Dedup.minhashLsh(s, d)),
+    // transitive closure of the minhash pairs: iterative min-label
+    // propagation (O(diameter) joined passes, lineage cut per pass)
+    "q_dedup_cluster"      -> ((s, d) => Curation.dedupCluster(s, d)),
+    "q_hash_split"         -> ((s, d) => Curation.hashSplit(s, d)),
+    "q_tfidf"              -> ((s, d) => Curation.tfidf(s, d)),
+    "q_skew_join_salted"   -> ((s, d) => Curation.saltedSupplierRevenue(s, d)),
+    "q_collect_sorted"     -> ((s, d) => Curation.vocabPerSource(s, d)),
     "q_dedup_simhash"      -> ((s, d) => Dedup.simhash(s, d)),
     "q_ngram_jaccard"      -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "q_dedup_embedding"    -> ((s, d) => Dedup.embeddingNearDup(s, d)),
@@ -190,6 +197,11 @@ object SparkEntry {
     "q_nb_classify"     -> Oracles.nbClassify,
     "q_dedup_exact"     -> Oracles.dedupExact,
     "q_dedup_minhash"   -> Oracles.dedupMinhash,
+    "q_dedup_cluster"   -> Oracles.dedupCluster,
+    "q_hash_split"      -> Oracles.hashSplit,
+    "q_tfidf"           -> Oracles.tfidf,
+    "q_skew_join_salted" -> Oracles.saltedJoin,
+    "q_collect_sorted"  -> Oracles.vocabPerSource,
     "q_dedup_simhash"   -> Oracles.dedupSimhash,
     "q_ngram_jaccard"   -> Oracles.ngramJaccard,
     "q_dedup_embedding" -> Oracles.dedupEmbedding,

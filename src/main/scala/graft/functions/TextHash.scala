@@ -69,13 +69,6 @@ object TextHash {
   def simhash60(toks: Column): Column =
     VectorExpressions.simhash64(transform(toks, hash60(_)))
 
-  /** Distinct character 4-grams (SQL-portable near-dup blocking unit).
-    * Takes the column NAME (position arg of substring must be an expression,
-    * which the Scala functions API doesn't expose).
-    */
-  def charGrams4(textCol: String): Column =
-    array_distinct(expr(s"transform(sequence(1, length($textCol) - 3), i -> substring($textCol, i, 4))"))
-
   /** Jaccard similarity of two pre-distinct arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))

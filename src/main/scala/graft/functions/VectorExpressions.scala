@@ -37,8 +37,13 @@ object VectorExpressions {
 /** All character 4-grams of a string packed injectively into longs
   * (codepoint base-256 for ASCII text): ((c0·256+c1)·256+c2)·256+c3.
   * Replaces substring+md5 per gram (2M md5 calls at sf0.1 — the measured
-  * ngram-query hotspot) with one linear scan. Injective on ASCII, so
-  * set-jaccard over packed values equals jaccard over the gram strings.
+  * ngram-query hotspot) with one linear scan.
+  *
+  * Characters above 255 are clamped to the sentinel 255 (and the DuckDB
+  * oracle clamps identically via `least(ord(..), 255)`), so the packing is
+  * injective on ASCII/Latin-1 and merely coarser — never divergent between
+  * engines — beyond it. (Astral-plane codepoints still differ in LENGTH
+  * between UTF-16 code units and codepoints; the documents corpus is ASCII.)
   * CodegenFallback: the per-row loop dominates; fallback boxing is noise.
   */
 case class PackedGrams4(child: Expression)
@@ -52,12 +57,15 @@ case class PackedGrams4(child: Expression)
     val n = s.length - 3
     if (n <= 0) new GenericArrayData(Array.empty[Long])
     else {
+      @inline def cp(k: Int): Long = {
+        val c = s.charAt(k).toLong; if (c > 255) 255L else c
+      }
       val out = new Array[Long](n)
       // rolling pack: keep the low 3 chars, shift in the next
-      var acc = (s.charAt(0).toLong * 256 + s.charAt(1)) * 256 + s.charAt(2)
+      var acc = (cp(0) * 256 + cp(1)) * 256 + cp(2)
       var i = 0
       while (i < n) {
-        acc = ((acc * 256) + s.charAt(i + 3)) & 0xffffffffL
+        acc = ((acc * 256) + cp(i + 3)) & 0xffffffffL
         out(i) = acc
         i += 1
       }

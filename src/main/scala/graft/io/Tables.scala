@@ -22,17 +22,21 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
   /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects; read nanos as long and truncate to microseconds (Spark's
-    * native timestamp precision).
+    * reader rejects at schema inference; an EXPLICIT schema requesting the
+    * column as BIGINT (epoch nanos) skips inference and reads fine — without
+    * the session-wide `spark.sql.legacy.parquet.nanosAsLong` toggle this
+    * loader used to set (a config side effect on unrelated reads).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // integer division: epoch nanos (~1.7e18) exceed double's exact range,
     // so `/ 1000` via double would corrupt the low microseconds.
-    load(s, d, "events").withColumn(
-      "ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    s.read
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .parquet(s"$d/events.parquet")
+      .withColumn(
+        "ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

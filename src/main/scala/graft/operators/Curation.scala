@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Corpus-curation operators a large-scale training-data pipeline needs on
+  * top of pairwise dedup (SURVEY.md §2C, round 2).
+  *
+  * Pangool has no analogue — these are the Spark-era additions; the closest
+  * reference shape is iterative MapReduce jobs like
+  * examples/.../GameOfLife.java (driver-side loop over full passes).
+  */
+object Curation {
+
+  /** Connected components by iterative min-label propagation over an edge
+    * list: every node ends up labeled with the smallest node id reachable
+    * from it. One hop of propagation per iteration → converges in
+    * O(component diameter) passes; near-dup graphs are unions of small
+    * dense clusters, so diameter is tiny. Each pass is a shuffle-join on
+    * dst + a groupBy min — no driver-side graph state, and the lineage is
+    * cut per pass with localCheckpoint so plans don't grow with iterations.
+    *
+    * At 100 TB-corpus scale (billions of nodes, path-shaped adversarial
+    * components) the O(log n) large-star/small-star variant [Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond"] replaces this loop;
+    * the per-pass dataflow (join + min-agg) is identical.
+    *
+    * Convergence probe: labels only ever decrease, so the global sum is a
+    * strictly-decreasing monotone — one scalar agg per pass, no diff join.
+    */
+  def connectedComponents(edges: DataFrame, src: String, dst: String,
+      maxIter: Int = 25): DataFrame = {
+    val und = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .union(edges.select(col(dst).as("src"), col(src).as("dst")))
+      .localCheckpoint()
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    def labelSum(df: DataFrame): Long = // empty frame sums to null → 0
+      df.agg(coalesce(sum("label"), lit(0L))).first().getLong(0)
+    var prevSum = labelSum(labels)
+    var converged = labels.isEmpty
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = und.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy("src").agg(min("label").as("nmin"))
+        .withColumnRenamed("src", "id")
+      labels = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      val s = labelSum(labels)
+      converged = s == prevSum
+      prevSum = s
+      i += 1
+    }
+    labels
+  }
+
+  /** Near-dup CLUSTERS: MinHash-LSH pairs ([[Dedup.minhashLsh]]) closed
+    * under transitivity — the deliverable of a dedup pipeline is "keep one
+    * doc per cluster", not the raw pair list. Output: every doc that appears
+    * in at least one near-dup pair, labeled with its cluster id (= smallest
+    * doc_id in the component, i.e. the canonical keeper).
+    */
+  def dedupCluster(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
+    connectedComponents(
+      Dedup.minhashLsh(spark, dir, threshold).select(col("d1"), col("d2")),
+      "d1", "d2")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+
+  /** Deterministic train/val/test split (8/1/1) by a salted content-id hash
+    * — the standard leak-proof way to split a corpus: membership is a pure
+    * function of the id (stable across runs, machines and engines — the
+    * md5-prefix hash is the same engine-portable construction the dedup
+    * oracles use), no shuffle, no RNG state.
+    */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long"),
+      lit(10))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("source"), col("split"))
+  }
+
+  /** TF-IDF top terms per document, in EXACT integer arithmetic:
+    * score = tf · 10⁶ · N / (|d| · df) with integer (floor) division, so
+    * both engines produce bit-identical scores (no log, no FP accumulation
+    * — see graft-parity rules on cross-engine rounding divergence).
+    * Plan shape: one narrow explode, two partial aggs, df and N broadcast
+    * back onto the (doc, word) counts, one window for the per-doc top-3.
+    */
+  def tfidf(spark: SparkSession, dir: String, topN: Int = 3): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "")
+    val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dlen = toks.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val ndocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(dlen, "doc_id")
+      .join(broadcast(dfreq), "word")
+      .crossJoin(broadcast(ndocs))
+      .select(col("doc_id"), col("word"),
+        expr("(tf * 1000000 * n_docs) div (dlen * df)").as("tfidf_scaled"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf_scaled").desc, col("word").asc)
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= topN)
+      .select(col("doc_id"), col("rk"), col("word"), col("tfidf_scaled"))
+  }
+
+  /** Revenue per supplier through [[Skew.saltedJoin]] — row-level results
+    * are identical to the plain equi-join (the oracle IS the plain join),
+    * while the hot-key fact rows spread over `salts` reducers. The dim side
+    * after explode is still dim-sized×salts, so Catalyst broadcasts it and
+    * the fact side never shuffles at all.
+    */
+  def saltedSupplierRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_suppkey"),
+      (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val sup = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+    Skew.saltedJoin(li, sup, "l_suppkey", salts = 8)
+      .groupBy("s_name")
+      .agg(round(sum("rev"), 2).as("revenue"), count(lit(1)).as("n_items"))
+  }
+
+  /** Sorted-vocabulary listagg per source: collect_set + array_sort +
+    * array_join is the order-deterministic (hence oracle-checkable) form of
+    * list aggregation — the Spark twin of DuckDB's
+    * `string_agg(DISTINCT w, ',' ORDER BY w)`.
+    */
+  def vocabPerSource(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("source")
+      .agg(array_sort(collect_set(col("word"))).as("ws"))
+      .select(col("source"), array_join(col("ws"), ",").as("vocab"),
+        size(col("ws")).cast("long").as("n_vocab"))
+}

@@ -35,13 +35,21 @@ object TopK {
     val gIdx = groupCols.map(schema.fieldIndex)
     val oIdx = orderCols.map { case (c, asc) => (schema.fieldIndex(c), asc) }
 
-    // total order on the sort key tuple; heap keeps the WORST at the top
+    // total order on the sort key tuple; heap keeps the WORST at the top.
+    // Nulls sort like Spark's defaults (asc → nulls first, desc → nulls
+    // last): treat null as the minimum before applying the direction, which
+    // yields exactly those two placements — so the partial pruning agrees
+    // with the final window's ordering on nullable sort keys.
     val rowOrd: Ordering[Row] = (x: Row, y: Row) => {
       var i = 0; var cmp = 0
       while (cmp == 0 && i < oIdx.length) {
         val (idx, asc) = oIdx(i)
-        val c = x.getAs[Any](idx).asInstanceOf[Comparable[Any]]
-          .compareTo(y.getAs[Any](idx))
+        val a = x.getAs[Any](idx); val b = y.getAs[Any](idx)
+        val c =
+          if (a == null && b == null) 0
+          else if (a == null) -1
+          else if (b == null) 1
+          else a.asInstanceOf[Comparable[Any]].compareTo(b)
         cmp = if (asc) c else -c
         i += 1
       }

@@ -73,6 +73,16 @@ object EventsStream {
       }
   }
 
+  /** Streaming exact dedup: drop re-delivered events by id, keeping state
+    * only within the watermark (bounded — the requirement for an unbounded
+    * ingest stream where at-least-once delivery duplicates records). The
+    * batch twin is [[graft.operators.Dedup.exact]]; content-hash dedup
+    * streams the same way with `md5(text)` as the key column.
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Filesystem streaming source over a directory of parquet events —
     * the deployment shape (readStream on an arriving-files landing zone).
     */
@@ -81,10 +91,16 @@ object EventsStream {
     spark.readStream.schema(schema).parquet(dir)
 
   /** Incremental batch over a landing directory: Trigger.AvailableNow +
-    * checkpoint — each invocation processes exactly the files that arrived
-    * since the last one (exactly-once bookkeeping in the checkpoint), which
-    * is how a 100 TB/day pipeline runs the batch operators incrementally.
-    * Appends per-type counts of the NEW slice to `outDir`.
+    * checkpoint — each invocation READS exactly the files that arrived since
+    * the last one (exactly-once bookkeeping in the checkpoint), which is how
+    * a 100 TB/day pipeline runs the batch operators incrementally.
+    *
+    * Output semantics: OutputMode.Complete restores the aggregation state
+    * from the checkpoint, so each invocation overwrites `outDir` with
+    * CUMULATIVE per-type counts over every slice seen so far — the new files
+    * are the only ones re-read, but the counts are running totals (asserted
+    * by IncrementalSpec). The memory sink collects the (small, one row per
+    * event type) aggregate to the driver before the parquet overwrite.
     */
   def incrementalCounts(spark: SparkSession, landingDir: String,
       schema: org.apache.spark.sql.types.StructType,

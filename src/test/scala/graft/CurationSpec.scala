@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Dedup}
+
+class CurationSpec extends GraftSuite {
+
+  test("connectedComponents labels a path graph and keeps components apart") {
+    import spark.implicits._
+    // component {1,2,3,4} as a path (diameter 3 — exercises multi-pass
+    // propagation) and component {10, 11}; 20-21-22 as a triangle
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 20L)).toDF("d1", "d2")
+    val got = Curation.connectedComponents(edges, "d1", "d2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connectedComponents of an empty edge set is empty") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    assert(Curation.connectedComponents(empty, "d1", "d2").isEmpty)
+  }
+
+  test("dedupCluster covers every doc in a near-dup pair, labels are component minima") {
+    val pairs = Dedup.minhashLsh(spark, sf).select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Curation.dedupCluster(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(clusters.keySet == inPairs, "every paired doc gets a cluster label")
+    // each edge's endpoints share a label, and the label is a member ≤ both
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"endpoints $a,$b in same cluster")
+      assert(clusters(a) <= math.min(a, b))
+    }
+    assert(clusters.values.toSet.subsetOf(clusters.keySet), "labels are member ids")
+  }
+
+  test("hashSplit is deterministic, total, and roughly 8/1/1") {
+    val s1 = Curation.hashSplit(spark, sf).collect().map(r => (r.getLong(0), r.getString(2)))
+    val s2 = Curation.hashSplit(spark, sf).collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(s1.toMap == s2.toMap, "stable across runs")
+    val n = s1.length.toDouble
+    val frac = s1.groupBy(_._2).view.mapValues(_.length / n).toMap
+    assert(frac.keySet == Set("train", "val", "test"))
+    assert(frac("train") > 0.6 && frac("train") < 0.95)
+  }
+
+  test("tfidf ranks a doc-distinctive term above corpus-wide terms") {
+    val rows = Curation.tfidf(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // rk is 1..3 per doc and scores are non-increasing within a doc
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length))
+      val scores = sorted.map(_.getLong(3)).toSeq
+      assert(scores == scores.sorted.reverse, "scores non-increasing in rank")
+    }
+  }
+
+  test("salted supplier revenue equals the unsalted aggregation") {
+    val salted = Curation.saltedSupplierRevenue(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val li = io.Tables.lineitem(spark, sf)
+    val sup = io.Tables.supplier(spark, sf)
+    val plain = li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .groupBy("s_name")
+      .agg(round(sum(expr("l_extendedprice * (1 - l_discount)")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("vocabPerSource emits sorted comma-joined vocab consistent with n_vocab") {
+    Curation.vocabPerSource(spark, sf).collect().foreach { r =>
+      val words = r.getString(1).split(",").toSeq
+      assert(words == words.sorted)
+      assert(words.distinct.size == words.size)
+      assert(r.getLong(2) == words.size.toLong)
+    }
+  }
+}

@@ -48,6 +48,23 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered event ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStream.dedupEvents(input.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      input.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 1, "view", 2.0))
+      q.processAllAvailable()
+      // re-delivery of id 1 in a later micro-batch, plus a fresh id
+      input.addData(Event(1, ts(0), 1, "click", 1.0), Event(3, ts(2), 2, "click", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L), s"each id exactly once, got $ids")
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions on gap and emits on timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

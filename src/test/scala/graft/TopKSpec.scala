@@ -27,6 +27,27 @@ class TopKSpec extends GraftSuite {
     assert(out.count() == 10)
   }
 
+  test("nullable sort keys follow Spark null ordering (asc nulls first, desc nulls last)") {
+    import spark.implicits._
+    // score null on some rows; Spark windows put nulls FIRST asc / LAST desc
+    val df = Seq(
+      ("g1", Some(5L), 1L), ("g1", None, 2L), ("g1", Some(1L), 3L), ("g1", Some(9L), 4L),
+      ("g2", None, 5L), ("g2", None, 6L), ("g2", Some(2L), 7L)
+    ).map { case (g, s, id) => (g, s.map(Long.box).orNull, id) }
+      .toDF("g", "score", "id")
+    def windowForm(asc: Boolean) = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+        .orderBy(if (asc) col("score").asc else col("score").desc, col("id").asc)
+      df.withColumn("rk", row_number().over(w)).where(col("rk") <= 2)
+        .select("g", "rk", "id").as[(String, Int, Long)].collect().toSet
+    }
+    def partialForm(asc: Boolean) =
+      TopK.perGroup(df, Seq("g"), Seq(("score", asc), ("id", true)), 2)
+        .select("g", "rk", "id").as[(String, Int, Long)].collect().toSet
+    assert(partialForm(asc = true) == windowForm(asc = true))
+    assert(partialForm(asc = false) == windowForm(asc = false))
+  }
+
   test("TupleJob.partitionBy accepts subsets and rejects non-group fields") {
     val events = io.Tables.events(spark, sf)
     val job = TupleJob.groupBy(events, "user_id", "event_type").partitionBy("user_id")
