@@ -95,24 +95,29 @@ object Curation {
     * score = tf · 10⁶ · N / (|d| · df) with integer (floor) division, so
     * both engines produce bit-identical scores (no log, no FP accumulation
     * — see graft-parity rules on cross-engine rounding divergence).
-    * Plan shape: one narrow explode, two partial aggs, df and N broadcast
-    * back onto the (doc, word) counts, one window for the per-doc top-3.
+    * Plan shape: the corpus is scanned and exploded ONCE into the compact
+    * (doc, word, tf) aggregate; |d| and df are WINDOW sums over that table
+    * (joins back to re-derived aggregates would re-scan the raw text — Spark
+    * can't reuse the subtrees because each consumer prunes them differently;
+    * measured as 3 extra corpus scans). Everything after the first shuffle
+    * moves only the tf triples, never text. N broadcasts from a count-only
+    * scan (no columns read). The final per-doc top-N window rides the same
+    * doc_id partitioning as the |d| window (sort, no extra exchange) and
+    * gets WindowGroupLimit partial pruning from the rank filter.
     */
   def tfidf(spark: SparkSession, dir: String, topN: Int = 3): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .where(col("word") =!= "")
-    val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val dlen = toks.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
-    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val ndocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
     val scored = tf
-      .join(dlen, "doc_id")
-      .join(broadcast(dfreq), "word")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("word")))
+      .withColumn("dlen", sum("tf").over(Window.partitionBy("doc_id")))
       .crossJoin(broadcast(ndocs))
       .select(col("doc_id"), col("word"),
         expr("(tf * 1000000 * n_docs) div (dlen * df)").as("tfidf_scaled"))
-    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tfidf_scaled").desc, col("word").asc)
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= topN)

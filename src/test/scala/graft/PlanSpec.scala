@@ -48,4 +48,21 @@ class PlanSpec extends GraftSuite {
     val p = plan("q_grep")
     assert(!p.contains("lang") && !p.contains("embedding"))
   }
+
+  test("q_hash_split is a pure narrow transform (no shuffle)") {
+    assert(shuffles(plan("q_hash_split")) == 0)
+  }
+
+  test("q_tfidf scans the corpus once (plus a column-less count scan)") {
+    val p = plan("q_tfidf")
+    val scans = p.linesIterator.count(_.matches("""^\(\d+\) Scan parquet\s*$"""))
+    assert(scans <= 2, s"expected ≤2 scans (tf + count-only), got $scans:\n$p")
+    assert(p.contains("WindowGroupLimit"), "top-N rank filter should prune partially")
+  }
+
+  test("q_skew_join_salted broadcasts the replicated dim; fact side never shuffles pre-agg") {
+    val p = plan("q_skew_join_salted")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(shuffles(p) <= 1, s"only the final group-by may exchange:\n$p")
+  }
 }
