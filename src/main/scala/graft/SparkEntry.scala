@@ -64,6 +64,9 @@ object SparkEntry {
     // search path is oracle-checkable; the Lloyd-refined codebook (iters=2)
     // is recall-spec-tested instead (centroid sums are FP-order-sensitive)
     "q_ann_ivf"            -> ((s, d) => Ivf.topK(s, d, iters = 0)),
+    // PQ/ADC: search scans 8-byte code rows + table lookups, never vectors;
+    // integer-scaled distances → exact cross-engine ranking parity
+    "q_ann_pq"             -> ((s, d) => Pq.topK(s, d)),
     "q_lang_id"            -> ((s, d) => TextAnalysis.langId(s, d)),
     "q_quality_score"      -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "q_fingerprint"        -> ((s, d) => TextAnalysis.fingerprint(s, d)),
@@ -216,6 +219,7 @@ object SparkEntry {
         |         (acc, x) -> (acc * 31 + x) % 2147483647) AS rh
         |FROM documents""".stripMargin,
     "q_ann_ivf"         -> Oracles.annIvf,
+    "q_ann_pq"          -> Oracles.annPq,
     "q_lang_id"         -> Oracles.langId,
     "q_quality_score"   -> Oracles.qualityScore,
     "q_fingerprint"     -> Oracles.fingerprint,

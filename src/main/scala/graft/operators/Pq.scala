@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExpressions
+
+/** Product-quantization ANN (SURVEY.md §2 C7c) — the memory-bound scale
+  * path alongside IVF: each 64-dim vector is encoded as M=8 sub-codes of
+  * K=16 centroids (one byte each), and search scans CODES, not vectors —
+  * at 100 TB the code table is 64× smaller than the corpus and the scan is
+  * table lookups (ADC) instead of dot products. [Jégou et al., "Product
+  * Quantization for Nearest Neighbor Search"].
+  *
+  * Determinism: the codebook is seeded from the first K vectors' subvectors
+  * (zero FP accumulation — the same construction as [[Ivf]] iters=0), and
+  * ADC distances are floor-scaled to integers BEFORE summing, so the score
+  * is a sum of longs (order-independent) and the whole pipeline — encode,
+  * distance table, ranking — hash-matches the DuckDB oracle exactly.
+  */
+object Pq {
+  val M = 8     // subspaces
+  val Ksub = 16 // codes per subspace
+  val Dsub = 8  // dims per subspace
+
+  /** Squared distance of e's m-th subvector to a constant sub-centroid,
+    * expanded as |s|² − 2·s·c + |c|² (matches the oracle's arithmetic
+    * term-for-term, so the doubles are bit-identical).
+    */
+  private def subSqDist(e: Column, m: Int, c: Seq[Double]): Column = {
+    val sub = slice(e, m * Dsub + 1, Dsub)
+    VectorExpressions.dot(sub, sub) -
+      lit(2.0) * VectorExpressions.dot(sub, typedlit(c)) +
+      lit(c.map(x => x * x).sum)
+  }
+
+  /** Codebook cen(m)(k) = subvector m of seed vector k — a driver-side
+    * model artifact of M×K×Dsub doubles; the corpus never leaves executors.
+    */
+  def codebook(spark: SparkSession, dir: String): IndexedSeq[IndexedSeq[Seq[Double]]] = {
+    val seeds = Ann.normed(spark, dir).select(col("vec_id"), col("e"))
+      .where(col("vec_id") < Ksub).orderBy("vec_id").collect()
+      .map(_.getSeq[Double](1))
+    (0 until M).map(m => seeds.toIndexedSeq.map(_.slice(m * Dsub, (m + 1) * Dsub)))
+  }
+
+  /** Per-row code array: codes(m) = argmin over k of subSqDist (ties → the
+    * smaller k, via struct min — same tiebreak as the oracle's row_number).
+    */
+  private def codesCol(e: Column, cen: IndexedSeq[IndexedSeq[Seq[Double]]]): Column =
+    array((0 until M).map { m =>
+      array_min(array((0 until Ksub).map { k =>
+        struct(subSqDist(e, m, cen(m)(k)).as("d"), lit(k).as("k"))
+      }: _*)).getField("k")
+    }: _*)
+
+  /** Top-k by asymmetric-distance (ADC): queries precompute an M×K table of
+    * floor(10⁶·subdist) longs; each corpus row's approximate distance is 8
+    * table lookups summed — no vector arithmetic in the scan loop.
+    */
+  def topK(spark: SparkSession, dir: String, nQueries: Int = 20, k: Int = 5): DataFrame = {
+    val cen = codebook(spark, dir)
+    val v = Ann.normed(spark, dir)
+    val corpus = v.select(col("vec_id"), codesCol(col("e"), cen).as("codes"))
+    val dtab = array((0 until M).map { m =>
+      array((0 until Ksub).map { kk =>
+        floor(subSqDist(col("e"), m, cen(m)(kk)) * lit(1000000.0)).cast("long")
+      }: _*)
+    }: _*)
+    val q = broadcast(v.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), dtab.as("dtab")))
+    val adc = (0 until M).map { m =>
+      element_at(element_at(col("dtab"), m + 1), element_at(col("codes"), m + 1) + 1)
+    }.reduce(_ + _)
+    val scored = q.join(corpus, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), adc.as("adc_scaled"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_scaled").asc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("adc_scaled"))
+  }
+}

