@@ -32,6 +32,94 @@ object VectorExpressions {
 
   def packedGrams4(text: Column): Column =
     ColumnBridge.column(PackedGrams4(ColumnBridge.expression(text)))
+
+  def pqEncode(e: Column, cen: Array[Double], cc: Array[Double],
+      m: Int, k: Int, dsub: Int): Column =
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(e), cen, cc, m, k, dsub))
+}
+
+/** PQ code assignment fused into one pass: for each of `m` subspaces, the
+  * argmin over `k` sub-centroids of |s|² − 2·s·c + |c|², with ties going to
+  * the smaller code (strict-improvement scan in ascending k). The arithmetic
+  * — per-term order included — is EXACTLY the composed
+  * dot(s,s) − 2·dot(s,c) + cc form the oracle mirrors, so results are
+  * bit-identical to the slice/array_min formulation this replaces; that
+  * formulation built a ~128-sub-expression tree whose generated code fell
+  * back to interpreted evaluation and allocated 3 arrays per (m,k) probe
+  * (measured 5.2 s at sf0.1 → this expression: tight loops, zero
+  * allocation per probe).
+  *
+  * `cen` is laid out [(m·K + k)·Dsub + d]; `cc` is the per-(m,k) |c|²
+  * constant, PRE-COMPUTED the same way the literal form computed it
+  * (left-to-right sum of squares).
+  */
+case class PqEncode(child: Expression, cen: Array[Double], cc: Array[Double],
+    m: Int, k: Int, dsub: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val e = v.asInstanceOf[ArrayData]
+    val out = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      val base = mi * dsub
+      var ss = 0.0
+      var d = 0
+      while (d < dsub) { val x = e.getDouble(base + d); ss += x * x; d += 1 }
+      var best = Double.PositiveInfinity
+      var bestK = 0
+      var ki = 0
+      while (ki < k) {
+        val coff = (mi * k + ki) * dsub
+        var sc = 0.0
+        d = 0
+        while (d < dsub) { sc += e.getDouble(base + d) * cen(coff + d); d += 1 }
+        val dist = ss - 2.0 * sc + cc(mi * k + ki)
+        if (dist < best) { best = dist; bestK = ki }
+        ki += 1
+      }
+      out(mi) = bestK
+      mi += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cenRef = ctx.addReferenceObj("pqCen", cen, "double[]")
+    val ccRef = ctx.addReferenceObj("pqCc", cc, "double[]")
+    nullSafeCodeGen(ctx, ev, in => {
+      val out = ctx.freshName("out"); val mi = ctx.freshName("mi")
+      val ss = ctx.freshName("ss"); val sc = ctx.freshName("sc")
+      val d = ctx.freshName("d"); val ki = ctx.freshName("ki")
+      val best = ctx.freshName("best"); val bestK = ctx.freshName("bestK")
+      val base = ctx.freshName("base"); val coff = ctx.freshName("coff")
+      val dist = ctx.freshName("dist"); val x = ctx.freshName("x")
+      s"""
+         |int[] $out = new int[$m];
+         |for (int $mi = 0; $mi < $m; $mi++) {
+         |  int $base = $mi * $dsub;
+         |  double $ss = 0.0;
+         |  for (int $d = 0; $d < $dsub; $d++) {
+         |    double $x = $in.getDouble($base + $d); $ss += $x * $x;
+         |  }
+         |  double $best = Double.POSITIVE_INFINITY;
+         |  int $bestK = 0;
+         |  for (int $ki = 0; $ki < $k; $ki++) {
+         |    int $coff = ($mi * $k + $ki) * $dsub;
+         |    double $sc = 0.0;
+         |    for (int $d = 0; $d < $dsub; $d++) {
+         |      $sc += $in.getDouble($base + $d) * $cenRef[$coff + $d];
+         |    }
+         |    double $dist = $ss - 2.0 * $sc + $ccRef[$mi * $k + $ki];
+         |    if ($dist < $best) { $best = $dist; $bestK = $ki; }
+         |  }
+         |  $out[$mi] = $bestK;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
 }
 
 /** All character 4-grams of a string packed injectively into longs

@@ -46,14 +46,18 @@ object Pq {
   }
 
   /** Per-row code array: codes(m) = argmin over k of subSqDist (ties → the
-    * smaller k, via struct min — same tiebreak as the oracle's row_number).
+    * smaller k). Fused native expression ([[VectorExpressions.pqEncode]]);
+    * the composed slice/array_min form exceeded codegen limits and ran
+    * interpreted.
     */
-  private def codesCol(e: Column, cen: IndexedSeq[IndexedSeq[Seq[Double]]]): Column =
-    array((0 until M).map { m =>
-      array_min(array((0 until Ksub).map { k =>
-        struct(subSqDist(e, m, cen(m)(k)).as("d"), lit(k).as("k"))
-      }: _*)).getField("k")
-    }: _*)
+  private def codesCol(e: Column, cen: IndexedSeq[IndexedSeq[Seq[Double]]]): Column = {
+    val cenFlat = (for { m <- 0 until M; k <- 0 until Ksub; d <- 0 until Dsub }
+      yield cen(m)(k)(d)).toArray
+    // |c|² exactly as the literal form computed it (left-to-right Σx²)
+    val ccFlat = (for { m <- 0 until M; k <- 0 until Ksub }
+      yield cen(m)(k).map(x => x * x).sum).toArray
+    VectorExpressions.pqEncode(e, cenFlat, ccFlat, M, Ksub, Dsub)
+  }
 
   /** Top-k by asymmetric-distance (ADC): queries precompute an M×K table of
     * floor(10⁶·subdist) longs; each corpus row's approximate distance is 8
