@@ -183,6 +183,12 @@ object Oracles {
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_name""".stripMargin
 
+  val hashSample: String =
+    """SELECT doc_id, source FROM (
+      |  SELECT doc_id, source,
+      |    CAST(concat('0x', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM documents ORDER BY h LIMIT 50) t""".stripMargin
+
   val vocabPerSource: String =
     """SELECT source, string_agg(DISTINCT word, ',' ORDER BY word) AS vocab,
       |       count(DISTINCT word) AS n_vocab

@@ -52,6 +52,9 @@ object SparkEntry {
     "q_tfidf"              -> ((s, d) => Curation.tfidf(s, d)),
     "q_skew_join_salted"   -> ((s, d) => Curation.saltedSupplierRevenue(s, d)),
     "q_collect_sorted"     -> ((s, d) => Curation.vocabPerSource(s, d)),
+    // TakeOrdered top-k by portable hash: reproducible uniform sample,
+    // no global sort
+    "q_sample_uniform"     -> ((s, d) => Curation.hashSample(s, d)),
     "q_dedup_simhash"      -> ((s, d) => Dedup.simhash(s, d)),
     "q_ngram_jaccard"      -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "q_dedup_embedding"    -> ((s, d) => Dedup.embeddingNearDup(s, d)),
@@ -205,6 +208,7 @@ object SparkEntry {
     "q_tfidf"           -> Oracles.tfidf,
     "q_skew_join_salted" -> Oracles.saltedJoin,
     "q_collect_sorted"  -> Oracles.vocabPerSource,
+    "q_sample_uniform"  -> Oracles.hashSample,
     "q_dedup_simhash"   -> Oracles.dedupSimhash,
     "q_ngram_jaccard"   -> Oracles.ngramJaccard,
     "q_dedup_embedding" -> Oracles.dedupEmbedding,

@@ -140,6 +140,23 @@ object Curation {
       .agg(round(sum("rev"), 2).as("revenue"), count(lit(1)).as("n_items"))
   }
 
+  /** Deterministic uniform sample WITHOUT replacement: rank by a salted
+    * engine-portable hash and keep the k smallest — reproducible across
+    * runs/engines (unlike TABLESAMPLE/rand), and the plan is
+    * TakeOrderedAndProject: per-partition bounded top-k then a k-row merge,
+    * never a global sort — the only sane "give me a 50-doc sample of
+    * 100 TB" shape.
+    */
+  def hashSample(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val h = conv(substring(md5(concat(lit("sample:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), h.as("h"))
+      .orderBy(col("h"))
+      .limit(k)
+      .select(col("doc_id"), col("source"))
+  }
+
   /** Sorted-vocabulary listagg per source: collect_set + array_sort +
     * array_join is the order-deterministic (hence oracle-checkable) form of
     * list aggregation — the Spark twin of DuckDB's

@@ -83,6 +83,28 @@ object EventsStream {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each purchase matched to the same user's
+    * clicks in the preceding hour. Both sides carry watermarks and the join
+    * condition bounds event time in both directions, so Spark can expire
+    * join state — the requirement for an unbounded two-stream join.
+    */
+  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(clicks,
+      expr("""c_user_id = user_id AND
+              click_ts >= purchase_ts - INTERVAL 1 HOUR AND
+              click_ts <= purchase_ts"""))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_ts"), col("click_ts"))
+  }
+
   /** Filesystem streaming source over a directory of parquet events —
     * the deployment shape (readStream on an arriving-files landing zone).
     */

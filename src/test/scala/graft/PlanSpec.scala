@@ -60,6 +60,12 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("WindowGroupLimit"), "top-N rank filter should prune partially")
   }
 
+  test("q_sample_uniform is a TakeOrdered top-k, not a global sort") {
+    val p = plan("q_sample_uniform")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(shuffles(p) == 0, s"top-k must not range-shuffle:\n$p")
+  }
+
   test("q_skew_join_salted broadcasts the replicated dim; fact side never shuffles pre-agg") {
     val p = plan("q_skew_join_salted")
     assert(p.contains("BroadcastHashJoin"))

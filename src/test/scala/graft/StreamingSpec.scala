@@ -65,6 +65,27 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs purchases with the preceding hour's clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStream.purchaseClickJoin(input.toDF())
+      .writeStream.format("memory").queryName("ssjoin").outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 7, "click", 0),     // within the hour → joins
+        Event(2, ts(30), 7, "purchase", 0),
+        Event(3, ts(31), 8, "click", 0),    // different user → no join
+        Event(4, ts(200), 7, "click", 0),   // after the purchase → no join
+        Event(5, ts(300), 9, "purchase", 0) // no clicks → no row
+      )
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin")
+        .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+      assert(rows == Set((2L, 1L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions on gap and emits on timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
