@@ -1,0 +1,52 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table-layout tools for the 100 TB tier (SURVEY.md §5): bucketing
+  * co-locates every future join/aggregation on the bucket key (the shuffle
+  * is paid ONCE at write time, then every consumer reads pre-partitioned,
+  * pre-sorted buckets), and partitioned directories give scans partition
+  * pruning — the file-level analogue of predicate pushdown.
+  *
+  * Pangool had no storage-layout story (TupleFile is a flat sequence);
+  * this is the Spark-native replacement for the "pre-partitioned inputs"
+  * idiom its reduce-side joins assumed
+  * (reference: core/.../tuplemr/mapred/lib/input/TupleInputFormat.java).
+  */
+object Layout {
+
+  /** Write as a bucketed+sorted managed parquet table. A join or groupBy on
+    * `key` between tables bucketed the same way plans with ZERO Exchange —
+    * pinned in LayoutSpec; at 100 TB that's the fact⋈fact shuffle paid once
+    * at write time instead of per query. (Spark ≥3.0 still inserts a
+    * partition-LOCAL sort before an SMJ — it doesn't propagate bucket-file
+    * ordering by default since that forces one-bucket-per-task scans; the
+    * sort is exchange-free and spill-bounded.)
+    *
+    * The repartition aligns write tasks with buckets (same Murmur3 hash) so
+    * each bucket is ONE file — predictable file sizes and the layout AQE
+    * and bucket pruning reason about best.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // an orphaned location (table dir left by a session whose in-memory
+    // catalog is gone) fails managed-table creation — clear both
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+      .write.bucketBy(buckets, key).sortBy(key)
+      .mode("overwrite").format("parquet").saveAsTable(table)
+  }
+
+  /** Write partitioned by low-cardinality columns: `dir/col=value/...`
+    * layout; equality/IN filters on those columns prune whole directories
+    * at planning time (visible as PartitionFilters in the scan).
+    */
+  def writePartitioned(df: DataFrame, dir: String, cols: String*): Unit =
+    df.write.partitionBy(cols: _*).mode("overwrite").parquet(dir)
+
+  def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
+}
