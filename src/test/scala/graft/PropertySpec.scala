@@ -65,6 +65,62 @@ class PropertySpec extends GraftSuite {
     }
   }
 
+  test("PqEncode matches a plain-Scala argmin on random vectors (codegen path)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val M = 8; val K = 16; val D = 8
+    val cen = Array.fill(M * K * D)(rnd.nextDouble() - 0.5)
+    val cc = Array.tabulate(M * K) { mk =>
+      (0 until D).map(d => cen(mk * D + d)).map(x => x * x).sum
+    }
+    def reference(e: Array[Double]): Seq[Int] =
+      (0 until M).map { m =>
+        val s = e.slice(m * D, (m + 1) * D)
+        val ss = s.map(x => x * x).sum
+        (0 until K).minBy { k =>
+          var sc = 0.0
+          var d = 0
+          while (d < D) { sc += s(d) * cen((m * K + k) * D + d); d += 1 }
+          ss - 2.0 * sc + cc(m * K + k)
+        }
+      }
+    val vecs = Seq.fill(50)(Array.fill(M * D)(rnd.nextDouble() * 2 - 1))
+    val got = vecs.map(v => (v.toSeq, 0)).toDF("e", "z")
+      .select(col("e"),
+        graft.functions.VectorExpressions.pqEncode(col("e"), cen, cc, M, K, D).as("codes"))
+      .collect()
+      .map(r => r.getSeq[Double](0) -> r.getSeq[Int](1))
+    got.foreach { case (e, codes) =>
+      assert(codes == reference(e.toArray), s"codes diverge for $e")
+      assert(codes.forall(c => c >= 0 && c < K))
+    }
+  }
+
+  test("connectedComponents equals brute-force union-find on random graphs (20 trials)") {
+    import spark.implicits._
+    (1 to 20).foreach { _ =>
+      val n = rnd.nextInt(20) + 2
+      val edges = Seq.fill(rnd.nextInt(25) + 1)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        // brute-force union-find
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val expected = nodes.groupBy(find).values
+          .flatMap(g => { val m = g.min; g.map(_ -> m) }).toMap
+        val got = operators.Curation
+          .connectedComponents(edges.toDF("a", "b"), "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"edges=$edges")
+      }
+    }
+  }
+
   test("rolling hash: prefix property and range") {
     (1 to 100).foreach { _ =>
       val s = Random.alphanumeric.take(rnd.nextInt(80) + 1).mkString.toLowerCase
