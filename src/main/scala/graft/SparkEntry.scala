@@ -78,6 +78,9 @@ object SparkEntry {
     "q_pivot"              -> ((s, d) => Analytics.pivotUserActivity(s, d)),
     "q_cube"               -> ((s, d) => Analytics.cubeSegmentPriority(s, d)),
     "q_percentiles"        -> ((s, d) => Analytics.percentiles(s, d)),
+    // sketch twins of q_distinct/q_percentiles (HLL++ / KLL-style) — no SQL
+    // oracle (accuracy is engine-specific); spec bounds error vs exact
+    "q_approx_stats"       -> ((s, d) => Analytics.approxStats(s, d)),
     "q_json_extract"       -> ((s, d) => Analytics.jsonExtract(s, d)),
     "q_events_window"      -> ((s, d) => Events.hourlyWindow(s, d)),
     "q_sessionize"         -> ((s, d) => Events.sessionize(s, d)),

@@ -105,6 +105,24 @@ object Analytics {
         round(element_at(col("p"), 1), 6).as("p50"),
         round(element_at(col("p"), 2), 6).as("p95"))
 
+  /** q_approx_stats — sketch aggregates: HLL++ distinct users and
+    * approximate percentiles per event type. At 100 TB these replace their
+    * exact twins (q_distinct, q_percentiles): fixed-size mergeable sketch
+    * state per group instead of per-key shuffle rows / full sorts, so the
+    * answer costs one partial-agg pass regardless of cardinality.
+    * Accuracy is engine-specific → no DuckDB hash oracle (rows-only check);
+    * AnalyticsSpec bounds the error against the exact answers instead.
+    */
+  def approxStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        expr("approx_percentile(value, array(0.5D, 0.95D), 10000)").as("ap"))
+      .select(col("event_type"), col("approx_users"),
+        round(element_at(col("ap"), 1), 6).as("ap50"),
+        round(element_at(col("ap"), 2), 6).as("ap95"))
+
   /** q_json_extract — pull a typed field out of the semi-structured props
     * column and aggregate on it (narrow parse, one shuffle).
     */

@@ -6,6 +6,26 @@ import graft.operators.Analytics
 
 class AnalyticsSpec extends GraftSuite {
 
+  test("approx sketch stats track the exact answers") {
+    import org.apache.spark.sql.functions._
+    val approx = operators.Analytics.approxStats(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exactUsers = io.Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactPct = operators.Analytics.percentiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exactUsers.foreach { case (t, exact) =>
+      val (au, ap50, ap95) = approx(t)
+      assert(math.abs(au - exact).toDouble / exact < 0.10, s"$t: hll $au vs exact $exact")
+      val (p50, p95) = exactPct(t)
+      // approx_percentile returns a real data value near the quantile
+      assert(math.abs(ap50 - p50) <= math.abs(p95 - p50) * 0.25 + 1e-6,
+        s"$t: ap50 $ap50 vs $p50")
+      assert(ap95 <= p95 * 1.25 + 1e-6 && ap95 >= p50, s"$t: ap95 $ap95 vs $p95")
+    }
+  }
+
   test("asof join: every matched click precedes its purchase; unmatched are null") {
     val out = Analytics.asofPurchaseClick(spark, sf)
     assert(out.where(col("gap_us") < 0).count() == 0)
