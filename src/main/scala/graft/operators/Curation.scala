@@ -47,10 +47,12 @@ object Curation {
       val nbrMin = und.join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy("src").agg(min("label").as("nmin"))
         .withColumnRenamed("src", "id")
+      // lazy checkpoint: the convergence probe's action below materializes
+      // it, so each pass costs ONE job (eager would run a second)
       labels = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val s = labelSum(labels)
       converged = s == prevSum
       prevSum = s
