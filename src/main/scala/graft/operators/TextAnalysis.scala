@@ -109,13 +109,21 @@ object TextAnalysis {
     val docWords = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("wcnt"))
-    // NOTE: do NOT cache the model here — model/cats/vocab re-derive
-    // nbTrain, but the recomputation is cheap (tiny aggregates) while an
-    // InMemoryRelation in the middle degraded join planning 3.5× when
-    // measured at sf0.1 (2.0 s → 7.1 s).
-    val model = nbTrain(spark, dir)
+    // The four docWords consumers (scoring join, model, vocab, category
+    // totals) each re-run the explode: subtrees containing lambda functions
+    // (tokens = filter(split(...))) never canonicalize equal, so neither
+    // ReuseExchange nor AQE stage reuse dedupes them (verified REUSED=0).
+    // Both materialization escapes measured WORSE at sf0.1: .cache()
+    // degraded join planning 3.5× (2.0→7.1 s), .localCheckpoint() paid more
+    // in partition writes than the saved explodes (2.0→2.5 s). Deriving the
+    // model from docWords' shape (join the tiny doc→source map,
+    // re-aggregate — same counts as nbTrain's direct derivation) is what
+    // actually helped: 2.27→1.98 s.
+    val docSource = broadcast(docs.select(col("doc_id"), col("source")))
+    val model = docWords.join(docSource, "doc_id")
+      .groupBy(col("source"), col("word")).agg(sum(col("wcnt")).as("cnt"))
     val vocab = broadcast(model.select(countDistinct(col("word")).as("v")))
-    val cats = broadcast(model.select(col("source"), col("cat_total")).distinct())
+    val cats = broadcast(model.groupBy(col("source")).agg(sum(col("cnt")).as("cat_total")))
     // score(doc, cat) = Σ_w wcnt * ln((cnt(cat,w)+1) / (cat_total+V))
     val scored = docWords
       .join(cats)          // doc-word × category
