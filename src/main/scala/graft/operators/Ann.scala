@@ -72,10 +72,14 @@ object Ann {
     val v = normed(spark, dir)
     val buckets = (0 until nTables).map { t =>
       val bucket = (0 until nPlanes).map { j =>
-        val dot = aggregate(
-          zip_with(col("e"), typedlit((0 until 64).map(planeComponent(t * nPlanes + j, _))),
-            (x, w) => x * w),
-          lit(0.0), (a, x) => a + x)
+        // codegen DotProduct against the constant plane — the HOF form
+        // (aggregate(zip_with)) is interpreted per element and was the last
+        // surviving instance of that round-1 trap (1.52 s → 1.35 s solo at
+        // sf0.1; the candidate join dominates this query, not the planes);
+        // summation order is identical, so the doubles (and the oracle's
+        // bucket bits) are unchanged
+        val dot = VectorExpressions.dot(col("e"),
+          typedlit((0 until 64).map(planeComponent(t * nPlanes + j, _))))
         when(dot > 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
       struct(lit(t).as("tbl"), bucket.as("bucket"))
