@@ -36,6 +36,44 @@ object VectorExpressions {
   def pqEncode(e: Column, cen: Array[Double], cc: Array[Double],
       m: Int, k: Int, dsub: Int): Column =
     ColumnBridge.column(PqEncode(ColumnBridge.expression(e), cen, cc, m, k, dsub))
+
+  def rollingHash31(text: Column, seed: Long, mod: Long): Column =
+    ColumnBridge.column(RollingHash31(ColumnBridge.expression(text), seed, mod))
+}
+
+/** Polynomial rolling hash h = fold(seed, h·31 + code) mod `mod` over the
+  * string's UTF-16 code units — one scan, no per-character string
+  * allocation. Replaces the interpreted
+  * `aggregate(filter(split(text, '')), ...)` fold, which materialized a
+  * string PER CHARACTER before folding. Arithmetic matches the DuckDB
+  * oracle's list_reduce over ord() exactly (ASCII corpus: code unit =
+  * codepoint = ord).
+  */
+case class RollingHash31(child: Expression, seed: Long, mod: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.toString
+    var h = seed
+    var i = 0
+    while (i < s.length) { h = (h * 31 + s.charAt(i)) % mod; i += 1 }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val s = ctx.freshName("s"); val h = ctx.freshName("h"); val i = ctx.freshName("i")
+      s"""
+         |java.lang.String $s = $in.toString();
+         |long $h = ${seed}L;
+         |for (int $i = 0; $i < $s.length(); $i++) {
+         |  $h = ($h * 31L + $s.charAt($i)) % ${mod}L;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
 }
 
 /** PQ code assignment fused into one pass: for each of `m` subspaces, the

@@ -12,9 +12,10 @@ import graft.io.Tables
   *
   * Brute-force top-k is the correctness baseline; random-hyperplane LSH
   * bucketing is the scale path (candidates only within a bucket).
-  * All vector math is `aggregate`/`zip_with` folds over the array column —
-  * sequential doubles, so the DuckDB oracle reproduces them bit-for-bit
-  * (and results are additionally rounded to 4dp before ranking).
+  * All vector math is the codegen [[graft.functions.DotProduct]] over the
+  * array column — a sequential left-to-right double sum, so the DuckDB
+  * oracle (list_dot_product, same order) reproduces it bit-for-bit (and
+  * results are additionally rounded to 4dp before ranking).
   */
 object Ann {
 

@@ -66,15 +66,14 @@ object TextAnalysis {
           .cast("long").as("n_bpe_tokens"))
 
   /** C11b — polynomial rolling hash of the full text (base 31 mod 2³¹-1),
-    * the streaming-friendly content fingerprint; a narrow codegen'd fold.
+    * the streaming-friendly content fingerprint; a narrow codegen scan
+    * ([[graft.functions.RollingHash31]] — the HOF fold it replaces
+    * allocated a string per character).
     */
   def rollingHash(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        aggregate(
-          filter(split(col("text"), ""), c => c =!= lit("")),
-          lit(7L),
-          (acc, ch) => (acc * 31L + ascii(ch)) % lit(P)).as("rh"))
+        graft.functions.VectorExpressions.rollingHash31(col("text"), 7L, P).as("rh"))
 
   /** C11 — document fingerprint: minimum 60-bit shingle hash (the classic
     * min-hash-of-shingles content fingerprint). Narrow.
