@@ -45,6 +45,33 @@ object Pq {
     (0 until M).map(m => seeds.toIndexedSeq.map(_.slice(m * Dsub, (m + 1) * Dsub)))
   }
 
+  /** Lloyd-refine the sub-codebooks: assign every subvector to its nearest
+    * sub-centroid (one fused [[graft.functions.PqEncode]] pass over the
+    * corpus — all 8 subspaces at once), then per-(subspace, code) per-dim
+    * means become the new centroids (one shuffle keyed (m, code); the
+    * updated codebook is M×K×Dsub doubles collected like [[Ivf.train]]'s).
+    * Empty cells keep their previous centroid. Same caveat as IVF: the
+    * refined centroids are FP-accumulation-order-sensitive, so the
+    * oracle-checked query uses iters=0 and refinement is recall-spec'd.
+    */
+  def refine(spark: SparkSession, dir: String,
+      iters: Int): IndexedSeq[IndexedSeq[Seq[Double]]] = {
+    val v = Ann.normed(spark, dir).select(col("vec_id"), col("e"))
+    var cen = codebook(spark, dir)
+    for (_ <- 1 to iters) {
+      val coded = v.select(col("e"), codesCol(col("e"), cen).as("codes"))
+        .select(col("e"), posexplode(col("codes")).as(Seq("m", "code")))
+      val updated = coded.groupBy(col("m"), col("code"))
+        .agg(array((0 until Dsub).map(d =>
+          avg(element_at(col("e"), col("m") * Dsub + d + 1))): _*).as("cen"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+      cen = (0 until M).map(m => (0 until Ksub).map(k =>
+        updated.getOrElse((m, k), cen(m)(k))))
+    }
+    cen
+  }
+
   /** Per-row code array: codes(m) = argmin over k of subSqDist (ties → the
     * smaller k). Fused native expression ([[VectorExpressions.pqEncode]]);
     * the composed slice/array_min form exceeded codegen limits and ran
@@ -63,8 +90,9 @@ object Pq {
     * floor(10⁶·subdist) longs; each corpus row's approximate distance is 8
     * table lookups summed — no vector arithmetic in the scan loop.
     */
-  def topK(spark: SparkSession, dir: String, nQueries: Int = 20, k: Int = 5): DataFrame = {
-    val cen = codebook(spark, dir)
+  def topK(spark: SparkSession, dir: String, nQueries: Int = 20, k: Int = 5,
+      iters: Int = 0): DataFrame = {
+    val cen = if (iters == 0) codebook(spark, dir) else refine(spark, dir, iters)
     val v = Ann.normed(spark, dir)
     val corpus = v.select(col("vec_id"), codesCol(col("e"), cen).as("codes"))
     val dtab = array((0 until M).map { m =>

@@ -71,9 +71,11 @@ class DedupSpec extends GraftSuite {
       .as[(Long, Long)].collect().toSet
     val recall = (bf & pq).size.toDouble / bf.size
     assert(recall >= 0.2, s"pq recall $recall")
-    // codes really are in [0, Ksub)
-    val codesOk = operators.Pq.topK(spark, sf).count() == bf.size
-    assert(codesOk)
+    // Lloyd-refined sub-codebooks must not lose recall vs the raw seeds
+    val pqR = operators.Pq.topK(spark, sf, iters = 2).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recallR = (bf & pqR).size.toDouble / bf.size
+    assert(recallR >= recall - 0.05, s"refined $recallR vs seed $recall")
   }
 
   test("ann lsh recall vs brute force >= 0.4") {
