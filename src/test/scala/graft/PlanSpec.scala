@@ -49,6 +49,17 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("lang") && !p.contains("embedding"))
   }
 
+  test("q_asof_join is the single-shuffle tagged-union window (no per-row subquery)") {
+    val p = plan("q_asof_join")
+    assert(shuffles(p) == 1, s"asof = union + ONE window exchange:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_semi_join plans a left-semi (existence check, no row duplication)") {
+    val p = plan("q_semi_join")
+    assert(p.contains("LeftSemi"), p)
+  }
+
   test("q_hash_split is a pure narrow transform (no shuffle)") {
     assert(shuffles(plan("q_hash_split")) == 0)
   }
