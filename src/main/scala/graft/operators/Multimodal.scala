@@ -49,15 +49,21 @@ object Multimodal {
     hist.map(_ / n)
   }
 
-  /** Feature extraction: batched per partition, records stream through —
-    * nothing is collected, partitions process independently (the mapInPandas
-    * batch shape, in Scala).
+  /** Feature extraction: batched per partition — the iterator streams
+    * through in fixed-size chunks (the mapInPandas batch shape, in Scala):
+    * a real codec initializes ONCE per batch (model handle, scratch
+    * buffers) and amortizes that over `batchSize` records. Nothing is
+    * collected; partitions process independently; memory is bounded by one
+    * batch of payloads.
     */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      it.map { m =>
-        MediaFeatures(m.doc_id, m.kind, m.media.length.toLong, stubDecode(m.media))
+      it.grouped(batchSize).flatMap { batch =>
+        // per-batch codec/model init goes here (stubbed: nothing to open)
+        batch.iterator.map { m =>
+          MediaFeatures(m.doc_id, m.kind, m.media.length.toLong, stubDecode(m.media))
+        }
       }
     }
   }
