@@ -46,9 +46,12 @@ object TextHash {
     array_distinct(transform(sequence(lit(1), size(toks) - 2), i =>
       concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
 
-  /** Shingle hashes reduced mod P (MinHash domain). */
+  /** Shingle hashes reduced mod P (MinHash domain) — fused per-array pass
+    * ([[Hash60Array]]); the transform-HOF form evaluates interpreted per
+    * element.
+    */
   def shingleHashes(sh: Column): Column =
-    transform(sh, s => hash60(s) % P)
+    VectorExpressions.hash60Array(sh, P)
 
   /** MinHash signature: array of K minima in one fused codegen pass
     * ([[MinHashSig]]) — the K× transform+array_min HOF chain is interpreted
@@ -67,7 +70,7 @@ object TextHash {
     * hash each token once, then one fused vote pass ([[SimHash64]]).
     */
   def simhash60(toks: Column): Column =
-    VectorExpressions.simhash64(transform(toks, hash60(_)))
+    VectorExpressions.simhash64(VectorExpressions.hash60Array(toks, 0L))
 
   /** Jaccard similarity of two pre-distinct arrays. */
   def jaccard(a: Column, b: Column): Column =

@@ -39,6 +39,51 @@ object VectorExpressions {
 
   def rollingHash31(text: Column, seed: Long, mod: Long): Column =
     ColumnBridge.column(RollingHash31(ColumnBridge.expression(text), seed, mod))
+
+  def hash60Array(strings: Column, mod: Long): Column =
+    ColumnBridge.column(Hash60Array(ColumnBridge.expression(strings), mod))
+}
+
+/** Per-element 60-bit md5 hash of an array<string>, optionally reduced
+  * `% mod` (mod = 0 → none): identical to the portable
+  * `conv(substring(md5(s),1,15),16,10)` construction — the first 15 hex
+  * chars of the digest are its first 8 bytes big-endian shifted right 4 —
+  * but fused into one pass. The `transform(_, s => hash60(s))` HOF it
+  * replaces evaluates interpreted per element. CodegenFallback: md5 itself
+  * dominates. Digest instance is ThreadLocal (reset per element), so no
+  * per-row allocation.
+  */
+case class Hash60Array(child: Expression, mod: Long)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val in = v.asInstanceOf[ArrayData]
+    val n = in.numElements()
+    val md = Hash60Array.digest.get()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(in.getUTF8String(i).getBytes)
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      h = h >>> 4 // first 15 hex chars = top 60 bits
+      out(i) = if (mod > 0) h % mod else h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+object Hash60Array {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
 }
 
 /** Polynomial rolling hash h = fold(seed, h·31 + code) mod `mod` over the
