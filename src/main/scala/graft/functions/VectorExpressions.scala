@@ -42,6 +42,55 @@ object VectorExpressions {
 
   def hash60Array(strings: Column, mod: Long): Column =
     ColumnBridge.column(Hash60Array(ColumnBridge.expression(strings), mod))
+
+  def shingleHash3(toks: Column, mod: Long): Column =
+    ColumnBridge.column(ShingleHash3(ColumnBridge.expression(toks), mod))
+}
+
+/** Distinct 3-word shingles of a token array, hashed to 60-bit md5 values
+  * (optionally `% mod`) in ONE pass — fuses `shingles3` (a transform HOF
+  * building a shingle string per position, then array_distinct) with
+  * [[Hash60Array]]. Dedup happens on the shingle STRING (exactly
+  * list_distinct's semantics, so an md5 collision between distinct shingles
+  * still yields the duplicate hash the oracle produces). Returns null for
+  * arrays with fewer than 3 tokens (callers filter those, matching the
+  * `size(toks) >= 3` guard).
+  */
+case class ShingleHash3(child: Expression, mod: Long)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val in = v.asInstanceOf[ArrayData]
+    val n = in.numElements()
+    if (n < 3) null
+    else {
+      val md = Hash60Array.digest.get()
+      val seen = new java.util.HashSet[String]()
+      val out = new scala.collection.mutable.ArrayBuffer[Long](n - 2)
+      val words = new Array[String](n)
+      var i = 0
+      while (i < n) { words(i) = in.getUTF8String(i).toString; i += 1 }
+      i = 0
+      while (i < n - 2) {
+        val s = words(i) + " " + words(i + 1) + " " + words(i + 2)
+        if (seen.add(s)) {
+          md.reset()
+          val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var h = 0L
+          var b = 0
+          while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+          h = h >>> 4
+          out += (if (mod > 0) h % mod else h)
+        }
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+  }
 }
 
 /** Per-element 60-bit md5 hash of an array<string>, optionally reduced
@@ -80,7 +129,7 @@ case class Hash60Array(child: Expression, mod: Long)
 }
 
 object Hash60Array {
-  private val digest = new ThreadLocal[java.security.MessageDigest] {
+  private[functions] val digest = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }

@@ -32,7 +32,8 @@ object Dedup {
     Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .where(size(col("toks")) >= 3)
-      .select(col("doc_id"), shingleHashes(shingles3(col("toks"))).as("h0"))
+      .select(col("doc_id"),
+        graft.functions.VectorExpressions.shingleHash3(col("toks"), P).as("h0"))
 
   /** C2 — MinHash + LSH near-dup pairs.
     *

@@ -13,6 +13,21 @@ class DedupSpec extends GraftSuite {
     assert(v == 419982666956583591L)
   }
 
+  test("fused shingle-hash equals the declarative shingles3+hash60 formulation") {
+    import spark.implicits._
+    val toksDf = io.Tables.documents(spark, sf)
+      .select(col("doc_id"), TextHash.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 3)
+    val declarative = toksDf
+      .select(col("doc_id"), TextHash.shingleHashes(TextHash.shingles3(col("toks"))).as("h"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val fused = toksDf
+      .select(col("doc_id"),
+        graft.functions.VectorExpressions.shingleHash3(col("toks"), TextHash.P).as("h"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fused == declarative, "same hashes in same first-occurrence order")
+  }
+
   test("minhash LSH finds exactly the brute-force jaccard pairs") {
     import spark.implicits._
     val docs = io.Tables.documents(spark, sf)
