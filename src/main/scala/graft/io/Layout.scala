@@ -49,4 +49,21 @@ object Layout {
     df.write.partitionBy(cols: _*).mode("overwrite").parquet(dir)
 
   def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
+  /** Compact a directory of small parquet files into ~`targetFileBytes`
+    * outputs — the standard maintenance pass after streaming/incremental
+    * ingest (thousands of tiny files per trigger kill scan parallelism
+    * bookkeeping and NameNode/liststore load at 100 TB). Partition count is
+    * sized from the actual input bytes; `repartition` (round-robin, no
+    * key) rebalances evenly without assuming any distribution.
+    */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val in = new org.apache.hadoop.fs.Path(inDir)
+    val fs = in.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(in).getLength
+    val parts = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(inDir).repartition(parts)
+      .write.mode("overwrite").parquet(outDir)
+  }
 }

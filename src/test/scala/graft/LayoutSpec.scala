@@ -39,6 +39,19 @@ class LayoutSpec extends GraftSuite {
     assert(shuffles(p) == 0, s"bucketed agg must not exchange:\n$p")
   }
 
+  test("compact rewrites many small files into few sized ones, losslessly") {
+    val inDir = java.nio.file.Files.createTempDirectory("small-files").toString
+    val outDir = java.nio.file.Files.createTempDirectory("compacted").toString + "/out"
+    val events = Tables.events(spark, sf)
+    events.repartition(20).write.mode("overwrite").parquet(inDir)
+    val nIn = new java.io.File(inDir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nIn == 20, s"setup: expected 20 input files, got $nIn")
+    Layout.compact(spark, inDir, outDir, targetFileBytes = 512L * 1024)
+    val nOut = new java.io.File(outDir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nOut < nIn, s"expected fewer files, got $nOut")
+    assert(spark.read.parquet(outDir).count() == events.count())
+  }
+
   test("partitioned layout prunes directories for equality filters") {
     val dir = java.nio.file.Files.createTempDirectory("events-part").toString
     Layout.writePartitioned(Tables.events(spark, sf), dir, "event_type")
