@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, MinHashSig, SimHash64, SortedJaccard}
+import graft.functions.{DotProduct, Hash60Array, MinHashSig, PackedGrams4,
+  RollingHash31, ShingleHash3, SimHash64, SortedJaccard}
 
 /** SparkSessionExtensions hook exposing the graft codegen kernels as SQL
   * functions — `spark.sql("SELECT graft_dot(a, b) ...")` — so pure-SQL users
@@ -31,5 +32,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_sorted_jaccard"),
       info("graft_sorted_jaccard", "graft_sorted_jaccard(a, b) - jaccard of sorted distinct long arrays"),
       (children: Seq[Expression]) => SortedJaccard(children(0), children(1))))
+
+    // kernels with scalar config: the literal argument is resolved at
+    // function-binding time (foldable expressions only)
+    def longArg(e: Expression, fn: String): Long = e match {
+      case lit if lit.foldable =>
+        lit.eval(null) match {
+          case l: Long => l
+          case i: Int => i.toLong
+          case other => throw new IllegalArgumentException(
+            s"$fn: literal integer expected, got $other")
+        }
+      case _ => throw new IllegalArgumentException(s"$fn: literal argument required")
+    }
+    ext.injectFunction((FunctionIdentifier("graft_hash60_array"),
+      info("graft_hash60_array", "graft_hash60_array(strings, mod) - per-element 60-bit md5 hash (mod 0 = none)"),
+      (children: Seq[Expression]) =>
+        Hash60Array(children(0), longArg(children(1), "graft_hash60_array"))))
+    ext.injectFunction((FunctionIdentifier("graft_shingle_hash3"),
+      info("graft_shingle_hash3", "graft_shingle_hash3(tokens, mod) - distinct 3-shingle 60-bit hashes"),
+      (children: Seq[Expression]) =>
+        ShingleHash3(children(0), longArg(children(1), "graft_shingle_hash3"))))
+    ext.injectFunction((FunctionIdentifier("graft_rolling_hash"),
+      info("graft_rolling_hash", "graft_rolling_hash(text, seed, mod) - base-31 polynomial rolling hash"),
+      (children: Seq[Expression]) => RollingHash31(children(0),
+        longArg(children(1), "graft_rolling_hash"), longArg(children(2), "graft_rolling_hash"))))
+    ext.injectFunction((FunctionIdentifier("graft_packed_grams4"),
+      info("graft_packed_grams4", "graft_packed_grams4(text) - injectively packed char 4-grams (ASCII)"),
+      (children: Seq[Expression]) => PackedGrams4(children.head)))
   }
 }

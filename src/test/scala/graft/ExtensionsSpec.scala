@@ -33,6 +33,23 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(sig.length == graft.functions.TextHash.K)
       val sh = spark.sql("SELECT graft_simhash(array(1L)) AS h").head.getLong(0)
       assert(sh == 1L) // single hash: bits follow the hash itself
+      // scalar-config kernels: literal args resolved at binding time
+      val h60 = spark.sql("SELECT graft_hash60_array(array('a'), 0L) AS h")
+        .head.getSeq[Long](0)
+      // md5('a') = 0cc175b9c0f1b6a8... → first 15 hex chars as a long
+      assert(h60 == Seq(java.lang.Long.parseLong("0cc175b9c0f1b6a", 16)))
+      val sh3 = spark.sql(
+        "SELECT graft_shingle_hash3(array('x', 'y', 'z', 'x', 'y', 'z'), 0L) AS s")
+        .head.getSeq[Long](0)
+      assert(sh3.length == 3, "4 shingle positions, 'x y z' repeated → 3 distinct")
+      val rh = spark.sql("SELECT graft_rolling_hash('ab', 7L, 2147483647L) AS r")
+        .head.getLong(0)
+      assert(rh == ((7L * 31 + 'a') * 31 + 'b') % 2147483647L)
+      val pg = spark.sql("SELECT graft_packed_grams4('abcd') AS g").head.getSeq[Long](0)
+      assert(pg == Seq((('a'.toLong * 256 + 'b') * 256 + 'c') * 256 + 'd'))
+      intercept[Exception] { // non-literal config must be rejected
+        spark.sql("SELECT graft_rolling_hash('a', CAST(rand()*2 AS BIGINT), 7L)").collect()
+      }
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
