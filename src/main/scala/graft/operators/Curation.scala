@@ -30,8 +30,106 @@ object Curation {
     * Convergence probe: labels only ever decrease, so the global sum is a
     * strictly-decreasing monotone — one scalar agg per pass, no diff join.
     */
+  /** Strategy dispatch: a few rounds of min-label propagation first — on the
+    * graphs dedup actually produces (unions of small dense clusters,
+    * diameter 2–3) it converges immediately and is ~1.5× cheaper per round
+    * than star contraction (measured 1.7 s vs 2.6 s at sf0.1) — then, if
+    * unconverged (deep components), finish with the O(log n)
+    * large-star/small-star contraction, seeding it with the partial labels
+    * as shortcut edges so the propagation work isn't wasted. The fallback is
+    * what makes this safe at 100 TB: an adversarial path component costs
+    * O(log n) star rounds instead of O(n) propagation rounds.
+    */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 60): DataFrame = {
+    val (labels, converged) = propagateRounds(edges, src, dst, rounds = 4)
+    if (converged) labels
+    else {
+      val shortcut = labels.where(col("id") =!= col("label"))
+        .select(col("id").as("u"), col("label").as("v"))
+      connectedComponentsStar(
+        edges.select(col(src).as("u"), col(dst).as("v")).union(shortcut),
+        "u", "v", maxIter)
+    }
+  }
+
+  /** Connected components by alternating large-star/small-star contraction
+    * [Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14] — O(log n) rounds even on adversarial path graphs, vs
+    * O(diameter) for [[connectedComponentsPropagate]]. This is the 100 TB
+    * default: a billion-node path component converges in ~30 rounds here vs
+    * a billion rounds of propagation.
+    *
+    * Per round (2 shuffles, no distinct — the groupBy's collect_set dedups
+    * the emitted multi-edges for free):
+    *   large-star: group the symmetric edge list by u; with
+    *     m = min(Γ(u) ∪ {u}), emit (v, m) for every neighbor v > u.
+    *   small-star: group canonical (big, small) edges by the big end; with
+    *     m = min(Γ⁻(u) ∪ {u}) = array_min, emit (v, m) for every
+    *     v ∈ Γ⁻(u) ∪ {u}, v ≠ m.
+    * At the fixed point every edge is (node, component-min) — a star. The
+    * convergence probe is a set checksum (count + sum of xxhash64) on the
+    * per-round localCheckpoint, so each round costs exactly one job.
+    *
+    * Output schema/semantics match [[connectedComponentsPropagate]]: one row
+    * per distinct endpoint in the input, labeled with the smallest reachable
+    * node id (self-loop edges yield self-labeled singletons).
+    */
+  def connectedComponentsStar(edges: DataFrame, src: String, dst: String,
+      maxIter: Int = 60): DataFrame = {
+    val nodes = edges.select(col(src).as("id"))
+      .union(edges.select(col(dst).as("id"))).distinct()
+    var e = edges.select(col(src).as("u"), col(dst).as("v"))
+      .where(col("u") =!= col("v"))
+      .localCheckpoint()
+    // (count, hash-sum) set checksum: labels-only probes can't see edge-set
+    // churn between rounds, this can
+    def checksum(df: DataFrame): (Long, String) = {
+      // decimal sum: full-range long hashes would overflow an ANSI long sum
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(20,0)"))).first()
+      (r.getLong(0), String.valueOf(r.get(1)))
+    }
+    var prev = checksum(e)
+    var converged = prev._1 == 0L
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star over the symmetric neighborhood
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val large = sym.groupBy("u").agg(collect_set("v").as("nbrs"))
+        .select(col("u"), least(col("u"), array_min(col("nbrs"))).as("m"),
+          explode(filter(col("nbrs"), n => n > col("u"))).as("vv"))
+        .select(col("vv").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+      // small-star over canonical (big end, small end) edges
+      val can = large.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      e = can.groupBy("u").agg(collect_set("v").as("nbrs"))
+        .select(col("u"), array_min(col("nbrs")).as("m"), col("nbrs"))
+        .select(col("m"),
+          explode(concat(filter(col("nbrs"), n => n > col("m")), array(col("u")))).as("vv"))
+        .select(col("vv").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .localCheckpoint(false) // lazy: the checksum action materializes it
+      val s = checksum(e)
+      converged = s == prev
+      prev = s
+      i += 1
+    }
+    nodes.join(e.select(col("u").as("id"), col("v").as("lbl")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("label"))
+  }
+
+  /** O(diameter) min-label propagation — the simple twin for
+    * property-testing [[connectedComponentsStar]] and for graphs known to
+    * have tiny diameter where per-round cost matters more than round count.
+    */
+  def connectedComponentsPropagate(edges: DataFrame, src: String, dst: String,
+      maxIter: Int = 25): DataFrame =
+    propagateRounds(edges, src, dst, maxIter)._1
+
+  private def propagateRounds(edges: DataFrame, src: String, dst: String,
+      rounds: Int): (DataFrame, Boolean) = {
     val und = edges.select(col(src).as("src"), col(dst).as("dst"))
       .union(edges.select(col(dst).as("src"), col(src).as("dst")))
       .localCheckpoint()
@@ -43,7 +141,7 @@ object Curation {
     var prevSum = labelSum(labels)
     var converged = labels.isEmpty
     var i = 0
-    while (!converged && i < maxIter) {
+    while (!converged && i < rounds) {
       val nbrMin = und.join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy("src").agg(min("label").as("nmin"))
         .withColumnRenamed("src", "id")
@@ -58,7 +156,7 @@ object Curation {
       prevSum = s
       i += 1
     }
-    labels
+    (labels, converged)
   }
 
   /** Near-dup CLUSTERS: MinHash-LSH pairs ([[Dedup.minhashLsh]]) closed

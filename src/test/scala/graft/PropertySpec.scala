@@ -96,29 +96,54 @@ class PropertySpec extends GraftSuite {
     }
   }
 
-  test("connectedComponents equals brute-force union-find on random graphs (20 trials)") {
+  private def unionFindLabels(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.groupBy(find).values
+      .flatMap(g => { val m = g.min; g.map(_ -> m) }).toMap
+  }
+
+  test("connectedComponents (star + propagate) equal union-find on random graphs (12 trials)") {
     import spark.implicits._
-    (1 to 20).foreach { _ =>
+    (1 to 12).foreach { _ =>
       val n = rnd.nextInt(20) + 2
       val edges = Seq.fill(rnd.nextInt(25) + 1)(
         (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
       if (edges.nonEmpty) {
-        // brute-force union-find
-        val parent = scala.collection.mutable.Map[Long, Long]()
-        def find(x: Long): Long = {
-          val p = parent.getOrElseUpdate(x, x)
-          if (p == x) x else { val r = find(p); parent(x) = r; r }
-        }
-        edges.foreach { case (a, b) => parent(find(a)) = find(b) }
-        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
-        val expected = nodes.groupBy(find).values
-          .flatMap(g => { val m = g.min; g.map(_ -> m) }).toMap
-        val got = operators.Curation
+        val expected = unionFindLabels(edges)
+        val star = operators.Curation
+          .connectedComponentsStar(edges.toDF("a", "b"), "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(star == expected, s"star diverges, edges=$edges")
+        val prop = operators.Curation
+          .connectedComponentsPropagate(edges.toDF("a", "b"), "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(prop == expected, s"propagate diverges, edges=$edges")
+        // hybrid dispatch (propagate → star fallback with shortcut edges)
+        val hyb = operators.Curation
           .connectedComponents(edges.toDF("a", "b"), "a", "b")
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        assert(got == expected, s"edges=$edges")
+        assert(hyb == expected, s"hybrid diverges, edges=$edges")
       }
     }
+  }
+
+  test("connectedComponentsStar handles an adversarial path graph in O(log n) rounds") {
+    import spark.implicits._
+    // a 64-node path needs 63 propagation rounds but only ~log₂(64) star
+    // rounds — the default maxIter=60 would NOT suffice for propagation,
+    // so passing here is evidence the star contraction actually kicks in
+    val path = (0L until 63L).map(i => (i, i + 1))
+    val expected = path.flatMap(e => Seq(e._1, e._2)).distinct.map(_ -> 0L).toMap
+    val got = operators.Curation
+      .connectedComponentsStar(path.reverse.toDF("a", "b"), "a", "b", maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
   }
 
   test("rolling hash: prefix property and range") {
