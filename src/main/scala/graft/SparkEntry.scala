@@ -33,6 +33,8 @@ object SparkEntry {
     "q_join_reduce_side"   -> ((s, d) => Relational.joinReduceSide(s, d)),
     "q_join_broadcast"     -> ((s, d) => Relational.joinBroadcast(s, d)),
     "q_cogroup"            -> ((s, d) => Relational.coGroup(s, d)),
+    // 3 heterogeneous schemas, one tagged-union shuffle (TupleJob.coGroupMulti)
+    "q_cogroup_multi"      -> ((s, d) => Relational.coGroupMultiCounts(s, d)),
     "q_moving_avg"         -> ((s, d) => Relational.movingAverage(s, d)),
     "q_normalize"          -> ((s, d) => Relational.normalize(s, d)),
     "q_topic_fingerprint"  -> ((s, d) => Relational.topicFingerprint(s, d)),
@@ -156,6 +158,16 @@ object SparkEntry {
         |  SELECT l_orderkey, round(sum(l_extendedprice), 2) AS line_total, count(*) AS n_lines
         |  FROM lineitem GROUP BY l_orderkey) l
         |ON o_orderkey = l_orderkey""".stripMargin,
+    "q_cogroup_multi" ->
+      """WITH c AS (SELECT c_custkey AS k, count(*) AS n FROM customer GROUP BY 1),
+        |     o AS (SELECT o_custkey AS k, count(*) AS n FROM orders GROUP BY 1),
+        |     e AS (SELECT user_id AS k, count(*) AS n FROM events GROUP BY 1)
+        |SELECT coalesce(c.k, o.k, e.k) AS k,
+        |       coalesce(c.n, 0) AS n_cust,
+        |       coalesce(o.n, 0) AS n_orders,
+        |       coalesce(e.n, 0) AS n_events
+        |FROM c FULL JOIN o ON c.k = o.k
+        |FULL JOIN e ON coalesce(c.k, o.k) = e.k""".stripMargin,
     "q_moving_avg" ->
       """SELECT user_id, day, clicks,
         |       round(avg(clicks) OVER (PARTITION BY user_id ORDER BY day

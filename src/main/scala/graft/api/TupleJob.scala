@@ -133,6 +133,68 @@ object TupleJob {
     }(enc)
   }
 
+  /** One input of an N-way co-group: a frame plus its per-schema secondary
+    * sort (Pangool TupleMRConfigBuilder.setSpecificOrderBy — field name +
+    * ascending, nulls-smallest like Pangool's Criteria default).
+    */
+  final case class CoInput(df: DataFrame, order: Seq[(String, Boolean)] = Nil)
+
+  /** N-way multi-schema co-group — the reference's central feature beyond
+    * two inputs (reference: tuplemr/TupleMRConfigBuilder.java:73
+    * addIntermediateSchema ×N, :198–297 setSchemaOrder/setSpecificOrderBy;
+    * behavior in core test TestMultipleSchemas.java).
+    *
+    * The reducer sees, per group key, ONE stream of (schemaIndex, tuple) in
+    * schema order: all tuples of `schemaOrder.head`'s schema first (each
+    * sorted by that schema's specific order), then the next schema, exactly
+    * Pangool's heterogeneous-reduce contract.
+    *
+    * Execution is ONE shuffle, not N-1 nested co-groups: each input is
+    * tagged with its schema rank and widened to a union row carrying N
+    * nullable payload structs (only its own non-null — nulls are
+    * metadata-cheap in Tungsten rows), the union repartitions on the group
+    * key and sorts within partitions by (key, rank, specific orders); the
+    * reduce is then a single forward scan, so a group is never buffered.
+    * Rows of other schemas have all-null payload fields, which sort as ties
+    * — the rank column has already separated schemas before any payload
+    * field is compared.
+    */
+  def coGroupMulti(inputs: Seq[CoInput], keys: Seq[String],
+      outSchema: StructType, schemaOrder: Seq[Int] = Nil)(
+      reducer: (Row, Iterator[(Int, Row)]) => Iterator[Row]): DataFrame = {
+    require(inputs.nonEmpty, "coGroupMulti needs at least one input")
+    val order = if (schemaOrder.isEmpty) inputs.indices else schemaOrder
+    require(order.sorted == inputs.indices,
+      s"schemaOrder $order must be a permutation of ${inputs.indices}")
+    val rankOf = order.zipWithIndex.toMap // schema idx -> stream position
+    val tagged = inputs.zipWithIndex.map { case (in, i) =>
+      val payloads = inputs.indices.map { j =>
+        if (j == i) struct(in.df.columns.map(col).toIndexedSeq: _*).as(s"_p$j")
+        else lit(null).cast(inputs(j).df.schema).as(s"_p$j")
+      }
+      in.df.select(keys.map(col) ++ (lit(rankOf(i)).as("_rk") +: payloads): _*)
+    }
+    val sortCols = keys.map(col) ++ (col("_rk") +: order.flatMap { j =>
+      inputs(j).order.map { case (f, asc) =>
+        if (asc) col(s"_p$j.$f").asc_nulls_first else col(s"_p$j.$f").desc_nulls_last
+      }
+    })
+    val idxOfRank = order.toIndexedSeq
+    val gc = keys
+    val enc = Encoders.row(outSchema)
+    tagged.reduce(_.union(_))
+      .repartition(keys.map(col): _*)
+      .sortWithinPartitions(sortCols: _*)
+      .mapPartitions { it =>
+        groupRuns(it, gc).flatMap { case (key, rows) =>
+          reducer(key, rows.map { r =>
+            val idx = idxOfRank(r.getAs[Int]("_rk"))
+            (idx, r.getAs[Row](s"_p$idx"))
+          })
+        }
+      }(enc)
+  }
+
   /** Lazily group a key-sorted iterator into (key, run iterator) pairs.
     * The run iterator MUST be fully consumed by the caller before the next
     * run is requested (single forward scan, zero buffering) — same contract

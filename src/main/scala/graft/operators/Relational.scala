@@ -161,6 +161,35 @@ object Relational {
         coalesce(col("n_lines"), lit(0L)).as("n_lines"))
   }
 
+  /** A11b — N-way multi-schema co-group (reference:
+    * tuplemr/TupleMRConfigBuilder.java:73 addIntermediateSchema ×N +
+    * setSchemaOrder; behavior in core test TestMultipleSchemas.java): three
+    * heterogeneous inputs (customer, orders, events) co-grouped on one key
+    * in a single shuffle via [[graft.api.TupleJob.coGroupMulti]]'s tagged
+    * union; the reducer counts tuples per schema from the one schema-ordered
+    * stream. Integer-only output so the cross-engine oracle is exact.
+    */
+  def coGroupMultiCounts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.api.TupleJob
+    val cust = Tables.customer(spark, dir).select(col("c_custkey").cast("long").as("k"))
+    val ords = Tables.orders(spark, dir).select(col("o_custkey").cast("long").as("k"))
+    val evts = Tables.events(spark, dir).select(col("user_id").cast("long").as("k"))
+    val out = StructType(Seq(StructField("k", LongType),
+      StructField("n_cust", LongType), StructField("n_orders", LongType),
+      StructField("n_events", LongType)))
+    TupleJob.coGroupMulti(
+      Seq(TupleJob.CoInput(cust), TupleJob.CoInput(ords), TupleJob.CoInput(evts)),
+      Seq("k"), out) { (key, tuples) =>
+      var a = 0L; var b = 0L; var c = 0L
+      tuples.foreach { case (i, _) =>
+        if (i == 0) a += 1 else if (i == 1) b += 1 else c += 1
+      }
+      Iterator(Row(key.getLong(0), a, b, c))
+    }
+  }
+
   /** A12 — moving average (reference: examples/.../MovingAverage.java):
     * per-user daily click counts, 3-day trailing mean. Two window passes ride
     * one exchange keyed by user_id.

@@ -69,6 +69,51 @@ class TupleJobSpec extends GraftSuite {
     assert(out.count() > 0)
   }
 
+  test("coGroupMulti streams 3 heterogeneous schemas in schemaOrder on one shuffle") {
+    val cust = io.Tables.customer(spark, sf)
+      .select(col("c_custkey").cast("long").as("k"), col("c_name"))
+    val orders = io.Tables.orders(spark, sf)
+      .select(col("o_custkey").cast("long").as("k"), col("o_orderkey"), col("o_totalprice"))
+    val events = io.Tables.events(spark, sf)
+      .select(col("user_id").cast("long").as("k"), col("event_id"), col("ts"))
+    val outSchema = StructType(Seq(
+      StructField("k", LongType), StructField("stream_ok", BooleanType),
+      StructField("n0", IntegerType), StructField("n1", IntegerType),
+      StructField("n2", IntegerType)))
+    // schemaOrder 2,0,1: events first, then customers, then orders; orders
+    // additionally sorted by totalprice desc, events by event_id asc
+    val out = TupleJob.coGroupMulti(
+      Seq(TupleJob.CoInput(cust),
+        TupleJob.CoInput(orders, Seq(("o_totalprice", false))),
+        TupleJob.CoInput(events, Seq(("event_id", true)))),
+      Seq("k"), outSchema, schemaOrder = Seq(2, 0, 1)) { (key, tuples) =>
+      val seen = tuples.map { case (i, r) =>
+        val v = i match {
+          case 0 => r.getAs[String]("c_name").length.toLong // schema-specific access
+          case 1 => -math.round(r.getAs[Double]("o_totalprice") * 100)
+          case 2 => r.getAs[Long]("event_id")
+        }
+        (i, v)
+      }.toVector
+      val rankOf = Map(2 -> 0, 0 -> 1, 1 -> 2)
+      val ranks = seen.map(t => rankOf(t._1))
+      val streamOk = ranks.zip(ranks.drop(1)).forall { case (a, b) => a <= b } &&
+        Seq(1, 2).forall { i =>
+          val vs = seen.filter(_._1 == i).map(_._2)
+          vs.zip(vs.drop(1)).forall { case (a, b) => a <= b }
+        }
+      Iterator(Row(key.getLong(0),
+        streamOk, seen.count(_._1 == 0), seen.count(_._1 == 1), seen.count(_._1 == 2)))
+    }
+    // ONE shuffle total: tagged union → single repartition → sort → reduce
+    val planStr = out.queryExecution.executedPlan.toString
+    val exchanges = planStr.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected a single shuffle, got $exchanges\n$planStr")
+    val rows = out.collect()
+    assert(rows.forall(_.getBoolean(1)), "stream order violated in some group")
+    assert(rows.exists(r => r.getInt(2) > 0 && r.getInt(3) > 0 && r.getInt(4) > 0))
+  }
+
   test("coGroupSorted delivers per-side sorted iterators (specificOrderBy)") {
     val orders = io.Tables.orders(spark, sf).select("o_custkey", "o_orderkey", "o_totalprice")
     val events = io.Tables.events(spark, sf)
