@@ -45,6 +45,59 @@ object VectorExpressions {
 
   def shingleHash3(toks: Column, mod: Long): Column =
     ColumnBridge.column(ShingleHash3(ColumnBridge.expression(toks), mod))
+
+  def nbArgmax(toks: Column, vocab: Array[String], cats: Array[String],
+      terms: Array[Double], missing: Array[Double]): Column =
+    ColumnBridge.column(NbArgmax(ColumnBridge.expression(toks), vocab, cats, terms, missing))
+}
+
+/** Map-side Naive Bayes serving: the full add-1-smoothed multinomial argmax
+  * over a token array in ONE narrow pass, with the trained model inlined as
+  * literal arrays (the NB model is vocab×cats log-probs — the classic
+  * fits-in-memory serving artifact, same footing as the IVF/PQ codebooks).
+  * `terms` is laid out [wordIdx·nCats + cat] = ln((cnt+1)/(catTotal+V));
+  * `missing` is the per-cat unseen-word term. Argmax scans categories in
+  * ascending name order keeping the first strict maximum — exactly the
+  * `row_number() OVER (ORDER BY score DESC, source ASC) = 1` tie rule of the
+  * join formulation this replaces. Replaces a doc-word re-explode + model
+  * join fan + window (2 corpus scans, 3 shuffles, measured 1.7–3.0 s at
+  * sf0.1) with one scan and zero shuffles after the model aggregation.
+  * CodegenFallback: the per-token hash probes dominate; boxing is noise.
+  */
+case class NbArgmax(child: Expression, vocab: Array[String], cats: Array[String],
+    terms: Array[Double], missing: Array[Double])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = StringType
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+
+  @transient private lazy val wordIdx: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](vocab.length * 2)
+    var i = 0
+    while (i < vocab.length) { m.put(vocab(i), i); i += 1 }
+    m
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val n = cats.length
+    val scores = new Array[Double](n)
+    var i = 0
+    while (i < toks.numElements()) {
+      val idx = wordIdx.get(toks.getUTF8String(i).toString)
+      var c = 0
+      if (idx == null) while (c < n) { scores(c) += missing(c); c += 1 }
+      else {
+        val off = idx.intValue() * n
+        while (c < n) { scores(c) += terms(off + c); c += 1 }
+      }
+      i += 1
+    }
+    var best = 0
+    var c = 1
+    while (c < n) { if (scores(c) > scores(best)) best = c; c += 1 }
+    org.apache.spark.unsafe.types.UTF8String.fromString(cats(best))
+  }
 }
 
 /** Distinct 3-word shingles of a token array, hashed to 60-bit md5 values

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextHash._
@@ -102,43 +101,48 @@ object TextAnalysis {
   }
 
   /** A15 — Naive Bayes classification of each doc into a source category:
-    * add-1-smoothed multinomial argmax. The model is broadcast; scoring is
-    * a per-doc-word join + one groupBy(doc, cat) + argmax window.
+    * add-1-smoothed multinomial argmax, score(doc, cat) =
+    * Σ_w wcnt · ln((cnt(cat,w)+1) / (cat_total+V)).
+    *
+    * Two phases, like the ANN codebook queries: (1) train — one explode +
+    * groupBy(source, word) aggregation, collected to the driver (the model
+    * is vocab×cats log-probs, a bounded in-memory serving artifact); (2)
+    * serve — ONE narrow scan scoring every doc via the fused
+    * [[graft.functions.NbArgmax]] expression, zero shuffles.
+    *
+    * History (each measured at sf0.1): doc-word × category join fan +
+    * argmax window was 2.27 s; deriving the model from the docWords
+    * aggregate cut it to 1.98 s; caching docWords degraded join planning
+    * 3.5× (7.1 s) and localCheckpoint paid more in partition writes than
+    * the saved explodes (2.5 s). The map-side model serve replaces all of
+    * it: 0.6 s, and the 100 TB plan is exactly what you'd want — the corpus
+    * is scanned once for training (shuffling only (source, word) partials)
+    * and once for scoring (no shuffle at all). If the vocabulary ever
+    * out-grows memory, the join formulation in git history is the fallback.
     */
   def nbClassify(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val docWords = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
-      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("wcnt"))
-    // The four docWords consumers (scoring join, model, vocab, category
-    // totals) each re-run the explode: subtrees containing lambda functions
-    // (tokens = filter(split(...))) never canonicalize equal, so neither
-    // ReuseExchange nor AQE stage reuse dedupes them (verified REUSED=0).
-    // Both materialization escapes measured WORSE at sf0.1: .cache()
-    // degraded join planning 3.5× (2.0→7.1 s), .localCheckpoint() paid more
-    // in partition writes than the saved explodes (2.0→2.5 s). Deriving the
-    // model from docWords' shape (join the tiny doc→source map,
-    // re-aggregate — same counts as nbTrain's direct derivation) is what
-    // actually helped: 2.27→1.98 s.
-    val docSource = broadcast(docs.select(col("doc_id"), col("source")))
-    val model = docWords.join(docSource, "doc_id")
-      .groupBy(col("source"), col("word")).agg(sum(col("wcnt")).as("cnt"))
-    val vocab = broadcast(model.select(countDistinct(col("word")).as("v")))
-    val cats = broadcast(model.groupBy(col("source")).agg(sum(col("cnt")).as("cat_total")))
-    // score(doc, cat) = Σ_w wcnt * ln((cnt(cat,w)+1) / (cat_total+V))
-    val scored = docWords
-      .join(cats)          // doc-word × category
-      .join(broadcast(model.select(col("source"), col("word"), col("cnt"))),
-        Seq("source", "word"), "left")
-      .join(vocab)
-      .select(col("doc_id"), col("source"),
-        (col("wcnt") * log((coalesce(col("cnt"), lit(0L)) + 1).cast("double")
-          / (col("cat_total") + col("v")))).as("term"))
-      .groupBy(col("doc_id"), col("source"))
-      .agg(sum(col("term")).as("score"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("source"))
-    scored.withColumn("rk", row_number().over(w))
-      .where(col("rk") === 1)
-      .select(col("doc_id"), col("source").as("predicted"))
+    val modelRows = docs
+      .select(col("source"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("cnt"))
+      .collect()
+    val cats = modelRows.map(_.getString(0)).distinct.sorted
+    val vocab = modelRows.map(_.getString(1)).distinct.sorted
+    val catIdx = cats.zipWithIndex.toMap
+    val wordIdx = vocab.zipWithIndex.toMap
+    val catTotal = new Array[Long](cats.length)
+    modelRows.foreach(r => catTotal(catIdx(r.getString(0))) += r.getLong(2))
+    val denom = catTotal.map(t => (t + vocab.length).toDouble)
+    val missing = denom.map(d => math.log(1.0 / d))
+    val terms = Array.tabulate(vocab.length * cats.length)(i => missing(i % cats.length))
+    modelRows.foreach { r =>
+      terms(wordIdx(r.getString(1)) * cats.length + catIdx(r.getString(0))) =
+        math.log((r.getLong(2) + 1).toDouble / denom(catIdx(r.getString(0))))
+    }
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        graft.functions.VectorExpressions.nbArgmax(
+          col("toks"), vocab, cats, terms, missing).as("predicted"))
   }
 }
