@@ -83,26 +83,50 @@ object Dedup {
     * blocking rule is part of the operator's declared semantics and the
     * oracle applies the same rule).
     */
-  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.35,
+      maxAllPairsBlock: Int = 4096, saltOverride: Option[Int] = None): DataFrame = {
     import spark.implicits._
     val g = Tables.documents(spark, dir)
       .select(col("doc_id"), (col("n_chars") / 25).cast("long").as("bucket"),
         array_sort(array_distinct(
           graft.functions.VectorExpressions.packedGrams4(col("text")))).as("grams"))
-    // Block-local all-pairs: each doc's gram set crosses the shuffle ONCE
-    // (grouped by block), pairs are generated in-memory per block with a
-    // zero-allocation merge walk. A bucket join instead copies both arrays
-    // into every joined row — measured 9 s vs 2 s at sf0.1.
+    // Block-local candidate generation: each doc's gram set crosses the
+    // shuffle ONCE (grouped by block). A bucket join instead copies both
+    // arrays into every joined row — measured 9 s vs 2 s at sf0.1.
     //
-    // Salting: with only ~16 length buckets, parallelism caps at 16 tasks.
-    // Each bucket is split into S doc-bands; a doc lands in the S groups
-    // (bucket, min(band, x), max(band, x)) so every cross- and within-band
-    // pair is generated exactly once — S(S+1)/2 groups per bucket, same
-    // total work, S× smaller per-group memory. Trade-off (measured): the
-    // gram arrays are duplicated S× across the shuffle, which cancels the
-    // gain on local[32]; on a wide cluster where 16 tasks would idle
-    // hundreds of cores, the duplication is the right price. S=1 disables.
-    val S = 4
+    // Within a block, pair generation branches on block size:
+    //  - small blocks: plain all-pairs with the zero-allocation merge walk.
+    //  - giant blocks (> maxAllPairsBlock): an AllPairs/PPJoin-style prefix
+    //    filter [Bayardo et al., WWW'07]. Each doc indexes only its
+    //    (|g| − ceil(t·|g|) + 1)-prefix under the block's rarity order
+    //    (in-block df, ties by gram value): if J(x,y) ≥ t, the smallest
+    //    shared gram under that order provably lies in BOTH prefixes, so an
+    //    inverted index over prefix grams finds every qualifying pair
+    //    (lossless) without touching the bucket² non-candidates.
+    // The cutoff is measured, not aesthetic: on this corpus the gram
+    // universe is tiny (31-word vocab), every doc shares grams with every
+    // other, and the index amplifies work instead of pruning — 989k
+    // candidate probes vs 42k all-pairs in the largest sf0.1 bucket
+    // (8.4 s vs 0.9 s end-to-end). Prefix filtering wins exactly when
+    // blocks outgrow the quadratic budget AND gram diversity gives rare
+    // prefixes — the 100 TB real-text regime.
+    //
+    // Salting: a bucket is split into S doc-bands; a doc lands in the S
+    // groups (bucket, min(band,x), max(band,x)) so every pair is generated
+    // exactly once across S(S+1)/2 groups. S is ADAPTIVE: the smallest S
+    // whose nBuckets·S(S+1)/2 groups give ≥16 tasks per core. Group sizes
+    // are wildly skewed (length-bucket populations span 11–292 docs at
+    // sf0.1) so over-decomposition is what levels the waves — measured
+    // best-of-3 at sf0.1 under one JVM: S=1 1.84 s (23 tasks idle 32
+    // cores), S=3 1.23 s, S=4 1.15 s, S=8 1.05 s. The cost is the gram
+    // arrays crossing the shuffle S×, which is why S is capped rather than
+    // unbounded; on a wide cluster the same formula lands at the cap.
+    val cores = spark.sparkContext.defaultParallelism
+    val nBuckets = math.max(1L, Tables.documents(spark, dir)
+      .select((col("n_chars") / 25).cast("long")).distinct().count())
+    val S = saltOverride.getOrElse(
+      (1 to 8).find(s => nBuckets * s * (s + 1) / 2 >= 16L * cores).getOrElse(8))
+    val t = threshold
     g.flatMap { r =>
       val doc = r.getAs[Long]("doc_id"); val bucket = r.getAs[Long]("bucket")
       val grams = r.getSeq[Long](2).toArray
@@ -125,12 +149,51 @@ object Dedup {
           val union = a.length + b.length - c
           if (union == 0) 0.0 else c.toDouble / union
         }
-        for {
-          i <- docs.indices.iterator
-          j <- (i + 1 until docs.length).iterator
-          // within-band pairs belong to the (band, band) group only
-          if (lo == hi) || (docs(i)._1 != docs(j)._1)
-        } yield (docs(i)._2, docs(j)._2, jacOf(docs(i)._3, docs(j)._3))
+        if (docs.length <= maxAllPairsBlock) {
+          for {
+            i <- docs.indices.iterator
+            j <- (i + 1 until docs.length).iterator
+            // within-band pairs belong to the (band, band) group only
+            if (lo == hi) || (docs(i)._1 != docs(j)._1)
+          } yield (docs(i)._2, docs(j)._2, jacOf(docs(i)._3, docs(j)._3))
+        } else {
+          // in-block document frequency → rarity order (df asc, gram asc)
+          val df = new java.util.HashMap[Long, Int]()
+          docs.foreach(_._3.foreach(gr => df.merge(gr, 1, Integer.sum _)))
+          val index = new java.util.HashMap[Long, java.util.ArrayList[Int]]()
+          docs.indices.foreach { i =>
+            val grams = docs(i)._3
+            // ceil(t·|g|) computed with a downward epsilon: FP noise may
+            // only LENGTHEN the prefix (still lossless), never shorten it
+            val p = grams.length - math.ceil(t * grams.length - 1e-9).toInt + 1
+            val byRarity = grams.sortBy(gr => (df.get(gr).intValue(), gr))
+            var k = 0
+            while (k < math.min(p, byRarity.length)) {
+              index.computeIfAbsent(byRarity(k), _ => new java.util.ArrayList[Int]()).add(i)
+              k += 1
+            }
+          }
+          val seen = new java.util.HashSet[Long]()
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          index.forEach { (_, list) =>
+            var a = 0
+            while (a < list.size - 1) {
+              var b = a + 1
+              while (b < list.size) {
+                val i = math.min(list.get(a), list.get(b))
+                val j = math.max(list.get(a), list.get(b))
+                // within-band pairs belong to the (band, band) group only
+                if (((lo == hi) || (docs(i)._1 != docs(j)._1)) &&
+                    seen.add(i.toLong << 32 | j)) {
+                  out += ((docs(i)._2, docs(j)._2, jacOf(docs(i)._3, docs(j)._3)))
+                }
+                b += 1
+              }
+              a += 1
+            }
+          }
+          out.iterator
+        }
       }
       .toDF("d1", "d2", "jac_raw")
       .select(col("d1"), col("d2"), round(col("jac_raw"), 6).as("jac"))

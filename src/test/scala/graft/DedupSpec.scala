@@ -7,6 +7,19 @@ import graft.operators.{Ann, Dedup}
 
 class DedupSpec extends GraftSuite {
 
+  test("ngramJaccard prefix-index path is lossless vs the all-pairs path") {
+    import spark.implicits._
+    // maxAllPairsBlock=0 forces every block through the rarity-ordered
+    // prefix-filter inverted index; the default keeps all-pairs locally.
+    // Identical output = the AllPairs prefix lemma holds end-to-end.
+    val allPairs = Dedup.ngramJaccard(spark, sf)
+      .as[(Long, Long, Double)].collect().toSet
+    val prefix = Dedup.ngramJaccard(spark, sf, maxAllPairsBlock = 0)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(prefix == allPairs)
+    assert(allPairs.nonEmpty)
+  }
+
   test("hash60 matches the md5-derived reference value") {
     // first 15 hex chars of md5('hello') = 5d41402abc4b2a7, base 16
     val v = spark.range(1).select(TextHash.hash60(lit("hello"))).head.getLong(0)
