@@ -1,18 +1,45 @@
 package graft
 
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.functions._
 
 import graft.operators.Multimodal
 
 class MultimodalSpec extends GraftSuite {
 
-  test("media table carries binary payload + typed metadata") {
+  test("media table carries binary payload + typed metadata; image rows are real PNGs") {
     val m = Multimodal.mediaTable(spark, sf)
     val s = m.schema
     assert(s("media").dataType.typeName == "binary")
     assert(s("width").dataType.typeName == "integer")
     assert(m.count() > 0)
     assert(m.where(col("kind").isin("image", "audio")).count() == m.count())
+    // every image payload decodes with the JDK codec to its declared dims
+    val imgs = m.where(col("kind") === "image").collect()
+    assert(imgs.nonEmpty)
+    imgs.foreach { r =>
+      val img = ImageIO.read(new ByteArrayInputStream(r.media))
+      assert(img != null, s"doc ${r.doc_id}: payload is not a decodable image")
+      assert(img.getWidth == r.width && img.getHeight == r.height)
+    }
+  }
+
+  test("decodeImage reads actual pixel values (known 2x2 PNG)") {
+    // gray levels 0x00, 0x10, 0x80, 0xFF → luminance bins 0, 1, 8, 15
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    img.setRGB(0, 0, gray(0x00)); img.setRGB(1, 0, gray(0x10))
+    img.setRGB(0, 1, gray(0x80)); img.setRGB(1, 1, gray(0xff))
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    val got = Multimodal.decodeImage(bos.toByteArray).get
+    val want = Array.fill(16)(0f)
+    Seq(0, 1, 8, 15).foreach(b => want(b) = 0.25f)
+    assert(got.sameElements(want), got.mkString(","))
   }
 
   test("feature extraction is deterministic, batched, and L1-normalized") {
@@ -20,15 +47,27 @@ class MultimodalSpec extends GraftSuite {
     val rows = f1.collect()
     assert(rows.forall(_.features.length == 16))
     assert(rows.forall(r => math.abs(r.features.sum - 1.0f) < 1e-3))
+    // image features come from DECODED PIXELS: the generated gradient hits
+    // every luminance range, while the utf8-byte stub would concentrate in
+    // the ASCII bins (4–7) — so pixel decode shows mass outside them
+    val img = rows.filter(_.kind == "image")
+    assert(img.nonEmpty)
+    assert(img.forall(r => r.features.zipWithIndex
+      .collect { case (v, i) if i < 4 || i > 7 => v }.sum > 0.1f))
     // determinism: run twice, same values
     val f2 = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sf)).collect()
     assert(rows.sortBy(_.doc_id).zip(f2.sortBy(_.doc_id))
       .forall { case (a, b) => a.features.sameElements(b.features) })
   }
 
-  test("resize stub yields exactly targetW×targetH bytes with updated metadata") {
+  test("resize really resamples images and stride-samples audio, metadata in lockstep") {
     val r = Multimodal.resize(Multimodal.mediaTable(spark, sf), 8, 6).collect()
-    assert(r.forall(m => m.media.length == 48 && m.width == 8 && m.height == 6))
+    assert(r.forall(m => m.width == 8 && m.height == 6))
+    r.filter(_.kind == "image").foreach { m =>
+      val img = ImageIO.read(new ByteArrayInputStream(m.media))
+      assert(img != null && img.getWidth == 8 && img.getHeight == 6)
+    }
+    assert(r.filter(_.kind == "audio").forall(_.media.length == 48))
     // deterministic
     val r2 = Multimodal.resize(Multimodal.mediaTable(spark, sf), 8, 6).collect()
     assert(r.sortBy(_.doc_id).zip(r2.sortBy(_.doc_id))
