@@ -226,6 +226,49 @@ object Oracles {
       |      FROM pairs)
       |SELECT query_id, rk, neighbor_id, adc_scaled FROM r WHERE rk <= 5""".stripMargin
 
+  /** IVF-PQ: [[annIvf]]'s assignment/probes composed with [[annPq]]'s
+    * codes/ADC tables — candidates restricted to the query's nprobe cells,
+    * then the same integer-scaled 8-lookup sums and ranking.
+    */
+  val annIvfPq: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |cenI AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cid, e AS ce
+      |         FROM v WHERE vec_id < 16),
+      |dI AS (SELECT v.vec_id, cenI.cid,
+      |         (list_dot_product(e, e) - 2 * list_dot_product(e, ce)
+      |          + list_dot_product(ce, ce)) AS dist
+      |       FROM v, cenI),
+      |rankedI AS (SELECT vec_id, cid,
+      |              row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS r FROM dI),
+      |assign AS (SELECT vec_id, cid FROM rankedI WHERE r = 1),
+      |probes AS (SELECT vec_id AS qid, cid FROM rankedI WHERE vec_id < 20 AND r <= 4),
+      |mm AS (SELECT unnest(range(8)) AS m),
+      |cen AS (SELECT m, (row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1) AS k,
+      |               e[(8*m+1):(8*m+8)] AS csub
+      |        FROM v, mm WHERE vec_id < 16),
+      |sub AS (SELECT vec_id, m, e[(8*m+1):(8*m+8)] AS s FROM v, mm),
+      |d AS (SELECT sub.vec_id, sub.m, cen.k,
+      |        (list_dot_product(s, s) - 2*list_dot_product(s, csub)
+      |         + list_dot_product(csub, csub)) AS dist
+      |      FROM sub JOIN cen ON sub.m = cen.m),
+      |codes AS (SELECT vec_id, m, k FROM (
+      |    SELECT vec_id, m, k, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS r
+      |    FROM d) t
+      |  WHERE r = 1),
+      |qtab AS (SELECT vec_id AS query_id, m, k, CAST(floor(dist * 1000000) AS BIGINT) AS dq
+      |         FROM d WHERE vec_id < 20),
+      |pairs AS (SELECT q.query_id, c.vec_id AS neighbor_id, CAST(sum(q.dq) AS BIGINT) AS adc_scaled
+      |          FROM codes c
+      |          JOIN qtab q ON q.m = c.m AND q.k = c.k
+      |          JOIN assign a ON a.vec_id = c.vec_id
+      |          JOIN probes p ON p.qid = q.query_id AND p.cid = a.cid
+      |          WHERE c.vec_id <> q.query_id
+      |          GROUP BY 1, 2),
+      |r AS (SELECT query_id, neighbor_id, adc_scaled,
+      |        row_number() OVER (PARTITION BY query_id ORDER BY adc_scaled, neighbor_id) AS rk
+      |      FROM pairs)
+      |SELECT query_id, rk, neighbor_id, adc_scaled FROM r WHERE rk <= 5""".stripMargin
+
   val tokenCount: String =
     s"""SELECT doc_id, len($toksSql)::BIGINT AS n_tokens,
        |       len(list_distinct($toksSql))::BIGINT AS n_unique FROM documents""".stripMargin

@@ -72,6 +72,9 @@ object SparkEntry {
     // PQ/ADC: search scans 8-byte code rows + table lookups, never vectors;
     // integer-scaled distances → exact cross-engine ranking parity
     "q_ann_pq"             -> ((s, d) => Pq.topK(s, d)),
+    // IVF cells × PQ codes: ADC scans only nprobe cells (the billion-scale
+    // layout); both codebooks are the deterministic seed constructions
+    "q_ann_ivfpq"          -> ((s, d) => IvfPq.topK(s, d)),
     "q_lang_id"            -> ((s, d) => TextAnalysis.langId(s, d)),
     "q_quality_score"      -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "q_fingerprint"        -> ((s, d) => TextAnalysis.fingerprint(s, d)),
@@ -239,6 +242,7 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q_ann_ivf"         -> Oracles.annIvf,
     "q_ann_pq"          -> Oracles.annPq,
+    "q_ann_ivfpq"       -> Oracles.annIvfPq,
     "q_lang_id"         -> Oracles.langId,
     "q_quality_score"   -> Oracles.qualityScore,
     "q_fingerprint"     -> Oracles.fingerprint,

@@ -21,14 +21,14 @@ import graft.functions.VectorExpressions
   */
 object Ivf {
 
-  private def sqDist(e: Column, cen: Seq[Double]): Column = {
+  private[operators] def sqDist(e: Column, cen: Seq[Double]): Column = {
     val c = typedlit(cen)
     VectorExpressions.dot(e, e) - lit(2.0) * VectorExpressions.dot(e, c) +
       lit(cen.map(x => x * x).sum)
   }
 
   /** argmin over centroids as array_min of (dist, cid) structs. */
-  private def nearestCid(e: Column, centroids: Seq[(Int, Seq[Double])]): Column =
+  private[operators] def nearestCid(e: Column, centroids: Seq[(Int, Seq[Double])]): Column =
     array_min(array(centroids.map { case (cid, cen) =>
       struct(sqDist(e, cen).as("d"), lit(cid).as("cid"))
     }: _*)).getField("cid")

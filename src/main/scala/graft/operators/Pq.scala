@@ -28,7 +28,7 @@ object Pq {
     * expanded as |s|² − 2·s·c + |c|² (matches the oracle's arithmetic
     * term-for-term, so the doubles are bit-identical).
     */
-  private def subSqDist(e: Column, m: Int, c: Seq[Double]): Column = {
+  private[operators] def subSqDist(e: Column, m: Int, c: Seq[Double]): Column = {
     val sub = slice(e, m * Dsub + 1, Dsub)
     VectorExpressions.dot(sub, sub) -
       lit(2.0) * VectorExpressions.dot(sub, typedlit(c)) +
@@ -77,7 +77,7 @@ object Pq {
     * the composed slice/array_min form exceeded codegen limits and ran
     * interpreted.
     */
-  private def codesCol(e: Column, cen: IndexedSeq[IndexedSeq[Seq[Double]]]): Column = {
+  private[operators] def codesCol(e: Column, cen: IndexedSeq[IndexedSeq[Seq[Double]]]): Column = {
     val cenFlat = (for { m <- 0 until M; k <- 0 until Ksub; d <- 0 until Dsub }
       yield cen(m)(k)(d)).toArray
     // |c|² exactly as the literal form computed it (left-to-right Σx²)

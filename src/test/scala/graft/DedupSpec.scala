@@ -106,6 +106,27 @@ class DedupSpec extends GraftSuite {
     assert(recallR >= recall - 0.05, s"refined $recallR vs seed $recall")
   }
 
+  test("ann ivf-pq prunes the ADC scan to nprobe cells and keeps useful recall") {
+    import spark.implicits._
+    val bf = Ann.bruteForceTopK(spark, sf).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val ivfpq = operators.IvfPq.topK(spark, sf).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (bf & ivfpq).size.toDouble / bf.size
+    // same codebook as PQ but only nprobe/C of the corpus scanned: recall
+    // floor is what the pruning leaves of PQ's 0.2 floor on these vectors
+    assert(recall >= 0.15, s"ivf-pq recall $recall")
+    // the pruning is real: candidates scored per query ≈ nprobe/C of the
+    // corpus, vs the full-corpus ADC scan of plain PQ
+    val n = Ann.normed(spark, sf).count()
+    val nq = 20L
+    val scanned = operators.IvfPq.topK(spark, sf, k = Int.MaxValue)
+      .groupBy("query_id").count().agg(sum("count")).first().getLong(0)
+    val full = nq * (n - 1) // what Pq.topK scores
+    assert(scanned < full / 2,
+      s"expected materially fewer scanned rows: $scanned vs full $full")
+  }
+
   test("ann lsh recall vs brute force >= 0.4") {
     import spark.implicits._
     val bf = Ann.bruteForceTopK(spark, sf).select("query_id", "neighbor_id")
