@@ -38,6 +38,8 @@ object SparkEntry {
     "q_moving_avg"         -> ((s, d) => Relational.movingAverage(s, d)),
     "q_normalize"          -> ((s, d) => Relational.normalize(s, d)),
     "q_topic_fingerprint"  -> ((s, d) => Relational.topicFingerprint(s, d)),
+    // reference BitField output shape: top words as a packed 128-bit set
+    "q_topic_fp_bits"      -> ((s, d) => Relational.topicFingerprintBits(s, d)),
     "q_distinct"           -> ((s, d) => Relational.distinctUsers(s, d)),
     "q_set_ops"            -> ((s, d) => Relational.setOps(s, d)),
     "q_semi_join"          -> ((s, d) => Relational.semiJoin(s, d)),
@@ -191,6 +193,23 @@ object SparkEntry {
         |            FROM (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents) u
         |            WHERE word <> '' GROUP BY source, word) c) t
         |WHERE rk <= 5""".stripMargin,
+    "q_topic_fp_bits" ->
+      """WITH c AS (SELECT source, word, count(*) AS cnt
+        |           FROM (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents) u
+        |           WHERE word <> '' GROUP BY source, word),
+        |t AS (SELECT source, word, cnt FROM (
+        |        SELECT source, word, cnt,
+        |               row_number() OVER (PARTITION BY source ORDER BY cnt DESC, word) AS rk
+        |        FROM c) r
+        |      WHERE rk <= 5),
+        |v AS (SELECT word, row_number() OVER (ORDER BY word) - 1 AS idx
+        |      FROM (SELECT DISTINCT word FROM t) dw),
+        |j AS (SELECT t.source, v.idx, t.cnt FROM t JOIN v ON t.word = v.word)
+        |SELECT source,
+        |  CAST(sum(CASE WHEN idx < 64 THEN (1::BIGINT << CAST(idx AS INT)) ELSE 0 END) AS BIGINT) AS bits_0,
+        |  CAST(sum(CASE WHEN idx >= 64 THEN (1::BIGINT << CAST(idx - 64 AS INT)) ELSE 0 END) AS BIGINT) AS bits_1,
+        |  CAST(sum(cnt) AS BIGINT) AS totalcount
+        |FROM j GROUP BY source""".stripMargin,
     "q_distinct" ->
       """SELECT event_type, count(*) AS n_users
         |FROM (SELECT DISTINCT event_type, user_id FROM events) t

@@ -232,6 +232,33 @@ object Relational {
       .select(col("source"), col("rk"), col("word"), col("cnt"))
   }
 
+  /** A16b — topic fingerprint in the reference's compact-BitField output
+    * shape (reference: io/BitField.java:46; examples/.../TopicFingerprint
+    * .java's reducer also emits the per-topic totalcount named output):
+    * each source's top-N words become set bits in a fixed-width packed
+    * bitset, positions = the word's rank in the sorted global top-word
+    * vocabulary. The 128-bit set is built with
+    * [[graft.functions.BitFieldOps.fromPositions]] and emitted as its two
+    * scalar words (plus the totalcount), which keeps the oracle compare on
+    * plain BIGINTs. The vocab index is a ≤ n·sources-row artifact —
+    * broadcast, never shuffled.
+    */
+  def topicFingerprintBits(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    val top = topicFingerprint(spark, dir, n)
+    val vocab = top.select(col("word")).distinct()
+      .withColumn("idx",
+        row_number().over(Window.orderBy(col("word"))).cast("long") - 1)
+    val bits = graft.functions.BitFieldOps.fromPositions(
+      array_sort(collect_list(col("idx"))), 128)
+    top.join(broadcast(vocab), "word")
+      .groupBy(col("source"))
+      .agg(bits.as("bits"), sum(col("cnt")).as("totalcount"))
+      .select(col("source"),
+        element_at(col("bits"), 1).as("bits_0"),
+        element_at(col("bits"), 2).as("bits_1"),
+        col("totalcount"))
+  }
+
   /** A20 — left-semi join: customers having ≥1 urgent order. Semi joins
     * shuffle only the join keys of the right side — the cheapest existence
     * check at scale.
