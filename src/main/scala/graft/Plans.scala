@@ -11,7 +11,8 @@ import org.apache.spark.sql.SparkSession
 object Plans {
   val Headline: Seq[String] = Seq(
     "q_agg_groupby", "q_join_broadcast", "q_join_reduce_side", "q_topn_per_group",
-    "q_dedup_minhash", "q_ann_bruteforce", "q_grep")
+    "q_dedup_minhash", "q_ann_bruteforce", "q_grep",
+    "q_cogroup_multi", "q_ann_ivfpq", "q_nb_classify", "q_topic_fp_bits")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
