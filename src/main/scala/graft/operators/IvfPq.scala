@@ -28,9 +28,16 @@ object IvfPq {
   /** Top-k by ADC within the query's nprobe nearest IVF cells. */
   def topK(spark: SparkSession, dir: String, nQueries: Int = 20, k: Int = 5,
       c: Int = 16, nprobe: Int = 4): DataFrame = {
-    val centroids = Ivf.train(spark, dir, c, iters = 0)
-    val cen = Pq.codebook(spark, dir)
     val v = Ann.normed(spark, dir)
+    // one seed collect feeds BOTH codebooks (Ivf.train + Pq.codebook would
+    // each run the same first-K job; the constructions are identical)
+    val seeds = v.select(col("vec_id"), col("e"))
+      .where(col("vec_id") < math.max(c, Pq.Ksub)).orderBy("vec_id").collect()
+      .map(_.getSeq[Double](1))
+    val centroids: Seq[(Int, Seq[Double])] =
+      seeds.take(c).zipWithIndex.map { case (e, i) => (i, e) }.toSeq
+    val cen = (0 until Pq.M).map(m => seeds.take(Pq.Ksub).toIndexedSeq
+      .map(_.slice(m * Pq.Dsub, (m + 1) * Pq.Dsub)))
     // corpus layout: (cell id, PQ codes) — one narrow encode pass
     val corpus = v.select(col("vec_id"),
       Ivf.nearestCid(col("e"), centroids).as("cid"),
