@@ -269,6 +269,58 @@ object Oracles {
       |      FROM pairs)
       |SELECT query_id, rk, neighbor_id, adc_scaled FROM r WHERE rk <= 5""".stripMargin
 
+  /** Residual IVF-PQ: [[annIvfPq]]'s cell structure, but PQ operates on
+    * r = e − centroid(cell): corpus codes w.r.t. each vector's own cell,
+    * query ADC tables per probed cell, residual codebook seeded from
+    * vectors 16..31 (the first 16 are the centroids — zero residuals).
+    */
+  val annIvfPqRes: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |cenI AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cid, e AS ce
+      |         FROM v WHERE vec_id < 16),
+      |dI AS (SELECT v.vec_id, cenI.cid,
+      |         (list_dot_product(e, e) - 2 * list_dot_product(e, ce)
+      |          + list_dot_product(ce, ce)) AS dist
+      |       FROM v, cenI),
+      |rankedI AS (SELECT vec_id, cid,
+      |              row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS r FROM dI),
+      |assign AS (SELECT vec_id, cid FROM rankedI WHERE r = 1),
+      |probes AS (SELECT vec_id AS qid, cid FROM rankedI WHERE vec_id < 20 AND r <= 4),
+      |resv AS (SELECT a.vec_id, a.cid,
+      |           [ e[d+1] - ce[d+1] FOR d IN range(64) ] AS r
+      |         FROM assign a JOIN v ON a.vec_id = v.vec_id JOIN cenI ON a.cid = cenI.cid),
+      |mm AS (SELECT unnest(range(8)) AS m),
+      |cenR AS (SELECT m, (row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1) AS k,
+      |               r[(8*m+1):(8*m+8)] AS csub
+      |        FROM resv, mm WHERE vec_id >= 16 AND vec_id < 32),
+      |subv AS (SELECT vec_id, m, r[(8*m+1):(8*m+8)] AS s FROM resv, mm),
+      |dcode AS (SELECT subv.vec_id, subv.m AS m, cenR.k,
+      |            (list_dot_product(s, s) - 2*list_dot_product(s, csub)
+      |             + list_dot_product(csub, csub)) AS dist
+      |          FROM subv JOIN cenR ON subv.m = cenR.m),
+      |codes AS (SELECT vec_id, m, k FROM (
+      |    SELECT vec_id, m, k, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS r
+      |    FROM dcode) t
+      |  WHERE r = 1),
+      |resq AS (SELECT p.qid, p.cid,
+      |           [ e[d+1] - ce[d+1] FOR d IN range(64) ] AS r
+      |         FROM probes p JOIN v ON p.qid = v.vec_id JOIN cenI ON p.cid = cenI.cid),
+      |subq AS (SELECT qid, cid, m, r[(8*m+1):(8*m+8)] AS s FROM resq, mm),
+      |qtab AS (SELECT qid AS query_id, cid, subq.m AS m, k,
+      |           CAST(floor((list_dot_product(s, s) - 2*list_dot_product(s, csub)
+      |                       + list_dot_product(csub, csub)) * 1000000) AS BIGINT) AS dq
+      |         FROM subq JOIN cenR ON subq.m = cenR.m),
+      |pairs AS (SELECT q.query_id, c.vec_id AS neighbor_id, CAST(sum(q.dq) AS BIGINT) AS adc_scaled
+      |          FROM codes c
+      |          JOIN assign a ON a.vec_id = c.vec_id
+      |          JOIN qtab q ON q.m = c.m AND q.k = c.k AND q.cid = a.cid
+      |          WHERE c.vec_id <> q.query_id
+      |          GROUP BY 1, 2),
+      |r AS (SELECT query_id, neighbor_id, adc_scaled,
+      |        row_number() OVER (PARTITION BY query_id ORDER BY adc_scaled, neighbor_id) AS rk
+      |      FROM pairs)
+      |SELECT query_id, rk, neighbor_id, adc_scaled FROM r WHERE rk <= 5""".stripMargin
+
   val tokenCount: String =
     s"""SELECT doc_id, len($toksSql)::BIGINT AS n_tokens,
        |       len(list_distinct($toksSql))::BIGINT AS n_unique FROM documents""".stripMargin

@@ -77,6 +77,9 @@ object SparkEntry {
     // IVF cells × PQ codes: ADC scans only nprobe cells (the billion-scale
     // layout); both codebooks are the deterministic seed constructions
     "q_ann_ivfpq"          -> ((s, d) => IvfPq.topK(s, d)),
+    // FAISS by_residual layout: PQ over r = e - centroid(cell), per-cell
+    // query ADC tables; residual codebook seeds from vectors 16..31
+    "q_ann_ivfpq_res"      -> ((s, d) => IvfPq.topKResidual(s, d)),
     "q_lang_id"            -> ((s, d) => TextAnalysis.langId(s, d)),
     "q_quality_score"      -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "q_fingerprint"        -> ((s, d) => TextAnalysis.fingerprint(s, d)),
@@ -262,6 +265,7 @@ object SparkEntry {
     "q_ann_ivf"         -> Oracles.annIvf,
     "q_ann_pq"          -> Oracles.annPq,
     "q_ann_ivfpq"       -> Oracles.annIvfPq,
+    "q_ann_ivfpq_res"   -> Oracles.annIvfPqRes,
     "q_lang_id"         -> Oracles.langId,
     "q_quality_score"   -> Oracles.qualityScore,
     "q_fingerprint"     -> Oracles.fingerprint,

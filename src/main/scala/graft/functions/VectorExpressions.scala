@@ -49,6 +49,33 @@ object VectorExpressions {
   def nbArgmax(toks: Column, vocab: Array[String], cats: Array[String],
       terms: Array[Double], missing: Array[Double]): Column =
     ColumnBridge.column(NbArgmax(ColumnBridge.expression(toks), vocab, cats, terms, missing))
+
+  def subCentroid(e: Column, cid: Column, cen: Array[Double], dim: Int): Column =
+    ColumnBridge.column(SubCentroid(ColumnBridge.expression(e), ColumnBridge.expression(cid), cen, dim))
+}
+
+/** Residual vector r = e − centroid(cid): the per-row centroid subtraction
+  * residual IVF-PQ needs before PQ encoding / ADC table construction
+  * (FAISS's by_residual layout). `cen` is the flat row-major centroid
+  * matrix [cid·dim + d]. Elementwise single subtractions — exact in FP, so
+  * residuals are engine-portable. CodegenFallback like [[PqEncode]]: one
+  * short per-row loop.
+  */
+case class SubCentroid(left: Expression, right: Expression,
+    cen: Array[Double], dim: Int) extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+
+  override protected def nullSafeEval(ev: Any, cidv: Any): Any = {
+    val e = ev.asInstanceOf[ArrayData]
+    val base = cidv.asInstanceOf[Int] * dim
+    val out = new Array[Double](dim)
+    var d = 0
+    while (d < dim) { out(d) = e.getDouble(d) - cen(base + d); d += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 /** Map-side Naive Bayes serving: the full add-1-smoothed multinomial argmax

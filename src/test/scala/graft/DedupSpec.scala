@@ -116,6 +116,14 @@ class DedupSpec extends GraftSuite {
     // same codebook as PQ but only nprobe/C of the corpus scanned: recall
     // floor is what the pruning leaves of PQ's 0.2 floor on these vectors
     assert(recall >= 0.15, s"ivf-pq recall $recall")
+    // residual variant (PQ over e − centroid(cell)): same pruning, finer
+    // per-cell resolution. At this tiny sf cells are near-empty so it
+    // measures 0.18 vs raw 0.25; at sf0.01 it crosses over (0.27 vs 0.24)
+    // — seed codebooks everywhere, floors not tuning targets
+    val res = operators.IvfPq.topKResidual(spark, sf).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recallRes = (bf & res).size.toDouble / bf.size
+    assert(recallRes >= 0.15, s"residual ivf-pq recall $recallRes")
     // the pruning is real: candidates scored per query ≈ nprobe/C of the
     // corpus, vs the full-corpus ADC scan of plain PQ
     val n = Ann.normed(spark, sf).count()
