@@ -445,4 +445,107 @@ object Oracles {
       |r AS (SELECT event_type, user_id, cnt,
       |        row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, user_id) AS rk FROM c)
       |SELECT event_type, rk, user_id, cnt FROM r WHERE rk <= 5""".stripMargin
+
+  /** 8-gram decontamination vs the doc_id%50==0 benchmark subset: distinct
+    * shingle STRINGS per doc (list_distinct), then the portable 60-bit hash
+    * — the same dedup-on-string-then-hash order [[graft.functions
+    * .ShingleHashN]] uses.
+    */
+  val decontaminate: String =
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS w FROM documents),
+       |d AS (SELECT doc_id,
+       |        list_distinct([ array_to_string(w[i:i+7], ' ') FOR i IN range(1, len(w) - 6) ]) AS gs
+       |      FROM tok WHERE len(w) >= 8),
+       |g AS (SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS g
+       |      FROM (SELECT doc_id, unnest(gs) AS s FROM d)),
+       |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
+       |corpus AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM g WHERE doc_id % 50 <> 0 GROUP BY 1),
+       |hits AS (SELECT doc_id, count(*)::BIGINT AS n_hit FROM g
+       |         WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM bench) GROUP BY 1)
+       |SELECT c.doc_id, c.n_grams, coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+       |       coalesce(h.n_hit, 0) > 0 AS contaminated
+       |FROM corpus c LEFT JOIN hits h USING (doc_id)""".stripMargin
+
+  /** 6-gram spans occurring in ≥2 distinct docs; occurrences NOT deduped
+    * within a doc (one per position).
+    */
+  val repeatedSpans: String =
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS w FROM documents),
+       |s AS (SELECT doc_id, unnest([ array_to_string(w[i:i+5], ' ') FOR i IN range(1, len(w) - 4) ]) AS s
+       |      FROM tok WHERE len(w) >= 6),
+       |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS span FROM s)
+       |SELECT span, count(DISTINCT doc_id)::BIGINT AS n_docs, count(*)::BIGINT AS n_total,
+       |       min(doc_id) AS first_doc
+       |FROM h GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin
+
+  /** Concat-and-chunk sequence packing: md5-salted shard, windowed token
+    * offset, integer-division sequence ids (`//` ↔ Spark `div`).
+    */
+  val packSequences: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    CAST(concat('0x', substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard,
+       |    len($toksSql)::BIGINT AS n_tokens FROM documents),
+       |o AS (SELECT doc_id, shard, n_tokens,
+       |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS "offset"
+       |  FROM t WHERE n_tokens > 0)
+       |SELECT doc_id, shard, n_tokens, "offset",
+       |       "offset" // 512 AS seq_first,
+       |       ("offset" + n_tokens - 1) // 512 AS seq_last,
+       |       "offset" % 512 AS offset_in_seq FROM o""".stripMargin
+
+  /** Per-domain hash-acceptance resampling; integer rates in ppm. */
+  val domainMix: String =
+    """WITH t AS (SELECT doc_id, source, lang,
+      |    1000000 // (1 + CAST(substring(source, 4) AS BIGINT) % 4) AS r FROM documents),
+      |e AS (SELECT doc_id, source, lang,
+      |    CAST(CASE WHEN lang = 'en' THEN r ELSE r // 2 END AS BIGINT) AS rate_pm FROM t)
+      |SELECT doc_id, source, lang, rate_pm FROM e
+      |WHERE CAST(concat('0x', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      |      % 1000000 < rate_pm""".stripMargin
+
+  /** PII redaction over deterministically augmented text; counts + md5 of
+    * the redacted string. Patterns are the Java-regex/RE2 common subset;
+    * DuckDB regexp_replace needs the 'g' flag to match Spark's
+    * replace-all.
+    */
+  val piiRedact: String =
+    """WITH a AS (SELECT doc_id,
+      |    text || repeat(' u' || CAST(doc_id AS VARCHAR) || '@ex.org', CAST(doc_id % 3 AS INT) + 1)
+      |         || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com from 10.'
+      |         || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+      |         || repeat(' 192.168.0.' || CAST(doc_id % 254 + 1 AS VARCHAR), CAST(doc_id % 2 AS INT))
+      |         || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+      |  FROM documents)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+'))::BIGINT AS n_email,
+      |  len(regexp_extract_all(aug, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))::BIGINT AS n_ip,
+      |  len(regexp_extract_all(aug, '[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phone,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+      |        '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+', '<EMAIL>', 'g'),
+      |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+      |    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS red_hash
+      |FROM a""".stripMargin
+
+  /** SemDeDup: IVF-seed cluster assignment (same cenI/assign chain as
+    * [[annIvf]]), within-cell greedy drop of any vector with a lower-id
+    * cellmate at rounded cosine ≥ 0.4.
+    */
+  val semDedup: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+      |cen AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cid, e AS ce
+      |        FROM v WHERE vec_id < 16),
+      |d AS (SELECT n.vec_id, cen.cid,
+      |        (list_dot_product(e, e) - 2 * list_dot_product(e, ce)
+      |         + list_dot_product(ce, ce)) AS dist
+      |      FROM n, cen),
+      |assign AS (SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS r
+      |    FROM d) t WHERE r = 1),
+      |a AS (SELECT n.vec_id, cid, e, nrm FROM n JOIN assign USING (vec_id)),
+      |drops AS (SELECT DISTINCT y.vec_id
+      |          FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      |          WHERE round(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 4) >= 0.4)
+      |SELECT vec_id, cid, vec_id NOT IN (SELECT vec_id FROM drops) AS keep FROM a""".stripMargin
 }

@@ -95,6 +95,15 @@ object SparkEntry {
     "q_events_window"      -> ((s, d) => Events.hourlyWindow(s, d)),
     "q_sessionize"         -> ((s, d) => Events.sessionize(s, d)),
     "q_events_topusers"    -> ((s, d) => Events.topUsers(s, d)),
+    // training-data hygiene block (round 4): benchmark decontamination,
+    // repeated-span detection, sequence packing, mixture resampling, PII
+    // redaction, SemDeDup
+    "q_decontaminate"      -> ((s, d) => Contamination.decontaminate(s, d)),
+    "q_repeated_spans"     -> ((s, d) => Contamination.repeatedSpans(s, d)),
+    "q_pack_sequences"     -> ((s, d) => Curation.packSequences(s, d)),
+    "q_domain_mix"         -> ((s, d) => Curation.domainMix(s, d)),
+    "q_pii_redact"         -> ((s, d) => TextAnalysis.piiRedact(s, d)),
+    "q_semdedup"           -> ((s, d) => Dedup.semDedup(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same column aliases — the driver
@@ -266,6 +275,12 @@ object SparkEntry {
     "q_ann_pq"          -> Oracles.annPq,
     "q_ann_ivfpq"       -> Oracles.annIvfPq,
     "q_ann_ivfpq_res"   -> Oracles.annIvfPqRes,
+    "q_decontaminate"   -> Oracles.decontaminate,
+    "q_repeated_spans"  -> Oracles.repeatedSpans,
+    "q_pack_sequences"  -> Oracles.packSequences,
+    "q_domain_mix"      -> Oracles.domainMix,
+    "q_pii_redact"      -> Oracles.piiRedact,
+    "q_semdedup"        -> Oracles.semDedup,
     "q_lang_id"         -> Oracles.langId,
     "q_quality_score"   -> Oracles.qualityScore,
     "q_fingerprint"     -> Oracles.fingerprint,

@@ -52,6 +52,63 @@ object VectorExpressions {
 
   def subCentroid(e: Column, cid: Column, cen: Array[Double], dim: Int): Column =
     ColumnBridge.column(SubCentroid(ColumnBridge.expression(e), ColumnBridge.expression(cid), cen, dim))
+
+  def shingleHashN(toks: Column, n: Int, mod: Long, distinct: Boolean): Column =
+    ColumnBridge.column(ShingleHashN(ColumnBridge.expression(toks), n, mod, distinct))
+}
+
+/** N-word shingle hashes of a token array — [[ShingleHash3]] generalized to
+  * arbitrary gram length for the contamination / repeated-span operators
+  * (n-gram decontamination conventionally uses 8–13-gram collisions). Same
+  * portable construction: shingle string joined with single spaces, 60-bit
+  * md5-prefix hash, optional `% mod`. `distinct = false` keeps one hash PER
+  * POSITION (occurrence counting); `true` dedups on the shingle string like
+  * list_distinct. Null for arrays shorter than n tokens.
+  */
+case class ShingleHashN(child: Expression, n: Int, mod: Long, distinct: Boolean)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val in = v.asInstanceOf[ArrayData]
+    val ntok = in.numElements()
+    if (ntok < n) null
+    else {
+      val md = Hash60Array.digest.get()
+      val seen = if (distinct) new java.util.HashSet[String]() else null
+      val out = new scala.collection.mutable.ArrayBuffer[Long](ntok - n + 1)
+      val words = new Array[String](ntok)
+      var i = 0
+      while (i < ntok) { words(i) = in.getUTF8String(i).toString; i += 1 }
+      val sb = new java.lang.StringBuilder
+      i = 0
+      while (i <= ntok - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j))
+          j += 1
+        }
+        val s = sb.toString
+        if (seen == null || seen.add(s)) {
+          md.reset()
+          val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var h = 0L
+          var b = 0
+          while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+          h = h >>> 4
+          out += (if (mod > 0) h % mod else h)
+        }
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+  }
 }
 
 /** Residual vector r = e − centroid(cid): the per-row centroid subtraction

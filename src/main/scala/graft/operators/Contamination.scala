@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash.tokens
+import graft.functions.VectorExpressions
+import graft.io.Tables
+
+/** Cross-document n-gram operators for training-data hygiene: benchmark
+  * decontamination and repeated-span (memorization-risk) detection.
+  * Pangool has no analogue — these are training-pipeline additions
+  * (SURVEY.md §2C); the n-gram-collision decontamination convention follows
+  * the published LLM data-curation practice (8–13-gram overlap with an
+  * evaluation set marks a training document as contaminated).
+  *
+  * Both operators ride [[graft.functions.ShingleHashN]]: one fused pass
+  * producing 60-bit md5 shingle hashes, so nothing larger than a long ever
+  * leaves the scan — at 100 TB the shuffled keys are 8-byte gram hashes,
+  * never gram text.
+  */
+object Contamination {
+
+  /** Benchmark decontamination: for every corpus document NOT in the
+    * benchmark set, count its distinct n-grams that collide with any
+    * benchmark document's n-grams. `contaminated` flags docs a curation
+    * pipeline would drop (or audit) before training.
+    *
+    * The benchmark set here is the deterministic subset doc_id % every == 0
+    * (stand-in for an external eval suite, which this environment lacks).
+    *
+    * Scale shape: benchmark suites are small by nature (≤ millions of
+    * grams), so the gram-hash join broadcasts the benchmark side; the
+    * corpus side is one narrow scan + explode, and the only shuffle is the
+    * per-doc hit count (doc_id, count) — bytes per doc, never text. The
+    * final left join re-attaches zero-hit docs; its left side is the
+    * compact (doc_id, n_grams) projection.
+    */
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 8,
+      every: Int = 50): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .where(size(col("w")) >= n)
+      // materialize the gram array before fan-out (explode-inlining trap)
+      .select(col("doc_id"),
+        VectorExpressions.shingleHashN(col("w"), n, 0L, distinct = true).as("grams"))
+    val bench = docs.where(col("doc_id") % every === 0)
+      .select(explode(col("grams")).as("g")).distinct()
+    val corpus = docs.where(col("doc_id") % every =!= 0)
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"), col("grams"))
+    val hits = corpus.select(col("doc_id"), explode(col("grams")).as("g"))
+      .join(broadcast(bench), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    corpus.select(col("doc_id"), col("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("contaminated", col("n_hit") > 0)
+  }
+
+  /** Repeated-span detection: n-gram (span) hashes that occur in at least
+    * `minDocs` DISTINCT documents — the spans an LLM is most likely to
+    * memorize verbatim, and the unit of substring-level dedup. Emits one
+    * row per repeated span hash with its document frequency, total
+    * occurrence count and smallest containing doc.
+    *
+    * One scan + one aggregation keyed by the 8-byte span hash; partial
+    * (map-side) aggregation shrinks the shuffle to the distinct-gram count
+    * per partition. The `n_docs` distinct-count expands to a two-phase agg
+    * under Catalyst — still only hashes on the wire.
+    */
+  def repeatedSpans(spark: SparkSession, dir: String, n: Int = 6,
+      minDocs: Int = 2): DataFrame = {
+    val spans = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .where(size(col("w")) >= n)
+      .select(col("doc_id"),
+        // distinct=false: every position counts as one occurrence
+        explode(VectorExpressions.shingleHashN(col("w"), n, 0L, distinct = false)).as("span"))
+    spans.groupBy("span")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_total"),
+        min(col("doc_id")).as("first_doc"))
+      .where(col("n_docs") >= minDocs)
+  }
+}

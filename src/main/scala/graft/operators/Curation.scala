@@ -270,4 +270,69 @@ object Curation {
       .agg(array_sort(collect_set(col("word"))).as("ws"))
       .select(col("source"), array_join(col("ws"), ",").as("vocab"),
         size(col("ws")).cast("long").as("n_vocab"))
+
+  /** Token-budget sequence packing — the concat-and-chunk layout LLM
+    * training pipelines use to fill fixed-length sequences: documents are
+    * concatenated in a deterministic order and split at exact `maxLen`
+    * token boundaries (a doc may span sequences). Emits, per doc, the
+    * global token offset within its shard and the first/last sequence ids
+    * it lands in.
+    *
+    * Sharding is a pure salted-hash function of doc_id (same portable
+    * md5-prefix construction as [[hashSplit]]), so packing is reproducible
+    * across runs and engines with no RNG. Shards are the parallelism unit:
+    * one shuffle keyed by shard, then a single window cumulative sum —
+    * at 100 TB you'd set `shards` ≈ output-file count (thousands), keeping
+    * every partition independent and the window per-shard-sequential but
+    * cross-shard parallel.
+    */
+  def packSequences(spark: SparkSession, dir: String, maxLen: Int = 512,
+      shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shard = pmod(
+      conv(substring(md5(concat(lit("pack:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long"),
+      lit(shards))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), shard.as("shard"),
+        size(graft.functions.TextHash.tokens(col("text"))).cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .withColumn("offset", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("offset"),
+        expr(s"offset div $maxLen").as("seq_first"),
+        expr(s"(offset + n_tokens - 1) div $maxLen").as("seq_last"),
+        (col("offset") % maxLen).as("offset_in_seq"))
+  }
+
+  /** Deterministic mixture resampling: downsample each domain (source) to a
+    * target rate — how a curation pipeline rebalances a crawl toward the
+    * desired training mixture. Rates are integer parts-per-million;
+    * membership is the salted md5-prefix hash of doc_id (the same
+    * leak-proof device as [[hashSplit]]: a pure function of the id, no RNG
+    * state, identical on any engine). The demo policy keeps source index
+    * i at rate 1/(1 + i mod 4), halved again for non-English docs — a
+    * stand-in for the quality/language-aware mixture weights a real
+    * pipeline derives upstream.
+    *
+    * Scale shape: one narrow scan, zero shuffles — acceptance is per-row
+    * arithmetic, so this composes with any downstream op at 100 TB for
+    * free (and the sampled fraction is exact in expectation per domain,
+    * independent of partitioning).
+    */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    // div, not "/": Spark's / on integers is double division
+    val ratePm = expr("1000000 div (1 + CAST(substring(source, 4, 10) AS BIGINT) % 4)")
+    val eff = when(col("lang") === "en", ratePm).otherwise(expr(
+      "(1000000 div (1 + CAST(substring(source, 4, 10) AS BIGINT) % 4)) div 2"))
+    val h = pmod(
+      conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long"),
+      lit(1000000L))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"), h.as("h"), eff.as("rate_pm"))
+      .where(col("h") < col("rate_pm"))
+      .select(col("doc_id"), col("source"), col("lang"), col("rate_pm"))
+  }
 }

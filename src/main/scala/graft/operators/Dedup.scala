@@ -242,4 +242,55 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("cos_raw"), 4).as("cos4"))
       .where(col("cos4") >= threshold)
   }
+
+  /** C5b — SemDeDup [Abbas et al. 2023]: semantic dedup at the embedding
+    * level. Cluster the corpus with a coarse quantizer (the same
+    * deterministic seed codebook as [[Ivf]]), then WITHIN each cluster drop
+    * every vector that has a lower-id cellmate with cosine ≥ tau — the
+    * greedy keep-one-representative filter from the paper, with lowest id
+    * as the deterministic representative rule.
+    *
+    * This is the scale path for [[embeddingNearDup]]: pair generation is
+    * confined to clusters (the paper's own device for billions of
+    * embeddings — cluster count C is the knob that bounds |cell|²; at
+    * 100 TB you raise C so cells stay ~10⁴–10⁵ vectors). One shuffle keyed
+    * by cluster id; pairs never materialize as rows — each cell is scanned
+    * in a tight per-group loop that short-circuits at the first smaller-id
+    * near-dup. Emits every vector with its cluster and keep verdict.
+    */
+  def semDedup(spark: SparkSession, dir: String, c: Int = 16,
+      tau: Double = 0.4): DataFrame = {
+    import spark.implicits._
+    val v = Ann.normed(spark, dir)
+    val centroids = v.select(col("vec_id"), col("e")).where(col("vec_id") < c)
+      .orderBy("vec_id").collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
+    v.select(col("vec_id"), col("e"), col("nrm"),
+        Ivf.nearestCid(col("e"), centroids).as("cid"))
+      .select(col("vec_id"), col("cid"), col("e"), col("nrm"))
+      .as[(Long, Int, Array[Double], Double)]
+      .groupByKey(_._2)
+      .flatMapGroups { (cid: Int, it: Iterator[(Long, Int, Array[Double], Double)]) =>
+        val vs = it.toArray.sortBy(_._1)
+        vs.indices.iterator.map { j =>
+          val (idJ, _, eJ, nJ) = vs(j)
+          var keep = true
+          var i = 0
+          while (keep && i < j) {
+            val (_, _, eI, nI) = vs(i)
+            var s = 0.0; var d = 0
+            while (d < eJ.length) { s += eI(d) * eJ(d); d += 1 }
+            // same rounded-4dp threshold rule as embeddingNearDup: FP noise
+            // below the rounding grain can't flip the verdict across engines
+            if (BigDecimal(s / (nI * nJ)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble >= tau) keep = false
+            i += 1
+          }
+          (idJ, cid, keep)
+        }
+      }
+      .toDF("vec_id", "cid", "keep")
+      // oracle's row_number-derived cid is BIGINT
+      .select(col("vec_id"), col("cid").cast("long").as("cid"), col("keep"))
+  }
 }

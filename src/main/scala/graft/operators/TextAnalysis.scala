@@ -145,4 +145,48 @@ object TextAnalysis {
         graft.functions.VectorExpressions.nbArgmax(
           col("toks"), vocab, cats, terms, missing).as("predicted"))
   }
+
+  /** PII redaction — the scrubbing pass every training corpus goes through
+    * before model consumption: emails, IPv4 addresses and phone-shaped
+    * numbers are counted and replaced with typed placeholder tags. The
+    * corpus text is synthetic vocabulary words, so each doc is first
+    * augmented with deterministic doc_id-derived PII (both engines build
+    * the identical string) — exercising the matcher on real hits instead
+    * of vacuously scanning clean text.
+    *
+    * Patterns are restricted to constructs Java regex and RE2 interpret
+    * identically (character classes, bounded/unbounded repetition — no
+    * backrefs, no lookaround). Replacement order matters: emails first
+    * (their domains contain dots that could otherwise feed the IP
+    * pattern), then IPs, then phones. The output carries md5 of the
+    * redacted text rather than the text itself, so the oracle compares
+    * redaction results exactly without shipping full text through the
+    * hash-compare.
+    *
+    * Scale shape: one narrow scan, regexp all codegen'd — composes at
+    * 100 TB like any per-row transform.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+    val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    val phoneRe = "[0-9]{3}-[0-9]{4}"
+    // variable-count augmentation: doc_id%3+1 extra emails, doc_id%2 extra
+    // IPs — so the count columns exercise real variation, not a constant
+    val aug = concat(col("text"),
+      expr("repeat(concat(' u', doc_id, '@ex.org'), CAST(doc_id % 3 AS INT) + 1)"),
+      lit(" contact user"), col("doc_id"), lit("@mail.example.com from 10."),
+      col("doc_id") % 200, lit(".0."), col("doc_id") % 250,
+      expr("repeat(concat(' 192.168.0.', doc_id % 254 + 1), CAST(doc_id % 2 AS INT))"),
+      lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), aug.as("aug"))
+      .select(col("doc_id"),
+        // function form, NOT expr(): the SQL parser unescapes '\.' to '.'
+        // (any char) inside string literals, silently loosening the pattern
+        size(regexp_extract_all(col("aug"), lit(emailRe), lit(0))).cast("long").as("n_email"),
+        size(regexp_extract_all(col("aug"), lit(ipRe), lit(0))).cast("long").as("n_ip"),
+        size(regexp_extract_all(col("aug"), lit(phoneRe), lit(0))).cast("long").as("n_phone"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("aug"),
+          emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>")).as("red_hash"))
+  }
 }

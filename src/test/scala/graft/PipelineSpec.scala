@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Contamination, Curation, Dedup, TextAnalysis}
+
+/** Round-4 training-data hygiene block: every operator is cross-checked
+  * against an independent in-spec recomputation (brute force in local
+  * Scala), not just shape-checked.
+  */
+class PipelineSpec extends GraftSuite {
+
+  private def hash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var b = 0
+    while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+    h >>> 4
+  }
+
+  private def toks(text: String): Array[String] =
+    text.split(" ").filter(_.nonEmpty)
+
+  private def docTexts(): Map[Long, String] =
+    graft.io.Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("decontaminate matches a brute-force n-gram recomputation") {
+    val texts = docTexts()
+    def grams(t: String, n: Int): Set[String] =
+      toks(t).sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+    val bench = texts.filter(_._1 % 50 == 0).values.flatMap(grams(_, 8)).toSet
+    val expected = texts.collect {
+      case (id, t) if id % 50 != 0 && grams(t, 8).nonEmpty =>
+        val g = grams(t, 8)
+        id -> ((g.size.toLong, g.count(bench.contains).toLong))
+    }
+    val got = Contamination.decontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+    // the flag derives from the count
+    Contamination.decontaminate(spark, sf).collect().foreach { r =>
+      assert(r.getBoolean(3) == (r.getLong(2) > 0))
+    }
+  }
+
+  test("repeatedSpans matches brute-force span counting (per-position, cross-doc)") {
+    val texts = docTexts()
+    val occ = scala.collection.mutable.Map.empty[Long, (Set[Long], Long)]
+    texts.foreach { case (id, t) =>
+      toks(t).sliding(6).filter(_.length == 6).foreach { g =>
+        val h = hash60(g.mkString(" "))
+        val (docs, tot) = occ.getOrElse(h, (Set.empty[Long], 0L))
+        occ(h) = (docs + id, tot + 1)
+      }
+    }
+    val expected = occ.collect { case (h, (docs, tot)) if docs.size >= 2 =>
+      h -> ((docs.size.toLong, tot, docs.min))
+    }.toMap
+    val got = Contamination.repeatedSpans(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty, "corpus has repeated spans (non-vacuous)")
+  }
+
+  test("packSequences: offsets are exact running sums; chunk ids consistent") {
+    val rows = Curation.packSequences(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // recompute per shard: sort by doc_id, running sum of n_tokens
+    rows.groupBy(_._2).foreach { case (_, shardRows) =>
+      var run = 0L
+      shardRows.sortBy(_._1).foreach { case (_, _, n, offset, sf_, sl, inSeq) =>
+        assert(offset == run, "offset is the sum of preceding docs' tokens")
+        assert(sf_ == offset / 512 && sl == (offset + n - 1) / 512 && inSeq == offset % 512)
+        run += n
+      }
+    }
+    // sharding is total and deterministic
+    val total = rows.map(_._3).sum
+    val expectedTotal = docTexts().values.map(t => toks(t).length.toLong).sum
+    assert(total == expectedTotal, "every token packed exactly once")
+    assert(rows.exists(r => r._6 > r._5), "some doc spans a sequence boundary")
+  }
+
+  test("domainMix membership is the exact per-doc hash rule") {
+    val meta = graft.io.Tables.documents(spark, sf).select("doc_id", "source", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def rate(source: String, lang: String): Long = {
+      val base = 1000000L / (1 + source.drop(3).toLong % 4)
+      if (lang == "en") base else base / 2
+    }
+    val expected = meta.collect {
+      case (id, src, lang) if BigInt(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(s"mix:$id".getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+            .take(15), 16).toLong % 1000000 < rate(src, lang) =>
+        id -> rate(src, lang)
+    }.toMap
+    val mix = Curation.domainMix(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(mix == expected)
+    assert(mix.nonEmpty && mix.size < meta.length, "a strict non-empty subset")
+  }
+
+  test("piiRedact counts follow the closed-form augmentation and redaction removes all PII") {
+    val rows = TextAnalysis.piiRedact(spark, sf).collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == id % 3 + 2, "emails: id%3+1 repeats + 1 fixed")
+      assert(r.getLong(2) == id % 2 + 1, "ips: id%2 repeats + 1 fixed")
+      assert(r.getLong(3) == 1L, "one phone")
+    }
+    // independently rebuild one doc's augmented text and redact with Java
+    // regex; md5 must agree with the plan's output
+    val texts = docTexts()
+    val id = 7L
+    val aug = texts(id) +
+      (" u" + id + "@ex.org") * (id % 3 + 1).toInt +
+      " contact user" + id + "@mail.example.com from 10." + (id % 200) + ".0." + (id % 250) +
+      (" 192.168.0." + (id % 254 + 1)) * (id % 2).toInt +
+      " call 555-" + "%04d".format(id % 10000)
+    val red = aug
+      .replaceAll("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+", "<EMAIL>")
+      .replaceAll("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>")
+      .replaceAll("[0-9]{3}-[0-9]{4}", "<PHONE>")
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(red.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = rows.find(_.getLong(0) == id).get.getString(4)
+    assert(got == md5hex, "redacted content identical to local Java-regex redaction")
+    assert(!red.contains("@") && !red.matches(".*[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}.*"),
+      "no PII survives redaction")
+  }
+
+  test("semDedup agrees with brute-force within-cell greedy filtering") {
+    val v = graft.operators.Ann.normed(spark, sf)
+      .select(col("vec_id"), col("e"), col("nrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    val cen = v.filter(_._1 < 16).map(_._2)
+    def cid(e: Array[Double]): Int = {
+      def dot(a: Array[Double], b: Array[Double]) = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i) * b(i); i += 1 }
+        s
+      }
+      (0 until 16).minBy(c => (dot(e, e) - 2 * dot(e, cen(c)) + cen(c).map(x => x * x).sum, c))
+    }
+    val byCell = v.groupBy { case (_, e, _) => cid(e) }
+    val expected = byCell.flatMap { case (c, vs) =>
+      val sorted = vs.sortBy(_._1)
+      sorted.indices.map { j =>
+        val (idJ, eJ, nJ) = sorted(j)
+        val dropped = (0 until j).exists { i =>
+          val (_, eI, nI) = sorted(i)
+          var s = 0.0; var d = 0
+          while (d < eJ.length) { s += eI(d) * eJ(d); d += 1 }
+          BigDecimal(s / (nI * nJ)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble >= 0.4
+        }
+        idJ -> ((c.toLong, !dropped))
+      }
+    }
+    val got = Dedup.semDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got == expected)
+    assert(got.values.exists(!_._2), "some vector dropped (non-vacuous)")
+    assert(got.values.count(!_._2) < got.size, "not everything dropped")
+  }
+}
