@@ -55,6 +55,51 @@ object VectorExpressions {
 
   def shingleHashN(toks: Column, n: Int, mod: Long, distinct: Boolean): Column =
     ColumnBridge.column(ShingleHashN(ColumnBridge.expression(toks), n, mod, distinct))
+
+  def nearestCid(e: Column, cen: Array[Double], sumsq: Array[Double], dim: Int): Column =
+    ColumnBridge.column(NearestCidExpr(ColumnBridge.expression(e), cen, sumsq, dim))
+}
+
+/** Fused coarse-quantizer assignment: argmin over C centroids of
+  * |e|² − 2·e·c + |c|², ties to the lower cid — bit-identical to the
+  * composed `array_min(array(struct(sqDist, cid)...))` form it replaces
+  * (same left-to-right dot accumulation, same operation order, strict-<
+  * keeps the first/lowest cid), but one tight loop with zero per-row
+  * allocations instead of C struct allocations + an array sort pass.
+  * `cen` is the flat row-major centroid matrix, `sumsq` the precomputed
+  * per-centroid |c|² using the same Scala summation order as the composed
+  * form's `lit(cen.map(x*x).sum)`. CodegenFallback like [[PqEncode]] —
+  * the fusion (not codegen) is the win; measured on the corpus assign of
+  * the IVF family at sf0.1.
+  */
+case class NearestCidExpr(child: Expression, cen: Array[Double],
+    sumsq: Array[Double], dim: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val in = v.asInstanceOf[ArrayData]
+    val a = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { a(i) = in.getDouble(i); i += 1 }
+    var ee = 0.0
+    i = 0
+    while (i < dim) { ee += a(i) * a(i); i += 1 }
+    var best = Double.PositiveInfinity
+    var bestC = 0
+    var c0 = 0
+    while (c0 < sumsq.length) {
+      var dc = 0.0
+      var d = 0
+      val base = c0 * dim
+      while (d < dim) { dc += a(d) * cen(base + d); d += 1 }
+      val dist = ee - 2.0 * dc + sumsq(c0)
+      if (dist < best) { best = dist; bestC = c0 }
+      c0 += 1
+    }
+    bestC
+  }
 }
 
 /** N-word shingle hashes of a token array — [[ShingleHash3]] generalized to

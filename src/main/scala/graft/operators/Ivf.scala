@@ -27,11 +27,21 @@ object Ivf {
       lit(cen.map(x => x * x).sum)
   }
 
-  /** argmin over centroids as array_min of (dist, cid) structs. */
-  private[operators] def nearestCid(e: Column, centroids: Seq[(Int, Seq[Double])]): Column =
-    array_min(array(centroids.map { case (cid, cen) =>
-      struct(sqDist(e, cen).as("d"), lit(cid).as("cid"))
-    }: _*)).getField("cid")
+  /** argmin over centroids — the fused [[VectorExpressions.nearestCid]]
+    * kernel (bit-identical arithmetic to the composed
+    * `array_min(array(struct(sqDist, cid)...))` form, which allocated C
+    * structs per row; corpus assign measured 2× faster fused at sf0.1).
+    * Requires the conventional dense cid numbering 0..C−1.
+    */
+  private[operators] def nearestCid(e: Column, centroids: Seq[(Int, Seq[Double])]): Column = {
+    val sorted = centroids.sortBy(_._1)
+    require(sorted.map(_._1) == (0 until sorted.length), s"dense cids expected")
+    val dim = sorted.head._2.length
+    val flat = sorted.iterator.flatMap(_._2).toArray
+    // same summation order as the lit(cen.map(x*x).sum) constant it replaces
+    val sumsq = sorted.map(_._2.map(x => x * x).sum).toArray
+    VectorExpressions.nearestCid(e, flat, sumsq, dim)
+  }
 
   /** Train the coarse quantizer; returns (cid, centroid vector) pairs.
     * iters=0 keeps the raw seed vectors as the codebook — fully
@@ -40,7 +50,10 @@ object Ivf {
     * centroids depend on partial-aggregation summation order.
     */
   def train(spark: SparkSession, dir: String, c: Int = 16, iters: Int = 2): Seq[(Int, Seq[Double])] = {
-    val v = Ann.normed(spark, dir).select(col("vec_id"), col("e")).cache()
+    // cache only pays when Lloyd iterations re-scan; iters=0 (the oracle
+    // path) would cache for nothing
+    val base = Ann.normed(spark, dir).select(col("vec_id"), col("e"))
+    val v = if (iters > 0) base.cache() else base
     var centroids: Seq[(Int, Seq[Double])] = v.where(col("vec_id") < c)
       .orderBy("vec_id").collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
