@@ -135,11 +135,14 @@ object Curation {
       .localCheckpoint()
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the fused probe below materializes it
     def labelSum(df: DataFrame): Long = // empty frame sums to null → 0
       df.agg(coalesce(sum("label"), lit(0L))).first().getLong(0)
-    var prevSum = labelSum(labels)
-    var converged = labels.isEmpty
+    // one fused (count, sum) probe instead of isEmpty + labelSum — each
+    // scalar agg here is a full job at local scheduling granularity
+    val init = labels.agg(count(lit(1)), coalesce(sum("label"), lit(0L))).first()
+    var prevSum = init.getLong(1)
+    var converged = init.getLong(0) == 0L
     var i = 0
     while (!converged && i < rounds) {
       val nbrMin = und.join(labels.withColumnRenamed("id", "dst"), "dst")

@@ -82,4 +82,41 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("BroadcastHashJoin"))
     assert(shuffles(p) <= 1, s"only the final group-by may exchange:\n$p")
   }
+
+  test("q_domain_mix is a zero-shuffle narrow scan") {
+    val p = plan("q_domain_mix")
+    assert(shuffles(p) == 0, s"acceptance sampling must not shuffle:\n$p")
+    assert(!p.contains(" text"), "text column pruned from the scan")
+  }
+
+  test("q_pii_redact is a zero-shuffle narrow scan") {
+    assert(shuffles(plan("q_pii_redact")) == 0)
+  }
+
+  test("q_pack_sequences is one exchange (the shard window) and prunes to doc_id+text") {
+    val p = plan("q_pack_sequences")
+    assert(shuffles(p) == 1, s"shard repartition is the only exchange:\n$p")
+    assert(!p.contains("n_chars") && !p.contains("source"), "unused columns pruned")
+  }
+
+  test("q_decontaminate broadcasts the benchmark grams; corpus text never shuffles") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // exchanges: benchmark distinct (tiny) + final per-doc count agg —
+    // the corpus gram rows reach the join without shuffling
+    assert(shuffles(p) <= 2, s"corpus side must stay narrow:\n$p")
+  }
+
+  test("q_repeated_spans is scan + one aggregation keyed by the span hash") {
+    val p = plan("q_repeated_spans")
+    // distinct-count rewrites to a two-phase agg: (span) then (span,doc)
+    assert(shuffles(p) <= 2, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Join"), "no join in span counting")
+  }
+
+  test("q_semdedup shuffles once (by cluster id); pairs never materialize as a join") {
+    val p = plan("q_semdedup")
+    assert(shuffles(p) == 1, s"cell grouping is the only exchange:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
 }
