@@ -15,9 +15,11 @@ import graft.io.Tables
   * feature-extraction runs per-partition in batches. The IMAGE path is
   * real: payloads are actual PNGs decoded with the JDK's `javax.imageio`
   * (zero external deps), pixels → luminance histogram, resize →
-  * decode/resample/re-encode. The AUDIO path stays an honest stub (no
-  * audio codecs in this container) with the same batched contract — swap
-  * `stubDecode` for the codec call in production.
+  * decode/resample/re-encode. The AUDIO path is real too: payloads are
+  * RIFF/PCM WAV files parsed with a dependency-free chunk walker
+  * (`decodeAudio`) — 16-bit little-endian samples → amplitude histogram.
+  * Only exotic codecs (mp3/ogg/video) would need external libs; those fall
+  * back to the byte-histogram stub under the same batched contract.
   */
 object Multimodal {
 
@@ -29,9 +31,10 @@ object Multimodal {
 
   /** Derive a deterministic media corpus from the documents table: image
     * rows carry a REAL PNG (gray gradient keyed on doc_id — decodable by
-    * any codec), audio rows carry utf8(text) as the opaque waveform stand-
-    * in. In production this column arrives from the upstream store; every
-    * downstream op only sees (binary, metadata).
+    * any codec), audio rows a REAL RIFF/PCM WAV (16-bit mono, doc_id-keyed
+    * samples — playable by any decoder). In production this column arrives
+    * from the upstream store; every downstream op only sees
+    * (binary, metadata).
     */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
@@ -44,7 +47,9 @@ object Multimodal {
       .as[(Long, String, Array[Byte], Int, Int)]
       .mapPartitions { it =>
         it.map { case (d, kind, text, w, h) =>
-          val media = if (kind == "image") pngBytes(d, w, h) else text
+          val media =
+            if (kind == "image") pngBytes(d, w, h)
+            else wavBytes(d, nSamples = w * h)
           MediaRow(d, kind, media, w, h)
         }
       }
@@ -99,8 +104,106 @@ object Multimodal {
     }
   }
 
-  /** STUB decode (audio / undecodable fallback): 16-bin byte histogram, L1
-    * normalized — deterministic, so specs can pin values.
+  /** A real RIFF/PCM WAV: 44-byte canonical header + n 16-bit little-endian
+    * mono samples at 8 kHz, sample(i) = ((d·31 + i·7) mod 65536) − 32768 —
+    * deterministic across runs and engines.
+    */
+  private[graft] def wavBytes(d: Long, nSamples: Int): Array[Byte] =
+    pcm16ToWav(Array.tabulate(nSamples)(i =>
+      (((((d * 31 + i * 7L) % 65536) + 65536) % 65536).toInt - 32768).toShort))
+
+  /** Canonical 44-byte RIFF/WAVE header (PCM, mono, 8 kHz, 16-bit) + the
+    * samples little-endian.
+    */
+  private[graft] def pcm16ToWav(samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def ascii(off: Int, s: String): Unit = {
+      var i = 0
+      while (i < s.length) { out(off + i) = s.charAt(i).toByte; i += 1 }
+    }
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+      out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+    }
+    ascii(0, "RIFF"); le32(4, 36 + dataLen); ascii(8, "WAVE")
+    ascii(12, "fmt "); le32(16, 16); le16(20, 1) // PCM
+    le16(22, 1); le32(24, 8000) // mono, 8 kHz
+    le32(28, 16000); le16(32, 2); le16(34, 16) // byte rate, block align, bits
+    ascii(36, "data"); le32(40, dataLen)
+    var i = 0
+    while (i < samples.length) {
+      le16(44 + i * 2, samples(i) & 0xffff)
+      i += 1
+    }
+    out
+  }
+
+  /** RIFF chunk walk → 16-bit PCM samples; None for anything that isn't
+    * plain PCM WAV.
+    */
+  private[graft] def parsePcm16(bytes: Array[Byte]): Option[Array[Short]] = {
+    def ascii(off: Int, n: Int): String =
+      if (off + n > bytes.length) "" else new String(bytes, off, n, "US-ASCII")
+    def le32(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+    def le16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    if (bytes.length < 44 || ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") None
+    else {
+      var off = 12
+      var bits = -1
+      var fmt = -1
+      var dataOff = -1
+      var dataLen = -1
+      while (off + 8 <= bytes.length && (bits < 0 || dataOff < 0)) {
+        val id = ascii(off, 4)
+        val len = le32(off + 4)
+        if (id == "fmt " && off + 8 + 16 <= bytes.length) {
+          fmt = le16(off + 8)
+          bits = le16(off + 8 + 14)
+        } else if (id == "data") {
+          dataOff = off + 8
+          dataLen = math.min(len, bytes.length - dataOff)
+        }
+        off += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      if (fmt != 1 || bits != 16 || dataOff < 0 || dataLen < 2) None
+      else {
+        val n = dataLen / 2
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          out(i) = le16(dataOff + i * 2).toShort
+          i += 1
+        }
+        Some(out)
+      }
+    }
+  }
+
+  /** REAL audio decode: RIFF/PCM parse ([[parsePcm16]] — no codec libs,
+    * WAV is a header + raw samples) → 16-bin amplitude histogram,
+    * L1-normalized by sample count. None for anything that isn't PCM WAV
+    * (caller falls back to the byte stub so one bad file can't kill a
+    * 100 TB job).
+    */
+  private[graft] def decodeAudio(bytes: Array[Byte]): Option[Array[Float]] =
+    parsePcm16(bytes).map { samples =>
+      val hist = new Array[Float](16)
+      var i = 0
+      while (i < samples.length) {
+        hist((samples(i) + 32768) >> 12) += 1f
+        i += 1
+      }
+      hist.map(_ / samples.length.toFloat)
+    }
+
+  /** STUB decode (exotic codecs / undecodable fallback): 16-bin byte
+    * histogram, L1 normalized — deterministic, so specs can pin values.
     */
   private def stubDecode(bytes: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](16)
@@ -123,9 +226,11 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         ImageIO.setUseCache(false) // per-batch codec init point
         batch.iterator.map { m =>
-          val feats =
-            if (m.kind == "image") decodeImage(m.media).getOrElse(stubDecode(m.media))
-            else stubDecode(m.media)
+          val feats = m.kind match {
+            case "image" => decodeImage(m.media).getOrElse(stubDecode(m.media))
+            case "audio" => decodeAudio(m.media).getOrElse(stubDecode(m.media))
+            case _ => stubDecode(m.media)
+          }
           MediaFeatures(m.doc_id, m.kind, m.media.length.toLong, feats)
         }
       }
@@ -133,9 +238,11 @@ object Multimodal {
   }
 
   /** Resize. Image rows are REALLY resized: decode → bilinear Graphics2D
-    * resample to targetW×targetH → re-encode PNG; metadata updates in
-    * lockstep. Non-image rows keep the deterministic even-stride byte
-    * downsample to targetW·targetH bytes (the stub contract).
+    * resample to targetW×targetH → re-encode PNG; audio rows are REALLY
+    * resampled in the sample domain: parse WAV → nearest-neighbor pick of
+    * targetW·targetH samples → re-encode a valid WAV. Metadata updates in
+    * lockstep; anything undecodable keeps the deterministic even-stride
+    * byte downsample (the stub contract).
     */
   def resize(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
@@ -158,6 +265,14 @@ object Multimodal {
               ImageIO.write(dst, "png", bos)
               bos.toByteArray
             }
+          } else if (m.kind == "audio" && parsePcm16(m.media).isDefined) {
+            // sample-domain resample: nearest-neighbor pick, re-encoded as
+            // a valid WAV (headers stay parseable downstream)
+            val samples = parsePcm16(m.media).get
+            val n = targetW * targetH
+            val picked = Array.tabulate(n)(i =>
+              samples(((i.toLong * samples.length) / n).toInt))
+            pcm16ToWav(picked)
           } else {
             val n = targetW * targetH
             if (m.media.isEmpty) Array.empty[Byte]

@@ -27,6 +27,27 @@ class MultimodalSpec extends GraftSuite {
     }
   }
 
+  test("audio rows are real parseable WAVs; decodeAudio reads actual samples") {
+    // known samples → known amplitude bins: -32768→bin0, 0→bin8, 32767→bin15
+    val wav = Multimodal.pcm16ToWav(Array[Short](-32768, 0, 0, 32767))
+    val got = Multimodal.decodeAudio(wav).get
+    val want = Array.fill(16)(0f)
+    want(0) = 0.25f; want(8) = 0.5f; want(15) = 0.25f
+    assert(got.sameElements(want), got.mkString(","))
+    // round-trip: parse returns the exact samples
+    assert(Multimodal.parsePcm16(wav).get.sameElements(Array[Short](-32768, 0, 0, 32767)))
+    // non-WAV bytes are rejected, not misread
+    assert(Multimodal.decodeAudio("not a wav at all".getBytes).isEmpty)
+    // every generated audio payload is a valid WAV with width*height samples
+    val auds = Multimodal.mediaTable(spark, sf).where(col("kind") === "audio").collect()
+    assert(auds.nonEmpty)
+    auds.foreach { r =>
+      val s = Multimodal.parsePcm16(r.media)
+      assert(s.isDefined, s"doc ${r.doc_id}: payload is not a parseable WAV")
+      assert(s.get.length == r.width * r.height)
+    }
+  }
+
   test("decodeImage reads actual pixel values (known 2x2 PNG)") {
     // gray levels 0x00, 0x10, 0x80, 0xFF → luminance bins 0, 1, 8, 15
     val img = new java.awt.image.BufferedImage(2, 2,
@@ -60,14 +81,18 @@ class MultimodalSpec extends GraftSuite {
       .forall { case (a, b) => a.features.sameElements(b.features) })
   }
 
-  test("resize really resamples images and stride-samples audio, metadata in lockstep") {
+  test("resize really resamples images and audio, metadata in lockstep") {
     val r = Multimodal.resize(Multimodal.mediaTable(spark, sf), 8, 6).collect()
     assert(r.forall(m => m.width == 8 && m.height == 6))
     r.filter(_.kind == "image").foreach { m =>
       val img = ImageIO.read(new ByteArrayInputStream(m.media))
       assert(img != null && img.getWidth == 8 && img.getHeight == 6)
     }
-    assert(r.filter(_.kind == "audio").forall(_.media.length == 48))
+    // audio resample re-encodes a VALID WAV with exactly 48 samples
+    r.filter(_.kind == "audio").foreach { m =>
+      val s = Multimodal.parsePcm16(m.media)
+      assert(s.isDefined && s.get.length == 48)
+    }
     // deterministic
     val r2 = Multimodal.resize(Multimodal.mediaTable(spark, sf), 8, 6).collect()
     assert(r.sortBy(_.doc_id).zip(r2.sortBy(_.doc_id))
