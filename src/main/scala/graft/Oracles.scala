@@ -527,6 +527,28 @@ object Oracles {
       |    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS red_hash
       |FROM a""".stripMargin
 
+  /** int8 scalar quantization: per-dim global (min,max), then
+    * floor((x−mn)·255/(mx−mn)) clamped — single mul+div per value, no FP
+    * accumulation, so codes are bit-identical across engines.
+    */
+  val scalarQuant: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |dims AS (SELECT unnest(range(64)) AS dim),
+      |mm AS (SELECT dim, min(e[dim + 1]) AS mn, max(e[dim + 1]) AS mx
+      |       FROM v, dims GROUP BY 1)
+      |SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+      |       CAST(least(floor((e[dim + 1] - mn) * 255.0 / (mx - mn)), 255) AS BIGINT) AS code
+      |FROM v, mm""".stripMargin
+
+  /** Distribution windows per source; (n_chars, doc_id) total order. */
+  val windowStats: String =
+    """SELECT doc_id, source, n_chars,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume
+      |FROM documents
+      |WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)""".stripMargin
+
   /** SemDeDup: IVF-seed cluster assignment (same cenI/assign chain as
     * [[annIvf]]), within-cell greedy drop of any vector with a lower-id
     * cellmate at rounded cosine ≥ 0.4.

@@ -104,6 +104,10 @@ object SparkEntry {
     "q_domain_mix"         -> ((s, d) => Curation.domainMix(s, d)),
     "q_pii_redact"         -> ((s, d) => TextAnalysis.piiRedact(s, d)),
     "q_semdedup"           -> ((s, d) => Dedup.semDedup(s, d)),
+    // int8 vector compression (FAISS SQ8 shape): train = one total agg,
+    // encode = narrow scan, codes bit-identical cross-engine
+    "q_scalar_quant"       -> ((s, d) => Quantize.scalarQuant(s, d)),
+    "q_window_stats"       -> ((s, d) => Analytics.windowStats(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same column aliases — the driver
@@ -281,6 +285,8 @@ object SparkEntry {
     "q_domain_mix"      -> Oracles.domainMix,
     "q_pii_redact"      -> Oracles.piiRedact,
     "q_semdedup"        -> Oracles.semDedup,
+    "q_scalar_quant"    -> Oracles.scalarQuant,
+    "q_window_stats"    -> Oracles.windowStats,
     "q_lang_id"         -> Oracles.langId,
     "q_quality_score"   -> Oracles.qualityScore,
     "q_fingerprint"     -> Oracles.fingerprint,

@@ -131,4 +131,20 @@ object Analytics {
       .select(get_json_object(col("props"), "$.k").cast("long").as("k"), col("value"))
       .groupBy(expr("k div 10").as("k_bucket"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+
+  /** E9 — distribution window functions (ntile / percent_rank / cume_dist)
+    * per source over document length: one exchange keyed by source, total
+    * order via the (n_chars, doc_id) tiebreak so every rank is
+    * deterministic. The ratios are small-integer divisions — identical
+    * IEEE results on any engine, rounded 6dp for belt and braces.
+    */
+  def windowStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+  }
 }

@@ -133,6 +133,23 @@ class PipelineSpec extends GraftSuite {
       "no PII survives redaction")
   }
 
+  test("scalarQuant codes are bounded and reconstruct within half a bucket") {
+    val (mins, maxs) = graft.operators.Quantize.ranges(spark, sf)
+    val codes = graft.operators.Quantize.scalarQuant(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2))).toSeq
+    assert(codes.forall { case (_, _, c) => c >= 0 && c <= 255 })
+    val orig = graft.operators.Ann.normed(spark, sf).select("vec_id", "e").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    codes.foreach { case (id, d, c) =>
+      val w = (maxs(d) - mins(d)) / 255.0
+      val recon = mins(d) + (c + 0.5) * w
+      assert(math.abs(orig(id)(d) - recon) <= w / 2 + 1e-9,
+        s"vec $id dim $d: code $c reconstructs outside its bucket")
+    }
+    // every (vec, dim) coded exactly once
+    assert(codes.map(t => (t._1, t._2)).distinct.size == orig.size * 64)
+  }
+
   test("semDedup agrees with brute-force within-cell greedy filtering") {
     val v = graft.operators.Ann.normed(spark, sf)
       .select(col("vec_id"), col("e"), col("nrm")).collect()
