@@ -549,6 +549,24 @@ object Oracles {
       |FROM documents
       |WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)""".stripMargin
 
+  /** Integer PageRank, 5 unrolled iterations over the symmetric
+    * customer↔supplier graph; `//` ↔ Spark `div`, HUGEINT sums cast back.
+    */
+  val pageRank: String = {
+    val iter = (k: Int) =>
+      s"""s$k AS (SELECT e.v AS id,
+         |  CAST(150000 + (85 * sum(s.score // e.deg)) // 100 AS BIGINT) AS score
+         |FROM e JOIN s${k - 1} s ON e.u = s.id GROUP BY 1)""".stripMargin
+    s"""WITH cs AS (SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |sym AS (SELECT u, v FROM cs UNION ALL SELECT v, u FROM cs),
+       |deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY 1),
+       |e AS (SELECT sym.u, sym.v, deg.deg FROM sym JOIN deg ON sym.u = deg.u),
+       |s0 AS (SELECT DISTINCT u AS id, CAST(1000000 AS BIGINT) AS score FROM e),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT id, score FROM s5""".stripMargin
+  }
+
   /** SemDeDup: IVF-seed cluster assignment (same cenI/assign chain as
     * [[annIvf]]), within-cell greedy drop of any vector with a lower-id
     * cellmate at rounded cosine ≥ 0.4.

@@ -108,6 +108,9 @@ object SparkEntry {
     // encode = narrow scan, codes bit-identical cross-engine
     "q_scalar_quant"       -> ((s, d) => Quantize.scalarQuant(s, d)),
     "q_window_stats"       -> ((s, d) => Analytics.windowStats(s, d)),
+    // iterative graph analytics in exact integer arithmetic (fixed 5
+    // passes, floor division): bit-identical scores on any engine
+    "q_pagerank"           -> ((s, d) => Graph.pageRank(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same column aliases — the driver
@@ -287,6 +290,7 @@ object SparkEntry {
     "q_semdedup"        -> Oracles.semDedup,
     "q_scalar_quant"    -> Oracles.scalarQuant,
     "q_window_stats"    -> Oracles.windowStats,
+    "q_pagerank"        -> Oracles.pageRank,
     "q_lang_id"         -> Oracles.langId,
     "q_quality_score"   -> Oracles.qualityScore,
     "q_fingerprint"     -> Oracles.fingerprint,
