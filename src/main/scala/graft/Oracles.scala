@@ -549,6 +549,36 @@ object Oracles {
       |FROM documents
       |WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)""".stripMargin
 
+  /** TPC-H Q3 shape; rank on (rounded revenue, key) is a total order so
+    * the top-10 cutoff is deterministic.
+    */
+  val tpchQ3: String =
+    """SELECT l_orderkey, o_orderpriority, revenue FROM (
+      |  SELECT l_orderkey, o_orderpriority,
+      |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment = 'BUILDING'
+      |    AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      |    AND l_shipdate > TIMESTAMP '1996-07-01 00:00:00'
+      |  GROUP BY 1, 2) t
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 shape with the same-nation condition. */
+  val tpchQ5: String =
+    """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY 1""".stripMargin
+
   /** Integer PageRank, 5 unrolled iterations over the symmetric
     * customer↔supplier graph; `//` ↔ Spark `div`, HUGEINT sums cast back.
     */

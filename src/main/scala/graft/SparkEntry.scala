@@ -111,6 +111,9 @@ object SparkEntry {
     // iterative graph analytics in exact integer arithmetic (fixed 5
     // passes, floor division): bit-identical scores on any engine
     "q_pagerank"           -> ((s, d) => Graph.pageRank(s, d)),
+    // classic multi-join shapes: pushdown + broadcast snowflake + AQE
+    "q_tpch_q3"            -> ((s, d) => Relational.tpchQ3(s, d)),
+    "q_tpch_q5"            -> ((s, d) => Relational.tpchQ5(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same column aliases — the driver
@@ -291,6 +294,8 @@ object SparkEntry {
     "q_scalar_quant"    -> Oracles.scalarQuant,
     "q_window_stats"    -> Oracles.windowStats,
     "q_pagerank"        -> Oracles.pageRank,
+    "q_tpch_q3"         -> Oracles.tpchQ3,
+    "q_tpch_q5"         -> Oracles.tpchQ5,
     "q_lang_id"         -> Oracles.langId,
     "q_quality_score"   -> Oracles.qualityScore,
     "q_fingerprint"     -> Oracles.fingerprint,

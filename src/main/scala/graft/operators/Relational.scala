@@ -321,4 +321,58 @@ object Relational {
       .distinct()
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_users"))
+
+  /** A24 — TPC-H Q3 shape (shipping-priority): the canonical 3-table
+    * fact-to-fact join. Both date filters push to the scans, the
+    * segment-filtered customer key set broadcasts, orders⋈lineitem is the
+    * one real (sort-merge at scale, AQE-broadcast here) join; global top-10
+    * is TakeOrdered on the (rounded revenue, key) total order — never a
+    * full sort.
+    */
+  def tpchQ3(spark: SparkSession, dir: String): DataFrame = {
+    val cut = expr("TIMESTAMP '1996-07-01 00:00:00'")
+    val c = Tables.customer(spark, dir)
+      .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val o = Tables.orders(spark, dir).where(col("o_orderdate") < cut)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+    val l = Tables.lineitem(spark, dir).where(col("l_shipdate") > cut)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderpriority"))
+      .agg(round(sum(col("rev")), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** A25 — TPC-H Q5 shape (local-supplier volume): the 6-table snowflake
+    * with the extra same-nation equi-condition. region→nation→supplier
+    * broadcast down the snowflake; the only shuffles are the two fact
+    * joins and the final 5-row nation agg.
+    */
+  def tpchQ5(spark: SparkSession, dir: String): DataFrame = {
+    val lo = expr("TIMESTAMP '1996-01-01 00:00:00'")
+    val hi = expr("TIMESTAMP '1997-01-01 00:00:00'")
+    val asiaNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).where(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val o = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_custkey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("rev")), 2).as("revenue"))
+  }
 }

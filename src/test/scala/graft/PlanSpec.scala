@@ -114,6 +114,20 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("Join"), "no join in span counting")
   }
 
+  test("q_tpch_q3 pushes both date filters, broadcasts customers, TakeOrdered top-10") {
+    val p = plan("q_tpch_q3")
+    assert(p.contains("GreaterThan(l_shipdate") && p.contains("LessThan(o_orderdate"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), "global top-10 must not be a full sort")
+  }
+
+  test("q_tpch_q5 pushes the region/date filters and broadcasts the snowflake dims") {
+    val p = plan("q_tpch_q5")
+    assert(p.contains("EqualTo(r_name,ASIA)"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") && p.contains("LessThan(o_orderdate"), p)
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2, p)
+  }
+
   test("q_semdedup shuffles once (by cluster id); pairs never materialize as a join") {
     val p = plan("q_semdedup")
     assert(shuffles(p) == 1, s"cell grouping is the only exchange:\n$p")
