@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Bloom-filter join pruning — the 100 TB middle ground between broadcast
+  * joins (dim must fit in executor memory as a hash TABLE) and plain
+  * shuffled joins (every fact row pays the shuffle): the dim KEY SET is
+  * folded into a ~bits-per-key Bloom filter (distributed treeAggregate
+  * build, bounded driver artifact like the ANN codebooks), shipped in the
+  * fact-side filter, and non-matching fact rows drop BEFORE the exchange.
+  * False positives only cost wasted shuffle bytes — the exact join after
+  * the filter keeps the result row-identical.
+  *
+  * Spark's AQE can inject the same shape automatically
+  * (`runtime.bloomFilter`) when stats prove it beneficial; this operator is
+  * the explicit form for pipelines that know their selectivity up front.
+  */
+object BloomJoin {
+
+  /** Membership test on the serialized filter: CodegenFallback one-call
+    * expression (the md5-style justification: the bloom probe dominates).
+    */
+  case class BloomMightContain(child: Expression, bf: BloomFilter)
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override protected def nullSafeEval(v: Any): Any =
+      bf.mightContainLong(v.asInstanceOf[Long])
+  }
+
+  def mightContain(c: Column, bf: BloomFilter): Column =
+    ColumnBridge.column(BloomMightContain(ColumnBridge.expression(c), bf))
+
+  /** Build a Bloom filter of the dim side's (long) join keys. */
+  def keyFilter(dim: DataFrame, key: String, fpp: Double = 0.01): BloomFilter = {
+    val n = math.max(1L, dim.select(key).distinct().count())
+    dim.stat.bloomFilter(key, n, fpp)
+  }
+
+  /** Inner equi-join with the fact side bloom-pruned pre-shuffle.
+    * Row-identical to `fact.join(dim, key)` (false positives are removed
+    * by the exact join); the fact shuffle carries only rows whose key
+    * might be in the dim.
+    */
+  def prunedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      fpp: Double = 0.01): DataFrame = {
+    val bf = keyFilter(dim, key, fpp)
+    fact.where(mightContain(col(key), bf)).join(dim, key)
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.BloomJoin
+
+class BloomJoinSpec extends GraftSuite {
+
+  test("prunedJoin is row-identical to the plain join") {
+    import spark.implicits._
+    // dim = a selective subset of suppliers; fact = lineitem
+    val dim = graft.io.Tables.supplier(spark, sf)
+      .where(col("s_suppkey") % 7 === 0)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+    val fact = graft.io.Tables.lineitem(spark, sf)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_quantity"))
+    val plain = fact.join(dim, "l_suppkey")
+      .select("l_orderkey", "l_suppkey", "s_name").as[(Long, Long, String)]
+      .collect().sorted
+    val pruned = BloomJoin.prunedJoin(fact, dim, "l_suppkey")
+      .select("l_orderkey", "l_suppkey", "s_name").as[(Long, Long, String)]
+      .collect().sorted
+    assert(pruned.sameElements(plain))
+    assert(plain.nonEmpty, "non-vacuous: the join matches rows")
+  }
+
+  test("the bloom filter prunes most non-matching fact rows pre-shuffle") {
+    val dim = graft.io.Tables.supplier(spark, sf)
+      .where(col("s_suppkey") % 7 === 0)
+      .select(col("s_suppkey").as("l_suppkey"))
+    val bf = BloomJoin.keyFilter(dim, "l_suppkey")
+    val fact = graft.io.Tables.lineitem(spark, sf).select("l_suppkey")
+    val total = fact.count()
+    val kept = fact.where(BloomJoin.mightContain(col("l_suppkey"), bf)).count()
+    val trueMatches = fact.join(dim, "l_suppkey").count()
+    // no false negatives; false-positive overhead bounded well under the
+    // pruned mass (fpp=1% of the ~6/7 non-matching rows)
+    assert(kept >= trueMatches)
+    assert(kept - trueMatches <= math.max(5L, (total * 0.05).toLong),
+      s"kept=$kept true=$trueMatches total=$total")
+    assert(kept < total, "filter actually prunes")
+  }
+
+  test("filter has no false negatives even at high fpp") {
+    import spark.implicits._
+    val dim = (1L to 50L).map(_ * 3).toDF("k")
+    val bf = BloomJoin.keyFilter(dim, "k", fpp = 0.2)
+    val keys = (1L to 150L).toDF("k")
+    val kept = keys.where(BloomJoin.mightContain(col("k"), bf))
+      .as[Long].collect().toSet
+    assert((1L to 50L).map(_ * 3).forall(kept.contains))
+  }
+}
