@@ -58,6 +58,36 @@ object VectorExpressions {
 
   def nearestCid(e: Column, cen: Array[Double], sumsq: Array[Double], dim: Int): Column =
     ColumnBridge.column(NearestCidExpr(ColumnBridge.expression(e), cen, sumsq, dim))
+
+  def interleave16(a: Column, b: Column): Column =
+    ColumnBridge.column(Interleave16(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** 32-bit Morton (Z-order) code of two 16-bit values: bit i of `a` lands at
+  * position 2i+1, bit i of `b` at 2i — locality in BOTH dimensions maps to
+  * locality in the code, which is what makes sorting by it cluster a table
+  * for multi-dimensional min/max file skipping ([[graft.io.Layout
+  * .zorderWrite]]). Inputs are masked to 16 bits.
+  */
+case class Interleave16(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+
+  override protected def nullSafeEval(av: Any, bv: Any): Any = {
+    val a = av.asInstanceOf[Long] & 0xffffL
+    val b = bv.asInstanceOf[Long] & 0xffffL
+    var z = 0L
+    var i = 0
+    while (i < 16) {
+      z |= ((a >> i) & 1L) << (2 * i + 1)
+      z |= ((b >> i) & 1L) << (2 * i)
+      i += 1
+    }
+    z
+  }
 }
 
 /** Fused coarse-quantizer assignment: argmin over C centroids of

@@ -66,4 +66,31 @@ object Layout {
     spark.read.parquet(inDir).repartition(parts)
       .write.mode("overwrite").parquet(outDir)
   }
+
+  /** Z-order (Morton-curve) clustering for TWO-dimensional min/max file
+    * skipping: each column rank-scales to 16 bits off its global (min,
+    * max), the interleaved code range-partitions + sorts the write, and
+    * every output file ends up covering a small RECTANGLE in (a, b) space
+    * — so a predicate on EITHER column (or a box on both) intersects only
+    * ~√(files) of them, where a linear sort on `a` would leave a `b`-only
+    * predicate scanning everything. The footer min/max stats parquet
+    * already writes are the skipping index; no extra metadata needed. This
+    * is the standard lakehouse layout trick (Delta/Iceberg `ZORDER BY`),
+    * here as a plain write pass.
+    */
+  def zorderWrite(df: DataFrame, dir: String, colA: String, colB: String,
+      files: Int = 16): Unit = {
+    import org.apache.spark.sql.functions._
+    val r = df.agg(min(colA), max(colA), min(colB), max(colB)).first()
+    def scale(c: String, mn: Long, mx: Long) = // truncation == floor: nonneg
+      ((col(c).cast("long") - mn) * 65535.0 / math.max(1L, mx - mn)).cast("long")
+    val z = graft.functions.VectorExpressions.interleave16(
+      scale(colA, r.getLong(0), r.getLong(1)),
+      scale(colB, r.getLong(2), r.getLong(3)))
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(dir)
+  }
 }

@@ -62,4 +62,33 @@ class LayoutSpec extends GraftSuite {
     val clicks = Tables.events(spark, sf).where(col("event_type") === "click").count()
     assert(read.count() == clicks)
   }
+
+  test("zorderWrite clusters both dimensions: a 2nd-dim predicate skips most files") {
+    import org.apache.spark.sql.functions.{input_file_name, max => fmax, min => fmin}
+    val li = Tables.lineitem(spark, sf).select("l_partkey", "l_suppkey", "l_quantity")
+    val zdir = "/tmp/graft-layout-z"
+    val ldir = "/tmp/graft-layout-linear"
+    Layout.zorderWrite(li, zdir, "l_partkey", "l_suppkey", files = 16)
+    li.repartitionByRange(16, col("l_partkey")) // linear sort on dim 1 only
+      .sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(ldir)
+    // per-file (min,max) of the SECOND dim — parquet's own footer stats in
+    // miniature; a file can be skipped iff its range misses the predicate
+    def filesHit(dir: String, lo: Long, hi: Long): (Long, Long) = {
+      val stats = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(fmin("l_suppkey").as("mn"), fmax("l_suppkey").as("mx"))
+      (stats.where(col("mx") >= lo && col("mn") <= hi).count(), stats.count())
+    }
+    val mid = Tables.lineitem(spark, sf)
+      .agg(fmin("l_suppkey"), fmax("l_suppkey")).first()
+    val (lo, hi) = (mid.getLong(0), (mid.getLong(0) + mid.getLong(1)) / 8)
+    val (zHit, zAll) = filesHit(zdir, lo, hi)
+    val (lHit, lAll) = filesHit(ldir, lo, hi)
+    assert(zAll >= 8 && lAll >= 8, s"enough files to make skipping meaningful ($zAll/$lAll)")
+    assert(lHit == lAll, "linear-on-dim1 layout cannot skip for a dim2 predicate")
+    assert(zHit * 2 <= zAll, s"z-order skips at least half the files ($zHit of $zAll)")
+    // the layouts hold identical data
+    assert(spark.read.parquet(zdir).count() == li.count())
+  }
 }
