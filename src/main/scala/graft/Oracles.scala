@@ -537,7 +537,9 @@ object Oracles {
       |mm AS (SELECT dim, min(e[dim + 1]) AS mn, max(e[dim + 1]) AS mx
       |       FROM v, dims GROUP BY 1)
       |SELECT vec_id, CAST(dim AS BIGINT) AS dim,
-      |       CAST(least(floor((e[dim + 1] - mn) * 255.0 / (mx - mn)), 255) AS BIGINT) AS code
+      |       CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+      |            ELSE CAST(least(floor((e[dim + 1] - mn) * 255.0 / (mx - mn)), 255) AS BIGINT)
+      |       END AS code
       |FROM v, mm""".stripMargin
 
   /** Distribution windows per source; (n_chars, doc_id) total order. */

@@ -81,7 +81,10 @@ object Layout {
   def zorderWrite(df: DataFrame, dir: String, colA: String, colB: String,
       files: Int = 16): Unit = {
     import org.apache.spark.sql.functions._
-    val r = df.agg(min(colA), max(colA), min(colB), max(colB)).first()
+    // Cast inside the agg: min/max return the column's own type, and
+    // Row.getLong on an int/short column throws — a long agg always works.
+    val r = df.agg(min(col(colA).cast("long")), max(col(colA).cast("long")),
+      min(col(colB).cast("long")), max(col(colB).cast("long"))).first()
     def scale(c: String, mn: Long, mx: Long) = // truncation == floor: nonneg
       ((col(c).cast("long") - mn) * 65535.0 / math.max(1L, mx - mn)).cast("long")
     val z = graft.functions.VectorExpressions.interleave16(

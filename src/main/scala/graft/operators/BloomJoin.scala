@@ -3,8 +3,10 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Bloom-filter join pruning — the 100 TB middle ground between broadcast
@@ -30,8 +32,21 @@ object BloomJoin {
       with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
     override def dataType: DataType = BooleanType
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-    override protected def nullSafeEval(v: Any): Any =
-      bf.mightContainLong(v.asInstanceOf[Long])
+    // Mirror BloomFilter.putLong/putString's supported key types so misuse
+    // fails at analysis, not per-row at runtime.
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | StringType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bloom_might_contain requires an integral or string key, got ${other.catalogString}")
+    }
+    override protected def nullSafeEval(v: Any): Any = v match {
+      case b: Byte   => bf.mightContainLong(b.toLong)
+      case s: Short  => bf.mightContainLong(s.toLong)
+      case i: Int    => bf.mightContainLong(i.toLong)
+      case l: Long   => bf.mightContainLong(l)
+      case s: UTF8String => bf.mightContainString(s.toString)
+    }
   }
 
   def mightContain(c: Column, bf: BloomFilter): Column =

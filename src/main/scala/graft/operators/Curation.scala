@@ -116,7 +116,15 @@ object Curation {
       prev = s
       i += 1
     }
-    nodes.join(e.select(col("u").as("id"), col("v").as("lbl")), Seq("id"), "left")
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponentsStar stopped at maxIter=$maxIter before the " +
+          "fixed point; labels may not be component minima")
+    // Distinct-per-node edges are only guaranteed AT the fixed point; if the
+    // loop exhausted maxIter first, collapse (node, min label) so the final
+    // left join can't fan out duplicate rows per id.
+    val lbls = e.groupBy(col("u").as("id")).agg(min(col("v")).as("lbl"))
+    nodes.join(lbls, Seq("id"), "left")
       .select(col("id"), coalesce(col("lbl"), col("id")).as("label"))
   }
 

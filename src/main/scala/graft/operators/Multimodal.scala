@@ -82,7 +82,10 @@ object Multimodal {
     * falls back to the byte stub so one bad file can't kill a 100 TB job).
     */
   private[graft] def decodeImage(bytes: Array[Byte]): Option[Array[Float]] = {
-    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    // ImageIO.read returns null only for UNRECOGNIZED formats; a recognized
+    // but corrupt payload throws — either way the caller gets the stub.
+    val img = try ImageIO.read(new ByteArrayInputStream(bytes))
+    catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) None
     else {
       val hist = new Array[Float](16)
@@ -251,7 +254,8 @@ object Multimodal {
       it.map { m =>
         val out =
           if (m.kind == "image") {
-            val src = ImageIO.read(new ByteArrayInputStream(m.media))
+            val src = try ImageIO.read(new ByteArrayInputStream(m.media))
+            catch { case scala.util.control.NonFatal(_) => null }
             if (src == null) Array.empty[Byte]
             else {
               val dst = new java.awt.image.BufferedImage(targetW, targetH,

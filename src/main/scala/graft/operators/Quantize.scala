@@ -37,12 +37,22 @@ object Quantize {
   /** int8 codes, exploded to (vec_id, dim, code). */
   def scalarQuant(spark: SparkSession, dir: String, dim: Int = 64): DataFrame = {
     val (mins, maxs) = ranges(spark, dir, dim)
-    val v = Ann.normed(spark, dir).select(col("vec_id"), col("e"))
+    encode(Ann.normed(spark, dir).select(col("vec_id"), col("e")), mins, maxs)
+  }
+
+  /** Encode vectors (`vec_id`, `e: array<double>`) against a trained range
+    * table.
+    */
+  def encode(v: DataFrame, mins: Array[Double], maxs: Array[Double]): DataFrame = {
     val mn = element_at(typedlit(mins.toSeq), col("dim") + 1)
     val mx = element_at(typedlit(maxs.toSeq), col("dim") + 1)
     v.select(col("vec_id"), posexplode(col("e")).as(Seq("dim", "x")))
       .select(col("vec_id"), col("dim").cast("long").as("dim"),
-        least(floor((col("x") - mn) * lit(255.0) / (mx - mn)), lit(255.0))
-          .cast("long").as("code"))
+        // constant dimension (mx = mn) → code 0, mirrored in the oracle:
+        // unguarded, Spark's floor(x/0)=floor(NaN) silently casts to 0
+        // while DuckDB errors on the CAST — the engines must agree.
+        when(mx === mn, lit(0L)).otherwise(
+          least(floor((col("x") - mn) * lit(255.0) / (mx - mn)), lit(255.0))
+            .cast("long")).as("code"))
   }
 }

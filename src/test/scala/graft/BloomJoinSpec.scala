@@ -41,6 +41,25 @@ class BloomJoinSpec extends GraftSuite {
     assert(kept < total, "filter actually prunes")
   }
 
+  test("string keys probe mightContainString; unsupported types fail at analysis") {
+    import spark.implicits._
+    val dim = Seq("a", "b", "c").toDF("k")
+    val bf = BloomJoin.keyFilter(dim, "k")
+    val kept = Seq("a", "b", "c", "x", "y", "z").toDF("k")
+      .where(BloomJoin.mightContain(col("k"), bf)).as[String].collect().toSet
+    assert(Set("a", "b", "c").subsetOf(kept))
+    // int keys widen to long probes
+    val idim = Seq(3, 6, 9).toDF("ik")
+    val ibf = BloomJoin.keyFilter(idim, "ik")
+    assert(Seq(3, 4).toDF("ik").where(BloomJoin.mightContain(col("ik"), ibf))
+      .collect().map(_.getInt(0)).contains(3))
+    // a double key must be rejected when the plan is analyzed, not per-row
+    val bad = Seq(1.0, 2.0).toDF("dk")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      bad.where(BloomJoin.mightContain(col("dk"), bf)).collect()
+    }
+  }
+
   test("filter has no false negatives even at high fpp") {
     import spark.implicits._
     val dim = (1L to 50L).map(_ * 3).toDF("k")

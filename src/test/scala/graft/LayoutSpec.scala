@@ -91,4 +91,12 @@ class LayoutSpec extends GraftSuite {
     // the layouts hold identical data
     assert(spark.read.parquet(zdir).count() == li.count())
   }
+
+  test("zorderWrite accepts non-long integral columns") {
+    import spark.implicits._
+    val df = (0 until 256).map(i => (i % 16, i / 16)).toDF("a", "b") // ints
+    val dir = java.nio.file.Files.createTempDirectory("z-int").toString
+    Layout.zorderWrite(df, dir, "a", "b", files = 4)
+    assert(spark.read.parquet(dir).count() == 256)
+  }
 }

@@ -63,6 +63,21 @@ class MultimodalSpec extends GraftSuite {
     assert(got.sameElements(want), got.mkString(","))
   }
 
+  test("corrupt-but-recognized PNG falls back to the stub, not an exception") {
+    // valid PNG magic + truncated body: ImageIO RECOGNIZES the format and
+    // then throws mid-decode — the contract is stub fallback, never failure
+    val good = Multimodal.pngBytes(1L, 8, 8)
+    val corrupt = good.take(24) ++ Array.fill[Byte](8)(0x42)
+    assert(Multimodal.decodeImage(corrupt).isEmpty)
+    import spark.implicits._
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "image", corrupt, 8, 8)))
+    val feats = Multimodal.extractFeatures(ds).collect()
+    assert(feats.length == 1 && feats(0).features.length == 16)
+    val resized = Multimodal.resize(ds, 4, 4).collect()
+    assert(resized.length == 1) // empty payload, but the task survived
+  }
+
   test("feature extraction is deterministic, batched, and L1-normalized") {
     val f1 = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sf))
     val rows = f1.collect()

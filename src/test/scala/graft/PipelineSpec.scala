@@ -150,6 +150,15 @@ class PipelineSpec extends GraftSuite {
     assert(codes.map(t => (t._1, t._2)).distinct.size == orig.size * 64)
   }
 
+  test("scalarQuant encodes a constant dimension as code 0, not NaN-cast") {
+    import spark.implicits._
+    val v = Seq((1L, Seq(0.5, 1.0)), (2L, Seq(0.5, 3.0))).toDF("vec_id", "e")
+    val got = graft.operators.Quantize
+      .encode(v, Array(0.5, 1.0), Array(0.5, 3.0)) // dim 0 constant
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 0L, 0L), (2L, 0L, 0L), (1L, 1L, 0L), (2L, 1L, 255L)))
+  }
+
   test("semDedup agrees with brute-force within-cell greedy filtering") {
     val v = graft.operators.Ann.normed(spark, sf)
       .select(col("vec_id"), col("e"), col("nrm")).collect()

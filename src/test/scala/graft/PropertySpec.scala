@@ -146,6 +146,20 @@ class PropertySpec extends GraftSuite {
     assert(got == expected)
   }
 
+  test("connectedComponentsStar emits exactly one row per node even when maxIter exhausts") {
+    import spark.implicits._
+    // stop far short of the fixed point: the label edge set may still hold
+    // several (u, label) rows per node — output must stay one-row-per-id
+    val path = (0L until 63L).map(i => (i, i + 1))
+    val rows = operators.Curation
+      .connectedComponentsStar(path.toDF("a", "b"), "a", "b", maxIter = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.length == 64, s"expected 64 rows, got ${rows.length}")
+    assert(rows.map(_._1).distinct.length == 64)
+    // labels are still valid component members (all one component here)
+    assert(rows.forall { case (id, lbl) => lbl >= 0 && lbl <= id })
+  }
+
   test("rolling hash: prefix property and range") {
     (1 to 100).foreach { _ =>
       val s = Random.alphanumeric.take(rnd.nextInt(80) + 1).mkString.toLowerCase
