@@ -245,9 +245,15 @@ object Relational {
     */
   def topicFingerprintBits(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
     val top = topicFingerprint(spark, dir, n)
-    val vocab = top.select(col("word")).distinct()
-      .withColumn("idx",
-        row_number().over(Window.orderBy(col("word"))).cast("long") - 1)
+    // Rank the vocab WITHOUT a global window: one collect_set aggregate
+    // (map-side partial) folds the ≤ n·|sources| top words into a single
+    // sorted array, posexplode re-emits (rank, word). Same result as a
+    // global row_number, but the plan states the boundedness — an agg to
+    // one row — instead of a single-partition sort over "everything".
+    val vocab = top
+      .agg(array_sort(collect_set(col("word"))).as("ws"))
+      .select(posexplode(col("ws")).as(Seq("idx", "word")))
+      .select(col("word"), col("idx").cast("long").as("idx"))
     val bits = graft.functions.BitFieldOps.fromPositions(
       array_sort(collect_list(col("idx"))), 128)
     top.join(broadcast(vocab), "word")
