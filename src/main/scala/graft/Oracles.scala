@@ -620,4 +620,85 @@ object Oracles {
       |          FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
       |          WHERE round(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 4) >= 0.4)
       |SELECT vec_id, cid, vec_id NOT IN (SELECT vec_id FROM drops) AS keep FROM a""".stripMargin
+
+  /** Gopher/C4-style rule cascade: integer features, boolean verdicts —
+    * same arithmetic as operators.Quality.qualityFilter.
+    */
+  val qualityFilter: String =
+    s"""WITH t AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
+       |f AS (SELECT doc_id, source,
+       |        CAST(len(toks) AS BIGINT) AS n_words,
+       |        (len(replace(text, ' ', '')) * 100) // len(toks) AS mean_wl_x100,
+       |        CAST(len(list_filter(toks, x -> list_contains($stopListSql, x))) AS BIGINT) AS stop_hits,
+       |        CAST(list_max(list_transform(list_distinct(toks),
+       |          x -> len(list_filter(toks, y -> y = x)))) AS BIGINT) AS max_tok_freq
+       |      FROM t WHERE len(toks) > 0)
+       |SELECT doc_id, source, n_words, CAST(mean_wl_x100 AS BIGINT) AS mean_wl_x100,
+       |  stop_hits, max_tok_freq,
+       |  (n_words >= 5 AND n_words <= 10000) AS len_ok,
+       |  (mean_wl_x100 >= 200 AND mean_wl_x100 <= 1200) AS wl_ok,
+       |  (stop_hits >= 1) AS stop_ok,
+       |  (max_tok_freq * 5 <= n_words) AS rep_ok,
+       |  (n_words >= 5 AND n_words <= 10000 AND mean_wl_x100 >= 200
+       |   AND mean_wl_x100 <= 1200 AND stop_hits >= 1
+       |   AND max_tok_freq * 5 <= n_words) AS keep
+       |FROM f""".stripMargin
+
+  /** Equi-width histogram, integer bucket arithmetic, empty buckets kept. */
+  val histogram: String =
+    """WITH r AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents),
+      |c AS (SELECT ((n_chars - mn) * 16) // (mx - mn + 1) AS bucket, count(*) AS cnt
+      |      FROM documents, r GROUP BY 1),
+      |s AS (SELECT unnest(range(16)) AS bucket)
+      |SELECT s.bucket AS bucket,
+      |  mn + (s.bucket * (mx - mn + 1)) // 16 AS lo,
+      |  mn + ((s.bucket + 1) * (mx - mn + 1)) // 16 - 1 AS hi,
+      |  coalesce(c.cnt, 0) AS cnt
+      |FROM s, r LEFT JOIN c ON s.bucket = c.bucket""".stripMargin
+
+  /** Exact per-stratum top-k by the salted portable hash (same construction
+    * as hashSplit/sampleUniform).
+    */
+  val sampleStratified: String =
+    """WITH h AS (SELECT doc_id, source,
+      |  CAST(concat('0x', substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |FROM documents),
+      |r AS (SELECT source, doc_id, h,
+      |        row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+      |      FROM h)
+      |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id FROM r WHERE rk <= 10""".stripMargin
+
+  /** Containment verification over the MinHash-LSH candidates: |∩| and set
+    * sizes are integers; the division is the only FP op, mirrored exactly.
+    */
+  val dedupContainment: String =
+    s"""WITH $minhashVerCtes,
+       |sets AS (SELECT doc_id, list_sort(list_distinct(h0)) AS hh FROM hs),
+       |p AS (SELECT d1, d2, len(list_intersect(a.hh, b.hh)) AS ix,
+       |        len(a.hh) AS n1, len(b.hh) AS n2
+       |      FROM cand JOIN sets a ON d1 = a.doc_id JOIN sets b ON d2 = b.doc_id)
+       |SELECT d1, d2, round(ix::DOUBLE / n1, 6) AS cont1, round(ix::DOUBLE / n2, 6) AS cont2
+       |FROM p WHERE greatest(ix::DOUBLE / n1, ix::DOUBLE / n2) >= 0.7""".stripMargin
+
+  /** Degree-ordered triangle enumeration over the verified near-dup pairs;
+    * the (deg, id) order key packs into one BIGINT exactly like the Spark
+    * plan.
+    */
+  val triangles: String =
+    s"""WITH $minhashVerCtes,
+       |pr AS (SELECT d1 AS u, d2 AS v FROM ver WHERE jac >= 0.5),
+       |dg AS (SELECT id, count(*) AS deg
+       |       FROM (SELECT u AS id FROM pr UNION ALL SELECT v AS id FROM pr) GROUP BY 1),
+       |ky AS (SELECT pr.u, pr.v, a.deg * 10000000 + pr.u AS ku, b.deg * 10000000 + pr.v AS kv
+       |       FROM pr JOIN dg a ON pr.u = a.id JOIN dg b ON pr.v = b.id),
+       |ori AS (SELECT CASE WHEN ku < kv THEN u ELSE v END AS s,
+       |               CASE WHEN ku < kv THEN v ELSE u END AS t FROM ky),
+       |w AS (SELECT e1.s AS apex, e1.t AS x, e2.t AS y
+       |      FROM ori e1 JOIN ori e2 ON e1.s = e2.s AND e1.t < e2.t),
+       |tri AS (SELECT apex, x, y FROM w
+       |        JOIN pr ON pr.u = least(x, y) AND pr.v = greatest(x, y))
+       |SELECT least(apex, x, y) AS t1,
+       |       apex + x + y - least(apex, x, y) - greatest(apex, x, y) AS t2,
+       |       greatest(apex, x, y) AS t3
+       |FROM tri""".stripMargin
 }

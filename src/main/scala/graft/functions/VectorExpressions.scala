@@ -61,6 +61,84 @@ object VectorExpressions {
 
   def interleave16(a: Column, b: Column): Column =
     ColumnBridge.column(Interleave16(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def maxTokenFreq(toks: Column): Column =
+    ColumnBridge.column(MaxTokenFreq(ColumnBridge.expression(toks)))
+}
+
+/** |A ∩ B| of two SORTED, DISTINCT array<long> columns — the same
+  * zero-allocation merge walk as [[SortedJaccard]], kept as a separate
+  * count so asymmetric measures (containment |∩|/|A|) divide by their own
+  * denominator in exact integer terms.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n1 = x.numElements(); val n2 = y.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < n1 && j < n2) {
+      val u = x.getLong(i); val v = y.getLong(j)
+      if (u == v) { c += 1; i += 1; j += 1 }
+      else if (u < v) i += 1 else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j"); val c = ctx.freshName("c")
+      val n1 = ctx.freshName("n1"); val n2 = ctx.freshName("n2")
+      val u = ctx.freshName("u"); val v = ctx.freshName("v")
+      s"""
+         |int $n1 = $a.numElements(); int $n2 = $b.numElements();
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |while ($i < $n1 && $j < $n2) {
+         |  long $u = $a.getLong($i); long $v = $b.getLong($j);
+         |  if ($u == $v) { $c++; $i++; $j++; }
+         |  else if ($u < $v) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+}
+
+/** Highest frequency of any single token in an array<string> — the
+  * max-word-repetition feature of quality-rule cascades. One O(n) hash-map
+  * pass per row; the HOF formulation
+  * (`array_max(transform(array_distinct(t), x -> size(filter(t, ...))))`)
+  * is O(unique·n) AND interpreted. CodegenFallback: the cost is the
+  * per-token map operations on strings, which codegen can't remove (same
+  * justification as Hash60Array's md5 calls).
+  */
+case class MaxTokenFreq(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    if (n == 0) 0L
+    else {
+      val m = new java.util.HashMap[AnyRef, Integer](n * 2)
+      var best = 0; var i = 0
+      while (i < n) {
+        val t = toks.getUTF8String(i)
+        val c = m.getOrDefault(t, 0) + 1
+        m.put(t, c)
+        if (c > best) best = c
+        i += 1
+      }
+      best.toLong
+    }
+  }
 }
 
 /** 32-bit Morton (Z-order) code of two 16-bit values: bit i of `a` lands at

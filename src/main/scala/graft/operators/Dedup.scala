@@ -67,6 +67,46 @@ object Dedup {
       .where(col("jac") >= threshold)
   }
 
+  /** C2b — containment near-dup pairs: C(A,B) = |A∩B| / |A| on the shingle
+    * sets, both directions. Jaccard under-scores SUBSET duplication (a doc
+    * quoted inside a 10× larger one has J ≈ 0.1 but C ≈ 1.0 from the
+    * quoted side) — containment is how curation pipelines catch
+    * wrapped/quoted copies. Candidates come from the same MinHash band join
+    * as [[minhashLsh]] (declared semantics: containment is verified on LSH
+    * candidates; a containment-biased candidate generator — minhash over
+    * the smaller set only — is the documented refinement for asymmetric
+    * corpora). Verification is the zero-allocation merge-walk intersection
+    * ([[graft.functions.SortedIntersectCount]]) over sorted-distinct hash
+    * sets; |∩| and the set sizes are integers, so the only FP op is the
+    * final division — identical in both engines.
+    */
+  def containment(spark: SparkSession, dir: String, threshold: Double = 0.7): DataFrame = {
+    val sh = shingleHashed(spark, dir).cache()
+    val bands = sh
+      .select(col("doc_id"), minhashSignature(col("h0")).as("sig"))
+      .select(col("doc_id"), explode(bandKeys(col("sig"))).as("b"))
+      .select(col("doc_id"), col("b.bid"), col("b.bkey"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.bid") === col("y.bid") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    val sets = sh.select(col("doc_id"),
+      array_sort(array_distinct(col("h0"))).as("hh"))
+    cand
+      .join(sets.select(col("doc_id").as("d1"), col("hh").as("h1")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("hh").as("h2")), "d2")
+      .select(col("d1"), col("d2"),
+        graft.functions.VectorExpressions.sortedIntersectCount(col("h1"), col("h2")).as("ix"),
+        size(col("h1")).cast("long").as("n1"), size(col("h2")).cast("long").as("n2"))
+      .where(greatest(col("ix").cast("double") / col("n1"),
+        col("ix").cast("double") / col("n2")) >= threshold)
+      .select(col("d1"), col("d2"),
+        round(col("ix").cast("double") / col("n1"), 6).as("cont1"),
+        round(col("ix").cast("double") / col("n2"), 6).as("cont2"))
+  }
+
   /** C3 — 60-bit SimHash signatures (narrow, no shuffle at all).
     * Downstream blocking joins on the signature (or rotated bands of it) find
     * hamming-close docs; the signature itself is the deliverable here.

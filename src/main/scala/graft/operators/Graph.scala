@@ -67,4 +67,43 @@ object Graph {
     }
     scores
   }
+
+  /** Triangle enumeration over the near-dup pair graph ([[Dedup
+    * .minhashLsh]]) — the graph-analytics staple for measuring cluster
+    * density (near-dup components are clique unions, so triangle counts
+    * audit how "cliquey" the dedup graph really is).
+    *
+    * Scale design: DEGREE-ORDERED orientation [Ortmann & Brandes 2014's
+    * framing of the classic result]: every edge points from its
+    * lower-(deg, id) endpoint to the higher, so wedges are only enumerated
+    * at each triangle's unique (deg, id)-minimum apex — total wedge work is
+    * O(m^1.5) on ANY degree distribution, where id-ordered orientation
+    * explodes on a low-id hub. The order key packs (deg, id) into one long
+    * (deg · 10⁷ + id — exact while ids < 10⁷, which the doc_id space
+    * guarantees here); join fan-out is bounded by the oriented out-degrees
+    * ≤ O(√m). Output: one row per triangle, vertices sorted by doc_id.
+    */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val pr = Dedup.minhashLsh(spark, dir).select(col("d1").as("u"), col("d2").as("v"))
+      .localCheckpoint() // the LSH pipeline runs once, not 3× below
+    val sym = pr.union(pr.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+    val keyed = pr
+      .join(deg.select(col("id").as("u"), (col("deg") * 10000000L + col("u")).as("ku")), "u")
+      .join(deg.select(col("id").as("v"), (col("deg") * 10000000L + col("v")).as("kv")), "v")
+    val oriented = keyed.select(
+      when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("s"),
+      when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("t"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+      .select(col("e1.s").as("apex"), col("e1.t").as("x"), col("e2.t").as("y"))
+    wedges
+      .join(pr, col("u") === least(col("x"), col("y")) &&
+        col("v") === greatest(col("x"), col("y")))
+      .select(
+        least(col("apex"), col("x"), col("y")).as("t1"),
+        (col("apex") + col("x") + col("y") - least(col("apex"), col("x"), col("y"))
+          - greatest(col("apex"), col("x"), col("y"))).as("t2"),
+        greatest(col("apex"), col("x"), col("y")).as("t3"))
+  }
 }

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash.tokens
+import graft.io.Tables
+
+/** Rule-based quality filtering and distribution profiling — the
+  * pre-training gate every web-scale corpus passes through (the
+  * Gopher/C4-style heuristic cascade: Rae et al. 2021 §A1.1, Raffel et al.
+  * 2020 §2.2), re-expressed as exact integer/rational arithmetic so both
+  * engines agree bit-for-bit.
+  *
+  * Scale shape: the cascade is a single narrow scan — every feature and
+  * every verdict is per-row arithmetic, no shuffle anywhere; at 100 TB it
+  * composes with the ingest scan for free. The histogram is the two-phase
+  * bounded-artifact pattern (one total agg for the range, one narrow scan +
+  * tiny keyed agg for the counts) the quantizers already use.
+  */
+object Quality {
+
+  /** q_quality_filter — the rule cascade. Features (all integers):
+    * n_words, mean word length ×100 (floor), stopword hits, max single-token
+    * frequency ([[graft.functions.MaxTokenFreq]] — one hash-map pass per
+    * row). Rules mirror the published heuristics scaled to this corpus's
+    * synthetic text: word count in [5, 10000], mean word length ×100 in
+    * [200, 1200], ≥1 stopword hit, max-token frequency ≤ 20% of words
+    * (integer cross-multiplied, no division). `keep` is the conjunction;
+    * per-rule flags are emitted so downstream can audit WHY a doc dropped —
+    * the shape real curation pipelines log.
+    */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_words"),
+        // chars-without-spaces ×100 div words: mean word length, 2dp-exact
+        (length(regexp_replace(col("text"), " ", "")) * 100L).as("nz"),
+        size(filter(col("toks"), t => t.isInCollection(TextAnalysis.EnStopwords)))
+          .cast("long").as("stop_hits"),
+        graft.functions.VectorExpressions.maxTokenFreq(col("toks")).as("max_tok_freq"))
+      .select(col("doc_id"), col("source"), col("n_words"),
+        expr("nz div n_words").as("mean_wl_x100"),
+        col("stop_hits"), col("max_tok_freq"))
+      .withColumn("len_ok", col("n_words") >= 5 && col("n_words") <= 10000)
+      .withColumn("wl_ok", col("mean_wl_x100") >= 200 && col("mean_wl_x100") <= 1200)
+      .withColumn("stop_ok", col("stop_hits") >= 1)
+      // max_tok_freq/n_words ≤ 0.2 without division: 5·freq ≤ n_words
+      .withColumn("rep_ok", col("max_tok_freq") * 5 <= col("n_words"))
+      .withColumn("keep",
+        col("len_ok") && col("wl_ok") && col("stop_ok") && col("rep_ok"))
+
+  /** q_histogram — equi-width histogram of a numeric column (n_chars over
+    * documents): B buckets over the global [min, max], all boundaries and
+    * assignments in integer arithmetic (`(x − mn) · B div (mx − mn + 1)`),
+    * so bucket ids are engine-exact. The (min, max) range is ONE total
+    * aggregate (a 2-long "shuffle"); counts are a B-row keyed agg off a
+    * narrow scan. Empty buckets are emitted with zero counts (left join
+    * against the bucket spine) so the output is a fixed B-row profile —
+    * the shape a data-quality dashboard consumes.
+    */
+  def histogram(spark: SparkSession, dir: String, buckets: Int = 16): DataFrame = {
+    val r = Tables.documents(spark, dir)
+      .agg(min(col("n_chars").cast("long")), max(col("n_chars").cast("long"))).first()
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    val span = mx - mn + 1 // ≥1, so the bucket expression can't divide by 0
+    val counts = Tables.documents(spark, dir)
+      .select(expr(s"((n_chars - $mn) * $buckets) div $span").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    val spine = spark.range(buckets).select(col("id").as("bucket"))
+    spine.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        (lit(mn) + expr(s"(bucket * $span) div $buckets")).as("lo"),
+        (lit(mn) + expr(s"((bucket + 1) * $span) div $buckets") - 1).as("hi"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
+  /** q_sample_stratified — exact per-stratum sampling: the k docs with the
+    * smallest salted portable hash WITHIN each source. Same leak-proof
+    * RNG-free device as [[Curation.hashSplit]], but rank-based so every
+    * stratum yields exactly k rows regardless of its size (proportional
+    * acceptance can't promise that). Plan: one narrow scan + one window
+    * exchange keyed by source; the `row_number() <= k` filter gets
+    * WindowGroupLimit partial pruning, so each partition forwards at most
+    * k rows per stratum — never a stratum sort at scale.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(concat(lit("strat:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), h.as("h"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("source"), col("rk").cast("long").as("rk"), col("doc_id"))
+  }
+}
