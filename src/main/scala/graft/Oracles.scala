@@ -654,7 +654,7 @@ object Oracles {
       |  mn + (s.bucket * (mx - mn + 1)) // 16 AS lo,
       |  mn + ((s.bucket + 1) * (mx - mn + 1)) // 16 - 1 AS hi,
       |  coalesce(c.cnt, 0) AS cnt
-      |FROM s, r LEFT JOIN c ON s.bucket = c.bucket""".stripMargin
+      |FROM s CROSS JOIN r LEFT JOIN c ON s.bucket = c.bucket""".stripMargin
 
   /** Exact per-stratum top-k by the salted portable hash (same construction
     * as hashSplit/sampleUniform).

@@ -114,6 +114,17 @@ object SparkEntry {
     // classic multi-join shapes: pushdown + broadcast snowflake + AQE
     "q_tpch_q3"            -> ((s, d) => Relational.tpchQ3(s, d)),
     "q_tpch_q5"            -> ((s, d) => Relational.tpchQ5(s, d)),
+    // round-6 block: quality gate + corpus profiling + graph density
+    // q_quality_filter: Gopher/C4-style rule cascade — zero-shuffle narrow scan
+    "q_quality_filter"     -> ((s, d) => Quality.qualityFilter(s, d)),
+    // q_histogram: equi-width profile, two-phase (total-agg range + keyed agg)
+    "q_histogram"          -> ((s, d) => Quality.histogram(s, d)),
+    // q_sample_stratified: exact per-stratum top-k by salted hash (WindowGroupLimit)
+    "q_sample_stratified"  -> ((s, d) => Quality.stratifiedSample(s, d)),
+    // q_dedup_containment: |A∩B|/|A| over LSH candidates — catches subset dups
+    "q_dedup_containment"  -> ((s, d) => Dedup.containment(s, d)),
+    // q_triangles: degree-ordered wedge enumeration (O(m^1.5) on any skew)
+    "q_triangles"          -> ((s, d) => Graph.triangles(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same column aliases — the driver
@@ -308,5 +319,10 @@ object SparkEntry {
     "q_events_window"   -> Oracles.eventsWindow,
     "q_sessionize"      -> Oracles.sessionize,
     "q_events_topusers" -> Oracles.topUsers,
+    "q_quality_filter"  -> Oracles.qualityFilter,
+    "q_histogram"       -> Oracles.histogram,
+    "q_sample_stratified" -> Oracles.sampleStratified,
+    "q_dedup_containment" -> Oracles.dedupContainment,
+    "q_triangles"       -> Oracles.triangles,
   )
 }
