@@ -63,7 +63,11 @@ object Graph {
         .groupBy(col("v").as("id"))
         .agg((lit(150000L) + expr("(85 * sum(c)) div 100")).as("score"))
         .select(col("id"), col("score"))
-      if (i < iters) scores = scores.localCheckpoint(false)
+      // EVERY pass lazily checkpointed, including the last: a caller
+      // running multiple actions on the result otherwise replays the final
+      // join+agg on top of the pass-(n-1) checkpoint each time. Lazy, so
+      // single-action callers still see exactly one job.
+      scores = scores.localCheckpoint(false)
     }
     scores
   }

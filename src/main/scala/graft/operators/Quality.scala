@@ -62,8 +62,11 @@ object Quality {
     * the shape a data-quality dashboard consumes.
     */
   def histogram(spark: SparkSession, dir: String, buckets: Int = 16): DataFrame = {
+    // NOTE: the DuckDB oracle hardcodes buckets=16 — parity holds only for
+    // the default; other widths are spec-tested, not oracle-checked.
     val r = Tables.documents(spark, dir)
       .agg(min(col("n_chars").cast("long")), max(col("n_chars").cast("long"))).first()
+    require(!r.isNullAt(0), "histogram: documents table is empty (no range to bucket)")
     val (mn, mx) = (r.getLong(0), r.getLong(1))
     val span = mx - mn + 1 // ≥1, so the bucket expression can't divide by 0
     val counts = Tables.documents(spark, dir)

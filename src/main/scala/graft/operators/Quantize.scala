@@ -51,8 +51,11 @@ object Quantize {
         // constant dimension (mx = mn) → code 0, mirrored in the oracle:
         // unguarded, Spark's floor(x/0)=floor(NaN) silently casts to 0
         // while DuckDB errors on the CAST — the engines must agree.
+        // clamp BOTH ends: train-set values floor into [0, 255] already,
+        // but encode() is also the query-vector API, where x < mn_d (below
+        // the trained range) must saturate to 0, not go negative
         when(mx === mn, lit(0L)).otherwise(
-          least(floor((col("x") - mn) * lit(255.0) / (mx - mn)), lit(255.0))
-            .cast("long")).as("code"))
+          greatest(least(floor((col("x") - mn) * lit(255.0) / (mx - mn)),
+            lit(255.0)), lit(0.0)).cast("long")).as("code"))
   }
 }

@@ -159,6 +159,16 @@ class PipelineSpec extends GraftSuite {
     assert(got == Set((1L, 0L, 0L), (2L, 0L, 0L), (1L, 1L, 0L), (2L, 1L, 255L)))
   }
 
+  test("encode saturates out-of-range query vectors at both ends") {
+    import spark.implicits._
+    // dim 0: x below trained min → 0 (not negative); dim 1: x above max → 255
+    val v = Seq((1L, Seq(-5.0, 99.0))).toDF("vec_id", "e")
+    val got = graft.operators.Quantize
+      .encode(v, Array(0.0, 0.0), Array(1.0, 1.0))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((0L, 0L), (1L, 255L)))
+  }
+
   test("semDedup agrees with brute-force within-cell greedy filtering") {
     val v = graft.operators.Ann.normed(spark, sf)
       .select(col("vec_id"), col("e"), col("nrm")).collect()

@@ -133,4 +133,22 @@ class PlanSpec extends GraftSuite {
     assert(shuffles(p) == 1, s"cell grouping is the only exchange:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
+
+  test("q_quality_filter is a zero-shuffle narrow scan pruned to doc columns") {
+    val p = plan("q_quality_filter")
+    assert(shuffles(p) == 0, s"the cascade must compose with the ingest scan:\n$p")
+    assert(!p.contains("n_tokens"), "reads only doc_id/source/text/n_chars")
+  }
+
+  test("q_sample_stratified is one window exchange with group-limit pushdown") {
+    val p = plan("q_sample_stratified")
+    assert(shuffles(p) == 1, s"only the source-keyed window exchange:\n$p")
+    assert(p.contains("WindowGroupLimit"), "rk<=k must prune partially per partition")
+  }
+
+  test("q_triangles never plans a cartesian or nested-loop join") {
+    val p = plan("q_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"wedge + closure joins must stay equi-joins:\n$p")
+  }
 }

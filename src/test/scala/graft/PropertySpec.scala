@@ -160,6 +160,68 @@ class PropertySpec extends GraftSuite {
     assert(rows.forall { case (id, lbl) => lbl >= 0 && lbl <= id })
   }
 
+  // --- round-6: the two newest codegen kernels, interpreted vs codegen vs
+  // plain Scala. SortedIntersectCount has a hand-written doGenCode (the
+  // repo's highest-risk surface — PLANS.md records two past silent
+  // de-codegen/parity traps), so both evaluation paths are exercised
+  // explicitly: direct Expression.eval (interpreted) and a DataFrame
+  // select (whole-stage codegen).
+
+  private def intersectInterpreted(a: Seq[Long], b: Seq[Long]): Long = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    graft.functions.SortedIntersectCount(
+      Literal.create(a, ArrayType(LongType)),
+      Literal.create(b, ArrayType(LongType))).eval(null).asInstanceOf[Long]
+  }
+
+  test("SortedIntersectCount: interpreted == codegen == set intersection (300 trials)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq((Seq.empty[Long], Seq.empty[Long]),
+        (Seq.empty[Long], Seq(1L, 2L)), (Seq(5L), Seq(5L))) ++
+      Seq.fill(300)((Seq.fill(rnd.nextInt(40))(rnd.nextLong(200)).distinct.sorted,
+        Seq.fill(rnd.nextInt(40))(rnd.nextLong(200)).distinct.sorted))
+    val expected = cases.map { case (a, b) => (a.toSet & b.toSet).size.toLong }
+    // codegen path (DataFrame select over non-literal columns)
+    val got = cases.toDF("a", "b")
+      .select(graft.functions.VectorExpressions
+        .sortedIntersectCount(col("a"), col("b")).as("c"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == expected)
+    // interpreted path (direct eval on Literal children)
+    cases.zip(expected).foreach { case ((a, b), e) =>
+      assert(intersectInterpreted(a, b) == e, s"interpreted diverges on ($a, $b)")
+    }
+  }
+
+  test("SortedIntersectCount on sorted multisets counts min-multiplicity matches") {
+    // contract when duplicates survive (callers sort-distinct, but the
+    // kernel's merge walk has defined multiset semantics — pin them)
+    def ref(a: Seq[Long], b: Seq[Long]): Long =
+      (a.toSet ++ b.toSet).toSeq
+        .map(v => math.min(a.count(_ == v), b.count(_ == v)).toLong).sum
+    (1 to 100).foreach { _ =>
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextLong(10)).sorted
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextLong(10)).sorted
+      assert(intersectInterpreted(a, b) == ref(a, b), s"multiset diverges on ($a, $b)")
+    }
+  }
+
+  test("MaxTokenFreq matches a plain-Scala max-frequency (200 trials, non-ASCII)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val alphabet = Vector("the", "a", "naïve", "日本語", "café", "x", "", "zz")
+    val cases = Seq(Seq.empty[String], Seq("solo"), Seq("d", "d", "d")) ++
+      Seq.fill(200)(Seq.fill(rnd.nextInt(50))(alphabet(rnd.nextInt(alphabet.size))))
+    val expected = cases.map(ts =>
+      if (ts.isEmpty) 0L else ts.groupBy(identity).values.map(_.size).max.toLong)
+    val got = cases.toDF("toks")
+      .select(graft.functions.VectorExpressions.maxTokenFreq(col("toks")).as("f"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == expected)
+  }
+
   test("rolling hash: prefix property and range") {
     (1 to 100).foreach { _ =>
       val s = Random.alphanumeric.take(rnd.nextInt(80) + 1).mkString.toLowerCase

