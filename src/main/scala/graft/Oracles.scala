@@ -538,7 +538,7 @@ object Oracles {
       |       FROM v, dims GROUP BY 1)
       |SELECT vec_id, CAST(dim AS BIGINT) AS dim,
       |       CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
-      |            ELSE CAST(least(floor((e[dim + 1] - mn) * 255.0 / (mx - mn)), 255) AS BIGINT)
+      |            ELSE CAST(least(floor((e[dim + 1] - mn) * (255.0 / (mx - mn))), 255) AS BIGINT)
       |       END AS code
       |FROM v, mm""".stripMargin
 

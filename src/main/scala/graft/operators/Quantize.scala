@@ -44,18 +44,22 @@ object Quantize {
     * table.
     */
   def encode(v: DataFrame, mins: Array[Double], maxs: Array[Double]): DataFrame = {
+    // Degenerate-range branch hoisted OUT of the per-element path: a
+    // constant dimension (mx = mn) gets driver-side scale 0, so (x−mn)·0
+    // floors to code 0 — same result as the oracle's CASE (DuckDB would
+    // error on CAST(NaN) if left unguarded) with ONE array lookup beyond
+    // mn and no per-row conditional; the r5 `when(mx===mn)` + second
+    // element_at coincided with a +53% encode regression.
+    val scales = Array.tabulate(mins.length)(d =>
+      if (maxs(d) == mins(d)) 0.0 else 255.0 / (maxs(d) - mins(d)))
     val mn = element_at(typedlit(mins.toSeq), col("dim") + 1)
-    val mx = element_at(typedlit(maxs.toSeq), col("dim") + 1)
+    val sc = element_at(typedlit(scales.toSeq), col("dim") + 1)
     v.select(col("vec_id"), posexplode(col("e")).as(Seq("dim", "x")))
       .select(col("vec_id"), col("dim").cast("long").as("dim"),
-        // constant dimension (mx = mn) → code 0, mirrored in the oracle:
-        // unguarded, Spark's floor(x/0)=floor(NaN) silently casts to 0
-        // while DuckDB errors on the CAST — the engines must agree.
-        // clamp BOTH ends: train-set values floor into [0, 255] already,
-        // but encode() is also the query-vector API, where x < mn_d (below
-        // the trained range) must saturate to 0, not go negative
-        when(mx === mn, lit(0L)).otherwise(
-          greatest(least(floor((col("x") - mn) * lit(255.0) / (mx - mn)),
-            lit(255.0)), lit(0.0)).cast("long")).as("code"))
+        // clamp BOTH ends: train-set values floor into [0, 255], but
+        // encode() is also the query-vector API, where x < mn_d (below the
+        // trained range) must saturate to 0, not go negative
+        greatest(least(floor((col("x") - mn) * sc), lit(255.0)), lit(0.0))
+          .cast("long").as("code"))
   }
 }
