@@ -673,10 +673,16 @@ object Oracles {
     */
   val dedupContainment: String =
     s"""WITH $minhashVerCtes,
+       |smp AS (SELECT doc_id, h FROM (SELECT doc_id, unnest(h0) AS h FROM hs) WHERE h % 8 = 0),
+       |dfok AS (SELECT h FROM smp GROUP BY h HAVING count(*) <= 64),
+       |smpf AS (SELECT doc_id, h FROM smp JOIN dfok USING (h)),
+       |cs AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+       |       FROM smpf a JOIN smpf b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |c2 AS (SELECT d1, d2 FROM cand UNION SELECT d1, d2 FROM cs),
        |sets AS (SELECT doc_id, list_sort(list_distinct(h0)) AS hh FROM hs),
        |p AS (SELECT d1, d2, len(list_intersect(a.hh, b.hh)) AS ix,
        |        len(a.hh) AS n1, len(b.hh) AS n2
-       |      FROM cand JOIN sets a ON d1 = a.doc_id JOIN sets b ON d2 = b.doc_id)
+       |      FROM c2 JOIN sets a ON d1 = a.doc_id JOIN sets b ON d2 = b.doc_id)
        |SELECT d1, d2, round(ix::DOUBLE / n1, 6) AS cont1, round(ix::DOUBLE / n2, 6) AS cont2
        |FROM p WHERE greatest(ix::DOUBLE / n1, ix::DOUBLE / n2) >= 0.7""".stripMargin
 

@@ -71,27 +71,50 @@ object Dedup {
     * sets, both directions. Jaccard under-scores SUBSET duplication (a doc
     * quoted inside a 10× larger one has J ≈ 0.1 but C ≈ 1.0 from the
     * quoted side) — containment is how curation pipelines catch
-    * wrapped/quoted copies. Candidates come from the same MinHash band join
-    * as [[minhashLsh]] (declared semantics: containment is verified on LSH
-    * candidates; a containment-biased candidate generator — minhash over
-    * the smaller set only — is the documented refinement for asymmetric
-    * corpora). Verification is the zero-allocation merge-walk intersection
+    * wrapped/quoted copies.
+    *
+    * Candidate generation is containment-biased: symmetric MinHash bands
+    * alone under-recall exactly the asymmetric pairs this operator exists
+    * for (band collision probability tracks JACCARD), so the band join is
+    * UNIONed with a sampled-shingle inverted index — every shingle hash
+    * with `h % sampleMod == 0` is indexed, and docs sharing a sampled
+    * shingle become candidates. If A ⊆ B, A's sampled shingles are all in
+    * B, so the pair surfaces whenever A has ≥1 sampled shingle
+    * (P = 1 − (1−1/sampleMod)^|A| — >0.99 for |A| ≥ 40 at the default 8),
+    * independent of the size ratio. A document-frequency cap (maxDf)
+    * drops stop-shingles so a posting list contributes ≤ maxDf² pairs —
+    * the standard bound that keeps the self-join skew-safe at 100 TB
+    * (sampleMod scales the index to 1/sampleMod of corpus shingles).
+    *
+    * Verification is the zero-allocation merge-walk intersection
     * ([[graft.functions.SortedIntersectCount]]) over sorted-distinct hash
     * sets; |∩| and the set sizes are integers, so the only FP op is the
     * final division — identical in both engines.
     */
-  def containment(spark: SparkSession, dir: String, threshold: Double = 0.7): DataFrame = {
+  def containment(spark: SparkSession, dir: String, threshold: Double = 0.7,
+      sampleMod: Int = 8, maxDf: Int = 64): DataFrame = {
     val sh = shingleHashed(spark, dir).cache()
     val bands = sh
       .select(col("doc_id"), minhashSignature(col("h0")).as("sig"))
       .select(col("doc_id"), explode(bandKeys(col("sig"))).as("b"))
       .select(col("doc_id"), col("b.bid"), col("b.bkey"))
-    val cand = bands.as("x")
+    val candBands = bands.as("x")
       .join(bands.as("y"),
         col("x.bid") === col("y.bid") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      .distinct()
+    // sampled-shingle inverted index (h mod sampleMod = 0, df ≤ maxDf);
+    // all three joins key on h, so one hash partitioning serves the chain
+    val smp = sh.select(col("doc_id"), explode(col("h0")).as("h"))
+      .where(pmod(col("h"), lit(sampleMod.toLong)) === 0)
+    val dfok = smp.groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select("h")
+    val smpf = smp.join(dfok, "h")
+    val candSampled = smpf.as("x")
+      .join(smpf.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+    val cand = candBands.union(candSampled).distinct()
     val sets = sh.select(col("doc_id"),
       array_sort(array_distinct(col("h0"))).as("hh"))
     cand

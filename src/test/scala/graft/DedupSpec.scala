@@ -57,6 +57,36 @@ class DedupSpec extends GraftSuite {
     assert(lsh == bf)
   }
 
+  test("containment finds subset duplicates symmetric LSH misses (adversarial corpus)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 20 small docs (60 unique words each) embedded verbatim inside a 10×
+    // larger doc: J ≈ 0.1 (a 2-minhash band fires w.p. ≈ J² — symmetric
+    // bands alone recall ~15% of these), C(small→big) = 1.0. Vocab is
+    // unique per pair so cross-pair shingle sharing is zero.
+    val docs = (0 until 20).flatMap { i =>
+      val small = (0 until 60).map(j => s"p${i}w$j").mkString(" ")
+      val pad1 = (0 until 270).map(j => s"p${i}a$j").mkString(" ")
+      val pad2 = (0 until 270).map(j => s"p${i}b$j").mkString(" ")
+      val big = s"$pad1 $small $pad2"
+      Seq((i.toLong * 2, small, "en", "web", small.length.toLong),
+        (i.toLong * 2 + 1, big, "en", "web", big.length.toLong))
+    } ++ (0 until 10).map { i =>
+      val noise = (0 until 300).map(j => s"n${i}x$j ${rnd.nextInt(9)}").mkString(" ")
+      (1000L + i, noise, "en", "web", noise.length.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-cont").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.containment(spark, dir, threshold = 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 20).map(i => (i.toLong * 2, i.toLong * 2 + 1)).toSet
+    val recall = (got & expected).size.toDouble / expected.size
+    assert(recall >= 0.9, s"containment recall $recall; found=${got.size} pairs")
+    assert(got.forall { case (a, b) => expected.contains((a, b)) },
+      s"false positives across unrelated vocabularies: ${got -- expected}")
+  }
+
   test("simhash: near-dup pairs have small hamming distance vs random pairs") {
     import spark.implicits._
     val sig = Dedup.simhash(spark, sf)
