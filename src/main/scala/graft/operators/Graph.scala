@@ -87,9 +87,17 @@ object Graph {
     * guarantees here); join fan-out is bounded by the oriented out-degrees
     * ≤ O(√m). Output: one row per triangle, vertices sorted by doc_id.
     */
-  def triangles(spark: SparkSession, dir: String): DataFrame = {
-    val pr = Dedup.minhashLsh(spark, dir).select(col("d1").as("u"), col("d2").as("v"))
-      .localCheckpoint() // the LSH pipeline runs once, not 3× below
+  def triangles(spark: SparkSession, dir: String): DataFrame =
+    trianglesOf(Dedup.minhashLsh(spark, dir)
+      .select(col("d1").as("u"), col("d2").as("v"))
+      .localCheckpoint()) // the LSH pipeline runs once, not 3× below
+
+  /** Core enumeration over canonical undirected edges (`u < v`, distinct —
+    * exactly what the verified LSH pairs provide; callers with raw edge
+    * lists canonicalize first). Ids must stay < 10⁷ for the packed
+    * (deg, id) key.
+    */
+  def trianglesOf(pr: DataFrame): DataFrame = {
     val sym = pr.union(pr.select(col("v").as("u"), col("u").as("v")))
     val deg = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
     val keyed = pr

@@ -4,6 +4,55 @@ import graft.operators.Graph
 
 class GraphSpec extends GraftSuite {
 
+  private def bruteTriangles(edges: Seq[(Long, Long)]): Set[(Long, Long, Long)] = {
+    val es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    (for {
+      i <- nodes; j <- nodes if j > i && es((i, j))
+      k <- nodes if k > j && es((j, k)) && es((i, k))
+    } yield (i, j, k)).toSet
+  }
+
+  private def runTriangles(edges: Seq[(Long, Long)]): Seq[(Long, Long, Long)] = {
+    import spark.implicits._
+    Graph.trianglesOf(edges.toDF("u", "v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+  }
+
+  test("trianglesOf equals brute force on seeded random graphs (10 trials)") {
+    val rnd = new scala.util.Random(11)
+    (1 to 10).foreach { _ =>
+      val n = rnd.nextInt(14) + 4
+      val edges = (for {
+        i <- 0L until n; j <- (i + 1) until n if rnd.nextDouble() < 0.35
+      } yield (i, j)).toSeq
+      if (edges.nonEmpty) {
+        val got = runTriangles(edges)
+        assert(got.distinct.size == got.size, s"duplicate triangle rows, edges=$edges")
+        assert(got.toSet == bruteTriangles(edges), s"diverges on edges=$edges")
+      }
+    }
+  }
+
+  test("trianglesOf on a star graph: zero triangles, bounded wedge fan-out") {
+    // the adversarial case degree-ordering exists for: a hub of degree 40.
+    // id-ordered orientation with hub id 0 would enumerate C(40,2) wedges;
+    // (deg,id)-ordering points every spoke INTO the hub (spokes have deg 1
+    // < 40), so the hub is never an apex and the wedge join emits nothing.
+    val star = (1L to 40L).map(i => (0L, i))
+    assert(runTriangles(star).isEmpty)
+    // star + one chord: exactly one triangle, found despite the hub
+    val chord = star :+ (1L, 2L)
+    assert(runTriangles(chord).toSet == Set((0L, 1L, 2L)))
+  }
+
+  test("trianglesOf on a clique: C(n,3) triangles exactly") {
+    val n = 8L
+    val k = for { i <- 0L until n; j <- (i + 1) until n } yield (i, j)
+    val got = runTriangles(k)
+    assert(got.size == 56 && got.toSet == bruteTriangles(k)) // C(8,3)
+  }
+
   test("pageRank matches an exact integer recomputation on the real graph") {
     val got = Graph.pageRank(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
