@@ -120,12 +120,22 @@ object TextAnalysis {
     * and once for scoring (no shuffle at all). If the vocabulary ever
     * out-grows memory, the join formulation in git history is the fallback.
     */
-  def nbClassify(spark: SparkSession, dir: String): DataFrame = {
+  def nbClassify(spark: SparkSession, dir: String,
+      maxModelRows: Int = 20000000): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // The driver-side model is bounded by vocab×cats, NOT by corpus size —
+    // fine for any real vocabulary, but web-scale token garbage (unbounded
+    // unique "words") could OOM the driver. Collecting through a
+    // limit(cap+1) keeps it one job AND bounds driver memory: the limit
+    // truncates before transfer, and one extra row proves overflow.
     val modelRows = docs
       .select(col("source"), explode(tokens(col("text"))).as("word"))
       .groupBy(col("source"), col("word")).agg(count(lit(1)).as("cnt"))
-      .collect()
+      .limit(maxModelRows + 1).collect()
+    require(modelRows.length <= maxModelRows,
+      s"nbClassify: model exceeds $maxModelRows (source, word) rows — " +
+        "prune the vocabulary (min-df filter) or use the join-based " +
+        "formulation from git history instead of the broadcast model")
     val cats = modelRows.map(_.getString(0)).distinct.sorted
     val vocab = modelRows.map(_.getString(1)).distinct.sorted
     val catIdx = cats.zipWithIndex.toMap

@@ -159,6 +159,15 @@ class PipelineSpec extends GraftSuite {
     assert(got == Set((1L, 0L, 0L), (2L, 0L, 0L), (1L, 1L, 0L), (2L, 1L, 255L)))
   }
 
+  test("nbClassify fails fast when the model exceeds the row cap") {
+    val e = intercept[IllegalArgumentException](
+      graft.operators.TextAnalysis.nbClassify(spark, sf, maxModelRows = 10).collect())
+    assert(e.getMessage.contains("min-df"), e.getMessage)
+    // generous cap still classifies every non-empty doc
+    val rows = graft.operators.TextAnalysis.nbClassify(spark, sf).collect()
+    assert(rows.nonEmpty && rows.forall(r => r.getString(1).nonEmpty))
+  }
+
   test("encode saturates out-of-range query vectors at both ends") {
     import spark.implicits._
     // dim 0: x below trained min → 0 (not negative); dim 1: x above max → 255
