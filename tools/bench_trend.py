@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Per-query bench trend across rounds — the receipts behind any
+"noise vs regression" call. Reads BENCH_r*.json (driver format: the
+Bench JSON line under "parsed") and prints a markdown table, flagging
+deltas beyond the documented ±40% cross-JVM band.
+
+Usage: python3 tools/bench_trend.py [--update-plans]
+"""
+import glob, json, re, sys
+
+def load():
+    rounds = {}
+    for f in sorted(glob.glob("BENCH_r*.json")):
+        rn = int(re.search(r"BENCH_r(\d+)", f).group(1))
+        d = json.load(open(f))
+        p = d.get("parsed") or {}
+        if p.get("queries"):
+            rounds[rn] = p["queries"]
+    return rounds
+
+def table(rounds):
+    rns = sorted(rounds)
+    queries = sorted({q for qs in rounds.values() for q in qs})
+    lines = ["| query | " + " | ".join(f"r{r}" for r in rns) + " | last Δ |",
+             "|---|" + "---|" * (len(rns) + 1)]
+    for q in queries:
+        vals = [rounds[r].get(q) for r in rns]
+        cells = ["—" if v is None else f"{v:.2f}" for v in vals]
+        present = [v for v in vals if v is not None]
+        if len(present) >= 2 and present[-2] > 0:
+            ratio = present[-1] / present[-2]
+            flag = " ⚠" if (ratio > 1.4 or ratio < 1 / 1.4) and abs(present[-1] - present[-2]) > 0.3 else ""
+            delta = f"{(ratio - 1) * 100:+.0f}%{flag}"
+        else:
+            delta = "—"
+        lines.append(f"| {q} | " + " | ".join(cells) + f" | {delta} |")
+    totals = ["" if r not in rounds else f"{sum(v for v in rounds[r].values() if v):.1f}" for r in rns]
+    lines.append("| **total** | " + " | ".join(totals) + " | |")
+    return "\n".join(lines)
+
+if __name__ == "__main__":
+    t = table(load())
+    print(t)
+    if "--update-plans" in sys.argv:
+        marker = "## Per-query bench trend (tools/bench_trend.py)"
+        body = open("PLANS.md").read()
+        block = f"{marker}\n\nΔ = last-round change; ⚠ = outside the ±40% cross-JVM noise band AND >0.3 s.\n\n{t}\n"
+        if marker in body:
+            pre = body[: body.index(marker)]
+            rest = body[body.index(marker) :]
+            nxt = rest.find("\n## ", 1)
+            body = pre + block + (rest[nxt + 1 :] if nxt != -1 else "")
+        else:
+            body = body.rstrip() + "\n\n" + block
+        open("PLANS.md", "w").write(body)
+        print("\n[updated PLANS.md]")
