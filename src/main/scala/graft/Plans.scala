@@ -12,7 +12,8 @@ object Plans {
   val Headline: Seq[String] = Seq(
     "q_agg_groupby", "q_join_broadcast", "q_join_reduce_side", "q_topn_per_group",
     "q_dedup_minhash", "q_ann_bruteforce", "q_grep",
-    "q_cogroup_multi", "q_ann_ivfpq", "q_nb_classify", "q_topic_fp_bits")
+    "q_cogroup_multi", "q_ann_ivfpq", "q_nb_classify", "q_topic_fp_bits",
+    "q_dedup_containment", "q_triangles", "q_quality_filter")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
