@@ -686,6 +686,26 @@ object Oracles {
        |SELECT d1, d2, round(ix::DOUBLE / n1, 6) AS cont1, round(ix::DOUBLE / n2, 6) AS cont2
        |FROM p WHERE greatest(ix::DOUBLE / n1, ix::DOUBLE / n2) >= 0.7""".stripMargin
 
+  /** Tumbling 20-word-span exact dedup: first corpus-wide occurrence keeps
+    * the span. Same md5-of-joined-words hash and (doc_id, para_idx) order
+    * as the Spark plan.
+    */
+  val dedupParagraph: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+       |pl AS (SELECT doc_id,
+       |         [{'idx': i, 'ph': md5(array_to_string(w[i*20+1 : i*20+20], ' '))}
+       |          FOR i IN range(0, ((len(w)-1)//20)+1)] AS ps
+       |       FROM t WHERE len(w) > 0),
+       |p AS (SELECT doc_id, u.idx AS para_idx, u.ph AS phash
+       |      FROM (SELECT doc_id, unnest(ps) AS u FROM pl)),
+       |d AS (SELECT doc_id, para_idx, phash,
+       |        count(*) OVER (PARTITION BY phash) AS n_copies,
+       |        row_number() OVER (PARTITION BY phash ORDER BY doc_id, para_idx) AS rk
+       |      FROM p)
+       |SELECT doc_id, para_idx, phash, CAST(n_copies AS BIGINT) AS n_copies,
+       |  rk = 1 AS keep
+       |FROM d""".stripMargin
+
   /** Degree-ordered triangle enumeration over the verified near-dup pairs;
     * the (deg, id) order key packs into one BIGINT exactly like the Spark
     * plan.

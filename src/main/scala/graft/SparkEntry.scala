@@ -125,6 +125,8 @@ object SparkEntry {
     "q_dedup_containment"  -> ((s, d) => Dedup.containment(s, d)),
     // q_triangles: degree-ordered wedge enumeration (O(m^1.5) on any skew)
     "q_triangles"          -> ((s, d) => Graph.triangles(s, d)),
+    // q_dedup_paragraph: C4-style span dedup — first occurrence keeps the span
+    "q_dedup_paragraph"    -> ((s, d) => Dedup.paragraphDedup(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same column aliases — the driver
@@ -324,5 +326,6 @@ object SparkEntry {
     "q_sample_stratified" -> Oracles.sampleStratified,
     "q_dedup_containment" -> Oracles.dedupContainment,
     "q_triangles"       -> Oracles.triangles,
+    "q_dedup_paragraph" -> Oracles.dedupParagraph,
   )
 }

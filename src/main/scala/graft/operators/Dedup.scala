@@ -356,4 +356,39 @@ object Dedup {
       // oracle's row_number-derived cid is BIGINT
       .select(col("vec_id"), col("cid").cast("long").as("cid"), col("keep"))
   }
+
+  /** C29 — paragraph/span-level exact dedup (the C4 pipeline's
+    * three-sentence-span rule [Raffel et al. 2020 §2.2] re-expressed for
+    * flat token streams): docs split into tumbling W-word spans, each span
+    * md5-hashed, and only the FIRST occurrence corpus-wide (smallest
+    * (doc_id, para_idx)) keeps its span — boilerplate repeated across
+    * pages drops everywhere else while each doc keeps its unique text.
+    *
+    * Scale shape: one narrow scan → span explode (fan-out ≤ n_words/W) →
+    * ONE exchange keyed by span hash serving both window functions
+    * (occurrence count for audit + first-occurrence rank). This is the
+    * span-dedup architecture at 100 TB: the shuffle carries (hash, doc_id,
+    * idx) triples — 40 bytes per span, never the text.
+    */
+  def paragraphDedup(spark: SparkSession, dir: String, w: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = transform(
+      sequence(lit(0), (size(col("w")) - 1).divide(w).cast("int")),
+      i => concat_ws(" ", slice(col("w"), i * w + 1, lit(w))))
+    val byHash = Window.partitionBy("phash")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .where(size(col("w")) > 0)
+      // materialize the span array BEFORE the explode (Generate would
+      // re-evaluate an inlined transform per output element)
+      .select(col("doc_id"), spans.as("ps"))
+      .select(col("doc_id"), posexplode(col("ps")).as(Seq("para_idx", "para")))
+      .select(col("doc_id"), col("para_idx").cast("long").as("para_idx"),
+        md5(col("para")).as("phash"))
+      .withColumn("n_copies", count(lit(1)).over(byHash))
+      .withColumn("rk",
+        row_number().over(byHash.orderBy(col("doc_id"), col("para_idx"))))
+      .select(col("doc_id"), col("para_idx"), col("phash"),
+        col("n_copies"), (col("rk") === 1).as("keep"))
+  }
 }

@@ -87,6 +87,40 @@ class DedupSpec extends GraftSuite {
       s"false positives across unrelated vocabularies: ${got -- expected}")
   }
 
+  test("paragraphDedup: first corpus-wide occurrence keeps the span (constructed dups)") {
+    import spark.implicits._
+    // doc 0 and doc 2 share their FIRST 20-word span verbatim (doc 0 wins
+    // by doc_id); doc 1 is 25 words (tests the short tail span); doc 3
+    // repeats doc 0's span INTERNALLY at span index 1 (same-doc dup)
+    val para = (0 until 20).map(j => s"shared$j").mkString(" ")
+    val docs = Seq(
+      (0L, para + " " + (0 until 20).map(j => s"a$j").mkString(" ")),
+      (1L, (0 until 25).map(j => s"b$j").mkString(" ")),
+      (2L, para + " " + (0 until 20).map(j => s"c$j").mkString(" ")),
+      (3L, (0 until 20).map(j => s"d$j").mkString(" ") + " " + para))
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("graft-para").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.paragraphDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(3), r.getBoolean(4))).toMap
+    // brute force: group spans by text, keep min (doc_id, idx)
+    val spans = docs.flatMap { case (id, t, _, _, _) =>
+      t.split(" ").grouped(20).zipWithIndex.map { case (wds, i) =>
+        (id, i.toLong, wds.mkString(" ")) } }
+    val byText = spans.groupBy(_._3)
+    val expected = spans.map { case (id, i, txt) =>
+      val g = byText(txt)
+      (id, i) -> (g.size.toLong, g.minBy(s => (s._1, s._2)) == ((id, i, txt)))
+    }.toMap
+    assert(got == expected)
+    // the shared span: 3 copies, only doc 0 span 0 kept
+    assert(got((0L, 0L)) == (3L, true) && got((2L, 0L)) == (3L, false)
+      && got((3L, 1L)) == (3L, false))
+    // doc 1's 5-word tail span exists and is kept
+    assert(got((1L, 1L)) == (1L, true))
+  }
+
   test("simhash: near-dup pairs have small hamming distance vs random pairs") {
     import spark.implicits._
     val sig = Dedup.simhash(spark, sf)

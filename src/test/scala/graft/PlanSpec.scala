@@ -146,6 +146,11 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("WindowGroupLimit"), "rk<=k must prune partially per partition")
   }
 
+  test("q_dedup_paragraph is one span-hash exchange serving both windows") {
+    val p = plan("q_dedup_paragraph")
+    assert(shuffles(p) == 1, s"count + rank must ride ONE phash exchange:\n$p")
+  }
+
   test("q_triangles never plans a cartesian or nested-loop join") {
     val p = plan("q_triangles")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
