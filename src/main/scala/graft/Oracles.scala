@@ -656,6 +656,22 @@ object Oracles {
       |  coalesce(c.cnt, 0) AS cnt
       |FROM s CROSS JOIN r LEFT JOIN c ON s.bucket = c.bucket""".stripMargin
 
+  /** Duplicate word/2-gram/3-gram ppm fractions; n-grams hashed with the
+    * same hash60 the Spark ShingleHashN kernel applies, so duplicate-slot
+    * counts agree even under (negligible) hash collisions.
+    */
+  val repetition: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+       |r AS (SELECT doc_id, w,
+       |        [$hash60Sql FOR s IN [array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))]] AS g2,
+       |        [$hash60Sql FOR s IN [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w)-1)]] AS g3
+       |      FROM t WHERE len(w) >= 3)
+       |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+       |  (CAST(len(w) - len(list_distinct(w)) AS BIGINT) * 1000000) // len(w) AS dup_word_ppm,
+       |  (CAST(len(g2) - len(list_distinct(g2)) AS BIGINT) * 1000000) // len(g2) AS dup_2gram_ppm,
+       |  (CAST(len(g3) - len(list_distinct(g3)) AS BIGINT) * 1000000) // len(g3) AS dup_3gram_ppm
+       |FROM r""".stripMargin
+
   /** Exact per-stratum top-k by the salted portable hash (same construction
     * as hashSplit/sampleUniform).
     */

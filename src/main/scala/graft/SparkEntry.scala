@@ -127,6 +127,8 @@ object SparkEntry {
     "q_triangles"          -> ((s, d) => Graph.triangles(s, d)),
     // q_dedup_paragraph: C4-style span dedup — first occurrence keeps the span
     "q_dedup_paragraph"    -> ((s, d) => Dedup.paragraphDedup(s, d)),
+    // q_repetition: Gopher duplicate-n-gram fractions (integer ppm)
+    "q_repetition"         -> ((s, d) => Quality.repetition(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same column aliases — the driver
@@ -327,5 +329,6 @@ object SparkEntry {
     "q_dedup_containment" -> Oracles.dedupContainment,
     "q_triangles"       -> Oracles.triangles,
     "q_dedup_paragraph" -> Oracles.dedupParagraph,
+    "q_repetition"      -> Oracles.repetition,
   )
 }

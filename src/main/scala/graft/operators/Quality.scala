@@ -80,6 +80,35 @@ object Quality {
         coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
 
+  /** q_repetition — Gopher-style repetition features (Rae et al. 2021
+    * §A1.1: "duplicate n-gram fraction"): per doc, the ppm fraction of
+    * duplicated words, 2-grams, and 3-grams — catches the boilerplate/
+    * template pages where one token never dominates (so
+    * [[qualityFilter]]'s max-token-frequency rule misses them) but whole
+    * phrases repeat. All ratios are integer cross-multiplied ppm; n-grams
+    * are per-POSITION hash arrays ([[graft.functions.ShingleHashN]]
+    * occurrence mode), so `size − size(distinct)` counts duplicated slots
+    * exactly like the oracle's list arithmetic. Zero shuffles — composes
+    * with the ingest scan.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        size(array_distinct(col("toks"))).cast("long").as("n_uniq"),
+        graft.functions.VectorExpressions
+          .shingleHashN(col("toks"), 2, 0L, distinct = false).as("g2"),
+        graft.functions.VectorExpressions
+          .shingleHashN(col("toks"), 3, 0L, distinct = false).as("g3"))
+      .select(col("doc_id"), col("n_words"),
+        expr("((n_words - n_uniq) * 1000000) div n_words").as("dup_word_ppm"),
+        expr("(cast(size(g2) - size(array_distinct(g2)) as bigint) * 1000000)" +
+          " div size(g2)").as("dup_2gram_ppm"),
+        expr("(cast(size(g3) - size(array_distinct(g3)) as bigint) * 1000000)" +
+          " div size(g3)").as("dup_3gram_ppm"))
+
   /** q_sample_stratified — exact per-stratum sampling: the k docs with the
     * smallest salted portable hash WITHIN each source. Same leak-proof
     * RNG-free device as [[Curation.hashSplit]], but rank-based so every

@@ -140,6 +140,11 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("n_tokens"), "reads only doc_id/source/text/n_chars")
   }
 
+  test("q_repetition is a zero-shuffle narrow scan") {
+    val p = plan("q_repetition")
+    assert(shuffles(p) == 0, s"repetition features are per-row arithmetic:\n$p")
+  }
+
   test("q_sample_stratified is one window exchange with group-limit pushdown") {
     val p = plan("q_sample_stratified")
     assert(shuffles(p) == 1, s"only the source-keyed window exchange:\n$p")

@@ -54,6 +54,25 @@ class QualitySpec extends GraftSuite {
     assert(got.sortBy(t => (t._1, t._2)).toSeq == again.sortBy(t => (t._1, t._2)).toSeq)
   }
 
+  test("repetition ppm fractions match a closed-form constructed doc") {
+    import spark.implicits._
+    // doc 0: "x y z" repeated 4 times (12 words): 3 uniq → dup_word 9/12;
+    // 2-grams: 11 total, distinct = {xy, yz, zx} 3 → dup 8/11;
+    // 3-grams: 10 total, distinct = {xyz, yzx, zxy} 3 → dup 7/10.
+    // doc 1: all-distinct words → 0 everywhere.
+    val docs = Seq(
+      (0L, Seq.fill(4)("x y z").mkString(" ")),
+      (1L, (0 until 30).map(i => s"w$i").mkString(" ")))
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("graft-rep").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Quality.repetition(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(0L) == (12L, 9L * 1000000 / 12, 8L * 1000000 / 11, 7L * 1000000 / 10))
+    assert(got(1L) == (30L, 0L, 0L, 0L))
+  }
+
   test("qualityFilter verdicts are consistent with their emitted features") {
     val rows = Quality.qualityFilter(spark, sf).collect()
     assert(rows.nonEmpty)
