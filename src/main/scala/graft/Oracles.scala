@@ -672,6 +672,19 @@ object Oracles {
        |  (CAST(len(g3) - len(list_distinct(g3)) AS BIGINT) * 1000000) // len(g3) AS dup_3gram_ppm
        |FROM r""".stripMargin
 
+  /** Cross-source shared-shingle matrix (a ≤ b, diagonal = per-source
+    * totals); same shingle→hash60%P derivation as the MinHash CTEs.
+    */
+  val sourceOverlap: String =
+    s"""WITH tok AS (SELECT source, $toksSql AS w FROM documents),
+       |tk AS (SELECT source, w FROM tok WHERE len(w) >= 3),
+       |shs AS (SELECT source, list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] FOR i IN range(1, len(w)-1)]) AS sh FROM tk),
+       |hs AS (SELECT DISTINCT source, $hash60Sql % $P AS h
+       |       FROM (SELECT source, unnest(sh) AS s FROM shs))
+       |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+       |FROM hs a JOIN hs b ON a.h = b.h AND a.source <= b.source
+       |GROUP BY 1, 2""".stripMargin
+
   /** Exact per-stratum top-k by the salted portable hash (same construction
     * as hashSplit/sampleUniform).
     */

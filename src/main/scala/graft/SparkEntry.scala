@@ -129,6 +129,8 @@ object SparkEntry {
     "q_dedup_paragraph"    -> ((s, d) => Dedup.paragraphDedup(s, d)),
     // q_repetition: Gopher duplicate-n-gram fractions (integer ppm)
     "q_repetition"         -> ((s, d) => Quality.repetition(s, d)),
+    // q_source_overlap: cross-source shared-shingle matrix (corpus audit)
+    "q_source_overlap"     -> ((s, d) => Quality.sourceOverlap(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same column aliases — the driver
@@ -330,5 +332,6 @@ object SparkEntry {
     "q_triangles"       -> Oracles.triangles,
     "q_dedup_paragraph" -> Oracles.dedupParagraph,
     "q_repetition"      -> Oracles.repetition,
+    "q_source_overlap"  -> Oracles.sourceOverlap,
   )
 }

@@ -109,6 +109,33 @@ object Quality {
         expr("(cast(size(g3) - size(array_distinct(g3)) as bigint) * 1000000)" +
           " div size(g3)").as("dup_3gram_ppm"))
 
+  /** q_source_overlap — cross-source content overlap matrix: for every
+    * source pair (a ≤ b), the number of distinct 3-word shingles present
+    * in both — the corpus-level audit of which slices share content
+    * (diagonal rows are per-source distinct-shingle totals, so consumers
+    * derive Jaccard/containment ratios directly). The doc-level twins are
+    * [[graft.operators.Contamination.decontaminate]] (vs a benchmark) and
+    * [[graft.operators.Dedup.containment]] (pairwise).
+    *
+    * Scale shape: one distinct over (source, shingle-hash) — the only big
+    * shuffle, proportional to corpus vocabulary — then a self-join keyed
+    * by hash whose fan-out is bounded by #sources (a handful), never by
+    * corpus size, and a #sources²-row aggregate.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("source"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("source"),
+        explode(graft.functions.VectorExpressions
+          .shingleHash3(col("toks"), graft.functions.TextHash.P)).as("h"))
+      .distinct()
+    sh.as("a")
+      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.source") <= col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** q_sample_stratified — exact per-stratum sampling: the k docs with the
     * smallest salted portable hash WITHIN each source. Same leak-proof
     * RNG-free device as [[Curation.hashSplit]], but rank-based so every

@@ -73,6 +73,24 @@ class QualitySpec extends GraftSuite {
     assert(got(1L) == (30L, 0L, 0L, 0L))
   }
 
+  test("sourceOverlap matrix matches closed-form shingle counts") {
+    import spark.implicits._
+    // src A doc: w0..w9 (8 shingles); src B doc: w5..w14 (8 shingles,
+    // shares shingles starting at w5..w7 → 3 shared); src C: disjoint.
+    val a = (0 until 10).map(i => s"w$i").mkString(" ")
+    val b = (5 until 15).map(i => s"w$i").mkString(" ")
+    val c = (0 until 10).map(i => s"z$i").mkString(" ")
+    val docs = Seq((0L, a, "A"), (1L, b, "B"), (2L, c, "C"))
+      .map { case (id, t, s) => (id, t, "en", s, t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ovl").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Quality.sourceOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("A", "A") -> 8L, ("B", "B") -> 8L, ("C", "C") -> 8L,
+      ("A", "B") -> 3L))
+  }
+
   test("qualityFilter verdicts are consistent with their emitted features") {
     val rows = Quality.qualityFilter(spark, sf).collect()
     assert(rows.nonEmpty)
