@@ -54,4 +54,64 @@ object Events {
       .where(col("rk") <= n)
       .select(col("event_type"), col("rk"), col("user_id"), col("cnt"))
   }
+
+  /** q_funnel — ordered conversion funnel per user: first `view`, then the
+    * first `click` strictly after it, then the first `purchase` strictly
+    * after that. Emits one row per user with the stage timestamps (millis,
+    * −1 where the stage was never reached) and the funnel depth 0–3 — the
+    * product-analytics staple (and a stage-ordered sequence match the
+    * reference's groupBy/secondary-sort idiom would hand-code a reducer
+    * for).
+    *
+    * Scale shape: ONE exchange on user_id. The three stage minima are
+    * windows over the same partitioning (later stages reference earlier
+    * results, which Spark plans as stacked Window nodes over one Exchange),
+    * and the final per-user collapse is a groupBy on the same key, so no
+    * second shuffle. No joins, no driver state.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+      .withColumn("mv",
+        min(when(col("event_type") === "view", col("ms"))).over(byUser))
+      .withColumn("mc",
+        min(when(col("event_type") === "click" && col("ms") > col("mv"), col("ms")))
+          .over(byUser))
+      .withColumn("mp",
+        min(when(col("event_type") === "purchase" && col("ms") > col("mc"), col("ms")))
+          .over(byUser))
+      .groupBy(col("user_id"))
+      .agg(
+        coalesce(max(col("mv")), lit(-1L)).as("view_ms"),
+        coalesce(max(col("mc")), lit(-1L)).as("click_ms"),
+        coalesce(max(col("mp")), lit(-1L)).as("purchase_ms"))
+      .withColumn("depth",
+        when(col("purchase_ms") >= 0, 3L)
+          .when(col("click_ms") >= 0, 2L)
+          .when(col("view_ms") >= 0, 1L)
+          .otherwise(0L))
+  }
+
+  /** q_retention — cohort retention matrix: cohort = each user's first
+    * active date; for every (cohort, day-offset) cell, the count of
+    * distinct users from that cohort active that day. The growth-analytics
+    * staple; exact integer outputs (dates + counts).
+    *
+    * Scale shape: the cohort date is a window min over user_id (one
+    * exchange); activity collapses through a two-phase distinct-count agg
+    * keyed by the (cohort, offset) cell — the only other shuffle, carrying
+    * one row per (user, cohort, day) after map-side partial dedup. No
+    * driver state, no joins (the window replaces the first-seen self-join).
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .withColumn("cohort", min(col("day")).over(byUser))
+      .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .select(col("cohort").cast("string").as("cohort"),
+        col("day_offset").cast("long").as("day_offset"), col("n_active"))
+  }
 }
