@@ -756,4 +756,45 @@ object Oracles {
        |       apex + x + y - least(apex, x, y) - greatest(apex, x, y) AS t2,
        |       greatest(apex, x, y) AS t3
        |FROM tri""".stripMargin
+
+  /** Ordered view→click→purchase funnel. The stage cascade uses the same
+    * STRICT `>` comparisons as the Spark windows (a click in the same
+    * millisecond as the first view does not advance the funnel), and the
+    * NULL propagation matches: a missing earlier stage makes the `ms > m*`
+    * predicate NULL, so the later min aggregates nothing.
+    */
+  val funnel: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |v AS (SELECT user_id,
+      |        min(CASE WHEN event_type = 'view' THEN ms END) AS mv
+      |      FROM e GROUP BY 1),
+      |c AS (SELECT e.user_id,
+      |        min(CASE WHEN event_type = 'click' AND ms > mv THEN ms END) AS mc
+      |      FROM e JOIN v USING (user_id) GROUP BY 1),
+      |p AS (SELECT e.user_id,
+      |        min(CASE WHEN event_type = 'purchase' AND ms > mc THEN ms END) AS mp
+      |      FROM e JOIN c USING (user_id) GROUP BY 1)
+      |SELECT v.user_id,
+      |       CAST(coalesce(mv, -1) AS BIGINT) AS view_ms,
+      |       CAST(coalesce(mc, -1) AS BIGINT) AS click_ms,
+      |       CAST(coalesce(mp, -1) AS BIGINT) AS purchase_ms,
+      |       CAST(CASE WHEN mp IS NOT NULL THEN 3
+      |                 WHEN mc IS NOT NULL THEN 2
+      |                 WHEN mv IS NOT NULL THEN 1
+      |                 ELSE 0 END AS BIGINT) AS depth
+      |FROM v JOIN c USING (user_id) JOIN p USING (user_id)""".stripMargin
+
+  /** Cohort retention matrix: cohort = each user's first active date,
+    * cells = distinct users active at each day offset. Dates compare as
+    * calendar days in UTC on both engines (Spark's session timezone is
+    * pinned to UTC by Verify/Bench).
+    */
+  val retention: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |f AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY 1)
+      |SELECT CAST(cohort AS VARCHAR) AS cohort,
+      |       CAST(datediff('day', cohort, day) AS BIGINT) AS day_offset,
+      |       count(DISTINCT e.user_id) AS n_active
+      |FROM e JOIN f USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
 }

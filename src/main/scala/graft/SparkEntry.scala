@@ -131,6 +131,11 @@ object SparkEntry {
     "q_repetition"         -> ((s, d) => Quality.repetition(s, d)),
     // q_source_overlap: cross-source shared-shingle matrix (corpus audit)
     "q_source_overlap"     -> ((s, d) => Quality.sourceOverlap(s, d)),
+    // round-7 block: product/growth analytics over the event stream
+    // q_funnel: ordered view→click→purchase stages — ONE user_id exchange
+    "q_funnel"             -> ((s, d) => Events.funnel(s, d)),
+    // q_retention: first-seen cohort × day-offset distinct-active matrix
+    "q_retention"          -> ((s, d) => Events.retention(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same column aliases — the driver
@@ -333,5 +338,7 @@ object SparkEntry {
     "q_dedup_paragraph" -> Oracles.dedupParagraph,
     "q_repetition"      -> Oracles.repetition,
     "q_source_overlap"  -> Oracles.sourceOverlap,
+    "q_funnel"          -> Oracles.funnel,
+    "q_retention"       -> Oracles.retention,
   )
 }

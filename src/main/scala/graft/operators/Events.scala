@@ -57,8 +57,10 @@ object Events {
 
   /** q_funnel — ordered conversion funnel per user: first `view`, then the
     * first `click` strictly after it, then the first `purchase` strictly
-    * after that. Emits one row per user with the stage timestamps (millis,
-    * −1 where the stage was never reached) and the funnel depth 0–3 — the
+    * after that. Emits one row per user present in the events table, with
+    * the stage timestamps (millis, −1 where the stage was never reached;
+    * same-millisecond events do NOT advance a stage — the comparison is
+    * strictly `>`) and the funnel depth 0–3 — the
     * product-analytics staple (and a stage-ordered sequence match the
     * reference's groupBy/secondary-sort idiom would hand-code a reducer
     * for).

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Events
+
+/** Closed-form contracts for the batch event-analytics operators the DuckDB
+  * oracle checks only at corpus scale — these pin the EDGE semantics: the
+  * funnel's strict same-millisecond rule and stage-skip behavior, and the
+  * retention matrix's cohort/offset arithmetic on a constructed table.
+  */
+class EventsSpec extends GraftSuite {
+
+  /** Write a tiny events.parquet in the driver layout ([[graft.io.Tables
+    * .events]] reads ts as BIGINT epoch NANOS with an explicit schema).
+    */
+  private def eventsDir(rows: Seq[(Long, Long, Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-events").toString
+    rows.map { case (id, tsMs, user, typ) =>
+      (id, tsMs * 1000000L, user, typ, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("funnel: strict > per stage, skip/missing stages, one row per active user") {
+    // user 1: click in the SAME ms as the first view must not count; the
+    //         later click and purchase complete the funnel (depth 3).
+    // user 2: only click before the first view → click never counts (depth 1).
+    // user 3: click+purchase but no view → all stages unreached (depth 0).
+    // user 4: view then purchase with no click → purchase can't count (depth 1).
+    val dir = eventsDir(Seq(
+      (1L, 100L, 1L, "view"), (2L, 100L, 1L, "click"),
+      (3L, 200L, 1L, "click"), (4L, 300L, 1L, "purchase"),
+      (5L, 100L, 2L, "click"), (6L, 200L, 2L, "view"),
+      (7L, 100L, 3L, "click"), (8L, 200L, 3L, "purchase"),
+      (9L, 100L, 4L, "view"), (10L, 200L, 4L, "purchase")))
+    val got = Events.funnel(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got == Map(
+      1L -> ((100L, 200L, 300L, 3L)),
+      2L -> ((200L, -1L, -1L, 1L)),
+      3L -> ((-1L, -1L, -1L, 0L)),
+      4L -> ((100L, -1L, -1L, 1L))))
+  }
+
+  test("retention: first-seen cohorts, day offsets, distinct actives per cell") {
+    val day = 86400000L // one day in millis
+    // users 1 and 3 first seen day0; user 2 first seen day1. Same-day
+    // duplicates (user 2 twice on day1) count once per cell.
+    val dir = eventsDir(Seq(
+      (1L, 0L, 1L, "view"), (2L, day + 1, 1L, "view"), (3L, 3 * day, 1L, "view"),
+      (4L, day, 2L, "view"), (5L, day + 2, 2L, "view"),
+      (6L, 1L, 3L, "view"), (7L, day + 3, 3L, "view")))
+    val got = Events.retention(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("1970-01-01", 0L) -> 2L, // users 1 and 3 on their cohort day
+      ("1970-01-01", 1L) -> 2L, // both return the next day
+      ("1970-01-01", 3L) -> 1L, // only user 1
+      ("1970-01-02", 0L) -> 1L)) // user 2's cohort day (dup collapsed)
+  }
+
+  test("funnel emits no row for users absent from the table") {
+    val dir = eventsDir(Seq((1L, 100L, 7L, "view")))
+    assert(Events.funnel(spark, dir).select("user_id").collect().map(_.getLong(0)).toSeq
+      == Seq(7L))
+  }
+}

@@ -161,4 +161,20 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"wedge + closure joins must stay equi-joins:\n$p")
   }
+
+  test("q_funnel rides ONE user_id exchange (stacked windows + same-key agg)") {
+    val p = plan("q_funnel")
+    // three dependent stage windows share the user_id partitioning and the
+    // final per-user groupBy reuses it — no second shuffle, no join
+    assert(shuffles(p) == 1, s"funnel must be a single user_id exchange:\n$p")
+    assert(!p.contains("Join"), s"the window cascade replaces stage self-joins:\n$p")
+  }
+
+  test("q_retention shuffles at most twice (user window + cell agg)") {
+    val p = plan("q_retention")
+    // the user_id window partitioning already co-locates the distinct's
+    // (cohort, offset, user_id) phase; only the final cell agg re-shuffles
+    assert(shuffles(p) <= 2, s"cohort window + distinct-count cell agg only:\n$p")
+    assert(!p.contains("Join"), s"the window replaces the first-seen self-join:\n$p")
+  }
 }
