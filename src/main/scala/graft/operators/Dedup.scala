@@ -46,7 +46,13 @@ object Dedup {
     * next to the corpus — and verification touches only candidates.
     */
   def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val sh = shingleHashed(spark, dir).cache()
+    // localCheckpoint, NOT cache(): the shingle table feeds three subtrees
+    // (bands + both verify joins) so it must materialize once, but cache()
+    // registers the corpus-sized plan with the session CacheManager where
+    // it stays pinned until an explicit unpersist that no caller can issue
+    // (the result is a lazy DataFrame). Checkpoint blocks are GC-released
+    // with the plan — nothing outlives the query in a shared session.
+    val sh = shingleHashed(spark, dir).localCheckpoint()
     // materialize the signature BEFORE fanning out band keys: inlining the
     // sig expression into the 32 element refs of the explode would evaluate
     // it 32× per row (measured 27 s vs 2 s at sf0.1)
@@ -93,7 +99,8 @@ object Dedup {
     */
   def containment(spark: SparkSession, dir: String, threshold: Double = 0.7,
       sampleMod: Int = 8, maxDf: Int = 64): DataFrame = {
-    val sh = shingleHashed(spark, dir).cache()
+    // same localCheckpoint-not-cache rationale as [[minhashLsh]]
+    val sh = shingleHashed(spark, dir).localCheckpoint()
     val bands = sh
       .select(col("doc_id"), minhashSignature(col("h0")).as("sig"))
       .select(col("doc_id"), explode(bandKeys(col("sig"))).as("b"))

@@ -51,22 +51,28 @@ object Ivf {
     */
   def train(spark: SparkSession, dir: String, c: Int = 16, iters: Int = 2): Seq[(Int, Seq[Double])] = {
     // cache only pays when Lloyd iterations re-scan; iters=0 (the oracle
-    // path) would cache for nothing
+    // path) would cache for nothing. train() fully consumes the cache via
+    // its collects, so it can (and must) unpersist before returning —
+    // leaving the corpus pinned in the session CacheManager would degrade
+    // every later job on a shared cluster.
     val base = Ann.normed(spark, dir).select(col("vec_id"), col("e"))
-    val v = if (iters > 0) base.cache() else base
-    var centroids: Seq[(Int, Seq[Double])] = v.where(col("vec_id") < c)
-      .orderBy("vec_id").collect()
-      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
-    for (_ <- 1 to iters) {
-      val assigned = v.withColumn("cid", nearestCid(col("e"), centroids))
-      val dims = 0 until centroids.head._2.length
-      val updated = assigned.groupBy(col("cid"))
-        .agg(array(dims.map(d => avg(col("e")(d))): _*).as("cen"))
-        .collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq.sortBy(_._1)
-      centroids = updated
-    }
-    centroids
+    val cached = iters > 0
+    val v = if (cached) base.cache() else base
+    try {
+      var centroids: Seq[(Int, Seq[Double])] = v.where(col("vec_id") < c)
+        .orderBy("vec_id").collect()
+        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
+      for (_ <- 1 to iters) {
+        val assigned = v.withColumn("cid", nearestCid(col("e"), centroids))
+        val dims = 0 until centroids.head._2.length
+        val updated = assigned.groupBy(col("cid"))
+          .agg(array(dims.map(d => avg(col("e")(d))): _*).as("cen"))
+          .collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq.sortBy(_._1)
+        centroids = updated
+      }
+      centroids
+    } finally if (cached) v.unpersist(blocking = false)
   }
 
   /** Top-k within the query's nprobe nearest cells. */
