@@ -117,22 +117,27 @@ object Quality {
     * [[graft.operators.Contamination.decontaminate]] (vs a benchmark) and
     * [[graft.operators.Dedup.containment]] (pairwise).
     *
-    * Scale shape: one distinct over (source, shingle-hash) — the only big
-    * shuffle, proportional to corpus vocabulary — then a self-join keyed
-    * by hash whose fan-out is bounded by #sources (a handful), never by
-    * corpus size, and a #sources²-row aggregate.
+    * Scale shape: ONE corpus-proportional exchange — groupBy shingle hash
+    * with a partially-aggregated `collect_set(source)` (each in-flight set
+    * is bounded by #sources, a handful) — then the source pairs explode
+    * IN-ROW from the sorted set (a ≤ b including the diagonal) into a
+    * #sources²-row aggregate. The round-6 self-join form scanned the
+    * distinct (source, hash) table twice unless Catalyst happened to reuse
+    * the exchange; this shape makes the single scan structural.
     */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
+    val pairs = flatten(transform(col("ss"), (a, i) =>
+      transform(slice(col("ss"), i + lit(1), size(col("ss")) - i),
+        b => struct(a.as("src_a"), b.as("src_b")))))
+    Tables.documents(spark, dir)
       .select(col("source"), tokens(col("text")).as("toks"))
       .where(size(col("toks")) >= 3)
       .select(col("source"),
         explode(graft.functions.VectorExpressions
           .shingleHash3(col("toks"), graft.functions.TextHash.P)).as("h"))
-      .distinct()
-    sh.as("a")
-      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.source") <= col("b.source"))
-      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .groupBy(col("h")).agg(sort_array(collect_set(col("source"))).as("ss"))
+      .select(explode(pairs).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
       .agg(count(lit(1)).as("n_shared"))
   }
 

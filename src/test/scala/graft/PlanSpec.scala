@@ -162,6 +162,16 @@ class PlanSpec extends GraftSuite {
       s"wedge + closure joins must stay equi-joins:\n$p")
   }
 
+  test("q_source_overlap scans documents once — set-collect, not a self-join") {
+    val p = plan("q_source_overlap")
+    assert(!p.contains("Join"), s"pairs must explode in-row from the source set:\n$p")
+    assert(p.linesIterator.count(_.matches("""^\(\d+\) Scan parquet.*""")) == 1,
+      s"one documents scan:\n$p")
+    // the hash-keyed set-collect is the only corpus exchange; the cell agg
+    // shuffles #sources² rows
+    assert(shuffles(p) == 2, s"shingle group + cell agg only:\n$p")
+  }
+
   test("q_funnel rides ONE user_id exchange (stacked windows + same-key agg)") {
     val p = plan("q_funnel")
     // three dependent stage windows share the user_id partitioning and the
