@@ -35,6 +35,24 @@ class AnalyticsSpec extends GraftSuite {
       io.Tables.events(spark, sf).where(col("event_type") === "purchase").count())
   }
 
+  test("asOf picks the latest right row at-or-before each left ts per key") {
+    import spark.implicits._
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val left = Seq((1L, ts(15), 101L), (1L, ts(20), 102L), (1L, ts(5), 103L),
+      (2L, ts(50), 104L))
+      .toDF("user_id", "ts", "event_id")
+    val right = Seq((1L, ts(10), 201L), (1L, ts(20), 202L), (2L, ts(60), 203L))
+      .toDF("user_id", "ts", "event_id")
+    val got = Analytics.asOf(left, right, "user_id", "ts", "event_id", "event_id")
+      .collect().map(r => r.getLong(1) -> Option(r.get(2)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(got == Map(
+      101L -> Some(201L), // 10 <= 15 < 20
+      102L -> Some(202L), // same-ts right IS visible (at-or-before)
+      103L -> None, // nothing at or before 5
+      104L -> None)) // key 2's only right row is later
+  }
+
   test("range join keeps zero-click errors with count 0") {
     val out = Analytics.rangeJoinErrorClicks(spark, sf)
     assert(out.count() ==

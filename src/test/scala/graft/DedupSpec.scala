@@ -142,6 +142,20 @@ class DedupSpec extends GraftSuite {
     assert(d.groupBy("content_hash").count().where(col("count") > 1).count() == 0)
   }
 
+  test("lshBuckets assigns one bucket per table, in range, deterministically") {
+    import spark.implicits._
+    val b = Ann.lshBuckets(spark, sf, nPlanes = 4, nTables = 8)
+      .select("vec_id", "tbl", "bucket").as[(Long, Int, Long)].collect()
+    val n = operators.Ann.normed(spark, sf).count()
+    assert(b.length == n * 8, "every vector lands in exactly one bucket per table")
+    assert(b.map(t => (t._1, t._2)).distinct.length == b.length)
+    assert(b.forall(t => t._2 >= 0 && t._2 < 8 && t._3 >= 0 && t._3 < 16),
+      "bucket ids are nPlanes sign bits")
+    val again = Ann.lshBuckets(spark, sf, nPlanes = 4, nTables = 8)
+      .select("vec_id", "tbl", "bucket").as[(Long, Int, Long)].collect()
+    assert(b.sorted.toSeq == again.sorted.toSeq, "plane hashes carry no RNG state")
+  }
+
   test("ann ivf recall vs brute force >= 0.5 probing 4/16 cells") {
     import spark.implicits._
     val bf = Ann.bruteForceTopK(spark, sf).select("query_id", "neighbor_id")
