@@ -37,6 +37,11 @@ object VectorExpressions {
       m: Int, k: Int, dsub: Int): Column =
     ColumnBridge.column(PqEncode(ColumnBridge.expression(e), cen, cc, m, k, dsub))
 
+  def pqEncodeCell(e: Column, cid: Column, cen: Array[Double], cc: Array[Double],
+      m: Int, k: Int, dsub: Int): Column =
+    ColumnBridge.column(PqEncodeCell(ColumnBridge.expression(e),
+      ColumnBridge.expression(cid), cen, cc, m, k, dsub))
+
   def rollingHash31(text: Column, seed: Long, mod: Long): Column =
     ColumnBridge.column(RollingHash31(ColumnBridge.expression(text), seed, mod))
 
@@ -534,6 +539,85 @@ case class PqEncode(child: Expression, cen: Array[Double], cc: Array[Double],
          |      $sc += $in.getDouble($base + $d) * $cenRef[$coff + $d];
          |    }
          |    double $dist = $ss - 2.0 * $sc + $ccRef[$mi * $k + $ki];
+         |    if ($dist < $best) { $best = $dist; $bestK = $ki; }
+         |  }
+         |  $out[$mi] = $bestK;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+}
+
+/** [[PqEncode]] with PER-CELL codebooks (local/residual sub-codebooks — the
+  * refinement where each IVF cell's PQ spans only that cell's local
+  * spread): identical argmin arithmetic, but the codebook slab for the row
+  * is selected by the `cid` input. `cen` is laid out
+  * [((cid·M + m)·K + k)·Dsub + d]; `cc` is [(cid·M + m)·K + k]. Left child
+  * is the (residual) vector, right child the cell id.
+  */
+case class PqEncodeCell(left: Expression, right: Expression,
+    cen: Array[Double], cc: Array[Double], m: Int, k: Int, dsub: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+
+  override protected def nullSafeEval(v: Any, cidv: Any): Any = {
+    val e = v.asInstanceOf[ArrayData]
+    val cell = cidv.asInstanceOf[Int]
+    val out = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      val base = mi * dsub
+      var ss = 0.0
+      var d = 0
+      while (d < dsub) { val x = e.getDouble(base + d); ss += x * x; d += 1 }
+      var best = Double.PositiveInfinity
+      var bestK = 0
+      var ki = 0
+      while (ki < k) {
+        val coff = ((cell * m + mi) * k + ki) * dsub
+        var sc = 0.0
+        d = 0
+        while (d < dsub) { sc += e.getDouble(base + d) * cen(coff + d); d += 1 }
+        val dist = ss - 2.0 * sc + cc((cell * m + mi) * k + ki)
+        if (dist < best) { best = dist; bestK = ki }
+        ki += 1
+      }
+      out(mi) = bestK
+      mi += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cenRef = ctx.addReferenceObj("pqcCen", cen, "double[]")
+    val ccRef = ctx.addReferenceObj("pqcCc", cc, "double[]")
+    nullSafeCodeGen(ctx, ev, (in, cid) => {
+      val out = ctx.freshName("out"); val mi = ctx.freshName("mi")
+      val ss = ctx.freshName("ss"); val sc = ctx.freshName("sc")
+      val d = ctx.freshName("d"); val ki = ctx.freshName("ki")
+      val best = ctx.freshName("best"); val bestK = ctx.freshName("bestK")
+      val base = ctx.freshName("base"); val coff = ctx.freshName("coff")
+      val dist = ctx.freshName("dist"); val x = ctx.freshName("x")
+      s"""
+         |int[] $out = new int[$m];
+         |for (int $mi = 0; $mi < $m; $mi++) {
+         |  int $base = $mi * $dsub;
+         |  double $ss = 0.0;
+         |  for (int $d = 0; $d < $dsub; $d++) {
+         |    double $x = $in.getDouble($base + $d); $ss += $x * $x;
+         |  }
+         |  double $best = Double.POSITIVE_INFINITY;
+         |  int $bestK = 0;
+         |  for (int $ki = 0; $ki < $k; $ki++) {
+         |    int $coff = ((($cid * $m) + $mi) * $k + $ki) * $dsub;
+         |    double $sc = 0.0;
+         |    for (int $d = 0; $d < $dsub; $d++) {
+         |      $sc += $in.getDouble($base + $d) * $cenRef[$coff + $d];
+         |    }
+         |    double $dist = $ss - 2.0 * $sc + $ccRef[(($cid * $m) + $mi) * $k + $ki];
          |    if ($dist < $best) { $best = $dist; $bestK = $ki; }
          |  }
          |  $out[$mi] = $bestK;

@@ -41,16 +41,22 @@ object IvfPq {
     * arithmetic exactly (left-to-right dots, |e|²−2e·c+|c|², ties → lower
     * cid) to derive the seed residuals driver-side.
     */
-  def topKResidual(spark: SparkSession, dir: String, nQueries: Int = 20, k: Int = 5,
-      c: Int = 16, nprobe: Int = 4): DataFrame = {
-    val v = Ann.normed(spark, dir)
-    val seeds = v.select(col("vec_id"), col("e"))
+  /** The deterministic residual model every residual variant shares: IVF
+    * centroids = first c vectors; residual PQ seeds = vectors K..2K−1 minus
+    * their assigned centroid (Scala twin of Ivf.nearestCid's arithmetic —
+    * same FP op order — so the derivation matches the plan's assignment).
+    */
+  private[operators] case class ResModel(seeds: Array[Array[Double]],
+      centroids: Seq[(Int, Seq[Double])], cenFlat: Array[Double],
+      cenR: IndexedSeq[IndexedSeq[Seq[Double]]], dim: Int)
+
+  private[operators] def resModel(spark: SparkSession, dir: String, c: Int): ResModel = {
+    val seeds = Ann.normed(spark, dir).select(col("vec_id"), col("e"))
       .where(col("vec_id") < math.max(c, 2 * Pq.Ksub)).orderBy("vec_id").collect()
       .map(_.getSeq[Double](1).toArray)
     val centroids: Seq[(Int, Seq[Double])] =
       seeds.take(c).zipWithIndex.map { case (e, i) => (i, e.toSeq) }.toSeq
     val cenFlat = seeds.take(c).flatten.toArray
-    // Scala twin of Ivf.nearestCid's arithmetic (same FP op order)
     def dotLR(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i) * b(i); i += 1 }
@@ -71,7 +77,17 @@ object IvfPq {
     }
     val cenR = (0 until Pq.M).map(m => resSeeds.toIndexedSeq
       .map(_.slice(m * Pq.Dsub, (m + 1) * Pq.Dsub): Seq[Double]))
-    val dim = seeds.head.length
+    ResModel(seeds, centroids, cenFlat, cenR, seeds.head.length)
+  }
+
+  def topKResidual(spark: SparkSession, dir: String, nQueries: Int = 20, k: Int = 5,
+      c: Int = 16, nprobe: Int = 4): DataFrame = {
+    val v = Ann.normed(spark, dir)
+    val mdl = resModel(spark, dir, c)
+    val centroids = mdl.centroids
+    val cenFlat = mdl.cenFlat
+    val cenR = mdl.cenR
+    val dim = mdl.dim
     val residual = (e: org.apache.spark.sql.Column, cid: org.apache.spark.sql.Column) =>
       graft.functions.VectorExpressions.subCentroid(e, cid, cenFlat, dim)
     val corpus = v
@@ -95,6 +111,129 @@ object IvfPq {
       // reference it (the explode-inlining trap from minhash applies)
       .select(col("query_id"), col("cid"), rq.as("rq"))
       .select(col("query_id"), col("cid"), dtab.as("dtab")))
+    val adc = (0 until Pq.M).map { m =>
+      element_at(element_at(col("dtab"), m + 1), element_at(col("codes"), m + 1) + 1)
+    }.reduce(_ + _)
+    val scored = q.join(corpus, Seq("cid"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), adc.as("adc_scaled"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_scaled").asc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("adc_scaled"))
+  }
+
+  /** Per-cell Lloyd refinement of the residual sub-codebooks — FAISS's
+    * production layout taken one step further than [[topKResidual]]'s
+    * single global residual codebook: each IVF cell trains its OWN M×K
+    * sub-codebooks over the residuals of the vectors assigned to it, so
+    * the 8 bytes per vector spend their resolution on the cell's local
+    * spread only. Seeded per cell from the global residual seed codebook;
+    * assignment runs as one fused [[graft.functions.PqEncodeCell]] pass
+    * (codebook slab selected by cid per row), update is one shuffle keyed
+    * (cid, m, code) whose output — ≤ c·M·K rows of Dsub means — is the
+    * collected model artifact, exactly like [[Ivf.train]]. Empty (cell,
+    * code) slots keep their previous centroid. Refined centroids are
+    * FP-accumulation-order-sensitive (same caveat as Ivf/Pq refinement),
+    * so this path is recall-spec'd, not oracle-checked; the registered
+    * query stays the deterministic seed construction.
+    */
+  def refineResidualPerCell(spark: SparkSession, dir: String, c: Int = 16,
+      iters: Int = 2): IndexedSeq[IndexedSeq[IndexedSeq[Seq[Double]]]] = {
+    val mdl = resModel(spark, dir, c)
+    val v = Ann.normed(spark, dir)
+    // consumed fully by the per-iteration collects below → cache +
+    // finally-unpersist (the Ivf.train pattern), never left pinned
+    val rows = v
+      .select(col("e"), Ivf.nearestCid(col("e"), mdl.centroids).as("cid"))
+      .select(col("cid"), graft.functions.VectorExpressions
+        .subCentroid(col("e"), col("cid"), mdl.cenFlat, mdl.dim).as("r"))
+      .cache()
+    try {
+      var cells: IndexedSeq[IndexedSeq[IndexedSeq[Seq[Double]]]] =
+        IndexedSeq.fill(c)(mdl.cenR)
+      for (_ <- 1 to iters) {
+        val cenFlat = (for {
+          ci <- 0 until c; m <- 0 until Pq.M; kk <- 0 until Pq.Ksub
+          d <- 0 until Pq.Dsub
+        } yield cells(ci)(m)(kk)(d)).toArray
+        val ccFlat = (for { ci <- 0 until c; m <- 0 until Pq.M; kk <- 0 until Pq.Ksub }
+          yield cells(ci)(m)(kk).map(x => x * x).sum).toArray
+        val updated = rows
+          .select(col("cid"), col("r"), graft.functions.VectorExpressions
+            .pqEncodeCell(col("r"), col("cid"), cenFlat, ccFlat,
+              Pq.M, Pq.Ksub, Pq.Dsub).as("codes"))
+          .select(col("cid"), col("r"), posexplode(col("codes")).as(Seq("m", "code")))
+          .groupBy(col("cid"), col("m"), col("code"))
+          .agg(array((0 until Pq.Dsub).map(d =>
+            avg(element_at(col("r"), col("m") * Pq.Dsub + d + 1))): _*).as("cen"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getSeq[Double](3))
+          .toMap
+        cells = (0 until c).map(ci => (0 until Pq.M).map(m =>
+          (0 until Pq.Ksub).map(kk =>
+            updated.getOrElse((ci, m, kk), cells(ci)(m)(kk)): Seq[Double])))
+      }
+      cells
+    } finally rows.unpersist(blocking = false)
+  }
+
+  /** [[topKResidual]] searching with the per-cell Lloyd-refined residual
+    * sub-codebooks. The corpus encode is the fused per-cell kernel; the
+    * query side's per-probed-cell ADC tables are computed driver-side from
+    * the collected query vectors (bounded by nQueries — the same footing as
+    * the codebook seed collects; at scale the query set is a small
+    * broadcast workload, never the corpus). Recall-spec'd vs the global
+    * residual codebook; not oracle-checked (refined centroids are
+    * FP-order-sensitive).
+    */
+  def topKResidualRefined(spark: SparkSession, dir: String, nQueries: Int = 20,
+      k: Int = 5, c: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val mdl = resModel(spark, dir, c)
+    val cells = refineResidualPerCell(spark, dir, c, iters)
+    val cenFlat = (for {
+      ci <- 0 until c; m <- 0 until Pq.M; kk <- 0 until Pq.Ksub
+      d <- 0 until Pq.Dsub
+    } yield cells(ci)(m)(kk)(d)).toArray
+    val ccFlat = (for { ci <- 0 until c; m <- 0 until Pq.M; kk <- 0 until Pq.Ksub }
+      yield cells(ci)(m)(kk).map(x => x * x).sum).toArray
+    val v = Ann.normed(spark, dir)
+    val corpus = v
+      .select(col("vec_id"), col("e"), Ivf.nearestCid(col("e"), mdl.centroids).as("cid"))
+      .select(col("vec_id"), col("cid"), graft.functions.VectorExpressions
+        .pqEncodeCell(graft.functions.VectorExpressions
+          .subCentroid(col("e"), col("cid"), mdl.cenFlat, mdl.dim),
+          col("cid"), cenFlat, ccFlat, Pq.M, Pq.Ksub, Pq.Dsub).as("codes"))
+    // driver-side probe lists + per-cell ADC tables for the bounded query set
+    val queries = v.where(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("e")).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def sq(a: Array[Double], ce: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - ce(i); s += d * d; i += 1 }
+      s
+    }
+    val qRows = queries.toSeq.flatMap { case (qid, e) =>
+      val probes = mdl.centroids
+        .map { case (cid, ce) => (sq(e, ce), cid) }.sorted.take(nprobe)
+      probes.map { case (_, cid) =>
+        val rq = e.indices.map(i => e(i) - mdl.cenFlat(cid * mdl.dim + i))
+        val dtab = (0 until Pq.M).map { m =>
+          (0 until Pq.Ksub).map { kk =>
+            val cc = cells(cid)(m)(kk)
+            var s = 0.0; var d = 0
+            while (d < Pq.Dsub) {
+              val diff = rq(m * Pq.Dsub + d) - cc(d); s += diff * diff; d += 1
+            }
+            math.floor(s * 1000000.0).toLong
+          }
+        }
+        (qid, cid, dtab)
+      }
+    }
+    val q = broadcast(qRows.toDF("query_id", "cid", "dtab"))
     val adc = (0 until Pq.M).map { m =>
       element_at(element_at(col("dtab"), m + 1), element_at(col("codes"), m + 1) + 1)
     }.reduce(_ + _)

@@ -213,6 +213,22 @@ class DedupSpec extends GraftSuite {
       s"expected materially fewer scanned rows: $scanned vs full $full")
   }
 
+  test("per-cell residual refinement keeps recall vs the global residual codebook") {
+    import spark.implicits._
+    val bf = Ann.bruteForceTopK(spark, sf).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val base = operators.IvfPq.topKResidual(spark, sf).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val refined = operators.IvfPq.topKResidualRefined(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rBase = (bf & base).size.toDouble / bf.size
+    val rRef = (bf & refined).size.toDouble / bf.size
+    // Lloyd on per-cell residuals tightens quantization error; a small
+    // epsilon absorbs rank churn on this tiny sf's near-empty cells
+    assert(rRef >= rBase - 0.05, s"refined $rRef vs global-codebook $rBase")
+    assert(rRef >= 0.15, s"refined recall floor: $rRef")
+  }
+
   test("ann lsh recall vs brute force >= 0.4") {
     import spark.implicits._
     val bf = Ann.bruteForceTopK(spark, sf).select("query_id", "neighbor_id")
