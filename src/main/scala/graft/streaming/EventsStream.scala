@@ -73,6 +73,50 @@ object EventsStream {
       }
   }
 
+  case class FunnelState(mv: Long, mc: Long, mp: Long)
+
+  case class FunnelUpdate(user_id: Long, view_ms: Long, click_ms: Long,
+      purchase_ms: Long, depth: Long)
+
+  /** D7 streaming — incremental conversion funnel per user (batch twin:
+    * [[graft.operators.Events.funnel]], same STRICT same-millisecond rule).
+    * mapGroupsWithState in Update mode: each trigger folds the user's new
+    * events in event-time order into the three stage minima and emits the
+    * user's refreshed funnel row. Within a trigger, a late view re-gates
+    * buffered clicks exactly (events fold sorted); across triggers the
+    * stage minima only ever tighten, so the stream equals the batch result
+    * whenever each user's stage-advancing events arrive in order across
+    * triggers — the same contract [[sessionize]] documents for its merges.
+    * State is 3 longs per user; for an unbounded user population attach an
+    * event-time TTL like sessionize's timeout to expire inactive users.
+    */
+  def funnel(events: Dataset[Event]): Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    val none = -1L
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(none, none, none))
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime
+            e.event_type match {
+              case "view" if s.mv == none || t < s.mv =>
+                s = s.copy(mv = t)
+              case "click" if s.mv != none && t > s.mv && (s.mc == none || t < s.mc) =>
+                s = s.copy(mc = t)
+              case "purchase" if s.mc != none && t > s.mc && (s.mp == none || t < s.mp) =>
+                s = s.copy(mp = t)
+              case _ =>
+            }
+          }
+          state.update(s)
+          val depth =
+            if (s.mp != none) 3L else if (s.mc != none) 2L
+            else if (s.mv != none) 1L else 0L
+          FunnelUpdate(userId, s.mv, s.mc, s.mp, depth)
+      }
+  }
+
   /** Streaming exact dedup: drop re-delivered events by id, keeping state
     * only within the watermark (bounded — the requirement for an unbounded
     * ingest stream where at-least-once delivery duplicates records). The

@@ -86,6 +86,35 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel advances stages incrementally with strict same-ms rule") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStream.funnel(input.toDS())
+      .writeStream.format("memory").queryName("funnelu").outputMode("update").start()
+    try {
+      // same-ms click must not advance past the view (strict >)
+      input.addData(Event(1, ts(0), 7, "view", 0), Event(2, ts(0), 7, "click", 0))
+      q.processAllAvailable()
+      val b1 = spark.table("funnelu").as[EventsStream.FunnelUpdate].collect()
+        .filter(_.user_id == 7L).last
+      assert(b1.depth == 1L && b1.click_ms == -1L, s"same-ms click counted: $b1")
+      // later click + purchase complete the funnel across triggers
+      input.addData(Event(3, ts(5), 7, "click", 0), Event(4, ts(10), 7, "purchase", 0))
+      q.processAllAvailable()
+      val b2 = spark.table("funnelu").as[EventsStream.FunnelUpdate].collect()
+        .filter(_.user_id == 7L).last
+      assert(b2.depth == 3L && b2.view_ms == ts(0).getTime &&
+        b2.click_ms == ts(5).getTime && b2.purchase_ms == ts(10).getTime, s"$b2")
+      // click-before-view user never advances
+      input.addData(Event(5, ts(0), 8, "click", 0), Event(6, ts(5), 8, "view", 0))
+      q.processAllAvailable()
+      val u8 = spark.table("funnelu").as[EventsStream.FunnelUpdate].collect()
+        .filter(_.user_id == 8L).last
+      assert(u8.depth == 1L && u8.click_ms == -1L, s"$u8")
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions on gap and emits on timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
