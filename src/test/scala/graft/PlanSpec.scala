@@ -172,6 +172,17 @@ class PlanSpec extends GraftSuite {
     assert(shuffles(p) == 2, s"shingle group + cell agg only:\n$p")
   }
 
+  test("ANN re-ranks ride WindowGroupLimit partial top-k on one exchange") {
+    // the §7c backlog asked whether the candidate re-rank needed
+    // TopK.perGroup — it doesn't: the rank<=k filter already plans partial
+    // group-limit pruning before the single shuffle in every ANN query
+    for (q <- Seq("q_ann_pq", "q_ann_ivf", "q_ann_ivfpq")) {
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"), s"$q lost group-limit pruning:\n$p")
+      assert(shuffles(p) == 1, s"$q re-rank must be the only exchange:\n$p")
+    }
+  }
+
   test("q_funnel rides ONE user_id exchange (stacked windows + same-key agg)") {
     val p = plan("q_funnel")
     // three dependent stage windows share the user_id partitioning and the
