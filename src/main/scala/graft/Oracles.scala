@@ -56,6 +56,25 @@ object Oracles {
        |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
        |FROM reach GROUP BY src""".stripMargin
 
+  /** Cluster closure as in [[dedupCluster]], then the most-words member
+    * (ties → smaller doc_id) keeps — same window rule as the Spark plan.
+    */
+  val dedupKeepBest: String =
+    s"""WITH RECURSIVE $minhashVerCtes,
+       |pairs AS (SELECT d1, d2 FROM ver WHERE jac >= 0.5),
+       |und AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION SELECT d2, d1 FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM und
+       |  UNION
+       |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+       |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |       FROM reach GROUP BY src),
+       |wc AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_words FROM documents)
+       |SELECT c.doc_id, c.cluster_id, w.n_words,
+       |       row_number() OVER (PARTITION BY c.cluster_id
+       |                          ORDER BY w.n_words DESC, c.doc_id) = 1 AS keep
+       |FROM cl c JOIN wc w USING (doc_id)""".stripMargin
+
   val dedupSimhash: String =
     s"""WITH t AS (SELECT doc_id, list_transform($toksSql, s -> $hash60Sql) AS hs FROM documents)
        |SELECT doc_id, CAST(list_sum([CASE WHEN list_sum([CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0

@@ -136,6 +136,9 @@ object SparkEntry {
     "q_funnel"             -> ((s, d) => Events.funnel(s, d)),
     // q_retention: first-seen cohort × day-offset distinct-active matrix
     "q_retention"          -> ((s, d) => Events.retention(s, d)),
+    // q_dedup_keep_best: canonical-doc selection — most-words member of
+    // each near-dup cluster keeps (min-id keepers discard the best copy)
+    "q_dedup_keep_best"    -> ((s, d) => Curation.dedupKeepBest(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same column aliases — the driver
@@ -340,5 +343,6 @@ object SparkEntry {
     "q_source_overlap"  -> Oracles.sourceOverlap,
     "q_funnel"          -> Oracles.funnel,
     "q_retention"       -> Oracles.retention,
+    "q_dedup_keep_best" -> Oracles.dedupKeepBest,
   )
 }

@@ -182,6 +182,32 @@ object Curation {
       "d1", "d2")
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
 
+  /** C32 — canonical-document selection, the dedup pipeline's final
+    * verdict: near-dup clusters ([[dedupCluster]]) composed with a quality
+    * signal — within each cluster the doc with the MOST WORDS wins (ties →
+    * smaller doc_id), everything else drops. A min-id keeper
+    * ([[graft.operators.Dedup.exact]]'s rule) discards the best-written
+    * copy whenever a longer variant exists; production curation keeps by
+    * quality. Emits one row per clustered doc: cluster id, word count,
+    * keep verdict.
+    *
+    * Scale shape: adds to the cluster computation one doc_id-keyed join
+    * against a narrow word-count scan and ONE window exchange keyed by
+    * cluster id over only the clustered docs (near-dup members, a small
+    * fraction of the corpus).
+    */
+  def dedupKeepBest(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(graft.functions.TextHash.tokens(col("text"))).cast("long").as("n_words"))
+    val w = Window.partitionBy("cluster_id").orderBy(col("n_words").desc, col("doc_id"))
+    dedupCluster(spark, dir, threshold)
+      .join(words, "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("n_words"), col("keep"))
+  }
+
   /** Deterministic train/val/test split (8/1/1) by a salted content-id hash
     * — the standard leak-proof way to split a corpus: membership is a pure
     * function of the id (stable across runs, machines and engines — the

@@ -75,6 +75,24 @@ class CurationSpec extends GraftSuite {
     assert(salted == plain)
   }
 
+  test("dedupKeepBest keeps exactly the most-words member per cluster") {
+    val rows = Curation.dedupKeepBest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty, "sf0.001 has near-dup clusters")
+    // membership matches the cluster query exactly
+    val clustered = Curation.dedupCluster(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(t => (t._1, t._2)).toSet == clustered)
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      val keeps = members.filter(_._4)
+      assert(keeps.length == 1, s"cluster $cid must keep exactly one doc")
+      // the winner is max by (n_words, then smaller doc_id)
+      val winner = members.minBy(t => (-t._3, t._1))
+      assert(keeps.head._1 == winner._1,
+        s"cluster $cid kept ${keeps.head} over $winner")
+    }
+  }
+
   test("vocabPerSource emits sorted comma-joined vocab consistent with n_vocab") {
     Curation.vocabPerSource(spark, sf).collect().foreach { r =>
       val words = r.getString(1).split(",").toSeq
