@@ -497,6 +497,28 @@ object Oracles {
        |       min(doc_id) AS first_doc
        |FROM h GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin
 
+  /** Maximal repeated-substring intervals: per-position 10-word window
+    * hashes (same md5-join construction as [[repeatedSpans]]), windows with
+    * ≥2 corpus-wide occurrences, contiguous positions merged via the
+    * `pos − row_number()` islands trick — mirrored term-for-term.
+    */
+  val dedupSubstring: String =
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS w FROM documents),
+       |s AS (SELECT doc_id,
+       |        unnest([{'pos': i - 1,
+       |                 'h': CAST(concat('0x', substr(md5(array_to_string(w[i:i+9], ' ')), 1, 15)) AS BIGINT)}
+       |                FOR i IN range(1, len(w) - 8)]) AS u
+       |      FROM tok WHERE len(w) >= 10),
+       |p AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM s),
+       |rep AS (SELECT h FROM p GROUP BY h HAVING count(*) >= 2),
+       |runs AS (SELECT doc_id, pos,
+       |           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS run
+       |         FROM p JOIN rep USING (h))
+       |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_pos,
+       |       CAST(max(pos) + 9 AS BIGINT) AS end_pos,
+       |       CAST(max(pos) + 9 - min(pos) + 1 AS BIGINT) AS n_words
+       |FROM runs GROUP BY doc_id, run""".stripMargin
+
   /** Concat-and-chunk sequence packing: md5-salted shard, windowed token
     * offset, integer-division sequence ids (`//` ↔ Spark `div`).
     */

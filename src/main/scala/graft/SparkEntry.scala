@@ -139,6 +139,9 @@ object SparkEntry {
     // q_dedup_keep_best: canonical-doc selection — most-words member of
     // each near-dup cluster keeps (min-id keepers discard the best copy)
     "q_dedup_keep_best"    -> ((s, d) => Curation.dedupKeepBest(s, d)),
+    // q_dedup_substring: Lee et al. exact-substring removal spans —
+    // maximal merged intervals of corpus-repeated 10-word windows
+    "q_dedup_substring"    -> ((s, d) => Dedup.substringIntervals(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same column aliases — the driver
@@ -344,5 +347,6 @@ object SparkEntry {
     "q_funnel"          -> Oracles.funnel,
     "q_retention"       -> Oracles.retention,
     "q_dedup_keep_best" -> Oracles.dedupKeepBest,
+    "q_dedup_substring" -> Oracles.dedupSubstring,
   )
 }

@@ -377,6 +377,45 @@ object Dedup {
     * span-dedup architecture at 100 TB: the shuffle carries (hash, doc_id,
     * idx) triples — 40 bytes per span, never the text.
     */
+  /** C33 — exact substring dedup intervals [Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"]: the MAXIMAL per-doc word
+    * intervals covered by a W-word window that occurs ≥2 times anywhere in
+    * the corpus (including twice in the same doc — the paper's rule). Where
+    * [[graft.operators.Contamination.repeatedSpans]] audits repeated
+    * windows and [[paragraphDedup]] drops fixed tumbling spans, this emits
+    * the arbitrary-offset REMOVAL SPANS an exact-substring dedup actually
+    * cuts: overlapping repeated windows merge, so a repeated 50-word
+    * passage comes back as ONE (start, end) interval, not 41 window hits.
+    *
+    * Plan: per-position W-window hashes ([[graft.functions.ShingleHashN]]
+    * occurrence mode, one narrow scan) → corpus-wide occurrence count
+    * keyed by the 8-byte hash (shuffle 1, map-side partial) → semi-join of
+    * positions against repeated hashes (shuffle 2, same key) → per-doc
+    * gaps-and-islands merge (shuffle 3, keyed by doc): `pos − row_number()`
+    * is constant exactly on contiguous runs, so one groupBy collapses each
+    * run to its maximal interval. The shuffled rows are (doc_id, pos,
+    * hash) triples — never text — which is the suffix-array economics of
+    * the paper re-expressed relationally.
+    */
+  def substringIntervals(spark: SparkSession, dir: String, w: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= w)
+      .select(col("doc_id"),
+        posexplode(graft.functions.VectorExpressions
+          .shingleHashN(col("toks"), w, 0L, distinct = false)).as(Seq("pos", "h")))
+    val rep = pos.groupBy("h").agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    pos.join(rep.select("h"), "h")
+      .withColumn("run", col("pos") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("run"))
+      .agg(min("pos").as("sp"), (max("pos") + w - 1).as("ep"))
+      .select(col("doc_id"), col("sp").cast("long").as("start_pos"),
+        col("ep").cast("long").as("end_pos"),
+        (col("ep") - col("sp") + 1).cast("long").as("n_words"))
+  }
+
   def paragraphDedup(spark: SparkSession, dir: String, w: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spans = transform(

@@ -137,6 +137,35 @@ class DedupSpec extends GraftSuite {
     assert(randHam.sum.toDouble / randHam.length > 15.0)
   }
 
+  test("substringIntervals merges repeated windows into maximal removal spans") {
+    import spark.implicits._
+    // shared 12-word passage S at offset 5 in doc 0 and offset 0 in doc 1:
+    // windows fully inside S repeat (positions 5..7 / 0..2), everything
+    // else is unique → ONE merged interval of 12 words per doc
+    val s12 = (0 until 12).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (0L, (0 until 5).map(i => s"a$i").mkString(" ") + " " + s12 + " " +
+        (0 until 5).map(i => s"b$i").mkString(" ")),
+      (1L, s12 + " " + (0 until 8).map(i => s"c$i").mkString(" ")),
+      // doc 2 repeats ITS OWN 10-word run back-to-back (Lee et al. counts
+      // same-doc repeats): only windows 0 and 10 share a hash (interior
+      // windows straddle the seam) → two non-adjacent 10-word intervals
+      (2L, ((0 until 10).map(i => s"d$i") ++ (0 until 10).map(i => s"d$i"))
+        .mkString(" ")),
+      (3L, (0 until 30).map(i => s"u$i").mkString(" "))) // all unique → no rows
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("graft-substr").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.substringIntervals(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (0L, 5L, 16L, 12L),
+      (1L, 0L, 11L, 12L),
+      (2L, 0L, 9L, 10L),
+      (2L, 10L, 19L, 10L)), s"got $got")
+  }
+
   test("exact dedup keeps one id per content hash") {
     val d = Dedup.exact(spark, sf)
     assert(d.groupBy("content_hash").count().where(col("count") > 1).count() == 0)
