@@ -183,6 +183,15 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("q_dedup_substring: window-hash agg + islands window, no text in shuffles") {
+    val p = plan("q_dedup_substring")
+    // occurrence-count agg + doc-keyed islands window; the position
+    // semi-join broadcasts the (small) repeated-hash set at this SF and may
+    // add one more exchange when it degrades to SMJ at scale
+    assert(shuffles(p) <= 3, s"hash agg + islands window (+ join at scale):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_funnel rides ONE user_id exchange (stacked windows + same-key agg)") {
     val p = plan("q_funnel")
     // three dependent stage windows share the user_id partitioning and the
