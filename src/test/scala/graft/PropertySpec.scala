@@ -167,6 +167,48 @@ class PropertySpec extends GraftSuite {
   // explicitly: direct Expression.eval (interpreted) and a DataFrame
   // select (whole-stage codegen).
 
+  test("PqEncodeCell: interpreted == codegen == offset PqEncode (100 trials)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+    val (c, m, k, dsub) = (4, 2, 3, 4)
+    val dim = m * dsub
+    // per-cell codebook slabs laid out [((cid·M + m)·K + k)·Dsub + d]
+    val cen = Array.fill(c * m * k * dsub)(rnd.nextDouble() - 0.5)
+    val cc = (0 until c * m * k).map { i =>
+      (0 until dsub).map(d => { val x = cen(i * dsub + d); x * x }).sum
+    }.toArray
+    val cases = Seq.fill(100)(
+      (Seq.fill(dim)(rnd.nextDouble() - 0.5), rnd.nextInt(c)))
+    // reference: plain PqEncode over the manually-selected slab
+    def slab(cid: Int, arr: Array[Double], per: Int) =
+      arr.slice(cid * per, (cid + 1) * per)
+    val expected = cases.map { case (e, cid) =>
+      val df = Seq(e).toDF("e").select(graft.functions.VectorExpressions
+        .pqEncode(col("e"), slab(cid, cen, m * k * dsub), slab(cid, cc, m * k),
+          m, k, dsub).as("codes"))
+      df.collect().head.getSeq[Int](0).toSeq
+    }
+    // codegen path: non-literal columns through a DataFrame
+    val got = cases.toDF("e", "cid")
+      .select(col("e"), col("cid"), graft.functions.VectorExpressions
+        .pqEncodeCell(col("e"), col("cid"), cen, cc, m, k, dsub).as("codes"))
+      .collect().map(r => (r.getSeq[Double](0).toSeq, r.getSeq[Int](2).toSeq))
+      .toMap
+    cases.zip(expected).foreach { case ((e, _), exp) =>
+      assert(got(e) == exp, s"codegen diverges from offset PqEncode on cid slab")
+    }
+    // interpreted path: direct eval on Literal children
+    cases.zip(expected).foreach { case ((e, cid), exp) =>
+      val lit = graft.functions.PqEncodeCell(
+        Literal.create(e, ArrayType(DoubleType, containsNull = false)),
+        Literal.create(cid, IntegerType), cen, cc, m, k, dsub)
+      val out = lit.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      assert(out.toIntArray().toSeq == exp, s"interpreted diverges on cid=$cid")
+    }
+  }
+
   private def intersectInterpreted(a: Seq[Long], b: Seq[Long]): Long = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{ArrayType, LongType}
