@@ -142,6 +142,9 @@ object SparkEntry {
     // q_dedup_substring: Lee et al. exact-substring removal spans —
     // maximal merged intervals of corpus-repeated 10-word windows
     "q_dedup_substring"    -> ((s, d) => Dedup.substringIntervals(s, d)),
+    // q_compression_ratio: deflate-ratio boilerplate signal — rows-only
+    // (codec output is JVM-specific; spec pins ordering + determinism)
+    "q_compression_ratio"  -> ((s, d) => Quality.compressionRatio(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same column aliases — the driver

@@ -72,6 +72,48 @@ object VectorExpressions {
 
   def maxTokenFreq(toks: Column): Column =
     ColumnBridge.column(MaxTokenFreq(ColumnBridge.expression(toks)))
+
+  def deflateSize(text: Column, level: Int): Column =
+    ColumnBridge.column(DeflateSize(ColumnBridge.expression(text), level))
+}
+
+/** Deflate-compressed byte count of a string's UTF-8 bytes at a FIXED
+  * level — the compression-ratio boilerplate signal web-corpus pipelines
+  * threshold on (templated text compresses far below prose). Raw deflate
+  * (nowrap, no zlib header) so the count is pure codec output. The codec is
+  * JVM-implementation-specific → consumers are rows-only for the driver
+  * oracle and spec-pinned instead (ordering + determinism), like the
+  * sketch aggregates. CodegenFallback: the per-row deflate dominates; the
+  * Deflater is pooled per thread (reset between rows, ended with the task).
+  */
+case class DeflateSize(child: Expression, level: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+
+  @transient private lazy val local =
+    new ThreadLocal[java.util.zip.Deflater] {
+      override def initialValue(): java.util.zip.Deflater = {
+        val d = new java.util.zip.Deflater(level, true)
+        org.apache.spark.TaskContext.get() match {
+          case null => ()
+          case tc => tc.addTaskCompletionListener[Unit](_ => d.end())
+        }
+        d
+      }
+    }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val d = local.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total
+  }
 }
 
 /** |A ∩ B| of two SORTED, DISTINCT array<long> columns — the same

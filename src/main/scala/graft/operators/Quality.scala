@@ -141,6 +141,26 @@ object Quality {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** q_compression_ratio — the compression-ratio boilerplate signal
+    * (RefinedWeb/Dolma-style): ratio_ppm = deflate(text)·10⁶ div raw
+    * UTF-8 bytes. Templated/repetitive pages compress far below prose even
+    * when no single token or n-gram dominates, so this catches what both
+    * [[qualityFilter]]'s max-token rule and [[repetition]]'s dup-n-gram
+    * fractions miss. Zero-shuffle narrow scan, composing with the ingest
+    * pass like the rest of the cascade.
+    *
+    * Deflate output is codec-implementation-specific, so this is the
+    * second rows-only query (after q_approx_stats): the driver checks
+    * rows, the spec pins the discriminative ordering (repetitive ≪ prose ≪
+    * random), determinism, and bounds.
+    */
+  def compressionRatio(spark: SparkSession, dir: String, level: Int = 6): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), octet_length(col("text")).cast("long").as("raw_bytes"),
+        graft.functions.VectorExpressions.deflateSize(col("text"), level).as("comp_bytes"))
+      .where(col("raw_bytes") > 0)
+      .withColumn("ratio_ppm", expr("comp_bytes * 1000000 div raw_bytes"))
+
   /** q_sample_stratified — exact per-stratum sampling: the k docs with the
     * smallest salted portable hash WITHIN each source. Same leak-proof
     * RNG-free device as [[Curation.hashSplit]], but rank-based so every

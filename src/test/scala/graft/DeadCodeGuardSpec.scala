@@ -49,9 +49,11 @@ class DeadCodeGuardSpec extends GraftSuite {
   }
 
   test("every registered query has an oracle or a documented rows-only waiver") {
-    // q_approx_stats is rows-only by design (sketch accuracy is
-    // engine-specific); anything else without an oracle is an unverified ship
-    val waived = Set("q_approx_stats")
+    // rows-only by design: q_approx_stats (sketch accuracy is
+    // engine-specific), q_compression_ratio (deflate output is
+    // codec-implementation-specific); anything else without an oracle is an
+    // unverified ship
+    val waived = Set("q_approx_stats", "q_compression_ratio")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- waived
     assert(noOracle.isEmpty, s"queries without a DuckDB oracle: $noOracle")
   }

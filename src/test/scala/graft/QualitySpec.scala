@@ -73,6 +73,28 @@ class QualitySpec extends GraftSuite {
     assert(got(1L) == (30L, 0L, 0L, 0L))
   }
 
+  test("compressionRatio orders repetitive < prose < random and is deterministic") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = Seq(
+      (0L, Seq.fill(200)("boiler plate template row").mkString(" ")), // repetitive
+      (1L, Seq.fill(150)(Seq("the", "merge", "batch", "pipeline", "quality",
+        "data", "filter", "model").apply _).zipWithIndex
+        .map { case (f, i) => f(i % 8) }.mkString(" ")), // small-vocab prose
+      (2L, Seq.fill(800)(rnd.alphanumeric.take(6).mkString).mkString(" "))) // random
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("graft-deflate").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def run() = Quality.compressionRatio(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val got = run()
+    assert(got(0L) < got(1L) && got(1L) < got(2L),
+      s"expected repetitive < prose < random, got $got")
+    assert(got.values.forall(v => v > 0L && v < 2000000L), s"ratio bounds: $got")
+    assert(run() == got, "deflate at a fixed level is deterministic")
+  }
+
   test("sourceOverlap matrix matches closed-form shingle counts") {
     import spark.implicits._
     // src A doc: w0..w9 (8 shingles); src B doc: w5..w14 (8 shingles,
