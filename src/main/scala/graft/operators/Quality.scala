@@ -31,7 +31,17 @@ object Quality {
     * the shape real curation pipelines log.
     */
   def qualityFilter(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    qualityFilterOn(Tables.documents(spark, dir))
+
+  /** The cascade as a DataFrame→DataFrame transform, so it applies to ANY
+    * documents-shaped source — including a `readStream` ingest: every
+    * feature is stateless per-row arithmetic, so the exact same plan runs
+    * under Structured Streaming unchanged (spec-verified against the batch
+    * operator on a file stream). This is the deployment shape at 100 TB:
+    * the gate rides the ingest scan, not a second pass.
+    */
+  def qualityFilterOn(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("source"), col("text"), tokens(col("text")).as("toks"))
       .where(size(col("toks")) > 0)
       .select(col("doc_id"), col("source"),

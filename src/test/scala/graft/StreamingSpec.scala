@@ -86,6 +86,26 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("quality cascade runs unchanged on a streaming ingest (gate rides the scan)") {
+    import spark.implicits._
+    // batch result on the corpus slice = the expected verdicts
+    val expected = graft.operators.Quality.qualityFilter(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(10)).toMap
+    // same docs arriving as a file stream through the SAME transform
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val landing = java.nio.file.Files.createTempDirectory("docs-stream").toString
+    docs.write.mode("overwrite").parquet(landing)
+    val q = graft.operators.Quality.qualityFilterOn(
+        EventsStream.fromDirectory(spark, landing, docs.schema))
+      .select("doc_id", "keep")
+      .writeStream.format("memory").queryName("qgate").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("qgate").as[(Long, Boolean)].collect().toMap
+      assert(got == expected, "streaming verdicts must equal the batch cascade")
+    } finally q.stop()
+  }
+
   test("streaming funnel advances stages incrementally with strict same-ms rule") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
