@@ -135,6 +135,42 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel state survives a checkpointed restart") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val landing = java.nio.file.Files.createTempDirectory("funnel-landing").toString
+    val cp = java.nio.file.Files.createTempDirectory("funnel-cp").toString
+    val schema = org.apache.spark.sql.Encoders.product[Event].schema
+    def runOnce(): Map[Long, (Long, Long)] = {
+      // foreachBatch (not the memory sink): the only update-mode sink here
+      // that supports restarting from a checkpoint
+      val got = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+      val q = EventsStream.funnel(
+          EventsStream.fromDirectory(spark, landing, schema).as[Event])
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[EventsStream.FunnelUpdate], _: Long) =>
+          df.collect().foreach(u => got(u.user_id) = (u.view_ms, u.depth))
+        }
+        .start()
+      q.awaitTermination()
+      got.toMap
+    }
+    // run 1: only the view lands
+    Seq(Event(1, ts(0), 7, "view", 0)).toDS()
+      .write.mode("append").parquet(landing)
+    val r1 = runOnce()
+    assert(r1(7L) == ((ts(0).getTime, 1L)), s"run 1: $r1")
+    // run 2 is a NEW query from the same checkpoint: it reads ONLY the new
+    // files, so reaching depth 3 requires the view_ms restored from state
+    Seq(Event(2, ts(5), 7, "click", 0), Event(3, ts(10), 7, "purchase", 0)).toDS()
+      .write.mode("append").parquet(landing)
+    val r2 = runOnce()
+    assert(r2(7L) == ((ts(0).getTime, 3L)),
+      s"state must carry the run-1 view across the restart: $r2")
+  }
+
   test("streaming sessionization closes sessions on gap and emits on timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
