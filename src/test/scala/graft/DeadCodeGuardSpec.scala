@@ -12,18 +12,20 @@ import scala.jdk.CollectionConverters._
   */
 class DeadCodeGuardSpec extends GraftSuite {
 
-  private val opsDir = Paths.get("src/main/scala/graft/operators")
+  private val guardedDirs = Seq("operators", "streaming", "io")
+    .map(d => Paths.get(s"src/main/scala/graft/$d"))
   private val mainDir = Paths.get("src/main/scala/graft")
   private val testDir = Paths.get("src/test/scala/graft")
 
   private def scalaFiles(root: Path): Seq[Path] =
     Files.walk(root).iterator().asScala.filter(_.toString.endsWith(".scala")).toSeq
 
-  /** Public `def name(...): DataFrame` signatures (modifier-free defs only;
-    * the lookahead keeps the non-greedy span from leaking across defs).
+  /** Public `def name(...): DataFrame | Dataset[...]` signatures
+    * (modifier-free defs only; the lookahead keeps the non-greedy span from
+    * leaking across defs).
     */
   private val defPat =
-    """(?s)(private(\[\w+\])?\s+|protected\s+)?def\s+(\w+)\s*\(((?!def\s)[\s\S])*?\)\s*:\s*DataFrame""".r
+    """(?s)(private(\[\w+\])?\s+|protected\s+)?def\s+(\w+)\s*\(((?!def\s)[\s\S])*?\)\s*:\s*(DataFrame|Dataset\[)""".r
 
   private def publicDataFrameDefs(text: String): Seq[String] =
     defPat.findAllMatchIn(text)
@@ -34,7 +36,7 @@ class DeadCodeGuardSpec extends GraftSuite {
     val corpus = (scalaFiles(mainDir) ++ scalaFiles(testDir))
       .map(p => p -> Files.readString(p)).toMap
     val unwired = for {
-      f <- scalaFiles(opsDir)
+      f <- guardedDirs.flatMap(scalaFiles)
       m <- publicDataFrameDefs(corpus(f)).distinct
       refPat = ("""\b""" + m + """\s*\(""").r
       referencedElsewhere = corpus.exists { case (p, text) =>

@@ -58,6 +58,20 @@ class IoSpec extends GraftSuite {
     assert(back(1).getBoolean(4) == false)
   }
 
+  test("GSchema mutators: aliases rename, subset prunes, superset appends") {
+    val base = io.Tables.part(spark, sf) // also covers the one unqueried table
+    assert(base.count() > 0)
+    val aliased = GSchema.withAliases(base, Map("p_name" -> "part_name"))
+    assert(aliased.columns.contains("part_name") && !aliased.columns.contains("p_name"))
+    val sub = GSchema.subset(aliased, "p_partkey", "part_name")
+    assert(sub.columns.toSeq == Seq("p_partkey", "part_name"))
+    val sup = GSchema.superset(sub, "key_sq" -> (col("p_partkey") * col("p_partkey")))
+    assert(sup.columns.toSeq == Seq("p_partkey", "part_name", "key_sq"))
+    assert(sup.where(col("key_sq") =!= col("p_partkey") * col("p_partkey")).count() == 0)
+    // the generic loader is the same path the named loaders delegate to
+    assert(io.Tables.load(spark, sf, "part").count() == base.count())
+  }
+
   test("multi-sink writes one partition dir per label in a single pass") {
     val base = tmp("msink") + "/out"
     val df = io.Tables.events(spark, sf).select("event_id", "event_type", "user_id")
