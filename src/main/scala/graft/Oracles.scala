@@ -75,6 +75,18 @@ object Oracles {
        |                          ORDER BY w.n_words DESC, c.doc_id) = 1 AS keep
        |FROM cl c JOIN wc w USING (doc_id)""".stripMargin
 
+  /** OOV ppm vs the en-docs vocabulary — same token filter, same left-join
+    * null test, same integer floor division.
+    */
+  val oovRate: String =
+    s"""WITH tok AS (SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents),
+       |v AS (SELECT DISTINCT tok FROM tok WHERE lang = 'en')
+       |SELECT t.doc_id, t.lang, count(*)::BIGINT AS n_tokens,
+       |       (count(*) FILTER (v.tok IS NULL))::BIGINT AS n_oov,
+       |       ((count(*) FILTER (v.tok IS NULL)) * 1000000 // count(*))::BIGINT AS oov_ppm
+       |FROM tok t LEFT JOIN v ON t.tok = v.tok
+       |GROUP BY 1, 2""".stripMargin
+
   val dedupSimhash: String =
     s"""WITH t AS (SELECT doc_id, list_transform($toksSql, s -> $hash60Sql) AS hs FROM documents)
        |SELECT doc_id, CAST(list_sum([CASE WHEN list_sum([CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0

@@ -145,6 +145,9 @@ object SparkEntry {
     // q_compression_ratio: deflate-ratio boilerplate signal — rows-only
     // (codec output is JVM-specific; spec pins ordering + determinism)
     "q_compression_ratio"  -> ((s, d) => Quality.compressionRatio(s, d)),
+    // q_oov_rate: ppm of token occurrences outside the en-docs vocabulary
+    // (CCNet-flavored coverage signal; exact token-level left join)
+    "q_oov_rate"           -> ((s, d) => TextAnalysis.oovRate(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same column aliases — the driver
@@ -351,5 +354,6 @@ object SparkEntry {
     "q_retention"       -> Oracles.retention,
     "q_dedup_keep_best" -> Oracles.dedupKeepBest,
     "q_dedup_substring" -> Oracles.dedupSubstring,
+    "q_oov_rate"        -> Oracles.oovRate,
   )
 }

@@ -199,4 +199,32 @@ object TextAnalysis {
         md5(regexp_replace(regexp_replace(regexp_replace(col("aug"),
           emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>")).as("red_hash"))
   }
+
+  /** q_oov_rate — vocabulary-coverage signal (the CCNet-flavored twin of
+    * [[langId]]): per doc, the ppm of token OCCURRENCES absent from the
+    * reference slice's vocabulary (all distinct tokens of `refLang` docs).
+    * High OOV flags off-language or out-of-domain text that stopword
+    * heuristics miss; exact integer arithmetic end to end.
+    *
+    * Scale shape: one distinct over the reference vocab, then a token-level
+    * left join — the exact oracle-checkable baseline. AQE broadcasts the
+    * vocab while it fits; at web scale the standard cheapening is a Bloom
+    * prefilter ([[graft.operators.BloomJoin]]) in front of the same join,
+    * trading exactness of the INTERMEDIATE filter (never the final join)
+    * for shuffle volume. Docs with zero tokens emit no row (no rate to
+    * report), mirrored by the oracle.
+    */
+  def oovRate(spark: SparkSession, dir: String, refLang: String = "en"): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val vocab = docs.where(col("lang") === refLang)
+      .select(explode(tokens(col("text"))).as("tok")).distinct()
+      .withColumn("known", lit(1))
+    docs.select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+      .join(vocab, Seq("tok"), "left")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("known").isNull, 1)).as("n_oov"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_oov"),
+        expr("n_oov * 1000000 div n_tokens").as("oov_ppm"))
+  }
 }

@@ -26,6 +26,28 @@ class PipelineSpec extends GraftSuite {
     graft.io.Tables.documents(spark, sf).select("doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
 
+  test("oovRate ppm matches a closed-form constructed corpus") {
+    import spark.implicits._
+    // en vocab = {alpha beta gamma}; doc 1 (de): 2 of 4 tokens OOV;
+    // doc 2 (en): 0 OOV by construction; doc 3: fully OOV
+    val docs = Seq(
+      (0L, "alpha beta gamma", "en"),
+      (1L, "alpha delta beta epsilon", "de"),
+      (2L, "beta beta alpha", "en"),
+      (3L, "zeta eta", "fr"))
+      .map { case (id, t, l) => (id, t, l, "web", t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("graft-oov").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.oovRate(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map(
+      0L -> ((3L, 0L, 0L)),
+      1L -> ((4L, 2L, 500000L)),
+      2L -> ((3L, 0L, 0L)),
+      3L -> ((2L, 2L, 1000000L))))
+  }
+
   test("decontaminate matches a brute-force n-gram recomputation") {
     val texts = docTexts()
     def grams(t: String, n: Int): Set[String] =
