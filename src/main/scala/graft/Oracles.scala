@@ -75,6 +75,20 @@ object Oracles {
        |                          ORDER BY w.n_words DESC, c.doc_id) = 1 AS keep
        |FROM cl c JOIN wc w USING (doc_id)""".stripMargin
 
+  /** TPC-H Q18 shape: the HAVING filter applies to the ROUNDED quantity sum
+    * exactly as the Spark agg does; (totalprice DESC, orderkey) makes the
+    * LIMIT deterministic under price ties.
+    */
+  val tpchQ18: String =
+    """WITH big AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+      |             FROM lineitem GROUP BY 1
+      |             HAVING round(sum(l_quantity), 2) > 250)
+      |SELECT c_name, c_custkey, o_orderkey, epoch_ms(o_orderdate) AS o_date_ms,
+      |       o_totalprice, sum_qty
+      |FROM orders JOIN big ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
   /** OOV ppm vs the en-docs vocabulary — same token filter, same left-join
     * null test, same integer floor division.
     */

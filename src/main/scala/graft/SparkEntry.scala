@@ -114,6 +114,8 @@ object SparkEntry {
     // classic multi-join shapes: pushdown + broadcast snowflake + AQE
     "q_tpch_q3"            -> ((s, d) => Relational.tpchQ3(s, d)),
     "q_tpch_q5"            -> ((s, d) => Relational.tpchQ5(s, d)),
+    // q_tpch_q18: HAVING-filtered order set + multi-join + TakeOrdered-100
+    "q_tpch_q18"           -> ((s, d) => Relational.tpchQ18(s, d)),
     // round-6 block: quality gate + corpus profiling + graph density
     // q_quality_filter: Gopher/C4-style rule cascade — zero-shuffle narrow scan
     "q_quality_filter"     -> ((s, d) => Quality.qualityFilter(s, d)),
@@ -330,6 +332,7 @@ object SparkEntry {
     "q_pagerank"        -> Oracles.pageRank,
     "q_tpch_q3"         -> Oracles.tpchQ3,
     "q_tpch_q5"         -> Oracles.tpchQ5,
+    "q_tpch_q18"        -> Oracles.tpchQ18,
     "q_lang_id"         -> Oracles.langId,
     "q_quality_score"   -> Oracles.qualityScore,
     "q_fingerprint"     -> Oracles.fingerprint,

@@ -381,4 +381,31 @@ object Relational {
       .groupBy(col("n_name"))
       .agg(round(sum(col("rev")), 2).as("revenue"))
   }
+
+  /** A26 — TPC-H Q18 shape (large-volume customers): a HAVING-filtered
+    * order set driving a multi-join + top-100. Spark-first: the lineitem
+    * aggregate IS the qualifying set (one scan serves both the filter and
+    * the reported quantity sum — the subquery form would scan lineitem
+    * twice), the orders join keys on it, customer broadcasts (AQE keeps
+    * that decision at any SF where it fits), and the top-100 plans as
+    * TakeOrderedAndProject — bounded per-partition heaps, no global sort.
+    * o_orderkey tiebreak makes the LIMIT deterministic under ties.
+    */
+  def tpchQ18(spark: SparkSession, dir: String, minQty: Double = 250.0,
+      n: Int = 100): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .where(col("sum_qty") > minQty)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        // o_orderdate is TIMESTAMP_NTZ; the UTC session makes the cast
+        // wall-clock-preserving, matching DuckDB's epoch_ms
+        unix_millis(col("o_orderdate").cast("timestamp")).as("o_date_ms"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(n)
+  }
 }

@@ -183,6 +183,12 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("q_tpch_q18 plans TakeOrdered top-100 and broadcasts the small sides") {
+    val p = plan("q_tpch_q18")
+    assert(p.contains("TakeOrderedAndProject"), s"top-100 must not global-sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"qualifying set / customer broadcast:\n$p")
+  }
+
   test("q_dedup_substring: window-hash agg + islands window, no text in shuffles") {
     val p = plan("q_dedup_substring")
     // occurrence-count agg + doc-keyed islands window; the position
