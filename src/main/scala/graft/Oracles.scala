@@ -856,6 +856,15 @@ object Oracles {
     * calendar days in UTC on both engines (Spark's session timezone is
     * pinned to UTC by Verify/Bench).
     */
+  /** Daily new users + running total over the per-day table. */
+  val userGrowth: String =
+    """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
+      |d AS (SELECT day, count(*) AS n_new FROM f GROUP BY 1)
+      |SELECT CAST(day AS VARCHAR) AS day, n_new,
+      |       CAST(sum(n_new) OVER (ORDER BY day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+      |FROM d""".stripMargin
+
   val retention: String =
     """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
       |f AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY 1)

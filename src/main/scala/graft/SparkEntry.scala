@@ -138,6 +138,8 @@ object SparkEntry {
     "q_funnel"             -> ((s, d) => Events.funnel(s, d)),
     // q_retention: first-seen cohort × day-offset distinct-active matrix
     "q_retention"          -> ((s, d) => Events.retention(s, d)),
+    // q_user_growth: daily new users + cumulative total (tiny-table window)
+    "q_user_growth"        -> ((s, d) => Events.userGrowth(s, d)),
     // q_dedup_keep_best: canonical-doc selection — most-words member of
     // each near-dup cluster keeps (min-id keepers discard the best copy)
     "q_dedup_keep_best"    -> ((s, d) => Curation.dedupKeepBest(s, d)),
@@ -355,6 +357,7 @@ object SparkEntry {
     "q_source_overlap"  -> Oracles.sourceOverlap,
     "q_funnel"          -> Oracles.funnel,
     "q_retention"       -> Oracles.retention,
+    "q_user_growth"     -> Oracles.userGrowth,
     "q_dedup_keep_best" -> Oracles.dedupKeepBest,
     "q_dedup_substring" -> Oracles.dedupSubstring,
     "q_oov_rate"        -> Oracles.oovRate,

@@ -106,6 +106,28 @@ object Events {
     * one row per (user, cohort, day) after map-side partial dedup. No
     * driver state, no joins (the window replaces the first-seen self-join).
     */
+  /** q_user_growth — daily acquisition curve: users first seen each day and
+    * the cumulative total. Companion to [[retention]] (the other axis of
+    * the growth dashboard); exact integers.
+    *
+    * Scale shape: first-seen collapses per user (one exchange), daily
+    * counts are a tiny keyed agg, and the running total is a
+    * single-partition window — safe ONLY because it runs over the
+    * #days-row daily table, not events (the aggregation reduced
+    * cardinality first; never put an unpartitioned window on a fact
+    * table).
+    */
+  def userGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val firstSeen = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("user_id")).agg(min(col("day")).as("day"))
+    firstSeen.groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+      .withColumn("cum_users", sum(col("n_new")).over(
+        Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("day").cast("string").as("day"), col("n_new"), col("cum_users"))
+  }
+
   def retention(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
     Tables.events(spark, dir)

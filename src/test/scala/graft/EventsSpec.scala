@@ -63,6 +63,22 @@ class EventsSpec extends GraftSuite {
       ("1970-01-02", 0L) -> 1L)) // user 2's cohort day (dup collapsed)
   }
 
+  test("userGrowth counts first-seen users per day with a running total") {
+    val day = 86400000L
+    // day0: users 1,2 first seen; day1: user 3 new (1 and 2 return — not
+    // new); day3: user 4 new
+    val dir = eventsDir(Seq(
+      (1L, 0L, 1L, "view"), (2L, 10L, 2L, "view"),
+      (3L, day, 3L, "view"), (4L, day + 5, 1L, "view"), (5L, day + 6, 2L, "view"),
+      (6L, 3 * day, 4L, "view")))
+    val got = Events.userGrowth(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("1970-01-01", 2L, 2L),
+      ("1970-01-02", 1L, 3L),
+      ("1970-01-04", 1L, 4L)))
+  }
+
   test("funnel emits no row for users absent from the table") {
     val dir = eventsDir(Seq((1L, 100L, 7L, "view")))
     assert(Events.funnel(spark, dir).select("user_id").collect().map(_.getLong(0)).toSeq
