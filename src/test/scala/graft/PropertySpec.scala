@@ -167,6 +167,23 @@ class PropertySpec extends GraftSuite {
   // explicitly: direct Expression.eval (interpreted) and a DataFrame
   // select (whole-stage codegen).
 
+  test("SortedJaccard kernel == built-in intersect/union composition (200 trials)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq((Seq(1L), Seq(1L)), (Seq.empty[Long], Seq(1L))) ++
+      Seq.fill(200)((Seq.fill(rnd.nextInt(30))(rnd.nextLong(60)).distinct.sorted,
+        Seq.fill(rnd.nextInt(30))(rnd.nextLong(60)).distinct.sorted))
+    val rows = cases.toDF("a", "b")
+      .select(graft.functions.VectorExpressions.sortedJaccard(col("a"), col("b")).as("k"),
+        graft.functions.TextHash.jaccard(col("a"), col("b")).as("c"))
+      .collect()
+    rows.foreach { r =>
+      val k = r.getDouble(0)
+      val c = if (r.isNullAt(1)) Double.NaN else r.getDouble(1) // 0/0 → null vs kernel's defined 0
+      assert(k == c || (c.isNaN && k == 0.0), s"kernel $k vs composed $c")
+    }
+  }
+
   test("PqEncodeCell: interpreted == codegen == offset PqEncode (100 trials)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
