@@ -674,7 +674,7 @@ object Oracles {
     """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
       |cen AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cid, e AS ce
-      |        FROM v WHERE vec_id < 16),
+      |        FROM v WHERE vec_id < (SELECT greatest(16, count(*) // 1000) FROM v)),
       |d AS (SELECT n.vec_id, cen.cid,
       |        (list_dot_product(e, e) - 2 * list_dot_product(e, ce)
       |         + list_dot_product(ce, ce)) AS dist
@@ -851,11 +851,6 @@ object Oracles {
       |                 ELSE 0 END AS BIGINT) AS depth
       |FROM v JOIN c USING (user_id) JOIN p USING (user_id)""".stripMargin
 
-  /** Cohort retention matrix: cohort = each user's first active date,
-    * cells = distinct users active at each day offset. Dates compare as
-    * calendar days in UTC on both engines (Spark's session timezone is
-    * pinned to UTC by Verify/Bench).
-    */
   /** Daily new users + running total over the per-day table. */
   val userGrowth: String =
     """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
@@ -865,6 +860,11 @@ object Oracles {
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
       |FROM d""".stripMargin
 
+  /** Cohort retention matrix: cohort = each user's first active date,
+    * cells = distinct users active at each day offset. Dates compare as
+    * calendar days in UTC on both engines (Spark's session timezone is
+    * pinned to UTC by Verify/Bench).
+    */
   val retention: String =
     """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
       |f AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY 1)

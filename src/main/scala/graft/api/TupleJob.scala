@@ -30,6 +30,17 @@ final class TupleJob private[api] (
   /** Secondary sort: total order within each group (Pangool OrderBy).
     * Null placement via the Column API (`asc_nulls_first` etc.) mirrors
     * Pangool's Criteria.NullOrder.
+    *
+    * Custom comparators (the reference's per-field RawComparator slot,
+    * core io/Criteria.java / tuplemr/OrderBy.java `setCustomComparator`):
+    * re-express the comparator as a DERIVED SORT KEY — any Column
+    * expression is accepted here, so `compare(a,b) = a.name
+    * .compareToIgnoreCase(b.name)` becomes `orderBy(lower(col("name")))`,
+    * a bit-twiddling byte comparator becomes the equivalent expression
+    * over `unhex`/`conv`/etc., and a multi-level comparator becomes
+    * multiple keys. This is strictly more scalable than an opaque
+    * comparator: the expression is codegen'd and sorts via Spark's
+    * radix/Tungsten sort instead of per-comparison virtual dispatch.
     */
   def orderBy(cols: Column*): TupleJob =
     new TupleJob(df, groupCols, cols, partitionCols)

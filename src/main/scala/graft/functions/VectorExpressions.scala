@@ -602,6 +602,20 @@ case class PqEncodeCell(left: Expression, right: Expression,
     cen: Array[Double], cc: Array[Double], m: Int, k: Int, dsub: Int)
     extends BinaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  // Pin the cid input to IntegerType: codegen's widening arithmetic would
+  // accept a LongType cid that the interpreted path's asInstanceOf[Int]
+  // rejects at runtime — analysis-time failure keeps both paths honest.
+  // (AbstractDataType is private[sql], so this is the checkInputDataTypes
+  // spelling of ExpectsInputTypes, like [[graft.operators.BloomJoin]].)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_encode_cell requires (array<double>, int), got " +
+            s"(${l.catalogString}, ${r.catalogString})")
+    }
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 

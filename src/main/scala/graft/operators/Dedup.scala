@@ -52,7 +52,12 @@ object Dedup {
     // it stays pinned until an explicit unpersist that no caller can issue
     // (the result is a lazy DataFrame). Checkpoint blocks are GC-released
     // with the plan — nothing outlives the query in a shared session.
-    val sh = shingleHashed(spark, dir).localCheckpoint()
+    // Lazy (eager = false) so merely CONSTRUCTING the DataFrame (explain,
+    // plan tests) costs nothing; the shingle job runs at first action.
+    // Caveat either way: checkpoint blocks are not fault-tolerant — on
+    // executor loss or dynamic-allocation downscale the query fails rather
+    // than recomputes, so run these operators with shrink-protection off.
+    val sh = shingleHashed(spark, dir).localCheckpoint(false)
     // materialize the signature BEFORE fanning out band keys: inlining the
     // sig expression into the 32 element refs of the explode would evaluate
     // it 32× per row (measured 27 s vs 2 s at sf0.1)
@@ -99,8 +104,8 @@ object Dedup {
     */
   def containment(spark: SparkSession, dir: String, threshold: Double = 0.7,
       sampleMod: Int = 8, maxDf: Int = 64): DataFrame = {
-    // same localCheckpoint-not-cache rationale as [[minhashLsh]]
-    val sh = shingleHashed(spark, dir).localCheckpoint()
+    // same localCheckpoint-not-cache (and lazy) rationale as [[minhashLsh]]
+    val sh = shingleHashed(spark, dir).localCheckpoint(false)
     val bands = sh
       .select(col("doc_id"), minhashSignature(col("h0")).as("sig"))
       .select(col("doc_id"), explode(bandKeys(col("sig"))).as("b"))
@@ -327,12 +332,21 @@ object Dedup {
     * by cluster id; pairs never materialize as rows — each cell is scanned
     * in a tight per-group loop that short-circuits at the first smaller-id
     * near-dup. Emits every vector with its cluster and keep verdict.
+    *
+    * `c ≤ 0` (the default) derives the cluster count from the corpus:
+    * `max(16, n / 1000)`, i.e. ~1000-vector cells, so the per-cell
+    * O(|cell|²) loop AND the shuffle's parallelism both track corpus size
+    * instead of pinning at 16 — the count is a parquet-metadata read, and
+    * the oracle re-derives the same `c` from the same `count(*)`.
     */
-  def semDedup(spark: SparkSession, dir: String, c: Int = 16,
+  def semDedup(spark: SparkSession, dir: String, c: Int = 0,
       tau: Double = 0.4): DataFrame = {
     import spark.implicits._
+    val cc =
+      if (c > 0) c
+      else math.max(16L, Tables.embeddings(spark, dir).count() / 1000L).toInt
     val v = Ann.normed(spark, dir)
-    val centroids = v.select(col("vec_id"), col("e")).where(col("vec_id") < c)
+    val centroids = v.select(col("vec_id"), col("e")).where(col("vec_id") < cc)
       .orderBy("vec_id").collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
     v.select(col("vec_id"), col("e"), col("nrm"),

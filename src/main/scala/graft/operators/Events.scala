@@ -71,41 +71,39 @@ object Events {
     * and the final per-user collapse is a groupBy on the same key, so no
     * second shuffle. No joins, no driver state.
     */
-  def funnel(spark: SparkSession, dir: String): DataFrame = {
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    funnelStages(spark, dir, Seq("view", "click", "purchase"))
+
+  /** Generalized funnel: the same window cascade over an arbitrary ordered
+    * stage list. Output columns are `<stage>_ms` per stage (so stage names
+    * must be distinct) plus `depth` 0–N; the 3-stage default is exactly
+    * [[funnel]]/q_funnel. Still ONE user_id exchange regardless of N —
+    * each extra stage adds a Window node over the same partitioning, not a
+    * shuffle.
+    */
+  def funnelStages(spark: SparkSession, dir: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty && stages.distinct == stages,
+      s"stages must be non-empty and distinct: $stages")
     val byUser = Window.partitionBy(col("user_id"))
-    Tables.events(spark, dir)
+    val base = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
-      .withColumn("mv",
-        min(when(col("event_type") === "view", col("ms"))).over(byUser))
-      .withColumn("mc",
-        min(when(col("event_type") === "click" && col("ms") > col("mv"), col("ms")))
-          .over(byUser))
-      .withColumn("mp",
-        min(when(col("event_type") === "purchase" && col("ms") > col("mc"), col("ms")))
-          .over(byUser))
-      .groupBy(col("user_id"))
-      .agg(
-        coalesce(max(col("mv")), lit(-1L)).as("view_ms"),
-        coalesce(max(col("mc")), lit(-1L)).as("click_ms"),
-        coalesce(max(col("mp")), lit(-1L)).as("purchase_ms"))
-      .withColumn("depth",
-        when(col("purchase_ms") >= 0, 3L)
-          .when(col("click_ms") >= 0, 2L)
-          .when(col("view_ms") >= 0, 1L)
-          .otherwise(0L))
+    val staged = stages.zipWithIndex.foldLeft(base) { case (df, (st, i)) =>
+      val reached = if (i == 0) col("event_type") === st
+      else col("event_type") === st && col("ms") > col(s"m${i - 1}")
+      df.withColumn(s"m$i", min(when(reached, col("ms"))).over(byUser))
+    }
+    val stageCols = stages.zipWithIndex.map { case (st, i) =>
+      coalesce(max(col(s"m$i")), lit(-1L)).as(s"${st}_ms")
+    }
+    val depth = stages.zipWithIndex.foldLeft(lit(0L)) { case (acc, (st, i)) =>
+      when(col(s"${st}_ms") >= 0, lit((i + 1).toLong)).otherwise(acc)
+    }
+    staged.groupBy(col("user_id"))
+      .agg(stageCols.head, stageCols.tail: _*)
+      .withColumn("depth", depth)
   }
 
-  /** q_retention — cohort retention matrix: cohort = each user's first
-    * active date; for every (cohort, day-offset) cell, the count of
-    * distinct users from that cohort active that day. The growth-analytics
-    * staple; exact integer outputs (dates + counts).
-    *
-    * Scale shape: the cohort date is a window min over user_id (one
-    * exchange); activity collapses through a two-phase distinct-count agg
-    * keyed by the (cohort, offset) cell — the only other shuffle, carrying
-    * one row per (user, cohort, day) after map-side partial dedup. No
-    * driver state, no joins (the window replaces the first-seen self-join).
-    */
   /** q_user_growth — daily acquisition curve: users first seen each day and
     * the cumulative total. Companion to [[retention]] (the other axis of
     * the growth dashboard); exact integers.
@@ -128,6 +126,17 @@ object Events {
       .select(col("day").cast("string").as("day"), col("n_new"), col("cum_users"))
   }
 
+  /** q_retention — cohort retention matrix: cohort = each user's first
+    * active date; for every (cohort, day-offset) cell, the count of
+    * distinct users from that cohort active that day. The growth-analytics
+    * staple; exact integer outputs (dates + counts).
+    *
+    * Scale shape: the cohort date is a window min over user_id (one
+    * exchange); activity collapses through a two-phase distinct-count agg
+    * keyed by the (cohort, offset) cell — the only other shuffle, carrying
+    * one row per (user, cohort, day) after map-side partial dedup. No
+    * driver state, no joins (the window replaces the first-seen self-join).
+    */
   def retention(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
     Tables.events(spark, dir)

@@ -206,21 +206,32 @@ object TextAnalysis {
     * High OOV flags off-language or out-of-domain text that stopword
     * heuristics miss; exact integer arithmetic end to end.
     *
-    * Scale shape: one distinct over the reference vocab, then a token-level
-    * left join — the exact oracle-checkable baseline. AQE broadcasts the
-    * vocab while it fits; at web scale the standard cheapening is a Bloom
-    * prefilter ([[graft.operators.BloomJoin]]) in front of the same join,
-    * trading exactness of the INTERMEDIATE filter (never the final join)
-    * for shuffle volume. Docs with zero tokens emit no row (no rate to
-    * report), mirrored by the oracle.
+    * Scale shape: one distinct over the reference vocab folded into a
+    * Bloom filter ([[BloomJoin.keyFilter]], distributed treeAggregate
+    * build), then a token-level left join that only the Bloom-PASSING
+    * tokens enter. A Bloom miss has no false negatives, so those tokens
+    * are definite OOV and bypass the join straight into the map-side
+    * partial agg; Bloom false positives surface as null `known` in the
+    * exact join, so the result is exactly the plain-join baseline while
+    * the join input carries ~|known hits| + fpp·|OOV| tokens instead of
+    * every token — the cheapening that matters once the vocab outgrows a
+    * broadcast and the join must shuffle. Docs with zero tokens emit no
+    * row (no rate to report), mirrored by the oracle.
     */
-  def oovRate(spark: SparkSession, dir: String, refLang: String = "en"): DataFrame = {
+  def oovRate(spark: SparkSession, dir: String, refLang: String = "en",
+      fpp: Double = 0.01): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val vocab = docs.where(col("lang") === refLang)
       .select(explode(tokens(col("text"))).as("tok")).distinct()
       .withColumn("known", lit(1))
-    docs.select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+    val bf = BloomJoin.keyFilter(vocab, "tok", fpp)
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(tokens(col("text"))).as("tok"))
+    val probable = toks.where(BloomJoin.mightContain(col("tok"), bf))
       .join(vocab, Seq("tok"), "left")
+    val definite = toks.where(!BloomJoin.mightContain(col("tok"), bf))
+      .withColumn("known", lit(null).cast("int"))
+    probable.unionByName(definite)
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_tokens"),
         count(when(col("known").isNull, 1)).as("n_oov"))

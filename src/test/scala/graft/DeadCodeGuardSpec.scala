@@ -17,8 +17,11 @@ class DeadCodeGuardSpec extends GraftSuite {
   private val mainDir = Paths.get("src/main/scala/graft")
   private val testDir = Paths.get("src/test/scala/graft")
 
-  private def scalaFiles(root: Path): Seq[Path] =
-    Files.walk(root).iterator().asScala.filter(_.toString.endsWith(".scala")).toSeq
+  private def scalaFiles(root: Path): Seq[Path] = {
+    val stream = Files.walk(root)
+    try stream.iterator().asScala.filter(_.toString.endsWith(".scala")).toSeq
+    finally stream.close()
+  }
 
   /** Public `def name(...): DataFrame | Dataset[...]` signatures
     * (modifier-free defs only; the lookahead keeps the non-greedy span from

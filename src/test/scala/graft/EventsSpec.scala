@@ -79,6 +79,27 @@ class EventsSpec extends GraftSuite {
       ("1970-01-04", 1L, 4L)))
   }
 
+  test("funnelStages: 4-stage cascade generalizes the same strict-order rule") {
+    // user 1 walks all four stages in order; user 2's purchase precedes
+    // its click so it stalls at click (depth 2) even though a signup
+    // follows; user 3 stalls after view.
+    val dir = eventsDir(Seq(
+      (1L, 100L, 1L, "view"), (2L, 200L, 1L, "click"),
+      (3L, 300L, 1L, "purchase"), (4L, 400L, 1L, "signup"),
+      (5L, 100L, 2L, "view"), (6L, 200L, 2L, "purchase"),
+      (7L, 300L, 2L, "click"), (8L, 400L, 2L, "signup"),
+      (9L, 100L, 3L, "view"), (10L, 200L, 3L, "signup")))
+    val got = Events.funnelStages(spark, dir,
+        Seq("view", "click", "purchase", "signup")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got == Map(
+      1L -> ((100L, 200L, 300L, 400L, 4L)),
+      2L -> ((100L, 300L, -1L, -1L, 2L)),
+      3L -> ((100L, -1L, -1L, -1L, 1L))))
+  }
+
   test("funnel emits no row for users absent from the table") {
     val dir = eventsDir(Seq((1L, 100L, 7L, "view")))
     assert(Events.funnel(spark, dir).select("user_id").collect().map(_.getLong(0)).toSeq

@@ -205,14 +205,16 @@ class PipelineSpec extends GraftSuite {
       .select(col("vec_id"), col("e"), col("nrm")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
       .sortBy(_._1)
-    val cen = v.filter(_._1 < 16).map(_._2)
+    // same corpus-derived cluster count as the operator (~1000-vector cells)
+    val nc = math.max(16, v.length / 1000)
+    val cen = v.filter(_._1 < nc).map(_._2)
     def cid(e: Array[Double]): Int = {
       def dot(a: Array[Double], b: Array[Double]) = {
         var s = 0.0; var i = 0
         while (i < a.length) { s += a(i) * b(i); i += 1 }
         s
       }
-      (0 until 16).minBy(c => (dot(e, e) - 2 * dot(e, cen(c)) + cen(c).map(x => x * x).sum, c))
+      (0 until nc).minBy(c => (dot(e, e) - 2 * dot(e, cen(c)) + cen(c).map(x => x * x).sum, c))
     }
     val byCell = v.groupBy { case (_, e, _) => cid(e) }
     val expected = byCell.flatMap { case (c, vs) =>

@@ -30,6 +30,25 @@ class TupleJobSpec extends GraftSuite {
     assert(tj == viaWindow)
   }
 
+  test("custom comparator ports as a derived sort key (case-insensitive secondary sort)") {
+    // A Pangool job with OrderBy.setCustomComparator(compareToIgnoreCase)
+    // ports to orderBy(lower(col)): same group stream order, no comparator
+    // class. Tie-break on the raw value keeps the order total.
+    val df = spark.createDataFrame(Seq(
+      (1, "banana"), (1, "Apple"), (1, "cherry"), (1, "APRICOT"),
+      (2, "b"), (2, "A")
+    )).toDF("k", "name")
+    val outSchema = StructType(Seq(
+      StructField("k", IntegerType), StructField("names", StringType)))
+    val out = TupleJob.groupBy(df, "k")
+      .orderBy(lower(col("name")), col("name"))
+      .reduce(outSchema) { (key, rows) =>
+        Iterator(Row(key.getInt(0), rows.map(_.getAs[String]("name")).mkString(",")))
+      }
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out == Map(1 -> "Apple,APRICOT,banana,cherry", 2 -> "A,b"))
+  }
+
   test("rollup handler fires open/close per depth like TupleRollupReducer") {
     val df = spark.createDataFrame(Seq(
       ("r1", "n1", 1), ("r1", "n1", 2), ("r1", "n2", 3), ("r2", "n3", 4)

@@ -14,6 +14,16 @@ def load():
         rn = int(re.search(r"BENCH_r(\d+)", f).group(1))
         d = json.load(open(f))
         p = d.get("parsed") or {}
+        if not p.get("queries"):
+            # driver tail buffers can clip the FRONT of the JSON line,
+            # nulling "parsed" — the per-query dict usually survives intact
+            # at the end of the tail, so recover it directly
+            m = re.search(r'"queries":(\{[^{}]*\})', d.get("tail") or "")
+            if m:
+                try:
+                    p = {"queries": json.loads(m.group(1))}
+                except ValueError:
+                    pass
         if p.get("queries"):
             rounds[rn] = p["queries"]
     return rounds
