@@ -69,9 +69,13 @@ object Ann {
     * k=4, L=8 measures ~0.8 even on near-uniform vectors, and →1.0 on real
     * clustered embeddings where near-dup cosines are ≥0.9).
     */
-  def lshBuckets(spark: SparkSession, dir: String, nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
-    val v = normed(spark, dir)
-    val buckets = (0 until nTables).map { t =>
+  /** Per-table (tbl, bucket) structs for a vector column — the same plane
+    * constants whether the vector is a corpus row or an external query
+    * batch (how [[AnnIndex]] buckets incoming queries).
+    */
+  private[operators] def tableBucketStructs(e: Column, nPlanes: Int = 4,
+      nTables: Int = 8): Seq[Column] =
+    (0 until nTables).map { t =>
       val bucket = (0 until nPlanes).map { j =>
         // codegen DotProduct against the constant plane — the HOF form
         // (aggregate(zip_with)) is interpreted per element and was the last
@@ -79,12 +83,16 @@ object Ann {
         // sf0.1; the candidate join dominates this query, not the planes);
         // summation order is identical, so the doubles (and the oracle's
         // bucket bits) are unchanged
-        val dot = VectorExpressions.dot(col("e"),
+        val dot = VectorExpressions.dot(e,
           typedlit((0 until 64).map(planeComponent(t * nPlanes + j, _))))
         when(dot > 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
       struct(lit(t).as("tbl"), bucket.as("bucket"))
     }
+
+  def lshBuckets(spark: SparkSession, dir: String, nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
+    val v = normed(spark, dir)
+    val buckets = tableBucketStructs(col("e"), nPlanes, nTables)
     v.select(col("vec_id"), col("label"), explode(array(buckets: _*)).as("tb"))
       .select(col("vec_id"), col("label"), col("tb.tbl"), col("tb.bucket"))
   }

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExpressions
+
+/** End-to-end ANN serving façade: build an index over the corpus ONCE,
+  * then answer arbitrary batch query sets against it — the entry point a
+  * user actually calls, composing the spec'd/oracle-checked pieces
+  * ([[Ann.lshBuckets]]'s hyperplane tables, [[Ivf.train]]'s coarse
+  * quantizer) behind one handle.
+  *
+  * Separation of build and search is the scale story: the expensive parts
+  * (bucket table / cell assignment over the full corpus) are materialized
+  * once per index lifetime, while each search batch costs only its own
+  * broadcast + candidate join + re-rank. Query batches are broadcast (a
+  * serving batch is small by definition); the corpus never reshuffles
+  * across batches.
+  */
+object AnnIndex {
+
+  /** A built index. `corpus` is (vec_id, e, nrm[, cid]); `buckets` is the
+    * LSH (vec_id, tbl, bucket) table (empty for IVF). Both are
+    * lazily localCheckpointed: materialized at the first search, reused by
+    * every later batch instead of recomputed.
+    */
+  final case class Handle private[operators] (
+      method: String,
+      corpus: DataFrame,
+      buckets: Option[DataFrame],
+      centroids: Seq[(Int, Seq[Double])],
+      nprobe: Int) {
+
+    /** Top-k cosine neighbors per query. `queries` = (query_id, qe) with
+      * qe an array<double> of the corpus dimension — corpus rows or
+      * external vectors alike. Output (query_id, rk, neighbor_id, cos4)
+      * matches q_ann_lsh / q_ann_ivf row-for-row when the query batch is
+      * the registered one (AnnIndexSpec pins this).
+      */
+    def search(queries: DataFrame, k: Int = 5): DataFrame = {
+      val q0 = queries.select(col("query_id"), col("qe"))
+        .withColumn("qn", sqrt(VectorExpressions.dot(col("qe"), col("qe"))))
+      val cand = method match {
+        case "lsh" =>
+          val qb = broadcast(q0.select(col("query_id"),
+              explode(array(Ann.tableBucketStructs(col("qe")): _*)).as("tb"))
+            .select(col("query_id"), col("tb.tbl"), col("tb.bucket")))
+          qb.join(buckets.get, Seq("tbl", "bucket"))
+            .select(col("query_id"), col("vec_id")).distinct()
+        case "ivf" =>
+          val probeArr = array_sort(array(centroids.map { case (cid, cen) =>
+            struct(Ivf.sqDist(col("qe"), cen).as("d"), lit(cid).as("cid"))
+          }: _*))
+          val qc = broadcast(q0.select(col("query_id"),
+              explode(slice(probeArr, 1, nprobe)).as("p"))
+            .select(col("query_id"), col("p.cid").as("cid")))
+          qc.join(corpus.select(col("vec_id"), col("cid")), Seq("cid"))
+            .select(col("query_id"), col("vec_id")).distinct()
+        case other => throw new IllegalArgumentException(
+          s"unknown ANN method '$other' (expected lsh or ivf)")
+      }
+      val scored = cand
+        .join(corpus.select(col("vec_id"), col("e"), col("nrm")), "vec_id")
+        .join(broadcast(q0), "query_id")
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(Ann.cosine(col("qe"), col("e"), col("qn"), col("nrm")), 4).as("cos4"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos4").desc, col("neighbor_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= k)
+        .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos4"))
+    }
+  }
+
+  /** Build an index over the corpus at `dir`. method = "lsh" (hyperplane
+    * bucket tables — no training pass, best for cosine recall on skewed
+    * corpora) or "ivf" (Lloyd-refined coarse quantizer — nprobe-bounded
+    * candidate cost, the path that scales to billions).
+    */
+  def build(spark: SparkSession, dir: String, method: String = "ivf",
+      c: Int = 16, iters: Int = 2, nprobe: Int = 4): Handle = method match {
+    case "lsh" =>
+      Handle("lsh", Ann.normed(spark, dir).localCheckpoint(false),
+        Some(Ann.lshBuckets(spark, dir).localCheckpoint(false)), Nil, nprobe)
+    case "ivf" =>
+      val centroids = Ivf.train(spark, dir, c, iters)
+      val corpus = Ann.normed(spark, dir)
+        .withColumn("cid", Ivf.nearestCid(col("e"), centroids))
+        .localCheckpoint(false)
+      Handle("ivf", corpus, None, centroids, nprobe)
+    case other => throw new IllegalArgumentException(
+      s"unknown ANN method '$other' (expected lsh or ivf)")
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, AnnIndex}
+
+/** The serving façade must reproduce the oracle-checked registered queries
+  * when given the same query batch — build/search composition adds no
+  * semantics, only the materialize-once index lifetime.
+  */
+class AnnIndexSpec extends GraftSuite {
+
+  private def registeredQueries = Ann.normed(spark, sf)
+    .where(col("vec_id") < 20)
+    .select(col("vec_id").as("query_id"), col("e").as("qe"))
+
+  private def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+
+  test("lsh index search == q_ann_lsh on the registered query batch") {
+    val idx = AnnIndex.build(spark, sf, "lsh")
+    assert(rows(idx.search(registeredQueries, 5))
+      == rows(SparkEntry.queries("q_ann_lsh")(spark, sf)))
+  }
+
+  test("ivf index search == q_ann_ivf on the registered query batch") {
+    val idx = AnnIndex.build(spark, sf, "ivf", iters = 0)
+    assert(rows(idx.search(registeredQueries, 5))
+      == rows(SparkEntry.queries("q_ann_ivf")(spark, sf)))
+  }
+
+  test("search answers a batch of EXTERNAL vectors (not corpus rows)") {
+    import spark.implicits._
+    val idx = AnnIndex.build(spark, sf, "ivf", iters = 0)
+    // a query vector that is no corpus row: the centroid-0 seed nudged
+    val ext = Ann.normed(spark, sf).where(col("vec_id") === 0)
+      .select(col("e")).as[Seq[Double]].head().map(_ * 0.9 + 0.01)
+    val got = idx.search(Seq((-1L, ext)).toDF("query_id", "qe"), 3).collect()
+    assert(got.length == 3)
+    assert(got.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
+    // neighbors of a near-copy of vector 0 should include vector 0 itself
+    assert(got.map(_.getLong(2)).contains(0L))
+  }
+}

@@ -172,6 +172,31 @@ class PlanSpec extends GraftSuite {
     assert(shuffles(p) == 2, s"shingle group + cell agg only:\n$p")
   }
 
+  test("q_oov_rate bloom-prunes the token stream BELOW the vocab join") {
+    val sp = SparkEntry.queries("q_oov_rate")(spark, sf).queryExecution.sparkPlan
+    val joins = sp.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.nonEmpty, s"vocab membership join missing:\n$sp")
+    // the streamed (fact) side of the membership join must be pre-filtered
+    // by the bloom probe — that filter is what keeps definite-OOV tokens
+    // out of the join input
+    val factSide = joins.head.children.head
+    val bloomBelowJoin = factSide.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.find(
+            _.isInstanceOf[graft.operators.BloomJoin.BloomMightContain]).isDefined => f
+    }
+    assert(bloomBelowJoin.nonEmpty,
+      s"bloom probe filter must sit below the join on the token side:\n$sp")
+    // and the definite-OOV branch bypasses the join entirely (a Union arm
+    // with no join in it, flowing straight to the partial agg)
+    val unions = sp.collect { case u: org.apache.spark.sql.execution.UnionExec => u }
+    assert(unions.exists(_.children.exists(_.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty)), s"definite-OOV arm must not pass through the join:\n$sp")
+  }
+
   test("ANN re-ranks ride WindowGroupLimit partial top-k on one exchange") {
     // the §7c backlog asked whether the candidate re-rank needed
     // TopK.perGroup — it doesn't: the rank<=k filter already plans partial
