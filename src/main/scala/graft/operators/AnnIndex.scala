@@ -31,7 +31,8 @@ object AnnIndex {
       corpus: DataFrame,
       buckets: Option[DataFrame],
       centroids: Seq[(Int, Seq[Double])],
-      nprobe: Int) {
+      nprobe: Int,
+      resIdx: Option[IvfPq.ResIndex] = None) {
 
     /** Top-k cosine neighbors per query. `queries` = (query_id, qe) with
       * qe an array<double> of the corpus dimension — corpus rows or
@@ -40,6 +41,9 @@ object AnnIndex {
       * the registered one (AnnIndexSpec pins this).
       */
     def search(queries: DataFrame, k: Int = 5): DataFrame = {
+      if (method == "ivfpq")
+        return IvfPq.searchResidual(resIdx.get,
+          queries.select(col("query_id"), col("qe")), k, nprobe)
       val q0 = queries.select(col("query_id"), col("qe"))
         .withColumn("qn", sqrt(VectorExpressions.dot(col("qe"), col("qe"))))
       val cand = method match {
@@ -59,7 +63,7 @@ object AnnIndex {
           qc.join(corpus.select(col("vec_id"), col("cid")), Seq("cid"))
             .select(col("query_id"), col("vec_id")).distinct()
         case other => throw new IllegalArgumentException(
-          s"unknown ANN method '$other' (expected lsh or ivf)")
+          s"unknown ANN method '$other' (expected lsh, ivf or ivfpq)")
       }
       val scored = cand
         .join(corpus.select(col("vec_id"), col("e"), col("nrm")), "vec_id")
@@ -77,8 +81,10 @@ object AnnIndex {
 
   /** Build an index over the corpus at `dir`. method = "lsh" (hyperplane
     * bucket tables — no training pass, best for cosine recall on skewed
-    * corpora) or "ivf" (Lloyd-refined coarse quantizer — nprobe-bounded
-    * candidate cost, the path that scales to billions).
+    * corpora), "ivf" (Lloyd-refined coarse quantizer — nprobe-bounded
+    * candidate cost with exact re-rank), or "ivfpq" (residual IVF-PQ —
+    * 8-byte codes + integer ADC, the layout that scales to billions;
+    * output ranks by scaled ADC distance instead of cos4).
     */
   def build(spark: SparkSession, dir: String, method: String = "ivf",
       c: Int = 16, iters: Int = 2, nprobe: Int = 4): Handle = method match {
@@ -91,7 +97,10 @@ object AnnIndex {
         .withColumn("cid", Ivf.nearestCid(col("e"), centroids))
         .localCheckpoint(false)
       Handle("ivf", corpus, None, centroids, nprobe)
+    case "ivfpq" =>
+      val idx = IvfPq.residualIndex(spark, dir, c)
+      Handle("ivfpq", idx.corpus, None, idx.mdl.centroids, nprobe, Some(idx))
     case other => throw new IllegalArgumentException(
-      s"unknown ANN method '$other' (expected lsh or ivf)")
+      s"unknown ANN method '$other' (expected lsh, ivf or ivfpq)")
   }
 }

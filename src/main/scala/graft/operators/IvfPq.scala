@@ -82,31 +82,58 @@ object IvfPq {
 
   def topKResidual(spark: SparkSession, dir: String, nQueries: Int = 20, k: Int = 5,
       c: Int = 16, nprobe: Int = 4): DataFrame = {
+    val idx = residualIndex(spark, dir, c, materialize = false)
+    val queries = Ann.normed(spark, dir).where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    searchResidual(idx, queries, k, nprobe)
+  }
+
+  /** A built residual index for [[AnnIndex]]-style serving: the model
+    * artifact plus the (vec_id, cid, codes) corpus table — 8 bytes of
+    * codes per vector, the billion-scale storage layout. `materialize`
+    * lazily checkpoints the codes table so repeated search batches reuse
+    * it; the registered query keeps the un-materialized plan (identical
+    * oracle arithmetic either way).
+    */
+  private[operators] case class ResIndex(mdl: ResModel, corpus: DataFrame)
+
+  private[operators] def residualIndex(spark: SparkSession, dir: String,
+      c: Int = 16, materialize: Boolean = true): ResIndex = {
     val v = Ann.normed(spark, dir)
     val mdl = resModel(spark, dir, c)
-    val centroids = mdl.centroids
-    val cenFlat = mdl.cenFlat
-    val cenR = mdl.cenR
-    val dim = mdl.dim
     val residual = (e: org.apache.spark.sql.Column, cid: org.apache.spark.sql.Column) =>
-      graft.functions.VectorExpressions.subCentroid(e, cid, cenFlat, dim)
+      graft.functions.VectorExpressions.subCentroid(e, cid, mdl.cenFlat, mdl.dim)
     val corpus = v
-      .select(col("vec_id"), col("e"), Ivf.nearestCid(col("e"), centroids).as("cid"))
+      .select(col("vec_id"), col("e"), Ivf.nearestCid(col("e"), mdl.centroids).as("cid"))
       .select(col("vec_id"), col("cid"),
-        Pq.codesCol(residual(col("e"), col("cid")), cenR).as("codes"))
-    val probeArr = array_sort(array(centroids.map { case (cid, ce) =>
-      struct(Ivf.sqDist(col("e"), ce).as("d"), lit(cid).as("cid"))
+        Pq.codesCol(residual(col("e"), col("cid")), mdl.cenR).as("codes"))
+    ResIndex(mdl, if (materialize) corpus.localCheckpoint(false) else corpus)
+  }
+
+  /** Integer-ADC search over a built [[ResIndex]] for ANY broadcast
+    * (query_id, qe) batch: nprobe nearest cells per query, per-probed-cell
+    * residual distance tables, table-lookup sums over the candidates'
+    * codes. Same arithmetic as the registered q_ann_ivfpq_res query
+    * (which routes through here with the corpus-row batch).
+    */
+  private[operators] def searchResidual(idx: ResIndex, queries: DataFrame,
+      k: Int = 5, nprobe: Int = 4): DataFrame = {
+    val mdl = idx.mdl
+    val residual = (e: org.apache.spark.sql.Column, cid: org.apache.spark.sql.Column) =>
+      graft.functions.VectorExpressions.subCentroid(e, cid, mdl.cenFlat, mdl.dim)
+    val probeArr = array_sort(array(mdl.centroids.map { case (cid, ce) =>
+      struct(Ivf.sqDist(col("qe"), ce).as("d"), lit(cid).as("cid"))
     }: _*))
-    val rq = residual(col("e"), col("cid"))
+    val rq = residual(col("qe"), col("cid"))
     val dtab = array((0 until Pq.M).map { m =>
       array((0 until Pq.Ksub).map { kk =>
-        floor(Pq.subSqDist(col("rq"), m, cenR(m)(kk)) * lit(1000000.0)).cast("long")
+        floor(Pq.subSqDist(col("rq"), m, mdl.cenR(m)(kk)) * lit(1000000.0)).cast("long")
       }: _*)
     }: _*)
-    val q = broadcast(v.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("e"),
+    val q = broadcast(queries
+      .select(col("query_id"), col("qe"),
         explode(slice(probeArr, 1, nprobe)).as("p"))
-      .select(col("query_id"), col("e"), col("p.cid").as("cid"))
+      .select(col("query_id"), col("qe"), col("p.cid").as("cid"))
       // rq materialized in its own projection: the 128 dtab entries each
       // reference it (the explode-inlining trap from minhash applies)
       .select(col("query_id"), col("cid"), rq.as("rq"))
@@ -114,7 +141,7 @@ object IvfPq {
     val adc = (0 until Pq.M).map { m =>
       element_at(element_at(col("dtab"), m + 1), element_at(col("codes"), m + 1) + 1)
     }.reduce(_ + _)
-    val scored = q.join(corpus, Seq("cid"))
+    val scored = q.join(idx.corpus, Seq("cid"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), adc.as("adc_scaled"))
     val w = Window.partitionBy(col("query_id"))

@@ -29,6 +29,15 @@ class AnnIndexSpec extends GraftSuite {
       == rows(SparkEntry.queries("q_ann_ivf")(spark, sf)))
   }
 
+  test("ivfpq index search == q_ann_ivfpq_res on the registered query batch") {
+    val idx = AnnIndex.build(spark, sf, "ivfpq")
+    val got = idx.search(registeredQueries, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val want = SparkEntry.queries("q_ann_ivfpq_res")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+  }
+
   test("search answers a batch of EXTERNAL vectors (not corpus rows)") {
     import spark.implicits._
     val idx = AnnIndex.build(spark, sf, "ivf", iters = 0)
