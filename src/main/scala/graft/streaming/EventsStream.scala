@@ -73,8 +73,6 @@ object EventsStream {
       }
   }
 
-  case class FunnelState(mv: Long, mc: Long, mp: Long)
-
   case class FunnelUpdate(user_id: Long, view_ms: Long, click_ms: Long,
       purchase_ms: Long, depth: Long)
 
@@ -92,28 +90,42 @@ object EventsStream {
     */
   def funnel(events: Dataset[Event]): Dataset[FunnelUpdate] = {
     import events.sparkSession.implicits._
+    funnelStages(events, Seq("view", "click", "purchase"))
+      .map(u => FunnelUpdate(u.user_id, u.stage_ms(0), u.stage_ms(1),
+        u.stage_ms(2), u.depth))
+  }
+
+  case class FunnelStagesState(minima: Seq[Long])
+
+  case class FunnelStagesUpdate(user_id: Long, stage_ms: Seq[Long], depth: Long)
+
+  /** Generalized streaming funnel over an arbitrary ordered stage list —
+    * the streaming twin of [[graft.operators.Events.funnelStages]], same
+    * strict `>` gate per stage. State is one long per stage per user.
+    * Because stage i only advances once stage i−1 is set, depth = index of
+    * the deepest set minimum + 1.
+    */
+  def funnelStages(events: Dataset[Event],
+      stages: Seq[String]): Dataset[FunnelStagesUpdate] = {
+    import events.sparkSession.implicits._
+    require(stages.nonEmpty && stages.distinct == stages,
+      s"stages must be non-empty and distinct: $stages")
     val none = -1L
     events.groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
-          var s = state.getOption.getOrElse(FunnelState(none, none, none))
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelStagesState]) =>
+          val m = state.getOption.map(_.minima.toArray)
+            .getOrElse(Array.fill(stages.length)(none))
           rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            val t = e.ts.getTime
-            e.event_type match {
-              case "view" if s.mv == none || t < s.mv =>
-                s = s.copy(mv = t)
-              case "click" if s.mv != none && t > s.mv && (s.mc == none || t < s.mc) =>
-                s = s.copy(mc = t)
-              case "purchase" if s.mc != none && t > s.mc && (s.mp == none || t < s.mp) =>
-                s = s.copy(mp = t)
-              case _ =>
+            val i = stages.indexOf(e.event_type)
+            if (i >= 0) {
+              val t = e.ts.getTime
+              val gated = i == 0 || (m(i - 1) != none && t > m(i - 1))
+              if (gated && (m(i) == none || t < m(i))) m(i) = t
             }
           }
-          state.update(s)
-          val depth =
-            if (s.mp != none) 3L else if (s.mc != none) 2L
-            else if (s.mv != none) 1L else 0L
-          FunnelUpdate(userId, s.mv, s.mc, s.mp, depth)
+          state.update(FunnelStagesState(m.toSeq))
+          FunnelStagesUpdate(userId, m.toSeq, m.lastIndexWhere(_ != none) + 1L)
       }
   }
 

@@ -135,6 +135,32 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming funnelStages: 4-stage cascade matches the batch gate rules") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStream.funnelStages(input.toDS(),
+        Seq("view", "click", "purchase", "signup"))
+      .writeStream.format("memory").queryName("funnel4").outputMode("update").start()
+    try {
+      // purchase precedes click → stalls at click even though signup follows
+      input.addData(
+        Event(1, ts(0), 9, "view", 0), Event(2, ts(5), 9, "purchase", 0),
+        Event(3, ts(10), 9, "click", 0), Event(4, ts(15), 9, "signup", 0))
+      q.processAllAvailable()
+      val u9 = spark.table("funnel4").as[EventsStream.FunnelStagesUpdate]
+        .collect().filter(_.user_id == 9L).last
+      assert(u9.depth == 2L && u9.stage_ms == Seq(ts(0).getTime, ts(10).getTime, -1L, -1L), s"$u9")
+      // a later purchase (after the accepted click) advances; then signup
+      input.addData(Event(5, ts(20), 9, "purchase", 0), Event(6, ts(25), 9, "signup", 0))
+      q.processAllAvailable()
+      val u9b = spark.table("funnel4").as[EventsStream.FunnelStagesUpdate]
+        .collect().filter(_.user_id == 9L).last
+      assert(u9b.depth == 4L && u9b.stage_ms ==
+        Seq(ts(0).getTime, ts(10).getTime, ts(20).getTime, ts(25).getTime), s"$u9b")
+    } finally q.stop()
+  }
+
   test("streaming funnel state survives a checkpointed restart") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
