@@ -223,7 +223,10 @@ object Oracles {
 
   /** Plain equi-join — the salted Spark plan must be row-identical. */
   val saltedJoin: String =
-    """SELECT s_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    """SELECT s_name,
+      |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+      |            AS DECIMAL(18,2)) AS revenue,
       |       count(*) AS n_items
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_name""".stripMargin
@@ -382,13 +385,13 @@ object Oracles {
   val qualityScore: String =
     s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |f AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
-       |        len(list_distinct(toks))::DOUBLE / len(toks) AS unique_ratio,
-       |        len(list_filter(toks, x -> list_contains($stopListSql, x)))::DOUBLE / len(toks) AS stop_ratio
+       |        len(list_distinct(toks))::BIGINT AS uniq,
+       |        len(list_filter(toks, x -> list_contains($stopListSql, x)))::BIGINT AS stop
        |      FROM t)
-       |SELECT doc_id, n_tokens, round(unique_ratio, 6) AS unique_ratio,
-       |       round(stop_ratio, 6) AS stop_ratio,
-       |       round(0.5 * stop_ratio + 0.3 * unique_ratio
-       |             + 0.2 * least(n_tokens::DOUBLE / 100.0, 1.0), 6) AS quality FROM f""".stripMargin
+       |SELECT doc_id, n_tokens, round(uniq::DOUBLE / n_tokens, 6) AS unique_ratio,
+       |       round(stop::DOUBLE / n_tokens, 6) AS stop_ratio,
+       |       ((500000 * stop + 300000 * uniq) // n_tokens
+       |        + 2000 * least(n_tokens, 100))::BIGINT AS quality_ppm FROM f""".stripMargin
 
   val fingerprint: String =
     s"""WITH tok AS (SELECT doc_id, $toksSql AS w FROM documents),

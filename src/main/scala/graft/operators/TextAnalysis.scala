@@ -45,14 +45,21 @@ object TextAnalysis {
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
-        (size(array_distinct(col("toks"))).cast("double") / size(col("toks"))).as("unique_ratio"),
-        (size(filter(col("toks"), t => t.isInCollection(EnStopwords))).cast("double")
-          / size(col("toks"))).as("stop_ratio"))
+        size(array_distinct(col("toks"))).cast("long").as("uniq"),
+        size(filter(col("toks"), t => t.isInCollection(EnStopwords)))
+          .cast("long").as("stop"))
       .select(col("doc_id"), col("n_tokens"),
-        round(col("unique_ratio"), 6).as("unique_ratio"),
-        round(col("stop_ratio"), 6).as("stop_ratio"),
-        round(lit(0.5) * col("stop_ratio") + lit(0.3) * col("unique_ratio")
-          + lit(0.2) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)), 6).as("quality"))
+        round(col("uniq").cast("double") / col("n_tokens"), 6).as("unique_ratio"),
+        round(col("stop").cast("double") / col("n_tokens"), 6).as("stop_ratio"),
+        // composite score in EXACT integer ppm: 0.5·stop/n + 0.3·uniq/n +
+        // 0.2·min(n/100, 1), cross-multiplied. The rounded-double form hit
+        // a cross-engine half-way case at sf1 (n=64 → quality ·1e6 landing
+        // exactly on .5: Spark's BigDecimal HALF_UP vs DuckDB's
+        // nearest-double disagree by 1 in the 6th decimal). The raw ratios
+        // stay doubles: for n < 256 they cannot land on a 6dp half-way
+        // (needs 2-adic valuation ≥ 8 in the denominator).
+        (expr("(500000 * stop + 300000 * uniq) div n_tokens")
+          + lit(2000L) * least(col("n_tokens"), lit(100L))).as("quality_ppm"))
 
   /** C8b — BPE-ish token count: regex tokenizer (letter runs / digit runs /
     * single punctuation), the pre-merge shape of byte-pair tokenizers.

@@ -64,14 +64,18 @@ class CurationSpec extends GraftSuite {
 
   test("salted supplier revenue equals the unsalted aggregation") {
     val salted = Curation.saltedSupplierRevenue(spark, sf).collect()
-      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+      .map(r => (r.getString(0), r.getDecimal(1), r.getLong(2))).toSet
     val li = io.Tables.lineitem(spark, sf)
     val sup = io.Tables.supplier(spark, sf)
+    // same exact-decimal accumulation as the operator (the salted and
+    // plain shapes must agree bit-for-bit, not just to double noise)
     val plain = li.join(sup, li("l_suppkey") === sup("s_suppkey"))
       .groupBy("s_name")
-      .agg(round(sum(expr("l_extendedprice * (1 - l_discount)")), 2).as("revenue"),
+      .agg(sum(expr("cast(l_extendedprice as decimal(12,2))"
+          + " * (cast(1 as decimal(4,2)) - cast(l_discount as decimal(4,2)))"))
+        .cast("decimal(18,2)").as("revenue"),
         count(lit(1)).as("n_items"))
-      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+      .collect().map(r => (r.getString(0), r.getDecimal(1), r.getLong(2))).toSet
     assert(salted == plain)
   }
 
