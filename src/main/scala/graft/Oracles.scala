@@ -455,7 +455,7 @@ object Oracles {
 
   val cube: String =
     """SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders,
-      |       round(sum(o_totalprice), 2) AS total
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY CUBE (c_mktsegment, o_orderpriority)""".stripMargin
 
@@ -466,12 +466,14 @@ object Oracles {
 
   val jsonExtract: String =
     """SELECT (CAST(json_extract_string(props, '$.k') AS BIGINT) // 10) AS k_bucket,
-      |       count(*) AS n, round(sum(value), 2) AS sum_value
+      |       count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
       |FROM events GROUP BY 1""".stripMargin
 
   val eventsWindow: String =
     """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
-      |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
   val sessionize: String =
@@ -627,7 +629,9 @@ object Oracles {
   val tpchQ3: String =
     """SELECT l_orderkey, o_orderpriority, revenue FROM (
       |  SELECT l_orderkey, o_orderpriority,
-      |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |                        * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+      |              AS DECIMAL(18,2)) AS revenue
       |  FROM lineitem
       |  JOIN orders ON l_orderkey = o_orderkey
       |  JOIN customer ON o_custkey = c_custkey
@@ -639,7 +643,10 @@ object Oracles {
 
   /** TPC-H Q5 shape with the same-nation condition. */
   val tpchQ5: String =
-    """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    """SELECT n_name,
+      |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+      |            AS DECIMAL(18,2)) AS revenue
       |FROM lineitem
       |JOIN supplier ON l_suppkey = s_suppkey
       |JOIN nation ON s_nationkey = n_nationkey

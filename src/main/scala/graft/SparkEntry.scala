@@ -161,8 +161,9 @@ object SparkEntry {
     "q_agg_groupby" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,
-        | round(sum(l_extendedprice), 2) AS sum_base_price,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(18,2)) AS sum_disc_price,
         | round(avg(l_quantity), 6) AS avg_qty,
         | round(avg(l_discount), 6) AS avg_disc,
         | count(*) AS count_order
@@ -201,7 +202,8 @@ object SparkEntry {
         |      FROM orders) t
         |WHERE rk <= 3""".stripMargin,
     "q_rollup" ->
-      """SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS acctbal
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS acctbal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
@@ -210,17 +212,22 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
     "q_join_broadcast" ->
-      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      """SELECT n_name,
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+        |            AS DECIMAL(18,2)) AS revenue,
         |       count(*) AS n_items
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
     "q_cogroup" ->
       """SELECT o_orderkey, o_totalprice,
-        |       coalesce(line_total, 0.0) AS line_total,
+        |       coalesce(line_total, CAST(0 AS DECIMAL(18,2))) AS line_total,
         |       coalesce(n_lines, 0) AS n_lines
         |FROM orders LEFT JOIN (
-        |  SELECT l_orderkey, round(sum(l_extendedprice), 2) AS line_total, count(*) AS n_lines
+        |  SELECT l_orderkey,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS line_total,
+        |         count(*) AS n_lines
         |  FROM lineitem GROUP BY l_orderkey) l
         |ON o_orderkey = l_orderkey""".stripMargin,
     "q_cogroup_multi" ->

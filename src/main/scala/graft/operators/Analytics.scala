@@ -91,7 +91,7 @@ object Analytics {
     Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .cube(col("c_mktsegment"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+      .agg(count(lit(1)).as("n_orders"), ExactMoney.sum2(col("o_totalprice")).as("total"))
 
   /** q_percentiles — exact interpolated median/p95 of value per event type
     * (Spark `percentile` ↔ DuckDB `quantile_cont`, same linear
@@ -130,7 +130,7 @@ object Analytics {
     Tables.events(spark, dir)
       .select(get_json_object(col("props"), "$.k").cast("long").as("k"), col("value"))
       .groupBy(expr("k div 10").as("k_bucket"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), ExactMoney.sum2(col("value")).as("sum_value"))
 
   /** E9 — distribution window functions (ntile / percent_rank / cume_dist)
     * per source over document length: one exchange keyed by source, total

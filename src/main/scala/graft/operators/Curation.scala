@@ -274,9 +274,7 @@ object Curation {
     // (per-supplier groups grew to ~600 rows → partial-agg order 1-ulp
     // drift landed on a cent boundary for 1 of 10k suppliers).
     val li = Tables.lineitem(spark, dir).select(col("l_suppkey"),
-      (col("l_extendedprice").cast("decimal(12,2)")
-        * (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
-        .as("rev"))
+      ExactMoney.revenue(col("l_extendedprice"), col("l_discount")).as("rev"))
     val sup = Tables.supplier(spark, dir)
       .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
     Skew.saltedJoin(li, sup, "l_suppkey", salts = 8)

@@ -18,7 +18,7 @@ object Events {
   def hourlyWindow(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), ExactMoney.sum2(col("value")).as("sum_value"))
 
   /** D2 — sessionization: a session breaks after a 30-minute silence per
     * user. Session id = running count of gap-breaks (one window exchange

@@ -30,8 +30,8 @@ object Relational {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        ExactMoney.sum2(col("l_extendedprice")).as("sum_base_price"),
+        ExactMoney.sumRevenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
         round(avg(col("l_quantity")), 6).as("avg_qty"),
         round(avg(col("l_discount")), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -118,7 +118,7 @@ object Relational {
     c.join(n, col("c_nationkey") === col("n_nationkey"))
       .join(r, col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
-      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("acctbal"))
+      .agg(count(lit(1)).as("n_cust"), ExactMoney.sum2(col("c_acctbal")).as("acctbal"))
   }
 
   /** A9 — reduce-side join (reference: examples/.../UrlResolution.java):
@@ -140,7 +140,7 @@ object Relational {
       .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+      .agg(ExactMoney.sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
         count(lit(1)).as("n_items"))
 
   /** A11 — co-group (reference: multi-schema TupleMRBuilder co-grouping,
@@ -152,12 +152,12 @@ object Relational {
   def coGroup(spark: SparkSession, dir: String): DataFrame = {
     val lineAgg = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey"))
-      .agg(round(sum(col("l_extendedprice")), 2).as("line_total"),
+      .agg(ExactMoney.sum2(col("l_extendedprice")).as("line_total"),
         count(lit(1)).as("n_lines"))
     Tables.orders(spark, dir)
       .join(lineAgg, col("o_orderkey") === col("l_orderkey"), "left")
       .select(col("o_orderkey"), col("o_totalprice"),
-        coalesce(col("line_total"), lit(0.0)).as("line_total"),
+        coalesce(col("line_total"), lit(0).cast("decimal(18,2)")).as("line_total"),
         coalesce(col("n_lines"), lit(0L)).as("n_lines"))
   }
 
@@ -343,11 +343,11 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
     val l = Tables.lineitem(spark, dir).where(col("l_shipdate") > cut)
       .select(col("l_orderkey"),
-        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+        ExactMoney.revenue(col("l_extendedprice"), col("l_discount")).as("rev"))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderpriority"))
-      .agg(round(sum(col("rev")), 2).as("revenue"))
+      .agg(sum(col("rev")).cast("decimal(18,2)").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -373,13 +373,13 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"))
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"),
-        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+        ExactMoney.revenue(col("l_extendedprice"), col("l_discount")).as("rev"))
       .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("rev")), 2).as("revenue"))
+      .agg(sum(col("rev")).cast("decimal(18,2)").as("revenue"))
   }
 
   /** A26 — TPC-H Q18 shape (large-volume customers): a HAVING-filtered
