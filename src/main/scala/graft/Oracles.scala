@@ -89,6 +89,28 @@ object Oracles {
       |JOIN customer ON c_custkey = o_custkey
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
 
+  /** Q10 shape: same pre-aggregate-then-decorate order as the Spark plan
+    * (revenue per custkey → top 20 → customer/nation join); exact-decimal
+    * revenue, (revenue DESC, custkey) tiebreak.
+    */
+  val tpchQ10: String =
+    """WITH agg AS (
+      |  SELECT o_custkey,
+      |         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |                        * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+      |              AS DECIMAL(18,2)) AS revenue,
+      |         count(*) AS n_items
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_returnflag = 'R'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o_orderdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY o_custkey
+      |  ORDER BY revenue DESC, o_custkey LIMIT 20)
+      |SELECT c_custkey, c_name, n_name, revenue, n_items, c_acctbal
+      |FROM agg JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY revenue DESC, c_custkey""".stripMargin
+
   /** OOV ppm vs the en-docs vocabulary — same token filter, same left-join
     * null test, same integer floor division.
     */

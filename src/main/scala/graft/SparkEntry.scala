@@ -116,6 +116,8 @@ object SparkEntry {
     "q_tpch_q5"            -> ((s, d) => Relational.tpchQ5(s, d)),
     // q_tpch_q18: HAVING-filtered order set + multi-join + TakeOrdered-100
     "q_tpch_q18"           -> ((s, d) => Relational.tpchQ18(s, d)),
+    // q_tpch_q10: returned-item revenue per customer, pre-aggregated top-20
+    "q_tpch_q10"           -> ((s, d) => Relational.tpchQ10(s, d)),
     // round-6 block: quality gate + corpus profiling + graph density
     // q_quality_filter: Gopher/C4-style rule cascade — zero-shuffle narrow scan
     "q_quality_filter"     -> ((s, d) => Quality.qualityFilter(s, d)),
@@ -164,8 +166,8 @@ object SparkEntry {
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
         | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
         |                * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(18,2)) AS sum_disc_price,
-        | round(avg(l_quantity), 6) AS avg_qty,
-        | round(avg(l_discount), 6) AS avg_disc,
+        | round(sum(CAST(l_quantity AS DECIMAL(12,2)))::DOUBLE / count(*), 6) AS avg_qty,
+        | round(sum(CAST(l_discount AS DECIMAL(8,2)))::DOUBLE / count(*), 6) AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -342,6 +344,7 @@ object SparkEntry {
     "q_tpch_q3"         -> Oracles.tpchQ3,
     "q_tpch_q5"         -> Oracles.tpchQ5,
     "q_tpch_q18"        -> Oracles.tpchQ18,
+    "q_tpch_q10"        -> Oracles.tpchQ10,
     "q_lang_id"         -> Oracles.langId,
     "q_quality_score"   -> Oracles.qualityScore,
     "q_fingerprint"     -> Oracles.fingerprint,

@@ -32,8 +32,15 @@ object Relational {
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         ExactMoney.sum2(col("l_extendedprice")).as("sum_base_price"),
         ExactMoney.sumRevenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
-        round(avg(col("l_quantity")), 6).as("avg_qty"),
-        round(avg(col("l_discount")), 6).as("avg_disc"),
+        // averages via exact-decimal sums cast back to double BEFORE the
+        // divide: numerator identical on both engines, the double division
+        // and round are then deterministic (plain avg(double) is an
+        // order-dependent sum — same latent cent/ppm-boundary class
+        // ExactMoney fixes for sums)
+        round(sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+          / count(lit(1)), 6).as("avg_qty"),
+        round(sum(col("l_discount").cast("decimal(8,2)")).cast("double")
+          / count(lit(1)), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   /** A2 — Grep: map-only regex filter
@@ -391,6 +398,42 @@ object Relational {
     * TakeOrderedAndProject — bounded per-partition heaps, no global sort.
     * o_orderkey tiebreak makes the LIMIT deterministic under ties.
     */
+  /** A27 — TPC-H Q10 shape (returned-item reporting): revenue lost to
+    * returns per customer in one quarter, top 20 with customer/nation
+    * decoration. Spark-first: both fact filters (returnflag = 'R', the
+    * orderdate quarter) push to their scans, the fact-fact join keys on
+    * orderkey, and — unlike the textbook group-after-join plan — revenue
+    * aggregates per custkey BEFORE any dimension join, so the customer
+    * join sees ≤ #active-customer rows and the top-20 is taken before
+    * decoration: the nation/customer joins touch exactly 20 rows.
+    * Exact-decimal revenue; c_custkey tiebreak makes the LIMIT
+    * deterministic.
+    */
+  def tpchQ10(spark: SparkSession, dir: String, n: Int = 20): DataFrame = {
+    val lo = expr("TIMESTAMP '1996-01-01 00:00:00'")
+    val hi = expr("TIMESTAMP '1996-04-01 00:00:00'")
+    val l = Tables.lineitem(spark, dir)
+      .where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        ExactMoney.revenue(col("l_extendedprice"), col("l_discount")).as("rev"))
+    val o = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val top = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("rev")).cast("decimal(18,2)").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("o_custkey"))
+      .limit(n)
+    top
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("revenue"), col("n_items"), col("c_acctbal"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+  }
+
   def tpchQ18(spark: SparkSession, dir: String, minQty: Double = 250.0,
       n: Int = 100): DataFrame = {
     val big = Tables.lineitem(spark, dir)

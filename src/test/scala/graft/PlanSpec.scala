@@ -208,6 +208,14 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("q_tpch_q10 pushes both fact filters and takes top-20 before decoration") {
+    val p = plan("q_tpch_q10")
+    assert(p.contains("EqualTo(l_returnflag,R)"), s"returnflag must reach the scan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), s"quarter filter must reach the scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must not global-sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"nation/customer decoration must broadcast:\n$p")
+  }
+
   test("q_tpch_q18 plans TakeOrdered top-100 and broadcasts the small sides") {
     val p = plan("q_tpch_q18")
     assert(p.contains("TakeOrderedAndProject"), s"top-100 must not global-sort:\n$p")
