@@ -1,0 +1,52 @@
+#!/usr/bin/env python3
+"""Scaling-curve table from the committed bench artifacts: sf0.1 (driver
+BENCH_r*.json, latest round), sf1 (BENCH_sf1.json), sf3 (BENCH_sf3.json,
+headline subset). Ratios are wall-time multiples for 10x / 3x the data;
+"lin" marks ratios at or below the data growth (linear or better).
+
+Usage: python3 tools/scale_curve.py
+"""
+import glob
+import json
+import re
+
+
+def load_latest_driver():
+    best = {}
+    for f in sorted(glob.glob("BENCH_r*.json")):
+        d = json.load(open(f))
+        p = d.get("parsed") or {}
+        q = p.get("queries")
+        if not q:
+            m = re.search(r'"queries":(\{[^{}]*\})', d.get("tail") or "")
+            if m:
+                try:
+                    q = json.loads(m.group(1))
+                except ValueError:
+                    q = None
+        if q:
+            best = q
+    return best
+
+
+def main():
+    sf01 = load_latest_driver()
+    sf1 = json.load(open("BENCH_sf1.json"))["queries"]
+    sf3 = json.load(open("BENCH_sf3.json"))["queries"]
+    print("| query | sf0.1 s | sf1 s | x (10x data) | sf3 s | x (3x sf1) |")
+    print("|---|---|---|---|---|---|")
+    for q in sorted(sf3):
+        a, b, c = sf01.get(q), sf1.get(q), sf3[q]
+        r1 = f"{b/a:.1f}x" + (" lin" if b / a <= 10 else "") if a and b else "-"
+        r3 = f"{c/b:.1f}x" + (" lin" if c / b <= 3 else "") if b else "-"
+        print(f"| {q} | {a if a else '-'} | {b if b else '-'} | {r1} | {c} | {r3} |")
+    others = [q for q in sorted(sf1) if q not in sf3 and q in sf01]
+    ratios = sorted(sf1[q] / sf01[q] for q in others)
+    if ratios:
+        print(f"\n{len(others)} non-headline queries at sf1: median ratio "
+              f"{ratios[len(ratios)//2]:.1f}x for 10x data, "
+              f"{sum(1 for r in ratios if r <= 10)}/{len(others)} at or below linear.")
+
+
+if __name__ == "__main__":
+    main()
