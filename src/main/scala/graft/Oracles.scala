@@ -706,7 +706,7 @@ object Oracles {
     """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
       |cen AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cid, e AS ce
-      |        FROM v WHERE vec_id < (SELECT greatest(16, count(*) // 1000) FROM v)),
+      |        FROM v WHERE vec_id < (SELECT least(65536, greatest(16, count(*) // 1000)) FROM v)),
       |d AS (SELECT n.vec_id, cen.cid,
       |        (list_dot_product(e, e) - 2 * list_dot_product(e, ce)
       |         + list_dot_product(ce, ce)) AS dist

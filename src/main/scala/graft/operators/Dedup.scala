@@ -334,17 +334,23 @@ object Dedup {
     * near-dup. Emits every vector with its cluster and keep verdict.
     *
     * `c ≤ 0` (the default) derives the cluster count from the corpus:
-    * `max(16, n / 1000)`, i.e. ~1000-vector cells, so the per-cell
-    * O(|cell|²) loop AND the shuffle's parallelism both track corpus size
-    * instead of pinning at 16 — the count is a parquet-metadata read, and
-    * the oracle re-derives the same `c` from the same `count(*)`.
+    * `clamp(n / 1000, 16, 65536)`, i.e. ~1000-vector cells, so the
+    * per-cell O(|cell|²) loop AND the shuffle's parallelism both track
+    * corpus size instead of pinning at 16 — the count is a
+    * parquet-metadata read, and the oracle re-derives the same `c` from
+    * the same `count(*)`. The 65536 cap bounds the collected seed
+    * codebook (≤ 65536·dim doubles, ~34 MB at dim 64 — a driver artifact
+    * like the ANN codebooks); past ~65M vectors cells grow beyond 1000
+    * and a caller chasing SemDeDup's paper-scale settings passes an
+    * explicit c with a correspondingly larger cluster budget.
     */
   def semDedup(spark: SparkSession, dir: String, c: Int = 0,
       tau: Double = 0.4): DataFrame = {
     import spark.implicits._
     val cc =
       if (c > 0) c
-      else math.max(16L, Tables.embeddings(spark, dir).count() / 1000L).toInt
+      else math.min(65536L,
+        math.max(16L, Tables.embeddings(spark, dir).count() / 1000L)).toInt
     val v = Ann.normed(spark, dir)
     val centroids = v.select(col("vec_id"), col("e")).where(col("vec_id") < cc)
       .orderBy("vec_id").collect().zipWithIndex

@@ -206,7 +206,7 @@ class PipelineSpec extends GraftSuite {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
       .sortBy(_._1)
     // same corpus-derived cluster count as the operator (~1000-vector cells)
-    val nc = math.max(16, v.length / 1000)
+    val nc = math.min(65536, math.max(16, v.length / 1000))
     val cen = v.filter(_._1 < nc).map(_._2)
     def cid(e: Array[Double]): Int = {
       def dot(a: Array[Double], b: Array[Double]) = {
