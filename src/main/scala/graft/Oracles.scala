@@ -89,6 +89,18 @@ object Oracles {
       |JOIN customer ON c_custkey = o_custkey
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
 
+  /** Q6 shape: same predicate set and exact-decimal product sum. */
+  val tpchQ6: String =
+    """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |                      * CAST(l_discount AS DECIMAL(4,2))), 2)
+      |            AS DECIMAL(18,2)) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
   /** Q10 shape: same pre-aggregate-then-decorate order as the Spark plan
     * (revenue per custkey → top 20 → customer/nation join); exact-decimal
     * revenue, (revenue DESC, custkey) tiebreak.

@@ -118,6 +118,8 @@ object SparkEntry {
     "q_tpch_q18"           -> ((s, d) => Relational.tpchQ18(s, d)),
     // q_tpch_q10: returned-item revenue per customer, pre-aggregated top-20
     "q_tpch_q10"           -> ((s, d) => Relational.tpchQ10(s, d)),
+    // q_tpch_q6: pure-scan filtered aggregate (pushdown benchmark)
+    "q_tpch_q6"            -> ((s, d) => Relational.tpchQ6(s, d)),
     // round-6 block: quality gate + corpus profiling + graph density
     // q_quality_filter: Gopher/C4-style rule cascade — zero-shuffle narrow scan
     "q_quality_filter"     -> ((s, d) => Quality.qualityFilter(s, d)),
@@ -345,6 +347,7 @@ object SparkEntry {
     "q_tpch_q5"         -> Oracles.tpchQ5,
     "q_tpch_q18"        -> Oracles.tpchQ18,
     "q_tpch_q10"        -> Oracles.tpchQ10,
+    "q_tpch_q6"         -> Oracles.tpchQ6,
     "q_lang_id"         -> Oracles.langId,
     "q_quality_score"   -> Oracles.qualityScore,
     "q_fingerprint"     -> Oracles.fingerprint,

@@ -398,6 +398,27 @@ object Relational {
     * TakeOrderedAndProject — bounded per-partition heaps, no global sort.
     * o_orderkey tiebreak makes the LIMIT deterministic under ties.
     */
+  /** A28 — TPC-H Q6 shape (forecast revenue change): the pure-scan query.
+    * All three predicates (shipdate year, discount band, quantity cap)
+    * push into the parquet scan — row groups skip on column stats and the
+    * scan reads 4 of 11 columns — then one partial agg and a 1-row
+    * exchange. No join, no window: this is the query whose entire cost IS
+    * scan efficiency, which is why it's the classic pushdown benchmark.
+    * Exact-decimal revenue (price·discount is 2dp·2dp → exact 4dp).
+    */
+  def tpchQ6(spark: SparkSession, dir: String): DataFrame = {
+    val lo = expr("TIMESTAMP '1996-01-01 00:00:00'")
+    val hi = expr("TIMESTAMP '1997-01-01 00:00:00'")
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lo && col("l_shipdate") < hi &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice").cast("decimal(12,2)")
+          * col("l_discount").cast("decimal(4,2)"))
+          .cast("decimal(18,2)").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** A27 — TPC-H Q10 shape (returned-item reporting): revenue lost to
     * returns per customer in one quarter, top 20 with customer/nation
     * decoration. Spark-first: both fact filters (returnflag = 'R', the

@@ -208,6 +208,16 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("q_tpch_q6 is a pure pushed-down scan: no join, one 1-row exchange") {
+    val p = plan("q_tpch_q6")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
+      p.contains("GreaterThanOrEqual(l_discount,0.05)") &&
+      p.contains("LessThan(l_quantity,24.0)"),
+      s"all three predicates must reach the scan:\n$p")
+    assert(!p.contains("Join"), s"Q6 has no join:\n$p")
+    assert(shuffles(p) == 1, s"partial agg + single-row exchange only:\n$p")
+  }
+
   test("q_tpch_q10 pushes both fact filters and takes top-20 before decoration") {
     val p = plan("q_tpch_q10")
     assert(p.contains("EqualTo(l_returnflag,R)"), s"returnflag must reach the scan:\n$p")
