@@ -91,9 +91,9 @@ object Oracles {
 
   /** Q6 shape: same predicate set and exact-decimal product sum. */
   val tpchQ6: String =
-    """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+    """SELECT CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
       |                      * CAST(l_discount AS DECIMAL(4,2))), 2)
-      |            AS DECIMAL(18,2)) AS revenue,
+      |            AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
       |       count(*) AS n_items
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -108,9 +108,9 @@ object Oracles {
   val tpchQ10: String =
     """WITH agg AS (
       |  SELECT o_custkey,
-      |         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |         CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
       |                        * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
-      |              AS DECIMAL(18,2)) AS revenue,
+      |              AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
       |         count(*) AS n_items
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  WHERE l_returnflag = 'R'
@@ -154,12 +154,27 @@ object Oracles {
        |      FROM g x JOIN g y ON x.bucket = y.bucket AND x.doc_id < y.doc_id)
        |SELECT d1, d2, jac FROM p WHERE jac >= 0.35""".stripMargin
 
+  /** Cell-blocked near-dup pairs: the same seed-codebook cells, assignment
+    * tie-break ((dist, cid) row_number) and cell-count derivation
+    * (`clamp(n/250, 16, 65536)`) as the Spark plan, then within-cell pairs
+    * with rounded cosine ≥ threshold.
+    */
   val dedupEmbedding: String =
     """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
-      |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
-      |        round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS cos4
-      |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      |cen AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cid, e AS ce
+      |        FROM v WHERE vec_id < (SELECT least(65536, greatest(16, count(*) // 250)) FROM v)),
+      |d AS (SELECT n.vec_id, cen.cid,
+      |        (list_dot_product(e, e) - 2 * list_dot_product(e, ce)
+      |         + list_dot_product(ce, ce)) AS dist
+      |      FROM n, cen),
+      |assign AS (SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS r
+      |    FROM d) t WHERE r = 1),
+      |a AS (SELECT n.vec_id, cid, e, nrm FROM n JOIN assign USING (vec_id)),
+      |p AS (SELECT x.vec_id AS id1, y.vec_id AS id2,
+      |        round(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 4) AS cos4
+      |      FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id)
       |SELECT id1, id2, cos4 FROM p WHERE cos4 >= 0.4""".stripMargin
 
   val annBruteForce: String =
@@ -258,9 +273,9 @@ object Oracles {
   /** Plain equi-join — the salted Spark plan must be row-identical. */
   val saltedJoin: String =
     """SELECT s_name,
-      |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |       CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
       |                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
-      |            AS DECIMAL(18,2)) AS revenue,
+      |            AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
       |       count(*) AS n_items
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_name""".stripMargin
@@ -489,7 +504,7 @@ object Oracles {
 
   val cube: String =
     """SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders,
-      |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total
+      |       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY CUBE (c_mktsegment, o_orderpriority)""".stripMargin
 
@@ -501,13 +516,13 @@ object Oracles {
   val jsonExtract: String =
     """SELECT (CAST(json_extract_string(props, '$.k') AS BIGINT) // 10) AS k_bucket,
       |       count(*) AS n,
-      |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
+      |       CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1""".stripMargin
 
   val eventsWindow: String =
     """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
       |       count(*) AS n_events,
-      |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
+      |       CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
   val sessionize: String =
@@ -663,9 +678,9 @@ object Oracles {
   val tpchQ3: String =
     """SELECT l_orderkey, o_orderpriority, revenue FROM (
       |  SELECT l_orderkey, o_orderpriority,
-      |         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |         CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
       |                        * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
-      |              AS DECIMAL(18,2)) AS revenue
+      |              AS DECIMAL(18,2)) AS DOUBLE) AS revenue
       |  FROM lineitem
       |  JOIN orders ON l_orderkey = o_orderkey
       |  JOIN customer ON o_custkey = c_custkey
@@ -678,9 +693,9 @@ object Oracles {
   /** TPC-H Q5 shape with the same-nation condition. */
   val tpchQ5: String =
     """SELECT n_name,
-      |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |       CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
       |                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
-      |            AS DECIMAL(18,2)) AS revenue
+      |            AS DECIMAL(18,2)) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN supplier ON l_suppkey = s_suppkey
       |JOIN nation ON s_nationkey = n_nationkey

@@ -165,9 +165,9 @@ object SparkEntry {
     "q_agg_groupby" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
-        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-        |                * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(18,2)) AS sum_disc_price,
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+        | CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS sum_disc_price,
         | round(sum(CAST(l_quantity AS DECIMAL(12,2)))::DOUBLE / count(*), 6) AS avg_qty,
         | round(sum(CAST(l_discount AS DECIMAL(8,2)))::DOUBLE / count(*), 6) AS avg_disc,
         | count(*) AS count_order
@@ -207,7 +207,7 @@ object SparkEntry {
         |WHERE rk <= 3""".stripMargin,
     "q_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_cust,
-        |       CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS acctbal
+        |       CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
@@ -217,20 +217,20 @@ object SparkEntry {
         |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
     "q_join_broadcast" ->
       """SELECT n_name,
-        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |       CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
         |                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
-        |            AS DECIMAL(18,2)) AS revenue,
+        |            AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
         |       count(*) AS n_items
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
     "q_cogroup" ->
       """SELECT o_orderkey, o_totalprice,
-        |       coalesce(line_total, CAST(0 AS DECIMAL(18,2))) AS line_total,
+        |       coalesce(line_total, CAST(0 AS DOUBLE)) AS line_total,
         |       coalesce(n_lines, 0) AS n_lines
         |FROM orders LEFT JOIN (
         |  SELECT l_orderkey,
-        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS line_total,
+        |         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS line_total,
         |         count(*) AS n_lines
         |  FROM lineitem GROUP BY l_orderkey) l
         |ON o_orderkey = l_orderkey""".stripMargin,

@@ -32,18 +32,29 @@ object AnnIndex {
       buckets: Option[DataFrame],
       centroids: Seq[(Int, Seq[Double])],
       nprobe: Int,
-      resIdx: Option[IvfPq.ResIndex] = None) {
+      resIdx: Option[IvfPq.ResIndex] = None,
+      pqCen: IndexedSeq[IndexedSeq[Seq[Double]]] = IndexedSeq.empty) {
 
     /** Top-k cosine neighbors per query. `queries` = (query_id, qe) with
       * qe an array<double> of the corpus dimension — corpus rows or
       * external vectors alike. Output (query_id, rk, neighbor_id, cos4)
-      * matches q_ann_lsh / q_ann_ivf row-for-row when the query batch is
-      * the registered one (AnnIndexSpec pins this).
+      * ("pq"/"ivfpq" rank by adc_scaled) matches q_ann_lsh / q_ann_ivf /
+      * q_ann_pq row-for-row when the query batch is the registered one
+      * (AnnIndexSpec pins this).
+      *
+      * `excludeSelf` (default true — right for corpus-row batches) drops
+      * candidates with `neighbor_id == query_id`. Pass FALSE for external
+      * query batches: an external id that happens to equal a corpus
+      * vec_id (natural 0..n numbering) would otherwise silently lose a
+      * legitimate nearest neighbor.
       */
-    def search(queries: DataFrame, k: Int = 5): DataFrame = {
+    def search(queries: DataFrame, k: Int = 5, excludeSelf: Boolean = true): DataFrame = {
+      if (method == "pq")
+        return Pq.searchCodes(corpus, pqCen,
+          queries.select(col("query_id"), col("qe")), k, excludeSelf)
       if (method == "ivfpq")
         return IvfPq.searchResidual(resIdx.get,
-          queries.select(col("query_id"), col("qe")), k, nprobe)
+          queries.select(col("query_id"), col("qe")), k, nprobe, excludeSelf)
       val q0 = queries.select(col("query_id"), col("qe"))
         .withColumn("qn", sqrt(VectorExpressions.dot(col("qe"), col("qe"))))
       val cand = method match {
@@ -68,7 +79,7 @@ object AnnIndex {
       val scored = cand
         .join(corpus.select(col("vec_id"), col("e"), col("nrm")), "vec_id")
         .join(broadcast(q0), "query_id")
-        .where(col("vec_id") =!= col("query_id"))
+        .where(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           round(Ann.cosine(col("qe"), col("e"), col("qn"), col("nrm")), 4).as("cos4"))
       val w = Window.partitionBy(col("query_id"))
@@ -82,9 +93,12 @@ object AnnIndex {
   /** Build an index over the corpus at `dir`. method = "lsh" (hyperplane
     * bucket tables — no training pass, best for cosine recall on skewed
     * corpora), "ivf" (Lloyd-refined coarse quantizer — nprobe-bounded
-    * candidate cost with exact re-rank), or "ivfpq" (residual IVF-PQ —
-    * 8-byte codes + integer ADC, the layout that scales to billions;
-    * output ranks by scaled ADC distance instead of cos4).
+    * candidate cost with exact re-rank), "pq" (flat product-quantization —
+    * full scan over 8-byte codes + integer ADC; no cell structure, so
+    * recall never suffers from probe misses), or "ivfpq" (residual IVF-PQ —
+    * 8-byte codes + integer ADC restricted to nprobe cells, the layout
+    * that scales to billions; "pq"/"ivfpq" rank by scaled ADC distance
+    * instead of cos4).
     */
   def build(spark: SparkSession, dir: String, method: String = "ivf",
       c: Int = 16, iters: Int = 2, nprobe: Int = 4): Handle = method match {
@@ -97,10 +111,16 @@ object AnnIndex {
         .withColumn("cid", Ivf.nearestCid(col("e"), centroids))
         .localCheckpoint(false)
       Handle("ivf", corpus, None, centroids, nprobe)
+    case "pq" =>
+      val cen = if (iters == 0) Pq.codebook(spark, dir) else Pq.refine(spark, dir, iters)
+      val codes = Ann.normed(spark, dir)
+        .select(col("vec_id"), Pq.codesCol(col("e"), cen).as("codes"))
+        .localCheckpoint(false)
+      Handle("pq", codes, None, Nil, nprobe, None, cen)
     case "ivfpq" =>
       val idx = IvfPq.residualIndex(spark, dir, c)
       Handle("ivfpq", idx.corpus, None, idx.mdl.centroids, nprobe, Some(idx))
     case other => throw new IllegalArgumentException(
-      s"unknown ANN method '$other' (expected lsh, ivf or ivfpq)")
+      s"unknown ANN method '$other' (expected lsh, ivf, pq or ivfpq)")
   }
 }

@@ -279,7 +279,7 @@ object Curation {
       .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
     Skew.saltedJoin(li, sup, "l_suppkey", salts = 8)
       .groupBy("s_name")
-      .agg(sum("rev").cast("decimal(18,2)").as("revenue"), count(lit(1)).as("n_items"))
+      .agg(ExactMoney.toMoney(sum("rev")).as("revenue"), count(lit(1)).as("n_items"))
   }
 
   /** Deterministic uniform sample WITHOUT replacement: rank by a salted

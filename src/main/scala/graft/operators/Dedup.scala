@@ -276,41 +276,46 @@ object Dedup {
   }
 
   /** C5 — embedding cosine near-dup pairs (ids + rounded score only, so the
-    * result is FP-stable across engines). Brute-force baseline semantics;
-    * the LSH-bucketed scale path is [[Ann.lshBuckets]].
+    * result is FP-stable across engines), candidate-blocked by the same
+    * deterministic coarse-quantizer cells [[semDedup]] uses: pairs are
+    * generated WITHIN a cell only, then exact-cosine verified. This is the
+    * SemDeDup-paper pair semantics (near-dups are near in embedding space,
+    * so a coarse cell holds them together) — the earlier all-pairs form
+    * measured 23.8× wall-time for 10× data at sf1, the one true quadratic
+    * left in the dedup family.
     *
-    * Execution: band-blocked local pair generation (same shape as
-    * [[ngramJaccard]]) — a self-join materializes both 64-double arrays
-    * into every one of the n²/2 joined rows (measured 2.1 s at sf0.1);
-    * here each vector crosses the shuffle S times total and the dot
-    * products run as tight primitive loops per block (0.5 s).
+    * Scale shape: cell count tracks the corpus (`clamp(n/cellSize, 16,
+    * 65536)`), so per-cell pair work is O(cellSize²) bounded and total pair
+    * work is O(n·cellSize) — linear. Assignment is one narrow scan against
+    * the broadcast seed codebook (the IVF layout's own cost); one shuffle
+    * keyed by cell id; pairs never materialize as rows — each cell runs a
+    * tight primitive loop emitting only ≥-threshold hits. The oracle
+    * re-derives the identical cells, assignment tie-break and rounded
+    * cosine in SQL ([[graft.Oracles.dedupEmbedding]]).
     */
-  def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+  def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.4,
+      cellSize: Int = 250): DataFrame = {
     import spark.implicits._
-    val S = 8
-    Ann.normed(spark, dir)
-      .select(col("vec_id"), col("e"), col("nrm"))
-      .flatMap { r =>
-        val id = r.getAs[Long]("vec_id")
-        val e = r.getSeq[Double](1).toArray
-        val nrm = r.getAs[Double]("nrm")
-        val band = (id % S).toInt
-        (0 until S).map(x => (math.min(band, x), math.max(band, x), band, id, e, nrm))
-      }
-      .groupByKey { case (lo, hi, _, _, _, _) => (lo, hi) }
-      .flatMapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Int, Long, Array[Double], Double)]) =>
-        val (lo, hi) = key
-        val vs = it.map { case (_, _, band, id, e, nrm) => (band, id, e, nrm) }
-          .toArray.sortBy(_._2)
+    val cc = math.min(65536L, math.max(16L,
+      Tables.embeddings(spark, dir).count() / cellSize)).toInt
+    val v = Ann.normed(spark, dir)
+    val centroids = v.select(col("vec_id"), col("e")).where(col("vec_id") < cc)
+      .orderBy("vec_id").collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
+    v.select(col("vec_id"), col("e"), col("nrm"),
+        Ivf.nearestCid(col("e"), centroids).as("cid"))
+      .as[(Long, Array[Double], Double, Int)]
+      .groupByKey(_._4)
+      .flatMapGroups { (_: Int, it: Iterator[(Long, Array[Double], Double, Int)]) =>
+        val vs = it.toArray.sortBy(_._1)
         for {
           i <- vs.indices.iterator
           j <- (i + 1 until vs.length).iterator
-          if (lo == hi) || (vs(i)._1 != vs(j)._1)
         } yield {
-          val a = vs(i)._3; val b = vs(j)._3
+          val a = vs(i)._2; val b = vs(j)._2
           var s = 0.0; var d = 0
           while (d < a.length) { s += a(d) * b(d); d += 1 }
-          (vs(i)._2, vs(j)._2, s / (vs(i)._4 * vs(j)._4))
+          (vs(i)._1, vs(j)._1, s / (vs(i)._3 * vs(j)._3))
         }
       }
       .toDF("id1", "id2", "cos_raw")

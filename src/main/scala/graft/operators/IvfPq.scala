@@ -115,9 +115,12 @@ object IvfPq {
     * residual distance tables, table-lookup sums over the candidates'
     * codes. Same arithmetic as the registered q_ann_ivfpq_res query
     * (which routes through here with the corpus-row batch).
+    * `excludeSelf` must be false for external batches whose query ids may
+    * coincide with corpus vec_ids — a colliding id would silently drop a
+    * legitimate neighbor.
     */
   private[operators] def searchResidual(idx: ResIndex, queries: DataFrame,
-      k: Int = 5, nprobe: Int = 4): DataFrame = {
+      k: Int = 5, nprobe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
     val mdl = idx.mdl
     val residual = (e: org.apache.spark.sql.Column, cid: org.apache.spark.sql.Column) =>
       graft.functions.VectorExpressions.subCentroid(e, cid, mdl.cenFlat, mdl.dim)
@@ -142,7 +145,7 @@ object IvfPq {
       element_at(element_at(col("dtab"), m + 1), element_at(col("codes"), m + 1) + 1)
     }.reduce(_ + _)
     val scored = q.join(idx.corpus, Seq("cid"))
-      .where(col("vec_id") =!= col("query_id"))
+      .where(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), adc.as("adc_scaled"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_scaled").asc, col("neighbor_id"))

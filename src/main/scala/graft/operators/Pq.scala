@@ -95,17 +95,34 @@ object Pq {
     val cen = if (iters == 0) codebook(spark, dir) else refine(spark, dir, iters)
     val v = Ann.normed(spark, dir)
     val corpus = v.select(col("vec_id"), codesCol(col("e"), cen).as("codes"))
+    val queries = v.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    searchCodes(corpus, cen, queries, k)
+  }
+
+  /** ADC search over a built (vec_id, codes) table for ANY (query_id, qe)
+    * batch — the serving half of the PQ layout behind [[AnnIndex]]. The
+    * query batch broadcasts as its M×K integer distance tables; the codes
+    * table is scanned once per batch, never the vectors. `excludeSelf`
+    * filters `neighbor_id == query_id` hits — correct for corpus-row
+    * batches, but MUST be false for external batches whose ids may
+    * coincide with corpus vec_ids.
+    */
+  private[operators] def searchCodes(codes: DataFrame,
+      cen: IndexedSeq[IndexedSeq[Seq[Double]]], queries: DataFrame,
+      k: Int = 5, excludeSelf: Boolean = true): DataFrame = {
     val dtab = array((0 until M).map { m =>
       array((0 until Ksub).map { kk =>
-        floor(subSqDist(col("e"), m, cen(m)(kk)) * lit(1000000.0)).cast("long")
+        floor(subSqDist(col("qe"), m, cen(m)(kk)) * lit(1000000.0)).cast("long")
       }: _*)
     }: _*)
-    val q = broadcast(v.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), dtab.as("dtab")))
+    val q = broadcast(queries.select(col("query_id"), col("qe"))
+      .select(col("query_id"), dtab.as("dtab")))
     val adc = (0 until M).map { m =>
       element_at(element_at(col("dtab"), m + 1), element_at(col("codes"), m + 1) + 1)
     }.reduce(_ + _)
-    val scored = q.join(corpus, col("vec_id") =!= col("query_id"))
+    val scored = q.join(codes,
+        if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), adc.as("adc_scaled"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_scaled").asc, col("neighbor_id"))

@@ -164,7 +164,7 @@ object Relational {
     Tables.orders(spark, dir)
       .join(lineAgg, col("o_orderkey") === col("l_orderkey"), "left")
       .select(col("o_orderkey"), col("o_totalprice"),
-        coalesce(col("line_total"), lit(0).cast("decimal(18,2)")).as("line_total"),
+        coalesce(col("line_total"), lit(0).cast("double")).as("line_total"),
         coalesce(col("n_lines"), lit(0L)).as("n_lines"))
   }
 
@@ -354,7 +354,7 @@ object Relational {
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderpriority"))
-      .agg(sum(col("rev")).cast("decimal(18,2)").as("revenue"))
+      .agg(ExactMoney.toMoney(sum(col("rev"))).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -386,7 +386,7 @@ object Relational {
       .join(c, col("o_custkey") === col("c_custkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
-      .agg(sum(col("rev")).cast("decimal(18,2)").as("revenue"))
+      .agg(ExactMoney.toMoney(sum(col("rev"))).as("revenue"))
   }
 
   /** A26 — TPC-H Q18 shape (large-volume customers): a HAVING-filtered
@@ -413,9 +413,8 @@ object Relational {
       .where(col("l_shipdate") >= lo && col("l_shipdate") < hi &&
         col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
         col("l_quantity") < 24)
-      .agg(sum(col("l_extendedprice").cast("decimal(12,2)")
-          * col("l_discount").cast("decimal(4,2)"))
-          .cast("decimal(18,2)").as("revenue"),
+      .agg(ExactMoney.toMoney(sum(col("l_extendedprice").cast("decimal(12,2)")
+          * col("l_discount").cast("decimal(4,2)"))).as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
@@ -442,7 +441,7 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"))
     val top = l.join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey"))
-      .agg(sum(col("rev")).cast("decimal(18,2)").as("revenue"),
+      .agg(ExactMoney.toMoney(sum(col("rev"))).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("revenue").desc, col("o_custkey"))
       .limit(n)

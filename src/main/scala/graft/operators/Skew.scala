@@ -12,13 +12,20 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** The fact-side salt expression — shared with SkewSpec so the spread
+    * assertion tests the join's ACTUAL mechanism, not a re-derivation that
+    * could drift.
+    */
+  private[graft] def saltExpr(salts: Int): Column =
+    (rand(seed = 42) * salts).cast("int")
+
   /** Salted equi-join: the skewed (large) side gets a random salt in
     * [0, salts); the small side is replicated `salts`× via explode. The join
     * key becomes (key, salt) → a hot key spreads over `salts` reducers.
     * Row-level results are identical to `large.join(small, key)` (inner).
     */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
-    val salted = large.withColumn("__salt", (rand(seed = 42) * salts).cast("int"))
+    val salted = large.withColumn("__salt", saltExpr(salts))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

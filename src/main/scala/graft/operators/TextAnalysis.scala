@@ -213,32 +213,53 @@ object TextAnalysis {
     * High OOV flags off-language or out-of-domain text that stopword
     * heuristics miss; exact integer arithmetic end to end.
     *
-    * Scale shape: one distinct over the reference vocab folded into a
-    * Bloom filter ([[BloomJoin.keyFilter]], distributed treeAggregate
-    * build), then a token-level left join that only the Bloom-PASSING
-    * tokens enter. A Bloom miss has no false negatives, so those tokens
-    * are definite OOV and bypass the join straight into the map-side
-    * partial agg; Bloom false positives surface as null `known` in the
-    * exact join, so the result is exactly the plain-join baseline while
-    * the join input carries ~|known hits| + fpp·|OOV| tokens instead of
-    * every token — the cheapening that matters once the vocab outgrows a
-    * broadcast and the join must shuffle. Docs with zero tokens emit no
-    * row (no rate to report), mirrored by the oracle.
+    * Scale shape, gated on reference-slice size (the round-8 lesson: the
+    * Bloom build's treeAggregate costs more than the join it prunes while
+    * the vocab still fits a broadcast — +76% at sf0.1):
+    *
+    *  - BELOW `bloomMinRefDocs` reference docs, the vocab is a plain
+    *    broadcast left join — zero build cost, the fact side never
+    *    shuffles. (Heaps' law: distinct types grow ~√tokens, so 1M docs
+    *    keep the vocab in the low millions of strings — comfortably
+    *    broadcastable; the ref-doc count itself is a single-column
+    *    predicate-pushed scan, far cheaper than counting the vocab.)
+    *  - ABOVE it, the vocab folds into a Bloom filter
+    *    ([[BloomJoin.keyFilter]], distributed treeAggregate build) and the
+    *    token-level join receives only Bloom-PASSING tokens. A Bloom miss
+    *    has no false negatives, so those tokens are definite OOV and
+    *    bypass the join straight into the map-side partial agg; false
+    *    positives surface as null `known` in the exact join, so the
+    *    result is exactly the plain-join baseline while the join carries
+    *    ~|known hits| + fpp·|OOV| tokens instead of every token — the
+    *    cheapening that matters once the vocab outgrows a broadcast and
+    *    the join must shuffle.
+    *
+    * NULL tokens (the tokenizer never emits them today) route to the
+    * definite-OOV arm — `where(p)`/`where(!p)` would silently drop them
+    * from both arms — preserving the plain-join row identity where a null
+    * key joins nothing and counts into n_tokens. Docs with zero tokens
+    * emit no row (no rate to report), mirrored by the oracle.
     */
   def oovRate(spark: SparkSession, dir: String, refLang: String = "en",
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01, bloomMinRefDocs: Long = 1000000L): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val vocab = docs.where(col("lang") === refLang)
       .select(explode(tokens(col("text"))).as("tok")).distinct()
       .withColumn("known", lit(1))
-    val bf = BloomJoin.keyFilter(vocab, "tok", fpp)
     val toks = docs.select(col("doc_id"), col("lang"),
       explode(tokens(col("text"))).as("tok"))
-    val probable = toks.where(BloomJoin.mightContain(col("tok"), bf))
-      .join(vocab, Seq("tok"), "left")
-    val definite = toks.where(!BloomJoin.mightContain(col("tok"), bf))
-      .withColumn("known", lit(null).cast("int"))
-    probable.unionByName(definite)
+    val refDocs = docs.where(col("lang") === refLang).count()
+    val joined =
+      if (refDocs < bloomMinRefDocs) toks.join(broadcast(vocab), Seq("tok"), "left")
+      else {
+        val bf = BloomJoin.keyFilter(vocab, "tok", fpp)
+        val hit = BloomJoin.mightContain(col("tok"), bf)
+        val probable = toks.where(hit).join(vocab, Seq("tok"), "left")
+        val definite = toks.where(hit.isNull || !hit)
+          .withColumn("known", lit(null).cast("int"))
+        probable.unionByName(definite)
+      }
+    joined
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_tokens"),
         count(when(col("known").isNull, 1)).as("n_oov"))

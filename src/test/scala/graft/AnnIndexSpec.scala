@@ -50,4 +50,49 @@ class AnnIndexSpec extends GraftSuite {
     // neighbors of a near-copy of vector 0 should include vector 0 itself
     assert(got.map(_.getLong(2)).contains(0L))
   }
+
+  test("pq index search == q_ann_pq on the registered query batch") {
+    val idx = AnnIndex.build(spark, sf, "pq", iters = 0)
+    val got = idx.search(registeredQueries, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val want = SparkEntry.queries("q_ann_pq")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+  }
+
+  test("external ids colliding with corpus vec_ids keep their neighbors via excludeSelf=false") {
+    import spark.implicits._
+    val idx = AnnIndex.build(spark, sf, "ivf", iters = 0)
+    // external vector near corpus row 0, but its batch id ALSO happens to
+    // be 0 — the corpus-row self-exclusion must not eat the true neighbor
+    val ext = Ann.normed(spark, sf).where(col("vec_id") === 0)
+      .select(col("e")).as[Seq[Double]].head().map(_ * 0.9 + 0.01)
+    val batch = Seq((0L, ext)).toDF("query_id", "qe")
+    val kept = idx.search(batch, 3, excludeSelf = false).collect().map(_.getLong(2))
+    assert(kept.contains(0L), "true nearest neighbor survives the id collision")
+    val dropped = idx.search(batch, 3).collect().map(_.getLong(2))
+    assert(!dropped.contains(0L), "default self-exclusion is for corpus-row batches")
+  }
+
+  test("an index built once serves two query batches without re-reading the corpus") {
+    import spark.implicits._
+    val idx = AnnIndex.build(spark, sf, "ivf", iters = 0)
+    val e0 = Ann.normed(spark, sf).where(col("vec_id") === 0)
+      .select(col("e")).as[Seq[Double]].head()
+    val e5 = Ann.normed(spark, sf).where(col("vec_id") === 5)
+      .select(col("e")).as[Seq[Double]].head()
+    val b1 = Seq((-1L, e0.map(_ * 0.9 + 0.01))).toDF("query_id", "qe")
+    val b2 = Seq((-2L, e5.map(_ * 1.1 - 0.01))).toDF("query_id", "qe")
+    val r1 = idx.search(b1, 3)
+    val r2 = idx.search(b2, 3)
+    // the build-once contract at 100 TB: after build, no search plan may
+    // touch the source files again — the checkpointed corpus serves both
+    for (r <- Seq(r1, r2)) {
+      val plan = r.queryExecution.executedPlan.toString
+      assert(!plan.contains("Scan parquet") && !plan.contains("FileScan"),
+        s"search must not re-read the corpus:\n$plan")
+    }
+    assert(r1.collect().map(_.getLong(2)).contains(0L))
+    assert(r2.collect().map(_.getLong(2)).contains(5L))
+  }
 }

@@ -64,7 +64,7 @@ class CurationSpec extends GraftSuite {
 
   test("salted supplier revenue equals the unsalted aggregation") {
     val salted = Curation.saltedSupplierRevenue(spark, sf).collect()
-      .map(r => (r.getString(0), r.getDecimal(1), r.getLong(2))).toSet
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
     val li = io.Tables.lineitem(spark, sf)
     val sup = io.Tables.supplier(spark, sf)
     // same exact-decimal accumulation as the operator (the salted and
@@ -73,9 +73,9 @@ class CurationSpec extends GraftSuite {
       .groupBy("s_name")
       .agg(sum(expr("cast(l_extendedprice as decimal(12,2))"
           + " * (cast(1 as decimal(4,2)) - cast(l_discount as decimal(4,2)))"))
-        .cast("decimal(18,2)").as("revenue"),
+        .cast("decimal(18,2)").cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
-      .collect().map(r => (r.getString(0), r.getDecimal(1), r.getLong(2))).toSet
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
     assert(salted == plain)
   }
 

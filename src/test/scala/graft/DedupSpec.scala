@@ -20,6 +20,39 @@ class DedupSpec extends GraftSuite {
     assert(allPairs.nonEmpty)
   }
 
+  test("embeddingNearDup equals brute-force within-cell pair generation") {
+    import spark.implicits._
+    val v = Ann.normed(spark, sf)
+      .select(col("vec_id"), col("e"), col("nrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    // same corpus-derived cell count as the operator (~250-vector cells)
+    val nc = math.min(65536, math.max(16, v.length / 250))
+    val cen = v.filter(_._1 < nc).map(_._2)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def cid(e: Array[Double]): Int =
+      (0 until nc).minBy(c => (dot(e, e) - 2 * dot(e, cen(c)) + cen(c).map(x => x * x).sum, c))
+    val expected = v.groupBy { case (_, e, _) => cid(e) }.values.flatMap { vs =>
+      val sorted = vs.sortBy(_._1)
+      for {
+        i <- sorted.indices
+        j <- i + 1 until sorted.length
+        cos4 = BigDecimal(dot(sorted(i)._2, sorted(j)._2) / (sorted(i)._3 * sorted(j)._3))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if cos4 >= 0.4
+      } yield (sorted(i)._1, sorted(j)._1, cos4)
+    }.toSet
+    val got = Dedup.embeddingNearDup(spark, sf)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expected)
+    // pair generation is genuinely blocked: at least two distinct cells exist
+    assert(v.map(t => cid(t._2)).distinct.length > 1)
+  }
+
   test("hash60 matches the md5-derived reference value") {
     // first 15 hex chars of md5('hello') = 5d41402abc4b2a7, base 16
     val v = spark.range(1).select(TextHash.hash60(lit("hello"))).head.getLong(0)

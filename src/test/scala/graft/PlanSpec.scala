@@ -172,8 +172,11 @@ class PlanSpec extends GraftSuite {
     assert(shuffles(p) == 2, s"shingle group + cell agg only:\n$p")
   }
 
-  test("q_oov_rate bloom-prunes the token stream BELOW the vocab join") {
-    val sp = SparkEntry.queries("q_oov_rate")(spark, sf).queryExecution.sparkPlan
+  test("q_oov_rate bloom-prunes the token stream BELOW the vocab join (gated path)") {
+    // force the Bloom arm of the gate — below bloomMinRefDocs the operator
+    // (correctly) plans a plain broadcast join instead
+    val sp = graft.operators.TextAnalysis.oovRate(spark, sf, bloomMinRefDocs = 0L)
+      .queryExecution.sparkPlan
     val joins = sp.collect {
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
     }
@@ -195,6 +198,20 @@ class PlanSpec extends GraftSuite {
     assert(unions.exists(_.children.exists(_.collect {
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
     }.isEmpty)), s"definite-OOV arm must not pass through the join:\n$sp")
+  }
+
+  test("q_oov_rate below the gate is one broadcast join, no bloom, no union") {
+    // the registered query at spec SF sits far below bloomMinRefDocs: the
+    // vocab broadcasts, no filter build job, no two-arm union
+    val sp = SparkEntry.queries("q_oov_rate")(spark, sf).queryExecution.sparkPlan
+    assert(sp.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }.nonEmpty, s"vocab must broadcast below the gate:\n$sp")
+    assert(sp.collect { case u: org.apache.spark.sql.execution.UnionExec => u }.isEmpty,
+      s"no bloom split below the gate:\n$sp")
+    assert(sp.find(_.expressions.exists(_.find(
+      _.isInstanceOf[graft.operators.BloomJoin.BloomMightContain]).isDefined)).isEmpty,
+      s"no bloom probe below the gate:\n$sp")
   }
 
   test("ANN re-ranks ride WindowGroupLimit partial top-k on one exchange") {

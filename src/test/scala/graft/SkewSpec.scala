@@ -34,7 +34,7 @@ class SkewSpec extends GraftSuite {
     // must spread the hot key over (nearly) all 8 buckets, so no single
     // reducer owns it — the property that matters at 100 TB
     val buckets = fact.where($"k" === 42L)
-      .withColumn("__salt", (rand(seed = 42) * 8).cast("int"))
+      .withColumn("__salt", Skew.saltExpr(8))
       .groupBy("__salt").count().collect().map(r => r.getLong(1))
     assert(buckets.length >= 7, s"hot key concentrated in ${buckets.length} buckets")
     assert(buckets.max < 9000 / 4, s"one bucket still owns ${buckets.max} hot rows")

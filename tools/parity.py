@@ -15,6 +15,15 @@ def canon(rel):
     rows = sorted(tuple(str(v) for v in row) for row in df.itertuples(index=False))
     return list(df.columns), rows
 
+def decimal_cols(rel):
+    """Columns typed DECIMAL on either side are a hard failure: the driver's
+    hasher renders the two sides of a decimal differently when a value has
+    trailing-zero cents ('123.40' vs '123.4'), while pandas' str(Decimal) is
+    identical on both sides — exactly the divergence that made this script
+    validate the round-8 regression the driver rejected. Rule: exact decimal
+    inside the plan, double (or integer) out."""
+    return [c for c, t in zip(rel.columns, rel.types) if "DECIMAL" in str(t).upper()]
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for f in glob.glob(os.path.join(sf_dir, "*.parquet")):
@@ -27,12 +36,19 @@ def main(sf_dir, out_dir):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
-        got_cols, got = canon(con.sql(f"SELECT * FROM '{d}/*.parquet'"))
+        got_rel = con.sql(f"SELECT * FROM '{d}/*.parquet'")
+        got_cols, got = canon(got_rel)
         if name not in oracle:
             print(f"[rows-only] {name}: {len(got)} rows")
             continue
-        exp_cols, exp = canon(con.sql(oracle[name]))
-        if got_cols != exp_cols:
+        exp_rel = con.sql(oracle[name])
+        exp_cols, exp = canon(exp_rel)
+        dec = sorted(set(decimal_cols(got_rel)) | set(decimal_cols(exp_rel)))
+        if dec:
+            print(f"[FAIL decimal] {name}: decimal output columns {dec} "
+                  f"(driver renders decimals inconsistently; cast the final "
+                  f"projection to DOUBLE on both sides)")
+        elif got_cols != exp_cols:
             print(f"[FAIL cols] {name}: spark={got_cols} oracle={exp_cols}")
         elif got != exp:
             print(f"[FAIL rows] {name}: spark {len(got)} rows vs oracle {len(exp)}")

@@ -40,7 +40,9 @@ def main():
         r1 = f"{b/a:.1f}x" + (" lin" if b / a <= 10 else "") if a and b else "-"
         r3 = f"{c/b:.1f}x" + (" lin" if c / b <= 3 else "") if b else "-"
         print(f"| {q} | {a if a else '-'} | {b if b else '-'} | {r1} | {c} | {r3} |")
-    others = [q for q in sorted(sf1) if q not in sf3 and q in sf01]
+    # mirror the headline-row guard: a sub-millisecond sf0.1 time rounds to
+    # 0 in the artifact and would divide-by-zero here
+    others = [q for q in sorted(sf1) if q not in sf3 and sf01.get(q)]
     ratios = sorted(sf1[q] / sf01[q] for q in others)
     if ratios:
         print(f"\n{len(others)} non-headline queries at sf1: median ratio "
