@@ -158,6 +158,30 @@ object Dedup {
     * blocking rule is part of the operator's declared semantics and the
     * oracle applies the same rule).
     */
+  /** Band count for [[ngramJaccard]]'s pair groups — the smallest S
+    * meeting BOTH budgets:
+    *
+    *  1. parallelism: nBuckets·S(S+1)/2 groups ≥ 16 tasks per core
+    *     (group costs are skewed; over-decomposition levels the waves);
+    *  2. block size: a cross-band group holds ~2·maxPop/S docs, which must
+    *     stay under the all-pairs budget (with 10% headroom for uneven
+    *     `doc_id % S` band splits) or the group silently flips into the
+    *     prefix-filter path — lossless, but ~20× SLOWER on corpora whose
+    *     gram universe is too small for rare prefixes.
+    *
+    * The parallelism term is capped at 8 and the block term at 16 (each
+    * extra band pushes every gram array through the shuffle once more);
+    * if 16 bands can't satisfy the block budget (≳33k docs in one length
+    * bucket under the default 4096), the group runs the prefix path —
+    * at that block size a quadratic all-pairs sweep is no longer the
+    * cheaper side of the trade anyway.
+    */
+  private[graft] def ngramSalt(nBuckets: Long, maxPop: Long, cores: Int,
+      maxAllPairsBlock: Int): Int = {
+    val sPar = (1 to 8).find(s => nBuckets * s * (s + 1) / 2 >= 16L * cores).getOrElse(8)
+    (sPar to 16).find(s => 2.0 * maxPop / s <= 0.9 * maxAllPairsBlock).getOrElse(sPar)
+  }
+
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.35,
       maxAllPairsBlock: Int = 4096, saltOverride: Option[Int] = None): DataFrame = {
     import spark.implicits._
@@ -188,19 +212,31 @@ object Dedup {
     //
     // Salting: a bucket is split into S doc-bands; a doc lands in the S
     // groups (bucket, min(band,x), max(band,x)) so every pair is generated
-    // exactly once across S(S+1)/2 groups. S is ADAPTIVE: the smallest S
-    // whose nBuckets·S(S+1)/2 groups give ≥16 tasks per core. Group sizes
-    // are wildly skewed (length-bucket populations span 11–292 docs at
-    // sf0.1) so over-decomposition is what levels the waves — measured
-    // best-of-3 at sf0.1 under one JVM: S=1 1.84 s (23 tasks idle 32
-    // cores), S=3 1.23 s, S=4 1.15 s, S=8 1.05 s. The cost is the gram
-    // arrays crossing the shuffle S×, which is why S is capped rather than
-    // unbounded; on a wide cluster the same formula lands at the cap.
+    // exactly once across S(S+1)/2 groups. S is ADAPTIVE on two budgets
+    // (see [[ngramSalt]]): enough groups for ≥16 tasks per core, AND
+    // cross-band groups small enough (≤ ~maxAllPairsBlock docs) to stay on
+    // the all-pairs path. The second budget is the round-9 lesson: sized
+    // for parallelism alone (S=2 at local[4]), sf3's 6.9k-doc buckets
+    // produced 6.9k-doc groups that flipped into the prefix-filter path —
+    // which on THIS corpus (tiny gram universe, no rare prefixes) amplifies
+    // ~20× instead of pruning, turning a ~2-minute query into hours of
+    // single-threaded straggler. Group sizes are wildly skewed
+    // (length-bucket populations span 11–292 docs at sf0.1) so
+    // over-decomposition also levels the waves — measured best-of-3 at
+    // sf0.1 under one JVM: S=1 1.84 s (23 tasks idle 32 cores), S=3
+    // 1.23 s, S=4 1.15 s, S=8 1.05 s. The cost is the gram arrays crossing
+    // the shuffle S×, which is why S is capped rather than unbounded; past
+    // the cap (beyond ~33k-doc buckets) the prefix path takes over, which
+    // is the right trade exactly when corpora are big AND diverse.
     val cores = spark.sparkContext.defaultParallelism
-    val nBuckets = math.max(1L, Tables.documents(spark, dir)
-      .select((col("n_chars") / 25).cast("long")).distinct().count())
-    val S = saltOverride.getOrElse(
-      (1 to 8).find(s => nBuckets * s * (s + 1) / 2 >= 16L * cores).getOrElse(8))
+    val bucketStats = Tables.documents(spark, dir)
+      .groupBy((col("n_chars") / 25).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("pop"))
+      .agg(count(lit(1)).as("n_buckets"), max(col("pop")).as("max_pop"))
+      .head()
+    val nBuckets = math.max(1L, bucketStats.getLong(0))
+    val maxPop = if (bucketStats.isNullAt(1)) 1L else bucketStats.getLong(1)
+    val S = saltOverride.getOrElse(ngramSalt(nBuckets, maxPop, cores, maxAllPairsBlock))
     val t = threshold
     g.flatMap { r =>
       val doc = r.getAs[Long]("doc_id"); val bucket = r.getAs[Long]("bucket")

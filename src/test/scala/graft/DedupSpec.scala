@@ -20,6 +20,31 @@ class DedupSpec extends GraftSuite {
     assert(allPairs.nonEmpty)
   }
 
+  test("ngramSalt honors both the parallelism and the block-size budget") {
+    // sf0.1 shape (25 buckets, max pop 292, 32 cores): the parallelism
+    // term alone decides — block budget already satisfied, S unchanged
+    // from the measured r7 tuning.
+    val s01 = Dedup.ngramSalt(25, 292, 32, 4096)
+    assert(s01 == (1 to 8).find(s => 25L * s * (s + 1) / 2 >= 16L * 32).get)
+    // sf3 shape at local[4] — the round-9 straggler: parallelism alone
+    // gave S=2 → 6868-doc groups → prefix path. The block budget must
+    // push S up until cross-band groups fit all-pairs.
+    val s3 = Dedup.ngramSalt(25, 6868, 4, 4096)
+    assert(2.0 * 6868 / s3 <= 0.9 * 4096, s"S=$s3 leaves giant groups")
+    // sf10 shape (max pop ~23k, 32 cores): needs S in the extended range
+    // (the parallelism cap of 8 is not enough) but within the cap of 16.
+    val s10 = Dedup.ngramSalt(25, 23000, 32, 4096)
+    assert(s10 <= 16 && 2.0 * 23000 / s10 <= 0.9 * 4096)
+    // beyond the 16-band cap (~33k+ docs per bucket) the budget is
+    // unattainable: fall back to the parallelism S — those groups take
+    // the prefix path by design.
+    val sHuge = Dedup.ngramSalt(25, 100000, 32, 4096)
+    assert(sHuge == s01)
+    // forcing the prefix path (maxAllPairsBlock=0, the lossless spec
+    // above) must not blow up the derivation.
+    assert(Dedup.ngramSalt(25, 292, 32, 0) == s01)
+  }
+
   test("embeddingNearDup equals brute-force within-cell pair generation") {
     import spark.implicits._
     val v = Ann.normed(spark, sf)
