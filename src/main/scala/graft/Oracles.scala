@@ -123,6 +123,42 @@ object Oracles {
       |JOIN nation ON c_nationkey = n_nationkey
       |ORDER BY revenue DESC, c_custkey""".stripMargin
 
+  /** Q12 shape: same year filter, same urgency split; DuckDB's HUGEINT
+    * CASE-sums cast back to BIGINT.
+    */
+  val tpchQ12: String =
+    """SELECT l_returnflag,
+      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY l_returnflag""".stripMargin
+
+  /** Q14 shape: exact-decimal revenue sums (round-to-cents matches Spark's
+    * HALF_UP decimal cast), DOUBLE out, ppm via exact cent BIGINT floor
+    * division (`//` ↔ Spark `div`).
+    */
+  val tpchQ14: String =
+    """WITH j AS (
+      |  SELECT CAST(l_extendedprice AS DECIMAL(12,2))
+      |         * (1 - CAST(l_discount AS DECIMAL(4,2))) AS rev, p_type
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      |    AND l_shipdate < TIMESTAMP '1996-10-01'),
+      |a AS (
+      |  SELECT CAST(round(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END), 2)
+      |              AS DECIMAL(18,2)) AS promo_d,
+      |         CAST(round(sum(rev), 2) AS DECIMAL(18,2)) AS total_d
+      |  FROM j)
+      |SELECT CAST(promo_d AS DOUBLE) AS promo_rev,
+      |       CAST(total_d AS DOUBLE) AS total_rev,
+      |       CAST(CAST(promo_d * 100 AS BIGINT) * 1000000
+      |            // CAST(total_d * 100 AS BIGINT) AS BIGINT) AS promo_ppm
+      |FROM a""".stripMargin
+
   /** OOV ppm vs the en-docs vocabulary — same token filter, same left-join
     * null test, same integer floor division.
     */

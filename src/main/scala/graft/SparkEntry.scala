@@ -120,6 +120,10 @@ object SparkEntry {
     "q_tpch_q10"           -> ((s, d) => Relational.tpchQ10(s, d)),
     // q_tpch_q6: pure-scan filtered aggregate (pushdown benchmark)
     "q_tpch_q6"            -> ((s, d) => Relational.tpchQ6(s, d)),
+    // q_tpch_q12: fact-fact shuffle join + conditional counts (r9)
+    "q_tpch_q12"           -> ((s, d) => Relational.tpchQ12(s, d)),
+    // q_tpch_q14: promo revenue share — exact cents, integer ppm (r9)
+    "q_tpch_q14"           -> ((s, d) => Relational.tpchQ14(s, d)),
     // round-6 block: quality gate + corpus profiling + graph density
     // q_quality_filter: Gopher/C4-style rule cascade — zero-shuffle narrow scan
     "q_quality_filter"     -> ((s, d) => Quality.qualityFilter(s, d)),
@@ -348,6 +352,8 @@ object SparkEntry {
     "q_tpch_q18"        -> Oracles.tpchQ18,
     "q_tpch_q10"        -> Oracles.tpchQ10,
     "q_tpch_q6"         -> Oracles.tpchQ6,
+    "q_tpch_q12"        -> Oracles.tpchQ12,
+    "q_tpch_q14"        -> Oracles.tpchQ14,
     "q_lang_id"         -> Oracles.langId,
     "q_quality_score"   -> Oracles.qualityScore,
     "q_fingerprint"     -> Oracles.fingerprint,

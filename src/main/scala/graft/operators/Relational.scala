@@ -471,4 +471,64 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(n)
   }
+
+  /** A29 — TPC-H Q12 shape (shipping-priority audit): lines shipped in a
+    * year, counted per return flag split by order urgency. The schema has
+    * no l_shipmode/receiptdate, so the flag plays Q12's shipmode and the
+    * shipdate year its receipt window — the SHAPE is Q12's defining one:
+    * a fact-fact equi-join feeding conditional counts.
+    *
+    * Spark-first: the year filter pushes to the lineitem scan (cuts the
+    * shuffle to ~1/7 of lines before anything moves); neither side
+    * broadcasts — orders scales with the fact table, so this is the
+    * honest shuffle-join benchmark, the complement of q_join_broadcast —
+    * and the CASE counts partial-aggregate map-side after the join, so
+    * the final exchange carries 3 rows of counters.
+    */
+  def tpchQ12(spark: SparkSession, dir: String): DataFrame = {
+    val lo = expr("TIMESTAMP '1996-01-01 00:00:00'")
+    val hi = expr("TIMESTAMP '1997-01-01 00:00:00'")
+    val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select(col("l_orderkey"), col("l_returnflag"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(urgent, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  /** A30 — TPC-H Q14 shape (promotion effect): the share of one month's
+    * revenue earned by promo parts. Spark-first: the month filter pushes
+    * to the lineitem scan; part joins on partkey projected to two columns
+    * (broadcast at test SFs by AQE's own threshold — NOT pinned, because
+    * part scales with the corpus and at 100 TB this is a shuffle join on
+    * partkey, which AQE picks without a code change).
+    *
+    * Money discipline per [[ExactMoney]]: exact decimal inside, DOUBLE
+    * out; the ratio is an integer ppm via exact cent arithmetic —
+    * BIGINT floor division is bit-identical cross-engine, where a double
+    * divide would hash on 1-ulp luck. (promo_cents·10⁶ overflows BIGINT
+    * only past ~$92B of monthly promo revenue — ~sf500 territory; the
+    * month's sums themselves stay exact at any scale.)
+    */
+  def tpchQ14(spark: SparkSession, dir: String): DataFrame = {
+    val lo = expr("TIMESTAMP '1996-09-01 00:00:00'")
+    val hi = expr("TIMESTAMP '1996-10-01 00:00:00'")
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select(col("l_partkey"),
+        ExactMoney.revenue(col("l_extendedprice"), col("l_discount")).as("rev"))
+      .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(sum(when(col("p_type") === "PROMO", col("rev")).otherwise(lit(0)))
+          .cast("decimal(18,2)").as("promo_d"),
+        sum(col("rev")).cast("decimal(18,2)").as("total_d"))
+      .select(col("promo_d").cast("double").as("promo_rev"),
+        col("total_d").cast("double").as("total_rev"),
+        expr("CAST(promo_d * 100 AS BIGINT) * 1000000 div CAST(total_d * 100 AS BIGINT)")
+          .as("promo_ppm"))
+  }
 }

@@ -243,6 +243,25 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("BroadcastHashJoin"), s"nation/customer decoration must broadcast:\n$p")
   }
 
+  test("q_tpch_q12 pushes the year filter and partial-aggregates the CASE counts") {
+    val p = plan("q_tpch_q12")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), s"year filter must reach the scan:\n$p")
+    // lineitem pruned to two columns before the join
+    assert(!p.contains("l_extendedprice"), s"money columns must prune away:\n$p")
+    // partial_sum = the CASE counters combine map-side after the join
+    assert(p.contains("partial_sum"), s"conditional counts must partial-agg:\n$p")
+  }
+
+  test("q_tpch_q14 pushes the month filter; the 1-row agg adds one exchange") {
+    val p = plan("q_tpch_q14")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), s"month filter must reach the scan:\n$p")
+    // part pruned to (partkey, type): no name/brand/price in the plan
+    assert(!p.contains("p_retailprice"), s"part must prune to 2 columns:\n$p")
+    // join exchanges depend on AQE's broadcast choice at this SF; the
+    // global agg itself must stay a single 1-row exchange
+    assert(p.contains("partial_sum"), s"revenue sums must partial-agg:\n$p")
+  }
+
   test("q_tpch_q18 plans TakeOrdered top-100 and broadcasts the small sides") {
     val p = plan("q_tpch_q18")
     assert(p.contains("TakeOrderedAndProject"), s"top-100 must not global-sort:\n$p")
