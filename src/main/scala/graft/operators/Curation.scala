@@ -42,14 +42,20 @@ object Curation {
     */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
       maxIter: Int = 60): DataFrame = {
-    val (labels, converged) = propagateRounds(edges, src, dst, rounds = 4)
+    // Materialize the edge list ONCE before anything branches. The edge
+    // plan is the caller's whole upstream pipeline (for dedupCluster, the
+    // full MinHash-LSH verify), and the fallback path used to rebuild from
+    // that raw plan — recomputing the pipeline twice more (working edge
+    // set + node set). Invisible at SFs where propagation converges, a
+    // measured 72→322 s cliff at sf10 the first time a component's
+    // diameter pushed past the propagate budget.
+    val e0 = edges.select(col(src).as("u"), col(dst).as("v")).localCheckpoint()
+    val (labels, converged) = propagateRounds(e0, "u", "v", rounds = 4)
     if (converged) labels
     else {
       val shortcut = labels.where(col("id") =!= col("label"))
         .select(col("id").as("u"), col("label").as("v"))
-      connectedComponentsStar(
-        edges.select(col(src).as("u"), col(dst).as("v")).union(shortcut),
-        "u", "v", maxIter)
+      connectedComponentsStar(e0.union(shortcut), "u", "v", maxIter)
     }
   }
 
@@ -77,10 +83,14 @@ object Curation {
     */
   def connectedComponentsStar(edges: DataFrame, src: String, dst: String,
       maxIter: Int = 60): DataFrame = {
-    val nodes = edges.select(col(src).as("id"))
-      .union(edges.select(col(dst).as("id"))).distinct()
-    var e = edges.select(col(src).as("u"), col(dst).as("v"))
-      .where(col("u") =!= col("v"))
+    // One materialization of the argument: the node set and the working
+    // edge set both scan it, and callers pass arbitrarily expensive plans.
+    // (nodes must come from the UNFILTERED list — self-loops carry
+    // singleton endpoints — which is why it can't derive from `e`.)
+    val e0 = edges.select(col(src).as("u"), col(dst).as("v")).localCheckpoint()
+    val nodes = e0.select(col("u").as("id"))
+      .union(e0.select(col("v").as("id"))).distinct()
+    var e = e0.where(col("u") =!= col("v"))
       .localCheckpoint()
     // (count, hash-sum) set checksum: labels-only probes can't see edge-set
     // churn between rounds, this can
