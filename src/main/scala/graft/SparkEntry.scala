@@ -36,6 +36,9 @@ object SparkEntry {
     // 3 heterogeneous schemas, one tagged-union shuffle (TupleJob.coGroupMulti)
     "q_cogroup_multi"      -> ((s, d) => Relational.coGroupMultiCounts(s, d)),
     "q_moving_avg"         -> ((s, d) => Relational.movingAverage(s, d)),
+    // q_window_range: trailing-7-calendar-day RANGE frame (value-bounded,
+    // vs q_moving_avg's ROWS frame) — same single user-keyed exchange (r9)
+    "q_window_range"       -> ((s, d) => Relational.rangeWindow(s, d)),
     "q_normalize"          -> ((s, d) => Relational.normalize(s, d)),
     "q_topic_fingerprint"  -> ((s, d) => Relational.topicFingerprint(s, d)),
     // reference BitField output shape: top words as a packed 128-bit set
@@ -252,6 +255,13 @@ object SparkEntry {
       """SELECT user_id, day, clicks,
         |       round(avg(clicks) OVER (PARTITION BY user_id ORDER BY day
         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg
+        |FROM (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS clicks
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2) t""".stripMargin,
+    "q_window_range" ->
+      """SELECT user_id, day, clicks,
+        |       CAST(sum(clicks) OVER (PARTITION BY user_id
+        |            ORDER BY date_diff('day', DATE '1995-01-01', day)
+        |            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS wk_clicks
         |FROM (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS clicks
         |      FROM events WHERE event_type = 'click' GROUP BY 1, 2) t""".stripMargin,
     "q_normalize" ->

@@ -211,6 +211,28 @@ object Relational {
     daily.withColumn("mavg", round(avg(col("clicks")).over(w), 6))
   }
 
+  /** A31 — time-RANGE sliding window: trailing-N-calendar-day click count
+    * per user per active day. Deliberately distinct from A12's ROWS frame:
+    * a RANGE frame bounds by VALUE, so gaps in a user's day sequence
+    * shrink the window — the trailing week is 7 calendar days, not the
+    * last 7 ACTIVE days, which is the semantics reporting actually wants.
+    * Spark plans a RangeFrame over the same single user-keyed exchange as
+    * the rows version (PlanSpec-pinned); the day ordinal keeps the frame
+    * arithmetic integer-exact on both engines.
+    */
+  def rangeWindow(spark: SparkSession, dir: String, days: Int = 7): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .where(col("event_type") === "click")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("clicks"))
+      .withColumn("day_ord", datediff(col("day"), lit("1995-01-01")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day_ord"))
+      .rangeBetween(-(days - 1), Window.currentRow)
+    daily
+      .withColumn("wk_clicks", sum(col("clicks")).over(w))
+      .select(col("user_id"), col("day"), col("clicks"), col("wk_clicks"))
+  }
+
   /** A13 — per-group normalization
     * (reference: examples/.../UserActivityNormalizer.java): each user's
     * activity share per event type. Pangool needed a two-job pass; here the

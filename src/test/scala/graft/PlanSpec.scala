@@ -243,6 +243,12 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("BroadcastHashJoin"), s"nation/customer decoration must broadcast:\n$p")
   }
 
+  test("q_window_range plans a RangeFrame on one user-keyed exchange") {
+    val p = plan("q_window_range")
+    assert(p.contains("RangeFrame"), s"value-bounded frame must plan as RangeFrame:\n$p")
+    assert(shuffles(p) <= 2, s"daily agg + user window only:\n$p")
+  }
+
   test("q_tpch_q12 pushes the year filter and partial-aggregates the CASE counts") {
     val p = plan("q_tpch_q12")
     assert(p.contains("GreaterThanOrEqual(l_shipdate"), s"year filter must reach the scan:\n$p")
