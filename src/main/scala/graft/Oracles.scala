@@ -159,6 +159,33 @@ object Oracles {
       |            // CAST(total_d * 100 AS BIGINT) AS BIGINT) AS promo_ppm
       |FROM a""".stripMargin
 
+  /** Q4 shape: same quarter, same late-shipment EXISTS (shipdate more than
+    * 60 days after the order date — the schema has no commit/receipt
+    * dates).
+    */
+  val tpchQ4: String =
+    """SELECT o_orderpriority, count(*)::BIGINT AS order_count
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      |  AND o_orderdate < TIMESTAMP '1996-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** Q13 shape: same non-urgent filter inside the outer join, counting
+    * order-less customers into the 0 bucket.
+    */
+  val tpchQ13: String =
+    """SELECT c_count, count(*)::BIGINT AS custdist
+      |FROM (SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+      |      FROM customer LEFT OUTER JOIN
+      |           (SELECT o_orderkey, o_custkey FROM orders
+      |            WHERE o_orderpriority <> '1-URGENT') o
+      |        ON c_custkey = o_custkey
+      |      GROUP BY c_custkey)
+      |GROUP BY c_count""".stripMargin
+
   /** OOV ppm vs the en-docs vocabulary — same token filter, same left-join
     * null test, same integer floor division.
     */

@@ -127,6 +127,10 @@ object SparkEntry {
     "q_tpch_q12"           -> ((s, d) => Relational.tpchQ12(s, d)),
     // q_tpch_q14: promo revenue share — exact cents, integer ppm (r9)
     "q_tpch_q14"           -> ((s, d) => Relational.tpchQ14(s, d)),
+    // q_tpch_q4: EXISTS semi-join with a residual date predicate (r9)
+    "q_tpch_q4"            -> ((s, d) => Relational.tpchQ4(s, d)),
+    // q_tpch_q13: filtered outer join + two-level count distribution (r9)
+    "q_tpch_q13"           -> ((s, d) => Relational.tpchQ13(s, d)),
     // round-6 block: quality gate + corpus profiling + graph density
     // q_quality_filter: Gopher/C4-style rule cascade — zero-shuffle narrow scan
     "q_quality_filter"     -> ((s, d) => Quality.qualityFilter(s, d)),
@@ -364,6 +368,8 @@ object SparkEntry {
     "q_tpch_q6"         -> Oracles.tpchQ6,
     "q_tpch_q12"        -> Oracles.tpchQ12,
     "q_tpch_q14"        -> Oracles.tpchQ14,
+    "q_tpch_q4"         -> Oracles.tpchQ4,
+    "q_tpch_q13"        -> Oracles.tpchQ13,
     "q_lang_id"         -> Oracles.langId,
     "q_quality_score"   -> Oracles.qualityScore,
     "q_fingerprint"     -> Oracles.fingerprint,

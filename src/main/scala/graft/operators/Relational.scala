@@ -553,4 +553,61 @@ object Relational {
         expr("CAST(promo_d * 100 AS BIGINT) * 1000000 div CAST(total_d * 100 AS BIGINT)")
           .as("promo_ppm"))
   }
+
+  /** A32 — TPC-H Q4 shape (order-priority checking): orders placed in one
+    * quarter that had at least one late-shipped line, counted per
+    * priority. The schema has no l_commitdate/l_receiptdate, so "late"
+    * is l_shipdate > o_orderdate + 60 days — which preserves the SHAPE
+    * that defines Q4: an EXISTS that must evaluate a RESIDUAL (non-equi,
+    * correlated) predicate inside a semi-join.
+    *
+    * Spark-first: the quarter filter pushes to the orders scan, lineitem
+    * prunes to (l_orderkey, l_shipdate), and the EXISTS plans as a
+    * LEFT SEMI join — per-order dedup happens inside the join operator
+    * (a first-match short-circuit), never as a distinct-then-join. At
+    * 100 TB both sides are facts, so this is a shuffle semi-join on
+    * orderkey whose build side carries 12 bytes/row; the semi-join output
+    * is at most one row per order regardless of line fan-out.
+    */
+  def tpchQ4(spark: SparkSession, dir: String): DataFrame = {
+    val lo = expr("TIMESTAMP '1996-07-01 00:00:00'")
+    val hi = expr("TIMESTAMP '1996-10-01 00:00:00'")
+    val o = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** A33 — TPC-H Q13 shape (customer order distribution): how many
+    * customers placed 0, 1, 2, … qualifying orders. The schema has no
+    * o_comment, so the "special orders" exclusion is priority ≠ 1-URGENT —
+    * the defining SHAPE survives: a filtered LEFT OUTER join that must
+    * keep order-less customers (their count is the distribution's 0
+    * bucket, which an inner join would silently drop), then a two-level
+    * aggregation whose second level is tiny.
+    *
+    * Spark-first: the join and the first groupBy both key on custkey, so
+    * once the join shuffles, the per-customer count reuses that
+    * partitioning — no second wide exchange; the distribution agg moves
+    * only (#distinct counts) rows. At 100 TB orders is the fact side and
+    * customer the (large) dim: a shuffle join whose probe side was
+    * pre-filtered at the scan.
+    */
+  def tpchQ13(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .where(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"))
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
 }

@@ -268,6 +268,23 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("partial_sum"), s"revenue sums must partial-agg:\n$p")
   }
 
+  test("q_tpch_q4 plans the EXISTS as a LeftSemi join with the quarter pushed down") {
+    val p = plan("q_tpch_q4")
+    assert(p.contains("LeftSemi"), s"EXISTS must plan as a semi-join:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), s"quarter filter must reach the scan:\n$p")
+    // lineitem pruned to (orderkey, shipdate): no payload columns cross the join
+    assert(!p.contains("l_extendedprice") && !p.contains("l_quantity"),
+      s"lineitem must prune to 2 columns:\n$p")
+  }
+
+  test("q_tpch_q13 keeps order-less customers and reuses the custkey partitioning") {
+    val p = plan("q_tpch_q13")
+    assert(p.contains("LeftOuter"), s"0-bucket customers must survive the join:\n$p")
+    // join + per-customer count + tiny distribution agg: the custkey agg
+    // must reuse the join's partitioning, not add a fourth exchange
+    assert(shuffles(p) <= 3, s"custkey agg must reuse the join exchange:\n$p")
+  }
+
   test("q_tpch_q18 plans TakeOrdered top-100 and broadcasts the small sides") {
     val p = plan("q_tpch_q18")
     assert(p.contains("TakeOrderedAndProject"), s"top-100 must not global-sort:\n$p")
