@@ -26,6 +26,14 @@ def decimal_cols(rel):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # Big-SF oracles (recursive closures, inverted indexes) balloon past
+    # DuckDB's default 80%-of-RAM limit when several run concurrently —
+    # cap memory and point spill at the big disk instead of OOMing.
+    if os.environ.get("PARITY_MEM_LIMIT"):
+        con.sql(f"SET memory_limit='{os.environ['PARITY_MEM_LIMIT']}'")
+    if os.environ.get("PARITY_TEMP_DIR"):
+        os.makedirs(os.environ["PARITY_TEMP_DIR"], exist_ok=True)
+        con.sql(f"SET temp_directory='{os.environ['PARITY_TEMP_DIR']}'")
     for f in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(f)[:-len(".parquet")]
         con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
