@@ -24,6 +24,14 @@ def load():
                     p = {"queries": json.loads(m.group(1))}
                 except ValueError:
                     pass
+        if not p.get("queries"):
+            # worst case the clip lands INSIDE the queries dict (even mid-key)
+            # — scrape the surviving "q_*": N pairs before "failed" instead;
+            # only the one clipped pair is lost
+            tail = (d.get("tail") or "").split('"failed"')[0]
+            pairs = re.findall(r'"(q_\w+)":([0-9.]+)', tail)
+            if pairs:
+                p = {"queries": {k: float(v) for k, v in pairs}}
         if p.get("queries"):
             rounds[rn] = p["queries"]
     return rounds
