@@ -50,7 +50,10 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, Left(_)) => "\"" + k + "\"" }
     val total = results.collect { case (_, Right(v)) => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    // headline fields repeat at the END of the line: tail buffers clip the
+    // FRONT of long lines (91 queries ≈ 2.5 KB), and a clipped "value" is
+    // what nulled the round-8 artifact's parse
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","n_queries":${results.size},"total_sec":$total%.3f}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
