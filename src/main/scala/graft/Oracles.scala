@@ -186,6 +186,152 @@ object Oracles {
       |      GROUP BY c_custkey)
       |GROUP BY c_count""".stripMargin
 
+  /** Q7 shape: same nation pair, same ship-year window, exact-decimal
+    * revenue per (supp_nation, cust_nation, year).
+    */
+  val tpchQ7: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      |       CAST(CAST(round(sum(rev), 2) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+      |         year(l_shipdate)::BIGINT AS l_year,
+      |         CAST(l_extendedprice AS DECIMAL(12,2))
+      |         * (1 - CAST(l_discount AS DECIMAL(4,2))) AS rev
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+      |  WHERE ns.n_name IN ('NATION_3','NATION_4')
+      |    AND nc.n_name IN ('NATION_3','NATION_4')
+      |    AND ns.n_name <> nc.n_name
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01')
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** Q8 shape: same snowflake filters; share as exact-cent BIGINT ppm
+    * floor division per year (the Q14 rule).
+    */
+  val tpchQ8: String =
+    """WITH j AS (
+      |  SELECT year(o_orderdate)::BIGINT AS o_year, s_nationkey,
+      |         CAST(l_extendedprice AS DECIMAL(12,2))
+      |         * (1 - CAST(l_discount AS DECIMAL(4,2))) AS rev
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01'),
+      |a AS (
+      |  SELECT o_year,
+      |         CAST(round(sum(CASE WHEN s_nationkey = 5 THEN rev ELSE 0 END), 2)
+      |              AS DECIMAL(18,2)) AS nation_d,
+      |         CAST(round(sum(rev), 2) AS DECIMAL(18,2)) AS total_d
+      |  FROM j GROUP BY 1)
+      |SELECT o_year, CAST(nation_d AS DOUBLE) AS nation_rev,
+      |       CAST(total_d AS DOUBLE) AS total_rev,
+      |       CAST(CAST(nation_d * 100 AS BIGINT) * 1000000
+      |            // CAST(total_d * 100 AS BIGINT) AS BIGINT) AS mkt_share_ppm
+      |FROM a""".stripMargin
+
+  /** Q15 shape: per-supplier exact-decimal quarter revenue, winners (ties
+    * kept) by DECIMAL equality against the scalar max, DOUBLE out.
+    */
+  val tpchQ15: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |                        * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+      |              AS DECIMAL(18,2)) AS total_d
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, CAST(total_d AS DOUBLE) AS total_rev
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_d = (SELECT max(total_d) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Q17 shape: same window-derived per-part stats and the exact integer
+    * 20%-of-average compare (5·qty·cnt < sum), exact-cent total.
+    */
+  val tpchQ17: String =
+    """WITH l AS (
+      |  SELECT l_quantity, l_extendedprice,
+      |         sum(l_quantity) OVER (PARTITION BY l_partkey) AS sum_qty,
+      |         count(*) OVER (PARTITION BY l_partkey) AS cnt
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_brand = 'Brand#3' AND p_size < 10)
+      |SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+      |            AS DECIMAL(18,2)) AS DOUBLE) AS total_rev,
+      |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+      |            AS DECIMAL(18,2)) AS DOUBLE) / 7.0 AS avg_yearly,
+      |       count(*)::BIGINT AS n_lines
+      |FROM l WHERE 5 * l_quantity * cnt < sum_qty""".stripMargin
+
+  /** Q19 shape: same three disjuncts; the hull pushdown is a plan
+    * property, not a semantic one, so the oracle states the disjunction
+    * directly.
+    */
+  val tpchQ19: String =
+    """SELECT CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+      |            AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
+      |       count(*)::BIGINT AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  /** Q21 shape: the same single per-order aggregate replacing the
+    * EXISTS/NOT-EXISTS pair (n_supp ≥ 2, n_late = 1, max-late identifies
+    * the culprit), late = shipped >60 days after order date.
+    */
+  val tpchQ21: String =
+    """WITH l AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |         l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F'),
+      |po AS (
+      |  SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+      |         count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late,
+      |         max(CASE WHEN late THEN l_suppkey END) AS late_supp
+      |  FROM l GROUP BY 1)
+      |SELECT s_name, count(*)::BIGINT AS numwait
+      |FROM po
+      |JOIN supplier ON late_supp = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_supp >= 2 AND n_late = 1 AND n_name = 'NATION_3'
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name""".stripMargin
+
+  /** Q22 shape: exact-decimal cross-multiplied above-average test, recency
+    * anti join (no orders since 2000-01-01), exact-cent balance totals.
+    */
+  val tpchQ22: String =
+    """WITH sel AS (
+      |  SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+      |  FROM customer WHERE c_nationkey IN (0,1,2,3,4,5,6)),
+      |st AS (SELECT sum(bal) AS s, count(*)::BIGINT AS n FROM sel WHERE bal > 0)
+      |SELECT c_nationkey, count(*)::BIGINT AS numcust,
+      |       CAST(CAST(sum(bal) AS DECIMAL(18,2)) AS DOUBLE) AS totacctbal
+      |FROM sel, st
+      |WHERE bal * n > s
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY 1""".stripMargin
+
   /** OOV ppm vs the en-docs vocabulary — same token filter, same left-join
     * null test, same integer floor division.
     */

@@ -131,6 +131,20 @@ object SparkEntry {
     "q_tpch_q4"            -> ((s, d) => Relational.tpchQ4(s, d)),
     // q_tpch_q13: filtered outer join + two-level count distribution (r9)
     "q_tpch_q13"           -> ((s, d) => Relational.tpchQ13(s, d)),
+    // q_tpch_q7: bilateral nation-pair revenue flow per ship year (r9)
+    "q_tpch_q7"            -> ((s, d) => Relational.tpchQ7(s, d)),
+    // q_tpch_q8: national market share — full snowflake, exact ppm (r9)
+    "q_tpch_q8"            -> ((s, d) => Relational.tpchQ8(s, d)),
+    // q_tpch_q15: top supplier — agg vs max-of-same-agg, decimal-exact (r9)
+    "q_tpch_q15"           -> ((s, d) => Relational.tpchQ15(s, d)),
+    // q_tpch_q17: correlated 20%-of-average compare in exact ints (r9)
+    "q_tpch_q17"           -> ((s, d) => Relational.tpchQ17(s, d)),
+    // q_tpch_q19: disjunctive predicates with lossless hull pushdown (r9)
+    "q_tpch_q19"           -> ((s, d) => Relational.tpchQ19(s, d)),
+    // q_tpch_q21: EXISTS/NOT-EXISTS pair folded into one per-order agg (r9)
+    "q_tpch_q21"           -> ((s, d) => Relational.tpchQ21(s, d)),
+    // q_tpch_q22: scalar-subquery broadcast + recency anti join (r9)
+    "q_tpch_q22"           -> ((s, d) => Relational.tpchQ22(s, d)),
     // round-6 block: quality gate + corpus profiling + graph density
     // q_quality_filter: Gopher/C4-style rule cascade — zero-shuffle narrow scan
     "q_quality_filter"     -> ((s, d) => Quality.qualityFilter(s, d)),
@@ -370,6 +384,13 @@ object SparkEntry {
     "q_tpch_q14"        -> Oracles.tpchQ14,
     "q_tpch_q4"         -> Oracles.tpchQ4,
     "q_tpch_q13"        -> Oracles.tpchQ13,
+    "q_tpch_q7"         -> Oracles.tpchQ7,
+    "q_tpch_q8"         -> Oracles.tpchQ8,
+    "q_tpch_q15"        -> Oracles.tpchQ15,
+    "q_tpch_q17"        -> Oracles.tpchQ17,
+    "q_tpch_q19"        -> Oracles.tpchQ19,
+    "q_tpch_q21"        -> Oracles.tpchQ21,
+    "q_tpch_q22"        -> Oracles.tpchQ22,
     "q_lang_id"         -> Oracles.langId,
     "q_quality_score"   -> Oracles.qualityScore,
     "q_fingerprint"     -> Oracles.fingerprint,

@@ -610,4 +610,266 @@ object Relational {
       .groupBy(col("c_count"))
       .agg(count(lit(1)).as("custdist"))
   }
+
+  /** A34 — TPC-H Q7 shape (volume shipping): bilateral revenue flow
+    * between two nations per ship year. The defining shape: a symmetric
+    * nation-PAIR predicate that no single dimension filter can express —
+    * both directions survive, same-nation trade does not.
+    *
+    * Spark-first: the 2-nation supplier set broadcasts (it prunes
+    * lineitem to ~8% before the fact-fact join); customer joins AFTER
+    * orders so the custkey shuffle carries only date+nation-filtered
+    * rows, and the cross-pair inequality applies as a residual on the
+    * last join. At 100 TB the two fact joins shuffle on their natural
+    * keys; the 4-row (pair × year) agg is map-side partial.
+    */
+  def tpchQ7(spark: SparkSession, dir: String,
+      nationA: String = "NATION_3", nationB: String = "NATION_4"): DataFrame = {
+    val lo = expr("TIMESTAMP '1996-01-01 00:00:00'")
+    val hi = expr("TIMESTAMP '1998-01-01 00:00:00'")
+    val nations = Tables.nation(spark, dir)
+      .where(col("n_name").isin(nationA, nationB))
+      .select(col("n_nationkey"), col("n_name"))
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val c = Tables.customer(spark, dir)
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"),
+        ExactMoney.revenue(col("l_extendedprice"), col("l_discount")).as("rev"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey") &&
+        col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(ExactMoney.toMoney(sum(col("rev"))).as("revenue"))
+  }
+
+  /** A35 — TPC-H Q8 shape (national market share): one nation's share of
+    * a region's revenue in one part segment, per order year. The shape is
+    * Q14's conditional-ratio agg stretched across the FULL snowflake —
+    * every dimension (part type, customer region, supplier nation)
+    * constrains a different join branch.
+    *
+    * Spark-first: the type-filtered part key set prunes lineitem first
+    * (smallest selectivity), the region-filtered customer set semi-joins
+    * after orders, and supplier broadcasts 2 columns wide for the
+    * share split. Share = integer ppm via exact cent arithmetic (the Q14
+    * rule — a double divide would hash on 1-ulp luck cross-engine).
+    */
+  def tpchQ8(spark: SparkSession, dir: String, nationKey: Int = 5,
+      region: String = "ASIA", ptype: String = "ECONOMY"): DataFrame = {
+    val lo = expr("TIMESTAMP '1996-01-01 00:00:00'")
+    val hi = expr("TIMESTAMP '1998-01-01 00:00:00'")
+    val regionCust = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .join(broadcast(Tables.region(spark, dir)
+            .where(col("r_name") === region)),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        ExactMoney.revenue(col("l_extendedprice"), col("l_discount")).as("rev"))
+      .join(Tables.part(spark, dir).where(col("p_type") === ptype)
+        .select(col("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir)
+        .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(regionCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(sum(when(col("s_nationkey") === nationKey, col("rev"))
+          .otherwise(lit(0))).cast("decimal(18,2)").as("nation_d"),
+        sum(col("rev")).cast("decimal(18,2)").as("total_d"))
+      .select(col("o_year"),
+        col("nation_d").cast("double").as("nation_rev"),
+        col("total_d").cast("double").as("total_rev"),
+        expr("CAST(nation_d * 100 AS BIGINT) * 1000000 div CAST(total_d * 100 AS BIGINT)")
+          .as("mkt_share_ppm"))
+  }
+
+  /** A36 — TPC-H Q15 shape (top supplier): the quarter's revenue champion
+    * — an aggregate compared against the MAX of the same aggregate. The
+    * defining shape is the scalar-subquery self-reference; naively that
+    * scans lineitem twice.
+    *
+    * Spark-first: the per-supplier agg materializes ONCE (localCheckpoint
+    * — ~#suppliers rows), the 1-row max broadcasts back against it, and
+    * only the winners (ties kept, per spec) decorate against supplier.
+    * The max-compare happens in exact DECIMAL — equality on a derived
+    * double would be 1-ulp folly — and the money cast to DOUBLE happens
+    * in the final projection per the §6 rule.
+    */
+  def tpchQ15(spark: SparkSession, dir: String): DataFrame = {
+    val lo = expr("TIMESTAMP '1996-01-01 00:00:00'")
+    val hi = expr("TIMESTAMP '1996-04-01 00:00:00'")
+    val rev = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(ExactMoney.revenue(col("l_extendedprice"), col("l_discount")))
+        .cast("decimal(18,2)").as("total_d"))
+      .localCheckpoint(false)
+    val top = rev.agg(max(col("total_d")).as("max_d"))
+    rev.join(broadcast(top), col("total_d") === col("max_d"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_d").cast("double").as("total_rev"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** A37 — TPC-H Q17 shape (small-quantity-order revenue): lines whose
+    * quantity sits below 20% of their part's average. The defining shape
+    * is the CORRELATED average — each line compares against an aggregate
+    * of its own group.
+    *
+    * Spark-first: the brand/size part filter broadcasts and prunes
+    * lineitem BEFORE the per-part stats, so the window aggregates only
+    * the ~4% of lines that can qualify (the textbook correlated subquery
+    * re-scans lineitem; a window over the filtered set is one shuffle,
+    * zero re-scans). The 20%-of-average compare is exact integer
+    * arithmetic: qty < sum/(5·cnt) ⟺ 5·qty·cnt < sum, with quantities
+    * integer-valued doubles (exact to 2^53) — no FP boundary flips
+    * cross-engine. avg_weekly = one deterministic double divide at the
+    * end on an exact cent total.
+    */
+  def tpchQ17(spark: SparkSession, dir: String,
+      brand: String = "Brand#3", maxSize: Int = 10): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .where(col("p_brand") === brand && col("p_size") < maxSize)
+      .select(col("p_partkey"))
+    val w = Window.partitionBy(col("l_partkey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+      .withColumn("sum_qty", sum(col("l_quantity")).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .where(lit(5) * col("l_quantity") * col("cnt") < col("sum_qty"))
+      .agg(sum(col("l_extendedprice").cast("decimal(12,2)"))
+        .cast("decimal(18,2)").as("total_d"),
+        count(lit(1)).as("n_lines"))
+      .select(col("total_d").cast("double").as("total_rev"),
+        (col("total_d").cast("double") / lit(7.0)).as("avg_yearly"),
+        col("n_lines"))
+  }
+
+  /** A38 — TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    * an OR of three (brand, size-range, quantity-range) conjunctions that
+    * spans BOTH join sides — the classic test of whether an engine can
+    * still push anything down when the predicate is disjunctive.
+    *
+    * Spark-first: the LOSSLESS HULL of each disjunct pushes to its scan —
+    * lineitem reads only quantity ∈ [1,30], part only size ∈ [1,15] ∧
+    * brand ∈ {12,23,15} — then the exact disjunction evaluates as a
+    * residual after the join (plan-pinned: both hull filters at the
+    * scans). At 100 TB that hull cuts the join's probe side ~40% and the
+    * build side ~90% before a single row moves.
+    */
+  def tpchQ19(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .where(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+      .select(col("l_partkey"), col("l_quantity"),
+        ExactMoney.revenue(col("l_extendedprice"), col("l_discount")).as("rev"))
+    val p = Tables.part(spark, dir)
+      .where(col("p_size").between(1, 15) &&
+        col("p_brand").isin("Brand#12", "Brand#23", "Brand#15"))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .where(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#15" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .agg(ExactMoney.toMoney(sum(col("rev"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** A39 — TPC-H Q21 shape (suppliers who kept orders waiting): suppliers
+    * whose late line was the ONLY late line in a multi-supplier order.
+    * The textbook form is EXISTS + NOT EXISTS against the same fact —
+    * two extra scans and two correlated joins.
+    *
+    * Spark-first: ONE per-order aggregate answers both subqueries —
+    * n_supp ≥ 2 supplies the EXISTS ("another supplier participated"),
+    * n_late = 1 the NOT EXISTS ("no OTHER supplier was late"), and
+    * max(late suppkey) identifies the culprit in the same pass (exactly
+    * one late supplier exists in qualifying groups, so max IS that
+    * supplier). "Late" = shipped >60 days after order date (the schema
+    * has no commit/receipt dates — A32's substitution). At 100 TB: one
+    * fact-fact shuffle join + one orderkey agg; the nation filter applies
+    * to the ~#suppliers result, never the fact.
+    */
+  def tpchQ21(spark: SparkSession, dir: String,
+      nation: String = "NATION_3"): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .where(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
+    val perOrder = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"), late.as("late"))
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"),
+        max(when(col("late"), col("l_suppkey"))).as("late_supp"))
+    perOrder
+      .where(col("n_supp") >= 2 && col("n_late") === 1)
+      .groupBy(col("late_supp"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(spark, dir)
+          .join(broadcast(Tables.nation(spark, dir)
+            .where(col("n_name") === nation)),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"))),
+        col("late_supp") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  /** A40 — TPC-H Q22 shape (global sales opportunity): dormant customers
+    * from a nation set holding above-average positive balances. Two
+    * defining sub-shapes: a SCALAR subquery (the average) every row
+    * compares against, and an ANTI join ("no orders since the cutoff" —
+    * the full no-orders test is empty at this data's order density, so
+    * recency carries the shape).
+    *
+    * Spark-first: the 1-row (sum, count) aggregate broadcasts and the
+    * above-average test runs as exact decimal cross-multiplication
+    * (bal·n > sum — an FP average would flip boundary customers
+    * cross-engine); the anti join shuffles custkey against date-pruned
+    * orders. At 100 TB the anti join's build side is the date-filtered
+    * order keys — the scan prunes first.
+    */
+  def tpchQ22(spark: SparkSession, dir: String): DataFrame = {
+    val sel = Tables.customer(spark, dir)
+      .where(col("c_nationkey").isin(0, 1, 2, 3, 4, 5, 6))
+      .select(col("c_custkey"), col("c_nationkey"),
+        col("c_acctbal").cast("decimal(12,2)").as("bal"))
+    val stats = sel.where(col("bal") > 0)
+      .agg(sum(col("bal")).as("s"), count(lit(1)).as("n"))
+    val recent = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= expr("TIMESTAMP '2000-01-01 00:00:00'"))
+      .select(col("o_custkey"))
+    sel.crossJoin(broadcast(stats))
+      .where(col("bal") * col("n") > col("s"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        ExactMoney.toMoney(sum(col("bal"))).as("totacctbal"))
+  }
 }

@@ -285,6 +285,70 @@ class PlanSpec extends GraftSuite {
     assert(shuffles(p) <= 3, s"custkey agg must reuse the join exchange:\n$p")
   }
 
+  test("q_tpch_q7 pushes the ship window and broadcasts the 2-nation supplier set") {
+    val p = plan("q_tpch_q7")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), s"ship window must reach the scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"2-nation supplier set must broadcast:\n$p")
+    // the cross-pair inequality is a residual on the customer join, never
+    // a post-join Filter over the agg
+    assert(p.contains("NOT (supp_nation"), s"pair inequality must ride the join:\n$p")
+  }
+
+  test("q_tpch_q8 pushes type/region/date filters and broadcasts supplier 2-wide") {
+    val p = plan("q_tpch_q8")
+    assert(p.contains("EqualTo(p_type,ECONOMY)"), s"part type must reach the scan:\n$p")
+    assert(p.contains("EqualTo(r_name,ASIA)"), s"region filter must reach the scan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), s"year window must reach the scan:\n$p")
+    assert(p.contains("LeftSemi"), s"region customers must semi-join (no row growth):\n$p")
+    assert(!p.contains("s_name"), s"supplier must prune to (suppkey, nationkey):\n$p")
+  }
+
+  test("q_tpch_q15 aggregates lineitem ONCE; the max joins back as a 1-row broadcast") {
+    val p = plan("q_tpch_q15")
+    // the checkpointed per-supplier agg is the plan's ONLY source — the
+    // winner selection and the scalar max both read it, so lineitem never
+    // appears (one scan happened at checkpoint time, not two in this plan)
+    assert(p.contains("Scan ExistingRDD"), s"per-supplier agg must be checkpointed:\n$p")
+    assert(!p.contains("Scan parquet") || !p.contains("l_extendedprice"),
+      s"winner selection must reuse the checkpointed agg, not re-scan lineitem:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"scalar max must broadcast back:\n$p")
+  }
+
+  test("q_tpch_q17 filters parts at the scan and derives per-part stats in one window") {
+    val p = plan("q_tpch_q17")
+    assert(p.contains("EqualTo(p_brand,Brand#3)"), s"brand filter must reach the scan:\n$p")
+    assert(p.contains("LeftSemi"), s"part filter must semi-join (no column growth):\n$p")
+    // one partkey exchange for the window; the final agg is 1-row
+    assert(shuffles(p) <= 2, s"window + 1-row agg only:\n$p")
+  }
+
+  test("q_tpch_q19 pushes the lossless hull of the disjunction to both scans") {
+    val p = plan("q_tpch_q19")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)") &&
+      p.contains("LessThanOrEqual(l_quantity,30.0)"),
+      s"quantity hull must reach the lineitem scan:\n$p")
+    assert(p.contains("In(p_brand"), s"brand set must reach the part scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"hull-filtered part set must broadcast:\n$p")
+  }
+
+  test("q_tpch_q21 answers both EXISTS subqueries from ONE per-order aggregate") {
+    val p = plan("q_tpch_q21")
+    assert(p.contains("EqualTo(o_orderstatus,F)"), s"status filter must reach the scan:\n$p")
+    // one fact-fact join + one orderkey agg (+ expand for the two distincts)
+    // + the tiny supplier agg — never a second lineitem scan (4 scans total:
+    // lineitem, orders, supplier, nation; detail headers count each once)
+    assert(p.linesIterator.count(_.matches("""^\(\d+\) Scan parquet .*""")) <= 4,
+      s"lineitem must scan once:\n$p")
+    assert(!p.contains("l_extendedprice"), s"lineitem must prune to 12 bytes/row:\n$p")
+  }
+
+  test("q_tpch_q22 broadcasts the 1-row stats and anti-joins date-pruned orders") {
+    val p = plan("q_tpch_q22")
+    assert(p.contains("LeftAnti"), s"dormancy test must plan as an anti join:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), s"recency cutoff must reach the orders scan:\n$p")
+    assert(!p.contains("o_totalprice"), s"orders must prune to o_custkey:\n$p")
+  }
+
   test("q_tpch_q18 plans TakeOrdered top-100 and broadcasts the small sides") {
     val p = plan("q_tpch_q18")
     assert(p.contains("TakeOrderedAndProject"), s"top-100 must not global-sort:\n$p")
