@@ -332,6 +332,28 @@ object Oracles {
       |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
       |GROUP BY 1""".stripMargin
 
+  /** PMI collocations — same tokenizer, same min-count, and the lift
+    * expression written with the IDENTICAL operation tree (left-assoc
+    * double multiplies over exact integer counts, one divide) so the
+    * doubles are bit-equal cross-engine.
+    */
+  val collocations: String =
+    s"""WITH tok AS (SELECT $toksSql AS toks FROM documents),
+       |uni AS (SELECT w, count(*)::BIGINT AS n
+       |        FROM (SELECT unnest(toks) AS w FROM tok) GROUP BY 1),
+       |bi AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+       |       FROM tok, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+       |       WHERE len(toks) >= 2),
+       |biAll AS (SELECT w1, w2, count(*)::BIGINT AS n12 FROM bi GROUP BY 1, 2),
+       |tot AS (SELECT (SELECT sum(n) FROM uni)::BIGINT AS n_tok,
+       |               (SELECT sum(n12) FROM biAll)::BIGINT AS n_big)
+       |SELECT w1, w2, n12, u1.n AS n1, u2.n AS n2,
+       |       CAST(n12 AS DOUBLE) * n_tok * n_tok
+       |       / (CAST(n_big AS DOUBLE) * u1.n * u2.n) AS lift
+       |FROM biAll JOIN uni u1 ON w1 = u1.w JOIN uni u2 ON w2 = u2.w, tot
+       |WHERE n12 >= 5
+       |ORDER BY lift DESC, w1, w2 LIMIT 50""".stripMargin
+
   /** OOV ppm vs the en-docs vocabulary — same token filter, same left-join
     * null test, same integer floor division.
     */

@@ -145,6 +145,9 @@ object SparkEntry {
     "q_tpch_q21"           -> ((s, d) => Relational.tpchQ21(s, d)),
     // q_tpch_q22: scalar-subquery broadcast + recency anti join (r9)
     "q_tpch_q22"           -> ((s, d) => Relational.tpchQ22(s, d)),
+    // q_collocations: PMI phrase mining — narrow bigram fan-out, exact
+    // counts, order-pinned double lift (r9b)
+    "q_collocations"       -> ((s, d) => TextAnalysis.collocations(s, d)),
     // round-6 block: quality gate + corpus profiling + graph density
     // q_quality_filter: Gopher/C4-style rule cascade — zero-shuffle narrow scan
     "q_quality_filter"     -> ((s, d) => Quality.qualityFilter(s, d)),
@@ -417,5 +420,6 @@ object SparkEntry {
     "q_dedup_keep_best" -> Oracles.dedupKeepBest,
     "q_dedup_substring" -> Oracles.dedupSubstring,
     "q_oov_rate"        -> Oracles.oovRate,
+    "q_collocations"    -> Oracles.collocations,
   )
 }

@@ -266,4 +266,54 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_oov"),
         expr("n_oov * 1000000 div n_tokens").as("oov_ppm"))
   }
+
+  /** C36 — PMI collocation mining (r9b): the top bigrams whose corpus
+    * frequency exceeds what their unigram frequencies predict — the
+    * phrase-mining signal behind tokenizer-merge construction and
+    * stop-phrase lists (PMI = log lift; lift preserves the ranking, so
+    * the log never enters the plan).
+    *
+    * Spark-first: bigrams materialize via transform(sequence) over the
+    * token array — a NARROW fan-out, no self-join on (doc, pos) — then
+    * two word-keyed aggs (unigram, bigram). The corpus totals (N tokens,
+    * B bigrams) are 1-row re-aggregations of those SAME aggs, never a
+    * third scan, and broadcast back as literals-by-join. Lift is computed
+    * as one fixed-shape double expression — every multiply/divide is
+    * IEEE-exact-rounded and order-pinned by the identical expression
+    * tree on both engines, so the doubles are bit-equal cross-engine
+    * (the aggregation-order hazard ExactMoney exists for does not arise:
+    * all inputs are exact integer counts).
+    *
+    * At 100 TB: the explode shuffles (w1, w2) pairs — proportional to
+    * corpus tokens, same class as q_wordcount — and the min-count filter
+    * cuts the join input before the two unigram joins. Top-50 plans as
+    * TakeOrdered, never a global sort.
+    */
+  def collocations(spark: SparkSession, dir: String,
+      minCount: Int = 5, topN: Int = 50): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(tokens(col("text")).as("toks"))
+    val uni = toks
+      .select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val biAll = toks.where(size(col("toks")) >= 2)
+      .select(col("toks"))
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+    val totals = uni.agg(sum(col("n")).as("n_tok"))
+      .crossJoin(biAll.agg(sum(col("n12")).as("n_big")))
+    biAll.where(col("n12") >= minCount)
+      .join(uni.withColumnRenamed("w", "u1w").withColumnRenamed("n", "n1"),
+        col("w1") === col("u1w"))
+      .join(uni.withColumnRenamed("w", "u2w").withColumnRenamed("n", "n2"),
+        col("w2") === col("u2w"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("n12"), col("n1"), col("n2"),
+        expr("CAST(n12 AS DOUBLE) * n_tok * n_tok" +
+          " / (CAST(n_big AS DOUBLE) * n1 * n2)").as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
 }

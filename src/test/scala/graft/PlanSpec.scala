@@ -349,6 +349,17 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("o_totalprice"), s"orders must prune to o_custkey:\n$p")
   }
 
+  test("q_collocations fans out bigrams narrowly and takes top-50 without a global sort") {
+    val p = plan("q_collocations")
+    // bigrams come from transform(sequence) + explode — never a (doc, pos)
+    // self-join
+    assert(p.contains("Generate"), s"bigram fan-out must be a narrow explode:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"no positional self-join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-50 must not global-sort:\n$p")
+    // only doc text is read: no metadata columns survive pruning
+    assert(!p.contains("n_chars") && !p.contains("lang"), s"scan must prune to text:\n$p")
+  }
+
   test("q_tpch_q18 plans TakeOrdered top-100 and broadcasts the small sides") {
     val p = plan("q_tpch_q18")
     assert(p.contains("TakeOrderedAndProject"), s"top-100 must not global-sort:\n$p")
