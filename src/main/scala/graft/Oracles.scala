@@ -354,6 +354,103 @@ object Oracles {
        |WHERE n12 >= 5
        |ORDER BY lift DESC, w1, w2 LIMIT 50""".stripMargin
 
+  /** The derived partsupp relation shared by the Q2/Q9/Q11/Q16/Q20
+    * oracles — cheapest observed sale per (part, supplier) pair; min over
+    * exact-2dp doubles, so no decimal accumulation is needed.
+    */
+  private val psSql: String =
+    """ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |             min(l_extendedprice) AS ps_supplycost
+      |      FROM lineitem GROUP BY 1, 2)""".stripMargin
+
+  /** Q2 shape: correlated MIN via the same window, same EUROPE snowflake
+    * filter, same deterministic top-100 total order. The double equality
+    * is sound: both sides are the min of the SAME set of exact 2dp values.
+    */
+  val tpchQ2: String =
+    s"""WITH $psSql,
+       |es AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+       |       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |       JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+       |cand AS (SELECT p_partkey, p_brand, s_name, s_acctbal, n_name, ps_supplycost,
+       |                min(ps_supplycost) OVER (PARTITION BY p_partkey) AS mincost
+       |         FROM ps JOIN es ON ps_suppkey = s_suppkey
+       |         JOIN part ON ps_partkey = p_partkey
+       |         WHERE p_type = 'LARGE' AND p_size <= 10)
+       |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+       |FROM cand WHERE ps_supplycost = mincost
+       |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin
+
+  /** Q9 shape: same 6-relation join tree, margin = exact-decimal revenue
+    * minus the pair's supplycost, summed exact and rounded to cents
+    * (round(), matching Spark's HALF_UP decimal(18,2) cast).
+    */
+  val tpchQ9: String =
+    s"""WITH $psSql
+       |SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
+       |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+       |               * (1 - CAST(l_discount AS DECIMAL(4,2)))
+       |             - CAST(ps_supplycost AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_profit
+       |FROM lineitem
+       |JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |WHERE p_name LIKE '%widget%'
+       |GROUP BY 1, 2""".stripMargin
+
+  /** Q11 shape: same ASIA supplier semi-join, exact-decimal per-part value
+    * vs the same cross-multiplied 1/1000 global threshold.
+    */
+  val tpchQ11: String =
+    s"""WITH $psSql,
+       |v AS (SELECT ps_partkey, sum(CAST(ps_supplycost AS DECIMAL(12,2))) AS val
+       |      FROM ps
+       |      WHERE ps_suppkey IN (SELECT s_suppkey FROM supplier
+       |                           JOIN nation ON s_nationkey = n_nationkey
+       |                           JOIN region ON n_regionkey = r_regionkey
+       |                           WHERE r_name = 'ASIA')
+       |      GROUP BY 1),
+       |tot AS (SELECT sum(val) AS t FROM v)
+       |SELECT ps_partkey, CAST(CAST(val AS DECIMAL(18,2)) AS DOUBLE) AS value
+       |FROM v, tot WHERE val * 1000 > t
+       |ORDER BY value DESC, ps_partkey""".stripMargin
+
+  /** Q16 shape: same negative-balance denylist via NOT IN, same part
+    * attribute filter, COUNT DISTINCT suppliers.
+    */
+  val tpchQ16: String =
+    s"""WITH $psSql
+       |SELECT p_brand, p_type, p_size,
+       |       count(DISTINCT ps_suppkey)::BIGINT AS supplier_cnt
+       |FROM ps JOIN part ON ps_partkey = p_partkey
+       |WHERE p_brand <> 'Brand#1' AND p_size IN (1,5,9,13,17,21,25,29)
+       |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       |GROUP BY 1, 2, 3
+       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** Q20 shape: same pushed 1998 shipdate range, same red-part prefix,
+    * exact-BIGINT quantity sums, same 2·q > part-total dominance test,
+    * same EUROPE listing.
+    */
+  val tpchQ20: String =
+    """WITH sp AS (
+      |  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS BIGINT)) AS q
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      |    AND l_shipdate < TIMESTAMP '1999-01-01'
+      |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red %')
+      |  GROUP BY 1, 2),
+      |pt AS (SELECT l_partkey, sum(q) AS qp FROM sp GROUP BY 1)
+      |SELECT s_name, s_acctbal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'EUROPE'
+      |  AND s_suppkey IN (SELECT l_suppkey FROM sp JOIN pt USING (l_partkey)
+      |                    WHERE 2 * q > qp)
+      |ORDER BY s_name""".stripMargin
+
   /** OOV ppm vs the en-docs vocabulary — same token filter, same left-join
     * null test, same integer floor division.
     */

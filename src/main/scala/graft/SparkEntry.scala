@@ -145,6 +145,17 @@ object SparkEntry {
     "q_tpch_q21"           -> ((s, d) => Relational.tpchQ21(s, d)),
     // q_tpch_q22: scalar-subquery broadcast + recency anti join (r9)
     "q_tpch_q22"           -> ((s, d) => Relational.tpchQ22(s, d)),
+    // r9c block: the partsupp-backed shapes over the derived pair catalog
+    // q_tpch_q2: correlated MIN re-joined on equality, top-100 (r9c)
+    "q_tpch_q2"            -> ((s, d) => Relational.tpchQ2(s, d)),
+    // q_tpch_q9: 6-way join margin rollup per nation×year (r9c)
+    "q_tpch_q9"            -> ((s, d) => Relational.tpchQ9(s, d)),
+    // q_tpch_q11: group value vs fraction-of-global scalar subquery (r9c)
+    "q_tpch_q11"           -> ((s, d) => Relational.tpchQ11(s, d)),
+    // q_tpch_q16: denylist anti join + count-distinct suppliers (r9c)
+    "q_tpch_q16"           -> ((s, d) => Relational.tpchQ16(s, d)),
+    // q_tpch_q20: nested correlated agg + semi-join chain (r9c)
+    "q_tpch_q20"           -> ((s, d) => Relational.tpchQ20(s, d)),
     // q_collocations: PMI phrase mining — narrow bigram fan-out, exact
     // counts, order-pinned double lift (r9b)
     "q_collocations"       -> ((s, d) => TextAnalysis.collocations(s, d)),
@@ -394,6 +405,11 @@ object SparkEntry {
     "q_tpch_q19"        -> Oracles.tpchQ19,
     "q_tpch_q21"        -> Oracles.tpchQ21,
     "q_tpch_q22"        -> Oracles.tpchQ22,
+    "q_tpch_q2"         -> Oracles.tpchQ2,
+    "q_tpch_q9"         -> Oracles.tpchQ9,
+    "q_tpch_q11"        -> Oracles.tpchQ11,
+    "q_tpch_q16"        -> Oracles.tpchQ16,
+    "q_tpch_q20"        -> Oracles.tpchQ20,
     "q_lang_id"         -> Oracles.langId,
     "q_quality_score"   -> Oracles.qualityScore,
     "q_fingerprint"     -> Oracles.fingerprint,

@@ -872,4 +872,219 @@ object Relational {
       .agg(count(lit(1)).as("numcust"),
         ExactMoney.toMoney(sum(col("bal"))).as("totacctbal"))
   }
+
+  /** The part-supplier catalog the schema doesn't ship: TPC-H's partsupp
+    * relation derived from observed sales — one row per distinct
+    * (l_partkey, l_suppkey) pair with ps_supplycost = the cheapest
+    * observed sale (min l_extendedprice, an exact-2dp double; min is
+    * order-independent, so no decimal accumulation is needed). Q2, Q9,
+    * Q11, Q16 and Q20 all consume this relation, which is how the
+    * partsupp-backed TPC-H shapes keep their defining structure on a
+    * schema without the table. At 100 TB the derivation is one
+    * 3-column lineitem scan + one (partkey, suppkey)-keyed partial-min
+    * agg — pair cardinality is |part|·avg-suppliers, dimension-scale,
+    * NOT fact-scale. `from` lets callers derive it from an
+    * already-pruned lineitem subset (supplycost per pair is unchanged
+    * by dropping OTHER parts' rows, so pruning first is lossless).
+    */
+  private def derivedPartsupp(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .agg(min(col("l_extendedprice")).as("ps_supplycost"))
+
+  /** A41 — TPC-H Q2 shape (minimum-cost supplier): for each qualifying
+    * part, the EUROPE supplier whose derived supply cost equals the
+    * part's minimum among EUROPE suppliers — the textbook correlated
+    * MIN subquery re-joined on equality, snowflake-filtered, top-100.
+    *
+    * Spark-first: the size/type part filter broadcasts its ~1% key set
+    * into the lineitem scan BEFORE the partsupp derivation (supplycost
+    * per pair doesn't change when other parts' rows are dropped — the
+    * agg shuffle shrinks ~60×), the ~20-row EUROPE supplier dimension
+    * broadcasts, and the correlated MIN plans as a window over the
+    * part key with the equality test on EXACT doubles (min of observed
+    * 2dp values — never an accumulated sum, so double equality is
+    * sound). Top-100 plans as TakeOrderedAndProject on a total order
+    * (acctbal desc, nation, supplier, partkey — (part, supp) is the
+    * row key, so the order is deterministic under LIMIT).
+    */
+  def tpchQ2(spark: SparkSession, dir: String,
+      pType: String = "LARGE", maxSize: Int = 10): DataFrame = {
+    val pk = Tables.part(spark, dir)
+      .where(col("p_type") === pType && col("p_size") <= maxSize)
+      .select(col("p_partkey"), col("p_brand"))
+    val euro = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .join(broadcast(Tables.region(spark, dir)
+            .where(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val ps = derivedPartsupp(Tables.lineitem(spark, dir)
+      .join(broadcast(pk.select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi"))
+    val w = Window.partitionBy(col("ps_partkey"))
+    ps.join(broadcast(euro), col("ps_suppkey") === col("s_suppkey"))
+      .withColumn("mincost", min(col("ps_supplycost")).over(w))
+      .where(col("ps_supplycost") === col("mincost"))
+      .join(broadcast(pk), col("ps_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_brand"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  /** A42 — TPC-H Q9 shape (product-type profit): margin per nation per
+    * order-year over name-matched parts, where the cost side comes from
+    * the derived partsupp relation via the (partkey, suppkey) join —
+    * Q9's defining feature. With no ps_availqty the margin is
+    * revenue − supplycost per line ("over best observed price"); the
+    * 6-relation join tree and the nation×year rollup are unchanged.
+    *
+    * Spark-first: ONE name-filtered lineitem materialization
+    * (localCheckpoint, the Q15 single-scan pattern) feeds BOTH the
+    * partsupp derivation and the detail side, so the fact scans once;
+    * the (partkey, suppkey) agg→join sequence reuses the agg's own
+    * hash partitioning on the build side. Supplier and nation broadcast;
+    * orders joins on orderkey for the year. Money: revenue decimal(12,2)
+    * ·(1−disc) minus cost decimal(12,2), summed exact, cents HALF_UP,
+    * DOUBLE out (§6 rule; DuckDB twin rounds the same sum).
+    */
+  def tpchQ9(spark: SparkSession, dir: String,
+      nameToken: String = "widget"): DataFrame = {
+    val pk = Tables.part(spark, dir)
+      .where(col("p_name").contains(nameToken))
+      .select(col("p_partkey"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(pk), col("l_partkey") === col("p_partkey"), "left_semi")
+      .localCheckpoint(false)
+    val amount =
+      ExactMoney.revenue(col("l_extendedprice"), col("l_discount")) -
+        col("ps_supplycost").cast("decimal(12,2)")
+    l.join(derivedPartsupp(l),
+        col("l_partkey") === col("ps_partkey") &&
+          col("l_suppkey") === col("ps_suppkey"))
+      .join(broadcast(Tables.supplier(spark, dir)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"),
+            year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), col("o_year"))
+      .agg(ExactMoney.toMoney(sum(amount)).as("sum_profit"))
+  }
+
+  /** A43 — TPC-H Q11 shape (important stock): parts whose catalog value
+    * among one region's suppliers exceeds a fixed fraction of the
+    * GLOBAL such value — the scalar-subquery-in-HAVING shape.
+    *
+    * Spark-first: the region→nation→supplier snowflake broadcasts into
+    * the derived partsupp, the per-part value aggregates in exact
+    * decimal, and the global total is a 1-row RE-aggregation of that
+    * same result (localCheckpoint — never a second partsupp pass)
+    * broadcast back for an exact cross-multiplied threshold
+    * (val·1000 > total; a double fraction would flip boundary parts
+    * cross-engine). Output value is DOUBLE per the §6 money rule.
+    */
+  def tpchQ11(spark: SparkSession, dir: String,
+      rName: String = "ASIA", denom: Int = 1000): DataFrame = {
+    val rs = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .join(broadcast(Tables.region(spark, dir)
+            .where(col("r_name") === rName)),
+            col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val value = derivedPartsupp(Tables.lineitem(spark, dir))
+      .join(broadcast(rs), col("ps_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("ps_partkey"))
+      .agg(sum(col("ps_supplycost").cast("decimal(12,2)")).as("val"))
+      .localCheckpoint(false)
+    val total = value.agg(sum(col("val")).as("t"))
+    value.crossJoin(broadcast(total))
+      .where(col("val") * denom > col("t"))
+      .select(col("ps_partkey"), ExactMoney.toMoney(col("val")).as("value"))
+      .orderBy(col("value").desc, col("ps_partkey"))
+  }
+
+  /** A44 — TPC-H Q16 shape (supplier counts by part attribute): distinct
+    * suppliers per (brand, type, size) over qualifying parts, EXCLUDING
+    * a supplier denylist — the NOT-IN-subquery + COUNT DISTINCT shape
+    * (the schema has no s_comment, so negative balance is the
+    * "complaints" stand-in).
+    *
+    * Spark-first: the denylist (~6 rows) broadcasts as a LeftAnti join
+    * against the derived pairs, the brand/size part filter broadcasts,
+    * and COUNT DISTINCT over (attrs, suppkey) plans as Spark's two-level
+    * expand-free distinct agg — the heavy dedup happened in the
+    * partsupp derivation itself. Ordered by count desc + full attribute
+    * tiebreak for a deterministic listing.
+    */
+  def tpchQ16(spark: SparkSession, dir: String): DataFrame = {
+    val deny = Tables.supplier(spark, dir)
+      .where(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val pf = Tables.part(spark, dir)
+      .where(col("p_brand") =!= "Brand#1" &&
+        col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    derivedPartsupp(Tables.lineitem(spark, dir))
+      .select(col("ps_partkey"), col("ps_suppkey"))
+      .join(broadcast(deny), col("ps_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(pf), col("ps_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** A45 — TPC-H Q20 shape (part promotion): EUROPE suppliers who
+    * DOMINATED shipments of a name-matched part in 1998 — shipped more
+    * than half that part's year total. The defining shape is the
+    * doubly-nested correlated aggregate (per-(part, supp) qty vs 50% of
+    * a per-part aggregate) feeding a semi-join chain up to the
+    * nation-filtered supplier listing (no ps_availqty in this schema,
+    * so the 50% threshold tests observed share instead of stock).
+    *
+    * Spark-first: the year filter is a pushed shipdate RANGE (never
+    * `year(col)` — that defeats parquet pushdown), the red-part key set
+    * broadcasts into the scan, quantities sum as exact BIGINTs
+    * (integral doubles), the per-part total is a window over the
+    * (part, supp) agg (no lineitem re-scan), and the 2·q > total
+    * compare is exact integer arithmetic. The surviving supplier keys
+    * dedup at dimension scale before the broadcast semi-join into the
+    * EUROPE supplier listing.
+    */
+  def tpchQ20(spark: SparkSession, dir: String,
+      adjective: String = "red ", rName: String = "EUROPE"): DataFrame = {
+    val pk = Tables.part(spark, dir)
+      .where(col("p_name").startsWith(adjective))
+      .select(col("p_partkey"))
+    val sp = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= expr("TIMESTAMP '1998-01-01 00:00:00'") &&
+        col("l_shipdate") < expr("TIMESTAMP '1999-01-01 00:00:00'"))
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      .join(broadcast(pk), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+    val dominant = sp
+      .withColumn("qp", sum(col("q")).over(Window.partitionBy(col("l_partkey"))))
+      .where(lit(2) * col("q") > col("qp"))
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .join(broadcast(Tables.region(spark, dir)
+            .where(col("r_name") === rName)),
+            col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(dominant), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_name"))
+  }
 }

@@ -314,6 +314,52 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("BroadcastHashJoin"), s"scalar max must broadcast back:\n$p")
   }
 
+  private def lineitemScans(p: String): Int =
+    p.split("lineitem\\.parquet", -1).length - 1
+
+  test("q_tpch_q2 scans the part-pruned lineitem once and takes top-100 without a global sort") {
+    val p = plan("q_tpch_q2")
+    // the partsupp derivation reads lineitem exactly once, pre-pruned by
+    // the broadcast part-key semi-join
+    assert(lineitemScans(p) == 1, s"partsupp must derive from ONE scan:\n$p")
+    assert(p.contains("LeftSemi"), s"part keys must prune lineitem pre-agg:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"EUROPE suppliers must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-100 must not global-sort:\n$p")
+  }
+
+  test("q_tpch_q9 feeds detail AND partsupp from one checkpointed scan") {
+    val p = plan("q_tpch_q9")
+    // the name-filtered lineitem materialized once (Q15 pattern); both the
+    // detail side and the partsupp agg read the checkpoint, never parquet
+    assert(p.contains("Scan ExistingRDD"), s"filtered lineitem must checkpoint:\n$p")
+    assert(lineitemScans(p) == 0, s"no second lineitem scan allowed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"supplier/nation must broadcast:\n$p")
+  }
+
+  test("q_tpch_q11 re-aggregates its own per-part result for the global total") {
+    val p = plan("q_tpch_q11")
+    // the per-part value checkpointed once; the scalar total is a 1-row
+    // re-agg of it broadcast back — lineitem never re-scans
+    assert(p.contains("Scan ExistingRDD"), s"per-part value must checkpoint:\n$p")
+    assert(lineitemScans(p) == 0, s"total must reuse the checkpointed agg:\n$p")
+  }
+
+  test("q_tpch_q16 anti-joins the denylist broadcast and prunes parts at the scan") {
+    val p = plan("q_tpch_q16")
+    assert(p.contains("LeftAnti"), s"denylist must plan as an anti join:\n$p")
+    assert(p.contains("In(p_size"), s"size set must push to the part scan:\n$p")
+    assert(lineitemScans(p) == 1, s"pairs derive from ONE lineitem scan:\n$p")
+  }
+
+  test("q_tpch_q20 pushes the 1998 range to the scan and never re-scans for the part total") {
+    val p = plan("q_tpch_q20")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
+      p.contains("LessThan(l_shipdate"),
+      s"year filter must push as a shipdate RANGE:\n$p")
+    assert(p.contains("LeftSemi"), s"red-part keys must semi-prune the scan:\n$p")
+    assert(lineitemScans(p) == 1, s"per-part total is a window, not a re-scan:\n$p")
+  }
+
   test("q_tpch_q17 filters parts at the scan and derives per-part stats in one window") {
     val p = plan("q_tpch_q17")
     assert(p.contains("EqualTo(p_brand,Brand#3)"), s"brand filter must reach the scan:\n$p")
