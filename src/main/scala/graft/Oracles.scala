@@ -372,14 +372,15 @@ object Oracles {
        |es AS (SELECT s_suppkey, s_name, s_acctbal, n_name
        |       FROM supplier JOIN nation ON s_nationkey = n_nationkey
        |       JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
-       |cand AS (SELECT p_partkey, p_brand, s_name, s_acctbal, n_name, ps_supplycost,
+       |cand AS (SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name,
+       |                ps_supplycost,
        |                min(ps_supplycost) OVER (PARTITION BY p_partkey) AS mincost
        |         FROM ps JOIN es ON ps_suppkey = s_suppkey
        |         JOIN part ON ps_partkey = p_partkey
        |         WHERE p_type = 'LARGE' AND p_size <= 10)
        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
        |FROM cand WHERE ps_supplycost = mincost
-       |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin
+       |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey LIMIT 100""".stripMargin
 
   /** Q9 shape: same 6-relation join tree, margin = exact-decimal revenue
     * minus the pair's supplycost, summed exact and rounded to cents

@@ -30,7 +30,8 @@ object Graph {
     * pregel-as-dataflow layout: at 100 TB the edge table partitioning is
     * the stable asset every pass reuses.
     */
-  def pageRank(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
+  def pageRank(spark: SparkSession, dir: String, iters: Int = 5,
+      checkpointEvery: Int = 1): DataFrame = {
     val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
     val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
     val cs = li.join(o, col("l_orderkey") === col("o_orderkey"))
@@ -63,11 +64,15 @@ object Graph {
         .groupBy(col("v").as("id"))
         .agg((lit(150000L) + expr("(85 * sum(c)) div 100")).as("score"))
         .select(col("id"), col("score"))
-      // EVERY pass lazily checkpointed, including the last: a caller
-      // running multiple actions on the result otherwise replays the final
-      // join+agg on top of the pass-(n-1) checkpoint each time. Lazy, so
-      // single-action callers still see exactly one job.
-      scores = scores.localCheckpoint(false)
+      // Checkpoint cadence: every pass by default, including the last (a
+      // caller running multiple actions on the result otherwise replays the
+      // final join+agg on top of the previous checkpoint each time). Lazy,
+      // so single-action callers still see exactly one job.
+      // `checkpointEvery` exists for cadence A/B measurement (PLANS.md r10):
+      // fewer checkpoints = fewer stored block sets but deeper replayed
+      // lineage per stored pass.
+      if (i % checkpointEvery == 0 || i == iters)
+        scores = scores.localCheckpoint(false)
     }
     scores
   }

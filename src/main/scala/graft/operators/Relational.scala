@@ -883,9 +883,10 @@ object Relational {
     * schema without the table. At 100 TB the derivation is one
     * 3-column lineitem scan + one (partkey, suppkey)-keyed partial-min
     * agg — pair cardinality is |part|·avg-suppliers, dimension-scale,
-    * NOT fact-scale. `from` lets callers derive it from an
-    * already-pruned lineitem subset (supplycost per pair is unchanged
-    * by dropping OTHER parts' rows, so pruning first is lossless).
+    * NOT fact-scale. The `lineitem` parameter lets callers derive it
+    * from an already-pruned lineitem subset (supplycost per pair is
+    * unchanged by dropping OTHER parts' rows, so pruning first is
+    * lossless).
     */
   private def derivedPartsupp(lineitem: DataFrame): DataFrame =
     lineitem
@@ -901,13 +902,18 @@ object Relational {
     * Spark-first: the size/type part filter broadcasts its ~1% key set
     * into the lineitem scan BEFORE the partsupp derivation (supplycost
     * per pair doesn't change when other parts' rows are dropped — the
-    * agg shuffle shrinks ~60×), the ~20-row EUROPE supplier dimension
-    * broadcasts, and the correlated MIN plans as a window over the
+    * agg shuffle shrinks ~60×), the EUROPE supplier dimension
+    * broadcasts (~1/5 of all suppliers — 2k·sf rows of 4 narrow
+    * columns, a few MB even at SF100k, within the repo-wide
+    * supplier-as-broadcast-dimension convention), and the correlated
+    * MIN plans as a window over the
     * part key with the equality test on EXACT doubles (min of observed
     * 2dp values — never an accumulated sum, so double equality is
-    * sound). Top-100 plans as TakeOrderedAndProject on a total order
-    * (acctbal desc, nation, supplier, partkey — (part, supp) is the
-    * row key, so the order is deterministic under LIMIT).
+    * sound). Top-100 plans as TakeOrderedAndProject on a total order:
+    * (acctbal desc, nation, supplier, partkey, suppkey) — the trailing
+    * s_suppkey tiebreak makes the sort key a superset of the row key
+    * (p_partkey, s_suppkey), so the order is deterministic under LIMIT
+    * without assuming supplier names are unique.
     */
   def tpchQ2(spark: SparkSession, dir: String,
       pType: String = "LARGE", maxSize: Int = 10): DataFrame = {
@@ -930,10 +936,11 @@ object Relational {
       .where(col("ps_supplycost") === col("mincost"))
       .join(broadcast(pk), col("ps_partkey") === col("p_partkey"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
-        col("p_partkey"), col("p_brand"))
+        col("p_partkey"), col("p_brand"), col("s_suppkey"))
       .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
-        col("p_partkey"))
+        col("p_partkey"), col("s_suppkey"))
       .limit(100)
+      .drop("s_suppkey")
   }
 
   /** A42 — TPC-H Q9 shape (product-type profit): margin per nation per
@@ -1020,7 +1027,9 @@ object Relational {
     * (the schema has no s_comment, so negative balance is the
     * "complaints" stand-in).
     *
-    * Spark-first: the denylist (~6 rows) broadcasts as a LeftAnti join
+    * Spark-first: the denylist (~9% of suppliers — 0.9k·sf single-key
+    * rows, broadcast-safe at any realistic SF since suppliers are
+    * dimension-scale) broadcasts as a LeftAnti join
     * against the derived pairs, the brand/size part filter broadcasts,
     * and COUNT DISTINCT over (attrs, suppkey) plans as Spark's two-level
     * expand-free distinct agg — the heavy dedup happened in the

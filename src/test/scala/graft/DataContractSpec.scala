@@ -1,0 +1,62 @@
+package graft
+
+import graft.io.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, TimestampType}
+
+/** Guards the shape of the driver-generated input tables as the LOADERS
+  * expose them — not as the parquet files store them. The r9 lesson: the
+  * driver regenerated events.parquet with `ts` as TIMESTAMP(MICROS) while
+  * `Tables.events` still assumed BIGINT epoch nanos, silently collapsing
+  * every event timestamp onto 1970-01-20 and failing 12 driver-gate queries
+  * that were green in-repo. The oracle (DuckDB) reads the file natively, so
+  * any unit/type drift the loader mishandles shows up only at the driver
+  * gate — unless a spec pins the post-load values to a sane window here.
+  */
+class DataContractSpec extends GraftSuite {
+
+  test("events loader yields TimestampType ts in a sane epoch window") {
+    val ev = Tables.events(spark, sf)
+    assert(ev.schema("ts").dataType == TimestampType,
+      s"ts must load as TimestampType, got ${ev.schema("ts").dataType}")
+    val r = ev.agg(
+      min(year(col("ts"))).as("y_min"),
+      max(year(col("ts"))).as("y_max"),
+      countDistinct(to_date(col("ts"))).as("days")).head()
+    val (yMin, yMax, days) = (r.getInt(0), r.getInt(1), r.getLong(2))
+    // A unit error is never subtle: nanos-read-as-micros lands in 1970,
+    // micros-read-as-nanos lands past year 500000. Any sane generation of
+    // this table is modern-era with multi-day span.
+    assert(yMin >= 2000 && yMax <= 2100,
+      s"event timestamps outside [2000, 2100]: years [$yMin, $yMax] — " +
+        "loader is misreading the parquet timestamp unit")
+    assert(days > 1, s"all events collapse onto $days day(s) — unit bug")
+  }
+
+  test("events loader preserves row count and key columns") {
+    val ev = Tables.events(spark, sf)
+    assert(ev.schema("user_id").dataType == LongType)
+    assert(ev.schema("event_type").dataType == StringType)
+    assert(ev.count() > 0)
+  }
+
+  test("loader ts agrees with the raw parquet footer min/max epoch") {
+    // Read the same file with NO loader logic (plain inference if possible)
+    // and compare min/max epochs — catches a loader that shifts or scales.
+    val path = s"$sf/events.parquet"
+    val raw = scala.util.Try(spark.read.parquet(path)).toOption
+    raw.foreach { df =>
+      val rawMinMax = df
+        .select(col("ts").cast(TimestampType).as("ts"))
+        .agg(min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts"))))
+        .head()
+      val loaded = Tables.events(spark, sf)
+        .agg(min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts"))))
+        .head()
+      assert(loaded.getLong(0) == rawMinMax.getLong(0) &&
+        loaded.getLong(1) == rawMinMax.getLong(1),
+        s"loader shifts the epoch: raw [${rawMinMax.getLong(0)}, ${rawMinMax.getLong(1)}] " +
+          s"vs loaded [${loaded.getLong(0)}, ${loaded.getLong(1)}]")
+    }
+  }
+}
