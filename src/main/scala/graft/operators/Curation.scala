@@ -35,10 +35,13 @@ object Curation {
     * diameter 2–3) it converges immediately and is ~1.5× cheaper per round
     * than star contraction (measured 1.7 s vs 2.6 s at sf0.1) — then, if
     * unconverged (deep components), finish with the O(log n)
-    * large-star/small-star contraction, seeding it with the partial labels
-    * as shortcut edges so the propagation work isn't wasted. The fallback is
-    * what makes this safe at 100 TB: an adversarial path component costs
-    * O(log n) star rounds instead of O(n) propagation rounds.
+    * large-star/small-star contraction on the QUOTIENT graph (edges mapped
+    * through the partial labels, collapsed components dropped), composing
+    * the star roots back over the propagate labels. The fallback is what
+    * makes this safe at 100 TB: an adversarial path component costs
+    * O(log n) star rounds on a graph that propagation already shrank,
+    * instead of O(n) propagation rounds — and the common-case cliques never
+    * reach the star loop at all.
     */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
       maxIter: Int = 60): DataFrame = {
@@ -53,9 +56,29 @@ object Curation {
     val (labels, converged) = propagateRounds(e0, "u", "v", rounds = 4)
     if (converged) labels
     else {
-      val shortcut = labels.where(col("id") =!= col("label"))
-        .select(col("id").as("u"), col("label").as("v"))
-      connectedComponentsStar(e0.union(shortcut), "u", "v", maxIter)
+      // CONTRACT the graph through the partial labels instead of re-running
+      // star over the full edge list (+shortcuts), which made the fallback
+      // pay per-round cost proportional to |E| — the measured 12.3× sf10
+      // residual on q_dedup_cluster. Map each endpoint to its propagate
+      // label and drop now-internal (self-loop) edges: after 4 propagate
+      // rounds every component of diameter ≤ 4 — the LSH-clique common
+      // case — has fully collapsed and VANISHES from the quotient, so
+      // star-contraction runs only on the deep components' label graph.
+      // Exactness: a component-minimum node's propagate label is itself
+      // (min-labels never decrease), so the quotient's component minima ARE
+      // the original minima and final(id) = starRoot(label(id)); labels
+      // absent from the quotient (collapsed components) keep their
+      // propagate label via the left join.
+      val lu = labels.select(col("id").as("u"), col("label").as("lu"))
+      val lv = labels.select(col("id").as("v"), col("label").as("lv"))
+      val quotient = e0.join(lu, "u").join(lv, "v")
+        .select(col("lu").as("u"), col("lv").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct() // parallel edges collapse before the first star groupBy
+      val roots = connectedComponentsStar(quotient, "u", "v", maxIter)
+        .select(col("id").as("label"), col("label").as("root"))
+      labels.join(roots, Seq("label"), "left")
+        .select(col("id"), coalesce(col("root"), col("label")).as("label"))
     }
   }
 
