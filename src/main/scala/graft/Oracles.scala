@@ -354,6 +354,25 @@ object Oracles {
        |WHERE n12 >= 5
        |ORDER BY lift DESC, w1, w2 LIMIT 50""".stripMargin
 
+  /** Bigram-LM document score — same tokenizer, same bigram fan-out, and
+    * the probability arithmetic written as the IDENTICAL integer operation
+    * tree (c12·10⁶ // c1, tf-weighted floor mean) so the scores are
+    * bit-equal cross-engine. The denominator is the bigram-left count
+    * (Σ_w c(w1,w)), matching the Spark window exactly.
+    */
+  val lmScore: String =
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |bi AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+       |       FROM tok, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+       |       WHERE len(toks) >= 2),
+       |agg AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS tf FROM bi GROUP BY 1, 2, 3),
+       |c AS (SELECT doc_id, tf,
+       |             sum(tf) OVER (PARTITION BY w1) AS c1,
+       |             sum(tf) OVER (PARTITION BY w1, w2) AS c12 FROM agg)
+       |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       |       CAST(sum(tf * (c12 * 1000000 // c1)) // sum(tf) AS BIGINT) AS lm_ppm
+       |FROM c GROUP BY doc_id""".stripMargin
+
   /** The derived partsupp relation shared by the Q2/Q9/Q11/Q16/Q20
     * oracles — cheapest observed sale per (part, supplier) pair; min over
     * exact-2dp doubles, so no decimal accumulation is needed.

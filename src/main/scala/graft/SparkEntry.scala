@@ -159,6 +159,9 @@ object SparkEntry {
     // q_collocations: PMI phrase mining — narrow bigram fan-out, exact
     // counts, order-pinned double lift (r9b)
     "q_collocations"       -> ((s, d) => TextAnalysis.collocations(s, d)),
+    // q_lm_score: bigram-LM doc scoring (perplexity-filter stand-in) —
+    // exact integer ppm, one corpus scan, model counts as windows
+    "q_lm_score"           -> ((s, d) => TextAnalysis.lmScore(s, d)),
     // round-6 block: quality gate + corpus profiling + graph density
     // q_quality_filter: Gopher/C4-style rule cascade — zero-shuffle narrow scan
     "q_quality_filter"     -> ((s, d) => Quality.qualityFilter(s, d)),
@@ -437,5 +440,6 @@ object SparkEntry {
     "q_dedup_substring" -> Oracles.dedupSubstring,
     "q_oov_rate"        -> Oracles.oovRate,
     "q_collocations"    -> Oracles.collocations,
+    "q_lm_score"        -> Oracles.lmScore,
   )
 }

@@ -316,4 +316,48 @@ object TextAnalysis {
       .orderBy(col("lift").desc, col("w1"), col("w2"))
       .limit(topN)
   }
+
+  /** C37 — bigram-LM document scoring, the perplexity-filter stand-in
+    * (CCNet/Gopher-style quality signals rank documents by how probable a
+    * cheap language model finds them; gibberish and word salad score low,
+    * template/common text scores high). Score = the per-doc mean of the
+    * bigram MLE probability p(w2|w1) = c(w1,w2) / c(w1,·), in EXACT integer
+    * ppm (c12·10⁶ div c1, tf-weighted mean with floor division) — no log,
+    * no FP accumulation, so both engines produce bit-identical scores. The
+    * denominator is the bigram-LEFT count c(w1,·) = Σ_w c(w1,w), the true
+    * MLE conditional denominator — derivable from the bigram table itself,
+    * never a second corpus scan.
+    *
+    * Plan shape (the tf-idf pattern): ONE corpus scan fans out bigrams
+    * narrowly (transform(sequence) + explode, never a positional
+    * self-join), collapses to the compact (doc_id, w1, w2, tf) aggregate
+    * [exchange 1], then BOTH model counts are windows riding ONE exchange:
+    * hash-partitioning on w1 satisfies the c1 window AND the (w1, w2) c12
+    * window (subset rule — the second window adds only a sort) [exchange
+    * 2], and the per-doc mean is a doc_id agg [exchange 3]. After the
+    * first exchange rows are (doc_id, w1, w2, tf) — text never shuffles.
+    * At 100 TB: the model "table" is never materialized or broadcast — the
+    * counts flow attached to the rows that need them, so there is no
+    * giant-vocabulary collect the way a trained-LM join would require.
+    */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bi = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val counted = bi
+      .withColumn("c1", sum(col("tf")).over(Window.partitionBy(col("w1"))))
+      .withColumn("c12", sum(col("tf")).over(Window.partitionBy(col("w1"), col("w2"))))
+    counted
+      .select(col("doc_id"), col("tf"),
+        expr("c12 * 1000000L div c1").as("p_ppm"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        expr("sum(tf * p_ppm) div sum(tf)").as("lm_ppm"))
+  }
 }

@@ -411,6 +411,20 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("n_chars") && !p.contains("lang"), s"scan must prune to text:\n$p")
   }
 
+  test("q_lm_score: one corpus scan, both model-count windows ride one exchange") {
+    val p = plan("q_lm_score")
+    // bigram fan-out is a narrow explode, never a positional self-join
+    assert(p.contains("Generate"), s"bigram fan-out must be a narrow explode:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // 3 exchanges: (doc,w1,w2) agg, the w1 window (whose hash partitioning
+    // also satisfies the (w1,w2) window via the subset rule), the doc agg
+    assert(shuffles(p) <= 3, s"tf agg + ONE window exchange + doc agg:\n$p")
+    assert(p.linesIterator.count(_.matches("""^\(\d+\) Scan parquet .*""")) == 1,
+      s"documents must scan once:\n$p")
+    // only text+doc_id read: no metadata columns survive pruning
+    assert(!p.contains("n_chars") && !p.contains("lang"), s"scan must prune:\n$p")
+  }
+
   test("q_tpch_q18 plans TakeOrdered top-100 and broadcasts the small sides") {
     val p = plan("q_tpch_q18")
     assert(p.contains("TakeOrderedAndProject"), s"top-100 must not global-sort:\n$p")

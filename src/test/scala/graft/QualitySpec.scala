@@ -129,4 +129,35 @@ class QualitySpec extends GraftSuite {
     // would be ideal; at minimum the flags are not vacuously constant)
     assert(rows.map(_.getBoolean(10)).distinct.length >= 1)
   }
+
+  test("lmScore: closed-form bigram MLE ppm, floor arithmetic, <2-token docs excluded") {
+    import spark.implicits._
+    // corpus: c(a,b)=3, c(b,a)=1, c(b,c)=1; bigram-left counts c1(a)=3,
+    // c1(b)=2 → p_ppm(a,b)=10⁶, p_ppm(b,a)=p_ppm(b,c)=500000.
+    val docs = Seq(
+      (0L, "a b a b", "en", "web", 7L),  // tf(a,b)=2, tf(b,a)=1
+      (1L, "a b c", "en", "web", 5L),    // tf(a,b)=1, tf(b,c)=1
+      (2L, "x", "en", "web", 1L))        // no bigram — excluded
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextAnalysis.lmScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc0: (2·10⁶ + 1·5·10⁵) div 3 = 833333 (floor); doc1: (10⁶+5·10⁵) div 2
+    assert(got == Map(0L -> ((3L, 833333L)), 1L -> ((2L, 750000L))), s"got $got")
+  }
+
+  test("lmScore scores common-pattern text above rare-continuation text") {
+    // 20 docs of a fixed phrase + 1 doc that shares lefts but continues
+    // uniquely: the shared doc's continuations are rare given their lefts.
+    import spark.implicits._
+    val docs = (0 until 20).map(i => (i.toLong, "the quick brown fox", "en", "web", 19L)) :+
+      ((99L, "the slow brown owl", "en", "web", 18L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm2").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val s = graft.operators.TextAnalysis.lmScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(s(0L) > s(99L), s"common text must outscore rare continuations: $s")
+  }
 }
