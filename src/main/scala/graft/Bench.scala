@@ -40,6 +40,14 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      // Between queries (outside the timed region): a GC nudge so the
+      // ContextCleaner reclaims the previous query's dropped
+      // localCheckpoint blocks promptly. A marathon suite otherwise ages
+      // the JVM — old-gen and block-manager state from dead queries taxed
+      // alphabetically-late ones (the r6/r7/r9 "suite-context noise"
+      // adjudications, and the 8g sf10 run where accumulation killed the
+      // context outright mid-suite).
+      System.gc()
       name -> err.toLeft(times.min) // steady-state: best of N (JIT/cache warm)
     }
     // a crashed query must not make the bench look faster: its time is null
