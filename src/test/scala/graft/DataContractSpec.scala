@@ -40,6 +40,59 @@ class DataContractSpec extends GraftSuite {
     assert(ev.count() > 0)
   }
 
+  test("nanos-typed events file takes the BIGINT fallback and converts exactly") {
+    // Fabricate a TIMESTAMP(NANOS) events.parquet with parquet-java (Spark
+    // cannot write NANOS), then load through Tables.events: the footer
+    // sniff must route to the BIGINT-epoch-nanos path and produce the
+    // exact micros instants. This pins the fallback path in-repo — the
+    // driver's current data is MICROS, so nothing else exercises it.
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.io.api.Binary
+    val schema = Types.buildMessage()
+      .required(INT64).named("event_id")
+      .required(INT64)
+      .as(LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.NANOS))
+      .named("ts")
+      .required(INT64).named("user_id")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("event_type")
+      .required(DOUBLE).named("value")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("props")
+      .named("events")
+    val dir = java.nio.file.Files.createTempDirectory("graft-nanos").toString
+    val file = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fac = new SimpleGroupFactory(schema)
+    val w = ExampleParquetWriter.builder(
+        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+          file, spark.sparkContext.hadoopConfiguration))
+      .withType(schema).build()
+    // 2024-03-01T00:00:00Z = 1709251200 s; add 1.5 ms so sub-second
+    // micros survive the div-1000 conversion
+    val baseNanos = 1709251200L * 1000000000L + 1500000L
+    (0 until 3).foreach { i =>
+      val g = fac.newGroup()
+      g.append("event_id", i.toLong)
+      g.append("ts", baseNanos + i * 1000000000L)
+      g.append("user_id", 7L)
+      g.append("event_type", Binary.fromString("click"))
+      g.append("value", 1.0)
+      g.append("props", Binary.fromString("{}"))
+      w.write(g)
+    }
+    w.close()
+    val ev = Tables.events(spark, dir)
+    assert(ev.schema("ts").dataType == TimestampType)
+    val got = ev.orderBy(col("event_id"))
+      .select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq(
+      "2024-03-01 00:00:00.001500",
+      "2024-03-01 00:00:01.001500",
+      "2024-03-01 00:00:02.001500"), s"got $got")
+  }
+
   test("loader ts agrees with the raw parquet footer min/max epoch") {
     // Read the same file with NO loader logic (plain inference if possible)
     // and compare min/max epochs — catches a loader that shifts or scales.
