@@ -292,4 +292,40 @@ class PropertySpec extends GraftSuite {
       assert(h2 == direct)
     }
   }
+
+  /** Plain-Scala twin of [[operators.TextAnalysis.lmScore]]: bigram MLE in
+    * integer ppm, per-occurrence floor mean (all counts positive, so Scala
+    * `/` is the same floor division as Spark's `div`).
+    */
+  private def lmRef(docs: Seq[(Long, String)]): Map[Long, (Long, Long)] = {
+    val occ = docs.flatMap { case (id, text) =>
+      val t = text.split(" ").filter(_.nonEmpty).toSeq
+      if (t.size < 2) Seq.empty
+      else t.sliding(2).map(p => (id, p(0), p(1))).toSeq
+    }
+    val c12 = occ.groupBy(o => (o._2, o._3)).map { case (k, v) => k -> v.size.toLong }
+    val c1 = c12.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    occ.groupBy(_._1).map { case (id, os) =>
+      val ps = os.map(o => c12((o._2, o._3)) * 1000000L / c1(o._2))
+      id -> ((os.size.toLong, ps.sum / os.size))
+    }
+  }
+
+  test("lmScore equals the plain-Scala bigram-MLE reference on random corpora (5 trials)") {
+    import spark.implicits._
+    val vocab = Array("a", "b", "c", "d", "e")
+    (1 to 5).foreach { _ =>
+      val docs = (0 until (rnd.nextInt(10) + 3)).map { i =>
+        val n = rnd.nextInt(8) // 0..7 tokens: includes <2-token docs
+        (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val dir = java.nio.file.Files.createTempDirectory("graft-lmprop").toString
+      docs.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = operators.TextAnalysis.lmScore(spark, dir).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == lmRef(docs), s"lmScore diverges on $docs")
+    }
+  }
 }
