@@ -373,6 +373,61 @@ object Oracles {
        |       CAST(sum(tf * (c12 * 1000000 // c1)) // sum(tf) AS BIGINT) AS lm_ppm
        |FROM c GROUP BY doc_id""".stripMargin
 
+  /** DSIR hashed-bigram CTEs shared by [[dsirWeight]] and [[dsirResample]]:
+    * bigram strings joined with single spaces (same construction as
+    * [[repetition]]'s g2), hash60 % 4096 buckets, add-1-smoothed
+    * target/raw ratio in ppm, per-doc floor-mean — all-integer, so the
+    * scores are bit-identical cross-engine.
+    */
+  private val dsirCtes: String =
+    s"""tok AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+       |occ AS (SELECT doc_id, lang, h % 4096 AS b FROM (
+       |    SELECT doc_id, lang,
+       |      unnest([$hash60Sql FOR s IN
+       |              [array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]]) AS h
+       |    FROM tok WHERE len(toks) >= 2)),
+       |model AS (SELECT b,
+       |    CAST((sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1) * 1000000
+       |         // (count(*) + 1) AS BIGINT) AS r_ppm
+       |  FROM occ GROUP BY b),
+       |w AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       |        CAST(sum(r_ppm) // count(*) AS BIGINT) AS dsir_ppm
+       |      FROM occ JOIN model USING (b) GROUP BY doc_id)""".stripMargin
+
+  val dsirWeight: String =
+    s"""WITH $dsirCtes
+       |SELECT doc_id, n_bigrams, dsir_ppm FROM w""".stripMargin
+
+  /** Salted portable-hash acceptance at the DSIR weight rate (the
+    * [[domainMix]] construction with salt "dsir:").
+    */
+  val dsirResample: String =
+    s"""WITH $dsirCtes
+       |SELECT doc_id, n_bigrams, dsir_ppm FROM w
+       |WHERE CAST(concat('0x', substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |      % 1000000 < dsir_ppm""".stripMargin
+
+  /** Cluster-balanced prototype pruning: same seed codebook + assignment
+    * arithmetic as [[annIvf]] (first-16 centroids, dist ties to the lower
+    * cid), distances integer-scaled with the [[annIvfPq]] floor(·10⁶)
+    * convention before the per-cell top-10 ranking.
+    */
+  val clusterPrune: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |cen AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cid, e AS ce
+      |        FROM v WHERE vec_id < 16),
+      |d AS (SELECT v.vec_id, cen.cid,
+      |        (list_dot_product(e, e) - 2 * list_dot_product(e, ce)
+      |         + list_dot_product(ce, ce)) AS dist
+      |      FROM v, cen),
+      |a AS (SELECT vec_id, cid, dist,
+      |        row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS r FROM d),
+      |asg AS (SELECT vec_id, cid, CAST(floor(dist * 1000000) AS BIGINT) AS dist6
+      |        FROM a WHERE r = 1),
+      |rr AS (SELECT cid, vec_id, dist6,
+      |         row_number() OVER (PARTITION BY cid ORDER BY dist6, vec_id) AS rk FROM asg)
+      |SELECT CAST(cid AS BIGINT) AS cid, rk, vec_id, dist6 FROM rr WHERE rk <= 10""".stripMargin
+
   /** The derived partsupp relation shared by the Q2/Q9/Q11/Q16/Q20
     * oracles — cheapest observed sale per (part, supplier) pair; min over
     * exact-2dp doubles, so no decimal accumulation is needed.

@@ -162,6 +162,15 @@ object SparkEntry {
     // q_lm_score: bigram-LM doc scoring (perplexity-filter stand-in) —
     // exact integer ppm, one corpus scan, model counts as windows
     "q_lm_score"           -> ((s, d) => TextAnalysis.lmScore(s, d)),
+    // q_dsir_weight: DSIR importance weights over hashed bigram features
+    // (fixed-bucket model broadcast, exact integer ppm) (r10)
+    "q_dsir_weight"        -> ((s, d) => Curation.dsirWeight(s, d)),
+    // q_dsir_resample: deterministic hash-acceptance resampling at the
+    // DSIR weight rate (r10)
+    "q_dsir_resample"      -> ((s, d) => Curation.dsirResample(s, d)),
+    // q_cluster_prune: per-embedding-cluster prototype top-10 (D4-style
+    // corpus rebalancing; fused nearest-cell kernel, WindowGroupLimit) (r10)
+    "q_cluster_prune"      -> ((s, d) => Dedup.clusterPrune(s, d)),
     // round-6 block: quality gate + corpus profiling + graph density
     // q_quality_filter: Gopher/C4-style rule cascade — zero-shuffle narrow scan
     "q_quality_filter"     -> ((s, d) => Quality.qualityFilter(s, d)),
@@ -441,5 +450,8 @@ object SparkEntry {
     "q_oov_rate"        -> Oracles.oovRate,
     "q_collocations"    -> Oracles.collocations,
     "q_lm_score"        -> Oracles.lmScore,
+    "q_dsir_weight"     -> Oracles.dsirWeight,
+    "q_dsir_resample"   -> Oracles.dsirResample,
+    "q_cluster_prune"   -> Oracles.clusterPrune,
   )
 }

@@ -64,6 +64,9 @@ object VectorExpressions {
   def nearestCid(e: Column, cen: Array[Double], sumsq: Array[Double], dim: Int): Column =
     ColumnBridge.column(NearestCidExpr(ColumnBridge.expression(e), cen, sumsq, dim))
 
+  def nearestCell(e: Column, cen: Array[Double], sumsq: Array[Double], dim: Int): Column =
+    ColumnBridge.column(NearestCellExpr(ColumnBridge.expression(e), cen, sumsq, dim))
+
   def interleave16(a: Column, b: Column): Column =
     ColumnBridge.column(Interleave16(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
@@ -254,6 +257,46 @@ case class NearestCidExpr(child: Expression, cen: Array[Double],
       c0 += 1
     }
     bestC
+  }
+}
+
+/** [[NearestCidExpr]]'s sibling that also emits the winning distance as
+  * `struct(cid, dist)` — for operators that need the assignment AND the
+  * prototypicality value (cluster-balanced pruning), where running the
+  * argmin kernel and then re-deriving the winner's distance would double
+  * the dot-product work. Identical arithmetic and tie rule (strict-< keeps
+  * the lowest cid), so `.getField("cid")` of this expression equals
+  * [[NearestCidExpr]] bit-for-bit (property-tested).
+  */
+case class NearestCellExpr(child: Expression, cen: Array[Double],
+    sumsq: Array[Double], dim: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("cid", IntegerType, nullable = false),
+    StructField("dist", DoubleType, nullable = false)))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val in = v.asInstanceOf[ArrayData]
+    val a = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { a(i) = in.getDouble(i); i += 1 }
+    var ee = 0.0
+    i = 0
+    while (i < dim) { ee += a(i) * a(i); i += 1 }
+    var best = Double.PositiveInfinity
+    var bestC = 0
+    var c0 = 0
+    while (c0 < sumsq.length) {
+      var dc = 0.0
+      var d = 0
+      val base = c0 * dim
+      while (d < dim) { dc += a(d) * cen(base + d); d += 1 }
+      val dist = ee - 2.0 * dc + sumsq(c0)
+      if (dist < best) { best = dist; bestC = c0 }
+      c0 += 1
+    }
+    InternalRow(bestC, best)
   }
 }
 

@@ -410,4 +410,69 @@ object Curation {
       .where(col("h") < col("rate_pm"))
       .select(col("doc_id"), col("source"), col("lang"), col("rate_pm"))
   }
+
+  /** C38 — DSIR-style importance weights [Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023]: score every
+    * document by how target-like its HASHED n-gram feature distribution is
+    * relative to the raw corpus. Features are bigrams hashed into a FIXED
+    * number of buckets (the paper's 10⁴-bucket hashed n-gram model) — the
+    * published reason the method scales: both distribution models are
+    * `buckets`-row tables no matter the corpus size. Target = lang='en'
+    * documents, raw = the whole corpus; per-bucket ratio with add-1
+    * smoothing, in EXACT integer ppm ((c_tgt+1)·10⁶ div (c_raw+1)), and
+    * the per-doc weight is the floor-mean of that ratio over the doc's
+    * bigram occurrences — ratio-of-counts instead of the paper's
+    * sum-of-log-ratios, so both engines compute bit-identical integers (no
+    * log, no FP accumulation; the ranking it induces is the same
+    * "target-like up, raw-like down" signal). Documents with <2 tokens
+    * carry no bigram evidence and are excluded (the q_lm_score convention).
+    *
+    * Plan shape (the q_lm_score train+score lesson, measured at sf10):
+    * TRAIN scan fans bigram occurrences straight into the bucket agg —
+    * map-side combine collapses every task to ≤`buckets` partials, so the
+    * only train shuffle is model-sized (one agg carries BOTH corpus
+    * counters; lang rides the scan, no join). SCORE re-derives the
+    * occurrences with a second narrow scan (re-deriving beat materializing
+    * the occurrence table at sf10) and joins the BROADCAST model — at
+    * 100 TB the model is still `buckets` rows; the corpus never shuffles
+    * except the map-side-combined per-doc agg.
+    */
+  def dsirWeight(spark: SparkSession, dir: String, buckets: Int = 4096,
+      targetLang: String = "en"): DataFrame = {
+    def occ = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        graft.functions.TextHash.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))")).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        pmod(graft.functions.TextHash.hash60(col("bg")), lit(buckets.toLong)).as("b"))
+    val model = occ.groupBy(col("b"))
+      .agg(count(lit(1)).as("c_raw"),
+        sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("c_tgt"))
+      .select(col("b"), expr("(c_tgt + 1L) * 1000000L div (c_raw + 1L)").as("r_ppm"))
+    occ.join(broadcast(model), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(r_ppm) div count(1)").as("dsir_ppm"))
+  }
+
+  /** C38b — DSIR importance RESAMPLING: accept each document with
+    * probability proportional to its [[dsirWeight]] score, deterministically
+    * — the same salted portable-hash acceptance rule as [[domainMix]]
+    * (accept iff hash60("dsir:"+doc_id) mod 10⁶ < dsir_ppm), so the sampled
+    * corpus is reproducible and oracle-checkable rather than RNG-dependent.
+    * dsir_ppm is already a ppm-scaled ratio whose corpus-wide mean is ~10⁶·
+    * P(target)/1 — docs far above the raw distribution's target share are
+    * kept with certainty, raw-typical docs are thinned proportionally.
+    * Output is the accepted set with its weight (audit columns kept).
+    */
+  def dsirResample(spark: SparkSession, dir: String, buckets: Int = 4096,
+      targetLang: String = "en"): DataFrame = {
+    val h = pmod(graft.functions.TextHash.hash60(
+      concat(lit("dsir:"), col("doc_id").cast("string"))), lit(1000000L))
+    dsirWeight(spark, dir, buckets, targetLang)
+      .where(h < col("dsir_ppm"))
+      .select(col("doc_id"), col("n_bigrams"), col("dsir_ppm"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextHash._
@@ -423,6 +424,42 @@ object Dedup {
       .toDF("vec_id", "cid", "keep")
       // oracle's row_number-derived cid is BIGINT
       .select(col("vec_id"), col("cid").cast("long").as("cid"), col("keep"))
+  }
+
+  /** C39 — cluster-balanced prototype pruning (the diversification half of
+    * the D4 recipe: SemDeDup removes semantic near-dups, THEN the corpus is
+    * rebalanced per embedding cluster so no dense region dominates the
+    * training mix). Assign every vector to its nearest coarse centroid and
+    * keep the `keep` most prototypical per cell — smallest squared distance
+    * to the centroid, ties to the lower vec_id. `farthest = true` flips the
+    * ranking to keep the hardest/most peripheral examples instead (the
+    * SSL-prototypes pruning direction); same plan either way.
+    *
+    * Spark-first/100 TB: the codebook is the deterministic seed
+    * construction ([[Ivf.train]] iters=0 — the oracle-checkable path, same
+    * convention as q_ann_ivf), baked as literals into the fused
+    * [[graft.functions.NearestCellExpr]] kernel, so assignment is a NARROW
+    * scan — no broadcast join, no shuffle. Distances are integer-scaled
+    * (floor(dist·10⁶), the q_ann_ivfpq convention) before ranking, so the
+    * cross-engine order is exact. The per-cell top-`keep` is a rank window
+    * whose `rk <= keep` filter plans as WindowGroupLimit: each task keeps
+    * only `keep` rows per cell map-side, so the single cid-keyed exchange
+    * carries ≤ cells·keep·tasks 24-byte triples — never vectors, never the
+    * corpus. At 100 TB you raise `c` (cells) with corpus size; cost stays
+    * one narrow scan + a model-sized shuffle.
+    */
+  def clusterPrune(spark: SparkSession, dir: String, c: Int = 16,
+      keep: Int = 10, farthest: Boolean = false): DataFrame = {
+    val centroids = Ivf.train(spark, dir, c, iters = 0)
+    val rankKey = if (farthest) col("dist6").desc else col("dist6").asc
+    val w = Window.partitionBy(col("cid")).orderBy(rankKey, col("vec_id"))
+    Ann.normed(spark, dir)
+      .select(col("vec_id"), Ivf.nearestCell(col("e"), centroids).as("nc"))
+      .select(col("nc.cid").cast("long").as("cid"), col("vec_id"),
+        floor(col("nc.dist") * lit(1000000.0)).cast("long").as("dist6"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= keep)
+      .select(col("cid"), col("rk"), col("vec_id"), col("dist6"))
   }
 
   /** C29 — paragraph/span-level exact dedup (the C4 pipeline's

@@ -43,6 +43,22 @@ object Ivf {
     VectorExpressions.nearestCid(e, flat, sumsq, dim)
   }
 
+  /** argmin AND its distance as struct(cid, dist) — the fused
+    * [[VectorExpressions.nearestCell]] kernel, same arithmetic and
+    * lowest-cid tie rule as [[nearestCid]] (property-tested equal). For
+    * consumers that need the prototypicality value too (e.g.
+    * [[Dedup.clusterPrune]]), where argmin-then-rederive would double the
+    * dot-product work.
+    */
+  private[operators] def nearestCell(e: Column, centroids: Seq[(Int, Seq[Double])]): Column = {
+    val sorted = centroids.sortBy(_._1)
+    require(sorted.map(_._1) == (0 until sorted.length), s"dense cids expected")
+    val dim = sorted.head._2.length
+    val flat = sorted.iterator.flatMap(_._2).toArray
+    val sumsq = sorted.map(_._2.map(x => x * x).sum).toArray
+    VectorExpressions.nearestCell(e, flat, sumsq, dim)
+  }
+
   /** Train the coarse quantizer; returns (cid, centroid vector) pairs.
     * iters=0 keeps the raw seed vectors as the codebook — fully
     * deterministic (no FP accumulation), which is what the oracle-checked

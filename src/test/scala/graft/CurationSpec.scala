@@ -105,4 +105,63 @@ class CurationSpec extends GraftSuite {
       assert(r.getLong(2) == words.size.toLong)
     }
   }
+
+  test("dsirWeight: closed-form smoothed bucket ratios; <2-token docs excluded") {
+    import spark.implicits._
+    // One bigram per doc; "a b" appears in 2 en + 1 fr docs, "c d" in 1 fr
+    // doc. Buckets (4096) separate the two bigrams (deterministic hashes).
+    //   bucket("a b"): c_raw=3, c_tgt=2 → (2+1)·10⁶ div (3+1) = 750000
+    //   bucket("c d"): c_raw=1, c_tgt=0 → (0+1)·10⁶ div (1+1) = 500000
+    val docs = Seq(
+      (0L, "a b", "en", "web", 3L),
+      (1L, "a b", "en", "web", 3L),
+      (2L, "a b", "fr", "web", 3L),
+      (3L, "c d", "fr", "web", 3L),
+      (4L, "x", "en", "web", 1L)) // no bigram — excluded
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Curation.dsirWeight(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      0L -> ((1L, 750000L)), 1L -> ((1L, 750000L)),
+      2L -> ((1L, 750000L)), 3L -> ((1L, 500000L))), s"got $got")
+  }
+
+  test("dsirWeight separates target-language docs from the rest on the sf corpus") {
+    import spark.implicits._
+    val lang = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang").as[(Long, String)].collect().toMap
+    val w = Curation.dsirWeight(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2))
+    assert(w.nonEmpty)
+    def mean(xs: Seq[Long]): Double = xs.sum.toDouble / xs.size
+    val (en, other) = w.partition { case (id, _) => lang(id) == "en" }
+    // the whole point of the weight: target-like text scores higher on average
+    assert(mean(en.map(_._2).toSeq) > mean(other.map(_._2).toSeq),
+      s"en mean ${mean(en.map(_._2).toSeq)} vs other ${mean(other.map(_._2).toSeq)}")
+  }
+
+  private def hash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var b = 0
+    while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+    h >>> 4
+  }
+
+  test("dsirResample is exactly the hash-acceptance subset of dsirWeight") {
+    val w = Curation.dsirWeight(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val accepted = Curation.dsirResample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expect = w.filter { case (id, _, ppm) =>
+      hash60(s"dsir:$id") % 1000000L < ppm }.toSet
+    assert(accepted == expect)
+    // the resampler actually thins the corpus (weights are ratio-scaled,
+    // so raw-typical docs sit near P(target)·10⁶ and lose some coin flips)
+    assert(accepted.size < w.length, s"${accepted.size} of ${w.length}")
+    assert(accepted.nonEmpty)
+  }
 }

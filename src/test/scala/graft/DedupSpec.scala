@@ -325,4 +325,58 @@ class DedupSpec extends GraftSuite {
     val recall = (bf & lsh).size.toDouble / bf.size
     assert(recall >= 0.4, s"recall $recall")
   }
+
+  /** Plain-Scala reference for [[Dedup.clusterPrune]]: seed centroids =
+    * first 16 vec_ids, argmin with the kernel's arithmetic order (strict-<
+    * ties to the lower cid), floor(dist·10⁶) ranking.
+    */
+  private def clusterPruneRef(keep: Int, farthest: Boolean): Set[(Long, Int, Long, Long)] = {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS e")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val cen = vecs.filter(_._1 < 16).map(_._2)
+    val sumsq = cen.map(c => c.map(x => x * x).sum)
+    val assigned = vecs.map { case (id, e) =>
+      val ee = e.map(x => x * x).sum
+      var best = Double.PositiveInfinity; var bestC = 0
+      for (c <- cen.indices) {
+        var dc = 0.0; var d = 0
+        while (d < e.length) { dc += e(d) * cen(c)(d); d += 1 }
+        val dist = ee - 2.0 * dc + sumsq(c)
+        if (dist < best) { best = dist; bestC = c }
+      }
+      (id, bestC, math.floor(best * 1000000.0).toLong)
+    }
+    assigned.groupBy(_._2).iterator.flatMap { case (cid, m) =>
+      val ordered =
+        if (farthest) m.sortBy(t => (-t._3, t._1)) else m.sortBy(t => (t._3, t._1))
+      ordered.take(keep).zipWithIndex.map { case ((id, _, d6), i) =>
+        (cid.toLong, i + 1, id, d6)
+      }
+    }.toSet
+  }
+
+  test("clusterPrune == plain-Scala per-cell prototype top-k, both directions") {
+    def got(farthest: Boolean) = Dedup.clusterPrune(spark, sf, keep = 3, farthest = farthest)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got(farthest = false) == clusterPruneRef(3, farthest = false))
+    assert(got(farthest = true) == clusterPruneRef(3, farthest = true))
+  }
+
+  test("clusterPrune covers every non-empty cell with ranks 1..min(keep, cell size)") {
+    val rows = Dedup.clusterPrune(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cid, m) =>
+      val sorted = m.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length), s"cell $cid ranks")
+      assert(sorted.length <= 10)
+      // prototypicality ordering: dist6 nondecreasing with rank
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 <= b._4, s"cell $cid order")
+        case _ =>
+      }
+    }
+  }
 }

@@ -435,6 +435,44 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("n_chars") && !p.contains("lang"), s"scan must prune:\n$p")
   }
 
+  test("q_dsir_weight: fixed-bucket model broadcasts; corpus never shuffles") {
+    val p = plan("q_dsir_weight")
+    // bigram fan-out is a narrow explode; bucket hashing rides the scan
+    assert(p.contains("Generate"), s"bigram fan-out must be a narrow explode:\n$p")
+    // the model is a `buckets`-row table regardless of corpus size — it
+    // must join as a BROADCAST; occurrences never hash-shuffle on bucket
+    assert(p.contains("BroadcastHashJoin"), s"bucket model must broadcast:\n$p")
+    assert(!p.contains("Window"), s"model counts are aggs, never windows:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // exchanges: the model agg (combiner-shrunk to ≤buckets partials per
+    // task) and the map-side-combined per-doc agg
+    assert(shuffles(p) <= 2, s"model agg + doc agg only:\n$p")
+    // lang is the target label (read); source/n_chars must prune away
+    assert(!p.contains("n_chars") && !p.contains("source"), s"scan must prune:\n$p")
+  }
+
+  test("q_dsir_resample adds only the acceptance filter to the weight plan") {
+    val p = plan("q_dsir_resample")
+    assert(p.contains("BroadcastHashJoin"), s"bucket model must broadcast:\n$p")
+    assert(shuffles(p) <= 2, s"hash acceptance must not add a shuffle:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q_cluster_prune: narrow fused assignment, one cid exchange, group-limit pushdown") {
+    val p = plan("q_cluster_prune")
+    // centroids are literals inside the fused kernel — assignment is a
+    // narrow scan, NOT a join against a centroid table
+    assert(!p.contains("Join"), s"assignment must not plan as a join:\n$p")
+    assert(p.linesIterator.count(_.matches("""^\(\d+\) Scan parquet .*""")) == 1,
+      s"one embeddings scan:\n$p")
+    assert(shuffles(p) == 1, s"only the cid-keyed window exchange:\n$p")
+    // rank<=keep pushes partial per-cell top-k map-side: the exchange
+    // carries ≤ cells·keep·tasks triples, never the corpus
+    assert(p.contains("WindowGroupLimit"), s"group-limit pushdown missing:\n$p")
+    // label/nrm pruned: only vec_id+embedding read
+    assert(!p.contains("label"), s"scan must prune to vec_id+embedding:\n$p")
+  }
+
   test("q_tpch_q18 plans TakeOrdered top-100 and broadcasts the small sides") {
     val p = plan("q_tpch_q18")
     assert(p.contains("TakeOrderedAndProject"), s"top-100 must not global-sort:\n$p")

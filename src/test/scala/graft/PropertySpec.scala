@@ -293,6 +293,37 @@ class PropertySpec extends GraftSuite {
     }
   }
 
+  test("NearestCell == NearestCid + the winner's distance, bit-exact (100 vectors)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val C = 16; val D = 8
+    val cen = Array.fill(C * D)(rnd.nextDouble() - 0.5)
+    val sumsq = Array.tabulate(C)(c =>
+      (0 until D).map(d => cen(c * D + d)).map(x => x * x).sum)
+    val vecs = Seq.fill(100)(Seq.fill(D)(rnd.nextDouble() * 2 - 1))
+    val got = vecs.map(v => (v, 0)).toDF("e", "z")
+      .select(
+        graft.functions.VectorExpressions.nearestCid(col("e"), cen, sumsq, D).as("cid"),
+        graft.functions.VectorExpressions.nearestCell(col("e"), cen, sumsq, D).as("nc"),
+        col("e"))
+      .select(col("cid"), col("nc.cid"), col("nc.dist"), col("e"))
+      .collect()
+    got.foreach { r =>
+      val e = r.getSeq[Double](3).toArray
+      val ee = e.map(x => x * x).sum
+      val dists = (0 until C).map { c =>
+        var dc = 0.0; var d = 0
+        while (d < D) { dc += e(d) * cen(c * D + d); d += 1 }
+        ee - 2.0 * dc + sumsq(c)
+      }
+      var best = Double.PositiveInfinity; var bestC = 0
+      for (c <- 0 until C) if (dists(c) < best) { best = dists(c); bestC = c }
+      assert(r.getInt(0) == r.getInt(1), "cell kernel must agree with the cid kernel")
+      assert(r.getInt(0) == bestC)
+      assert(r.getDouble(2) == best, "distance must be bit-identical to the reference order")
+    }
+  }
+
   /** Plain-Scala twin of [[operators.TextAnalysis.lmScore]]: bigram MLE in
     * integer ppm, per-occurrence floor mean (all counts positive, so Scala
     * `/` is the same floor division as Spark's `div`).
