@@ -69,6 +69,11 @@ object SparkEntry {
     "q_ann_lsh"            -> ((s, d) => Ann.lshTopK(s, d)),
     "q_token_count"        -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "q_token_bpe"          -> ((s, d) => TextAnalysis.tokenCountBpe(s, d)),
+    // q_bpe_train/q_bpe_tokenize: real BPE merge learning on the
+    // frequency-capped dict + fused greedy apply — deterministic but the
+    // sequential merge loop is not SQL-expressible → rows-only, spec-pinned
+    "q_bpe_train"          -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
+    "q_bpe_tokenize"       -> ((s, d) => TextAnalysis.bpeTokenCount(s, d)),
     "q_rolling_hash"       -> ((s, d) => TextAnalysis.rollingHash(s, d)),
     // iters=0: raw seed codebook — zero FP accumulation, so the whole IVF
     // search path is oracle-checkable; the Lloyd-refined codebook (iters=2)
@@ -90,6 +95,9 @@ object SparkEntry {
     "q_range_join"         -> ((s, d) => Analytics.rangeJoinErrorClicks(s, d)),
     "q_pivot"              -> ((s, d) => Analytics.pivotUserActivity(s, d)),
     "q_cube"               -> ((s, d) => Analytics.cubeSegmentPriority(s, d)),
+    // q_grouping_sets: custom agg lattice (both margins, no grand total)
+    // through ONE Expand + one shuffle (r10b)
+    "q_grouping_sets"      -> ((s, d) => Analytics.groupingSetsAgg(s, d)),
     "q_percentiles"        -> ((s, d) => Analytics.percentiles(s, d)),
     // sketch twins of q_distinct/q_percentiles (HLL++ / KLL-style) — no SQL
     // oracle (accuracy is engine-specific); spec bounds error vs exact
@@ -450,6 +458,14 @@ object SparkEntry {
     "q_oov_rate"        -> Oracles.oovRate,
     "q_collocations"    -> Oracles.collocations,
     "q_lm_score"        -> Oracles.lmScore,
+    "q_grouping_sets"   ->
+      """SELECT c_mktsegment, o_orderpriority,
+        |       CAST(grouping(c_mktsegment, o_orderpriority) AS BIGINT) AS gid,
+        |       count(*) AS n_orders,
+        |       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority),
+        |                        (c_mktsegment), (o_orderpriority))""".stripMargin,
     "q_dsir_weight"     -> Oracles.dsirWeight,
     "q_dsir_resample"   -> Oracles.dsirResample,
     "q_cluster_prune"   -> Oracles.clusterPrune,

@@ -93,6 +93,27 @@ object Analytics {
       .cube(col("c_mktsegment"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"), ExactMoney.sum2(col("o_totalprice")).as("total"))
 
+  /** E5b — GROUPING SETS: the explicit multi-lattice agg completing the
+    * rollup (prefixes) / cube (all subsets) family — here the custom set
+    * list ((seg, prio), (seg), (prio)): both one-dimension margins but NOT
+    * the grand total, a lattice neither rollup nor cube can express.
+    * grouping_id() disambiguates an aggregated-away NULL from a data NULL.
+    * Spark plans all sets through ONE Expand + a single agg — one
+    * fact-side shuffle total, vs three scans + a union by hand; at 100 TB
+    * the Expand multiplies rows 3× BEFORE the combiner, which map-side
+    * collapses to ≤ |lattice keys| partials per task (same property the
+    * rollup/cube plans rely on).
+    */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupingSets(
+        Seq(Seq(col("c_mktsegment"), col("o_orderpriority")),
+          Seq(col("c_mktsegment")), Seq(col("o_orderpriority"))),
+        col("c_mktsegment"), col("o_orderpriority"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_orders"), ExactMoney.sum2(col("o_totalprice")).as("total"))
+
   /** q_percentiles — exact interpolated median/p95 of value per event type
     * (Spark `percentile` ↔ DuckDB `quantile_cont`, same linear
     * interpolation).

@@ -71,6 +71,105 @@ object TextAnalysis {
         size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
           .cast("long").as("n_bpe_tokens"))
 
+  /** Driver-side BPE merge loop over a word-frequency dictionary — the
+    * published algorithm [Sennrich et al. 2016, "Neural Machine Translation
+    * of Rare Words with Subword Units"]: words as char sequences + a `</w>`
+    * terminator; each round counts adjacent symbol pairs weighted by word
+    * frequency (overlaps counted), merges the most frequent pair
+    * everywhere (ties broken lexicographically — fully deterministic), for
+    * `nMerges` rounds or until no pair repeats. Cost is O(dict·rounds) —
+    * corpus-independent, the reason BPE training is dictionary-form.
+    */
+  private[graft] def bpeMerges(dict: Seq[(String, Long)],
+      nMerges: Int): Seq[(Int, String, String, Long)] = {
+    var words: Array[(Array[String], Long)] = dict.toArray.map { case (w, f) =>
+      (w.map(_.toString).toArray :+ "</w>", f)
+    }
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+          i += 1
+        }
+      }
+      val best = counts.filter(_._2 >= 2)
+      if (best.isEmpty) exhausted = true
+      else {
+        val ((a, b), c) = best.minBy { case ((x, y), n) => (-n, x, y) }
+        out += ((r, a, b, c))
+        words = words.map { case (syms, f) =>
+          val m = scala.collection.mutable.ArrayBuffer[String]()
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+              m += a + b; j += 2
+            } else { m += syms(j); j += 1 }
+          }
+          (m.toArray, f)
+        }
+        r += 1
+      }
+    }
+    out.result()
+  }
+
+  /** The frequency-capped word dictionary BPE trains on: ONE corpus scan →
+    * word counts (map-side combined), top `maxVocab` by (freq desc, word)
+    * as a TakeOrdered — model-sized, never a global sort. At 100 TB the
+    * dict is the frequency-capped vocabulary every production tokenizer
+    * trains on (the tail a cap drops is exactly what BPE's char fallback
+    * covers); collecting it is codebook materialization on the NB/k-means
+    * footing, NOT a corpus collect.
+    */
+  private def bpeDict(spark: SparkSession, dir: String, maxVocab: Int): Seq[(String, Long)] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w"))
+      .limit(maxVocab)
+      .as[(String, Long)].collect().toSeq
+  }
+
+  /** C8c — BPE merge training (q_bpe_train): the learned merge table
+    * (rank, left, right, pair_freq). Deterministic but not
+    * SQL-expressible (the merge loop is inherently sequential with an
+    * argmax per round) → rows-only driver check; the spec pins the merges
+    * against hand-computed examples and the plain-Scala reference.
+    */
+  def bpeTrain(spark: SparkSession, dir: String, nMerges: Int = 30,
+      maxVocab: Int = 10000): DataFrame = {
+    import spark.implicits._
+    bpeMerges(bpeDict(spark, dir, maxVocab), nMerges)
+      .toDF("rank", "left", "right", "pair_freq")
+      .select(col("rank").cast("long").as("rank"), col("left"), col("right"),
+        col("pair_freq"))
+  }
+
+  /** C8d — tokenize under the learned BPE (q_bpe_tokenize): per-doc
+    * whitespace-word and BPE-symbol counts. Train is the dictionary pass
+    * above; apply ships the merge table to every worker as literals inside
+    * the fused [[graft.functions.BpeCount]] kernel (lowest-rank-first
+    * greedy merge per word — the standard apply order) — a zero-shuffle
+    * narrow scan, the same deploy shape as every model-apply operator
+    * here (NB classify, LM score, ANN codebooks).
+    */
+  def bpeTokenCount(spark: SparkSession, dir: String, nMerges: Int = 30,
+      maxVocab: Int = 10000): DataFrame = {
+    val merges = bpeMerges(bpeDict(spark, dir, maxVocab), nMerges)
+      .map(m => (m._2, m._3)).toArray
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_words"),
+        graft.functions.VectorExpressions.bpeCount(col("toks"), merges).as("n_bpe"))
+  }
+
   /** C11b — polynomial rolling hash of the full text (base 31 mod 2³¹-1),
     * the streaming-friendly content fingerprint; a narrow codegen scan
     * ([[graft.functions.RollingHash31]] — the HOF fold it replaces

@@ -56,9 +56,13 @@ class DeadCodeGuardSpec extends GraftSuite {
   test("every registered query has an oracle or a documented rows-only waiver") {
     // rows-only by design: q_approx_stats (sketch accuracy is
     // engine-specific), q_compression_ratio (deflate output is
-    // codec-implementation-specific); anything else without an oracle is an
-    // unverified ship
-    val waived = Set("q_approx_stats", "q_compression_ratio")
+    // codec-implementation-specific), q_bpe_train/q_bpe_tokenize (the BPE
+    // merge loop is a sequential per-round argmax — deterministic, pinned
+    // by BpeSpec's textbook example + plain-Scala twin, but not
+    // SQL-expressible); anything else without an oracle is an unverified
+    // ship
+    val waived = Set("q_approx_stats", "q_compression_ratio",
+      "q_bpe_train", "q_bpe_tokenize")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- waived
     assert(noOracle.isEmpty, s"queries without a DuckDB oracle: $noOracle")
   }

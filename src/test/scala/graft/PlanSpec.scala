@@ -458,6 +458,23 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q_grouping_sets: one Expand + one agg exchange for all three lattices") {
+    val p = plan("q_grouping_sets")
+    assert(p.contains("Expand"), s"grouping sets must plan through Expand:\n$p")
+    // one shuffle for the combined agg (plus nothing per set) — the point
+    // of the operator vs three scans + a union
+    assert(shuffles(p) <= 1, s"one agg exchange for all sets:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"customer dim must broadcast:\n$p")
+  }
+
+  test("q_bpe_tokenize applies the merge table as a zero-shuffle narrow scan") {
+    val p = plan("q_bpe_tokenize")
+    assert(shuffles(p) == 0, s"model-apply must be narrow:\n$p")
+    assert(!p.contains("Join"), s"merges are kernel literals, not a join:\n$p")
+    // only doc_id+text read
+    assert(!p.contains("n_chars") && !p.contains("lang"), s"scan must prune:\n$p")
+  }
+
   test("q_cluster_prune: narrow fused assignment, one cid exchange, group-limit pushdown") {
     val p = plan("q_cluster_prune")
     // centroids are literals inside the fused kernel — assignment is a
