@@ -40,6 +40,31 @@ object Oracles {
     s"""WITH $minhashVerCtes
        |SELECT d1, d2, jac FROM ver WHERE jac >= 0.5""".stripMargin
 
+  /** Incremental variant: batch (doc_id ≡ 4 mod 5) probes the corpus
+    * index (the rest); same shingle/band/verify derivations as
+    * [[minhashVerCtes]], but candidates are batch×corpus only.
+    */
+  val dedupIncremental: String = {
+    def m(i: Int) = s"list_min(list_transform(h0, h -> (h * ${permA(i)} + ${permB(i)}) % $P))"
+    val bandSelects = (0 until Bands).map { j =>
+      s"SELECT doc_id, $j AS bid, (${m(2 * j)}::VARCHAR || ',' || ${m(2 * j + 1)}::VARCHAR) AS bkey FROM hs"
+    }.mkString(" UNION ALL ")
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS w FROM documents),
+       |tk AS (SELECT doc_id, w FROM tok WHERE len(w) >= 3),
+       |shs AS (SELECT doc_id, list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] FOR i IN range(1, len(w)-1)]) AS sh FROM tk),
+       |hs AS (SELECT doc_id, list_transform(sh, s -> $hash60Sql % $P) AS h0 FROM shs),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT y.doc_id AS new_id, x.doc_id AS corpus_id
+       |         FROM bands x JOIN bands y ON x.bid = y.bid AND x.bkey = y.bkey
+       |         WHERE x.doc_id % 5 <> 4 AND y.doc_id % 5 = 4)
+       |SELECT new_id, corpus_id,
+       |       round(len(list_intersect(a.h0, b.h0))::DOUBLE
+       |             / len(list_distinct(list_concat(a.h0, b.h0))), 6) AS jac
+       |FROM cand JOIN hs a ON corpus_id = a.doc_id JOIN hs b ON new_id = b.doc_id
+       |WHERE round(len(list_intersect(a.h0, b.h0))::DOUBLE
+       |            / len(list_distinct(list_concat(a.h0, b.h0))), 6) >= 0.5""".stripMargin
+  }
+
   /** Transitive closure of the near-dup pairs via recursive CTE: label =
     * min reachable doc_id (the und edge set is symmetric, so every node
     * reaches its whole component). Matches the Spark min-label-propagation

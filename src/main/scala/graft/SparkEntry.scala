@@ -52,6 +52,9 @@ object SparkEntry {
     "q_nb_classify"        -> ((s, d) => TextAnalysis.nbClassify(s, d)),
     "q_dedup_exact"        -> ((s, d) => Dedup.exact(s, d)),
     "q_dedup_minhash"      -> ((s, d) => Dedup.minhashLsh(s, d)),
+    // q_dedup_incremental: new-batch LSH probe against the corpus index
+    // (batch bands broadcast, zero index shuffle) (r10b)
+    "q_dedup_incremental"  -> ((s, d) => Dedup.minhashIncremental(s, d)),
     // transitive closure of the minhash pairs: iterative min-label
     // propagation (O(diameter) joined passes, lineage cut per pass)
     "q_dedup_cluster"      -> ((s, d) => Curation.dedupCluster(s, d)),
@@ -466,6 +469,7 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority),
         |                        (c_mktsegment), (o_orderpriority))""".stripMargin,
+    "q_dedup_incremental" -> Oracles.dedupIncremental,
     "q_dsir_weight"     -> Oracles.dsirWeight,
     "q_dsir_resample"   -> Oracles.dsirResample,
     "q_cluster_prune"   -> Oracles.clusterPrune,

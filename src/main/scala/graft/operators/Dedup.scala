@@ -79,6 +79,45 @@ object Dedup {
       .where(col("jac") >= threshold)
   }
 
+  /** C2c — INCREMENTAL MinHash dedup: dedup an incoming batch against the
+    * existing corpus without re-pairing the corpus with itself — the
+    * production shape for continuous ingest (daily crawl deltas at 100 TB
+    * never re-cluster the full corpus; they probe its LSH index). Batch =
+    * docs with doc_id ≡ batchMod−1 (mod batchMod), corpus = the rest (a
+    * deterministic, scale-free stand-in for "the new arrivals").
+    *
+    * Dataflow: ONE shingle scan checkpointed (serves both band derivations
+    * and both verify joins); the corpus side IS the persisted LSH index a
+    * real deployment stores (doc_id, bid, bkey); the BATCH bands broadcast
+    * into it — the probe is a map-side join that streams the index with
+    * ZERO index shuffle (batch ≪ corpus is the defining asymmetry; a
+    * corpus-side shuffle would move the 100 TB side to meet the delta).
+    * Candidates verify by exact jaccard like C2; only batch×corpus pairs
+    * are ever generated — no corpus self-join.
+    */
+  def minhashIncremental(spark: SparkSession, dir: String, batchMod: Int = 5,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = shingleHashed(spark, dir).localCheckpoint(false)
+    def bands(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), minhashSignature(col("h0")).as("sig"))
+      .select(col("doc_id"), explode(bandKeys(col("sig"))).as("b"))
+      .select(col("doc_id"), col("b.bid"), col("b.bkey"))
+    val isBatch = pmod(col("doc_id"), lit(batchMod.toLong)) === lit(batchMod - 1L)
+    val idx = bands(sh.where(!isBatch))
+    val probe = bands(sh.where(isBatch))
+    val cand = idx.as("x")
+      .join(broadcast(probe).as("y"),
+        col("x.bid") === col("y.bid") && col("x.bkey") === col("y.bkey"))
+      .select(col("y.doc_id").as("new_id"), col("x.doc_id").as("corpus_id"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("corpus_id"), col("h0").as("hc")), "corpus_id")
+      .join(sh.select(col("doc_id").as("new_id"), col("h0").as("hn")), "new_id")
+      .select(col("new_id"), col("corpus_id"),
+        round(jaccard(col("hc"), col("hn")), 6).as("jac"))
+      .where(col("jac") >= threshold)
+  }
+
   /** C2b — containment near-dup pairs: C(A,B) = |A∩B| / |A| on the shingle
     * sets, both directions. Jaccard under-scores SUBSET duplication (a doc
     * quoted inside a 10× larger one has J ≈ 0.1 but C ≈ 1.0 from the

@@ -326,6 +326,21 @@ class DedupSpec extends GraftSuite {
     assert(recall >= 0.4, s"recall $recall")
   }
 
+  test("minhashIncremental == full LSH restricted to batch×corpus pairs") {
+    val full = Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet // d1 < d2
+    val inc = Dedup.minhashIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))) // (new_id, corpus_id)
+    def isBatch(id: Long) = id % 5 == 4
+    inc.foreach { case (n, c) =>
+      assert(isBatch(n) && !isBatch(c), s"($n, $c) must be batch×corpus")
+    }
+    val incNorm = inc.map { case (n, c) => (math.min(n, c), math.max(n, c)) }.toSet
+    val fullCross = full.filter { case (a, b) => isBatch(a) != isBatch(b) }
+    assert(incNorm == fullCross,
+      s"incremental probe must find exactly the cross pairs: $incNorm vs $fullCross")
+  }
+
   /** Plain-Scala reference for [[Dedup.clusterPrune]]: seed centroids =
     * first 16 vec_ids, argmin with the kernel's arithmetic order (strict-<
     * ties to the lower cid), floor(dist·10⁶) ranking.

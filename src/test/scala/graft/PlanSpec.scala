@@ -475,6 +475,19 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("n_chars") && !p.contains("lang"), s"scan must prune:\n$p")
   }
 
+  test("q_dedup_incremental broadcasts the batch probe; the corpus index never shuffles to meet it") {
+    val p = plan("q_dedup_incremental")
+    // the band probe must be a broadcast join with the (small) batch side
+    // built — at 100 TB a shuffle here would move the corpus index to the
+    // delta; the verify joins on candidate ids may shuffle (candidate-sized)
+    assert(p.contains("BroadcastHashJoin"), s"batch bands must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // one shingle pass serves index, probe, and both verify sides
+    assert(p.contains("Scan ExistingRDD"), s"shingles come from the checkpoint:\n$p")
+    assert(p.linesIterator.count(_.matches("""^\(\d+\) Scan parquet .*""")) == 0,
+      s"no direct corpus re-scan:\n$p")
+  }
+
   test("q_cluster_prune: narrow fused assignment, one cid exchange, group-limit pushdown") {
     val p = plan("q_cluster_prune")
     // centroids are literals inside the fused kernel — assignment is a
