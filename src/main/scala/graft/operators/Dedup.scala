@@ -30,11 +30,27 @@ object Dedup {
     * all downstream set ops run on longs.
     */
   private def shingleHashed(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    shingleHashedOf(Tables.documents(spark, dir))
+
+  /** Same derivation over ANY (doc_id, text) frame — batch or streaming
+    * (every step is narrow, so it runs unchanged on a readStream source;
+    * [[graft.streaming.DedupStream]] relies on this).
+    */
+  private[graft] def shingleHashedOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .where(size(col("toks")) >= 3)
       .select(col("doc_id"),
         graft.functions.VectorExpressions.shingleHash3(col("toks"), P).as("h0"))
+
+  /** LSH band keys (doc_id, bid, bkey) of a shingle-hashed frame — the
+    * materialized index layout [[graft.streaming.DedupStream]] and
+    * [[minhashIncremental]] probe.
+    */
+  private[graft] def bandsOf(sh: DataFrame): DataFrame = sh
+    .select(col("doc_id"), minhashSignature(col("h0")).as("sig"))
+    .select(col("doc_id"), explode(bandKeys(col("sig"))).as("b"))
+    .select(col("doc_id"), col("b.bid"), col("b.bkey"))
 
   /** C2 — MinHash + LSH near-dup pairs.
     *
@@ -98,13 +114,9 @@ object Dedup {
   def minhashIncremental(spark: SparkSession, dir: String, batchMod: Int = 5,
       threshold: Double = 0.5): DataFrame = {
     val sh = shingleHashed(spark, dir).localCheckpoint(false)
-    def bands(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), minhashSignature(col("h0")).as("sig"))
-      .select(col("doc_id"), explode(bandKeys(col("sig"))).as("b"))
-      .select(col("doc_id"), col("b.bid"), col("b.bkey"))
     val isBatch = pmod(col("doc_id"), lit(batchMod.toLong)) === lit(batchMod - 1L)
-    val idx = bands(sh.where(!isBatch))
-    val probe = bands(sh.where(isBatch))
+    val idx = bandsOf(sh.where(!isBatch))
+    val probe = bandsOf(sh.where(isBatch))
     val cand = idx.as("x")
       .join(broadcast(probe).as("y"),
         col("x.bid") === col("y.bid") && col("x.bkey") === col("y.bkey"))

@@ -217,4 +217,35 @@ class StreamingSpec extends GraftSuite {
       assert(sessions.contains(2L), s"expected the 2-event session closed, got $sessions")
     } finally q.stop()
   }
+
+  test("stream-static incremental dedup matches the batch operator across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // same split as the batch operator: batch = doc_id % 5 == 4
+    val (idxBands, corpusSh) = graft.streaming.DedupStream.corpusIndex(
+      docs.where(pmod(col("doc_id"), lit(5)) =!= lit(4)))
+    val newDocs = docs.where(pmod(col("doc_id"), lit(5)) === lit(4))
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    assert(newDocs.length >= 2, "need at least two arriving docs to split across batches")
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.DedupStream.incremental(
+      input.toDF().toDF("doc_id", "text"), idxBands, corpusSh)
+      .writeStream.format("memory").queryName("incdedup").outputMode("append").start()
+    try {
+      // deliver the arriving batch across TWO micro-batches, with one doc
+      // re-delivered (at-least-once ingest) — the pair-key state dedups it
+      val (first, rest) = newDocs.splitAt(newDocs.length / 2)
+      input.addData(first.toSeq)
+      q.processAllAvailable()
+      input.addData(rest.toSeq :+ first.head)
+      q.processAllAvailable()
+      val streamed = spark.table("incdedup")
+        .select("new_id", "corpus_id", "jac").as[(Long, Long, Double)]
+        .collect().toSet
+      val batch = operators.Dedup.minhashIncremental(spark, sf)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+    } finally q.stop()
+  }
 }
