@@ -100,6 +100,56 @@ object Oracles {
        |                          ORDER BY w.n_words DESC, c.doc_id) = 1 AS keep
        |FROM cl c JOIN wc w USING (doc_id)""".stripMargin
 
+  /** End-to-end curation: the C26 quality gate pre-filters the corpus,
+    * then the [[dedupKeepBest]] machinery (shingles → bands → pairs →
+    * recursive-CTE closure → keep-best window) runs over SURVIVORS only;
+    * singleton survivors keep themselves via the anti-join branch.
+    */
+  val curatePipeline: String = {
+    def m(i: Int) = s"list_min(list_transform(h0, h -> (h * ${permA(i)} + ${permB(i)}) % $P))"
+    val bandSelects = (0 until Bands).map { j =>
+      s"SELECT doc_id, $j AS bid, (${m(2 * j)}::VARCHAR || ',' || ${m(2 * j + 1)}::VARCHAR) AS bkey FROM hs"
+    }.mkString(" UNION ALL ")
+    s"""WITH RECURSIVE
+       |qt AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+       |q AS (SELECT doc_id FROM (
+       |    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+       |      (len(replace(text, ' ', '')) * 100) // len(toks) AS wl,
+       |      len(list_filter(toks, x -> list_contains($stopListSql, x))) AS sh,
+       |      list_max(list_transform(list_distinct(toks),
+       |        x -> len(list_filter(toks, y -> y = x)))) AS mf
+       |    FROM qt WHERE len(toks) > 0) f
+       |  WHERE n_words >= 5 AND n_words <= 10000 AND wl >= 200 AND wl <= 1200
+       |    AND sh >= 1 AND mf * 5 <= n_words),
+       |tok AS (SELECT doc_id, $toksSql AS w FROM documents
+       |        WHERE doc_id IN (SELECT doc_id FROM q)),
+       |tk AS (SELECT doc_id, w FROM tok WHERE len(w) >= 3),
+       |shs AS (SELECT doc_id, list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] FOR i IN range(1, len(w)-1)]) AS sh FROM tk),
+       |hs AS (SELECT doc_id, list_transform(sh, s -> $hash60Sql % $P) AS h0 FROM shs),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2 FROM bands x
+       |         JOIN bands y ON x.bid = y.bid AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |pairs AS (SELECT d1, d2 FROM cand JOIN hs a ON d1 = a.doc_id JOIN hs b ON d2 = b.doc_id
+       |          WHERE round(len(list_intersect(a.h0, b.h0))::DOUBLE
+       |                      / len(list_distinct(list_concat(a.h0, b.h0))), 6) >= 0.5),
+       |und AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION SELECT d2, d1 FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM und
+       |  UNION
+       |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+       |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |       FROM reach GROUP BY src),
+       |wc AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_words FROM documents
+       |       WHERE doc_id IN (SELECT doc_id FROM q))
+       |SELECT c.doc_id, c.cluster_id, w.n_words,
+       |       row_number() OVER (PARTITION BY c.cluster_id
+       |                          ORDER BY w.n_words DESC, c.doc_id) = 1 AS keep
+       |FROM cl c JOIN wc w USING (doc_id)
+       |UNION ALL
+       |SELECT w.doc_id, w.doc_id AS cluster_id, w.n_words, true AS keep
+       |FROM wc w WHERE w.doc_id NOT IN (SELECT doc_id FROM cl)""".stripMargin
+  }
+
   /** TPC-H Q18 shape: the HAVING filter applies to the ROUNDED quantity sum
     * exactly as the Spark agg does; (totalprice DESC, orderkey) makes the
     * LIMIT deterministic under price ties.

@@ -55,6 +55,9 @@ object SparkEntry {
     // q_dedup_incremental: new-batch LSH probe against the corpus index
     // (batch bands broadcast, zero index shuffle) (r10b)
     "q_dedup_incremental"  -> ((s, d) => Dedup.minhashIncremental(s, d)),
+    // q_curate_pipeline: quality gate -> LSH clusters over survivors ->
+    // keep-best + singleton branch: the end-to-end curation verdict (r10b)
+    "q_curate_pipeline"    -> ((s, d) => Curation.curatePipeline(s, d)),
     // transitive closure of the minhash pairs: iterative min-label
     // propagation (O(diameter) joined passes, lineage cut per pass)
     "q_dedup_cluster"      -> ((s, d) => Curation.dedupCluster(s, d)),
@@ -470,6 +473,7 @@ object SparkEntry {
         |GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority),
         |                        (c_mktsegment), (o_orderpriority))""".stripMargin,
     "q_dedup_incremental" -> Oracles.dedupIncremental,
+    "q_curate_pipeline" -> Oracles.curatePipeline,
     "q_dsir_weight"     -> Oracles.dsirWeight,
     "q_dsir_resample"   -> Oracles.dsirResample,
     "q_cluster_prune"   -> Oracles.clusterPrune,

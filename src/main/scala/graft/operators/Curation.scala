@@ -241,6 +241,47 @@ object Curation {
       .select(col("doc_id"), col("cluster_id"), col("n_words"), col("keep"))
   }
 
+  /** C40 — the end-to-end curation verdict (q_curate_pipeline): the
+    * composed filter-then-dedup pipeline every corpus build runs —
+    * (1) the C26 quality cascade gates the raw corpus (cheap narrow scan
+    * first, so the expensive pairing never sees rejected docs — the
+    * standard pipeline order), (2) MinHash-LSH near-dup clusters are
+    * computed over the SURVIVORS ONLY, (3) each cluster keeps its
+    * most-words member (C32's rule), singleton survivors keep themselves.
+    * One row per surviving doc: (doc_id, cluster_id, n_words, keep);
+    * `keep = true` IS the curated corpus.
+    *
+    * Scale shape: the gate rides the ingest scan; the LSH pairing costs
+    * what C2 costs on the (smaller) gated corpus; the keep-best window
+    * runs ONLY over clustered docs (one cluster-keyed exchange over the
+    * near-dup fraction), while singletons take the anti-join branch with
+    * no window at all — the full-corpus window a naive single-branch
+    * formulation would pay is exactly what this split avoids at 100 TB.
+    * The survivor id+word table localCheckpoints once and serves the
+    * semi-join, the keep-best join and the singleton anti-join.
+    */
+  def curatePipeline(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val survivors = Quality.qualityFilterOn(docs).where(col("keep"))
+      .select(col("doc_id"), col("n_words"))
+      .localCheckpoint(false)
+    val gated = docs.join(survivors.select("doc_id"), Seq("doc_id"), "left_semi")
+    val clusters = connectedComponents(
+      Dedup.minhashLshOf(gated, threshold).select(col("d1"), col("d2")),
+      "d1", "d2")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    val w = Window.partitionBy("cluster_id").orderBy(col("n_words").desc, col("doc_id"))
+    val clustered = clusters.join(survivors, "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("n_words"), col("keep"))
+    val singles = survivors.join(clusters, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"), col("n_words"),
+        lit(true).as("keep"))
+    clustered.unionByName(singles)
+  }
+
   /** Deterministic train/val/test split (8/1/1) by a salted content-id hash
     * — the standard leak-proof way to split a corpus: membership is a pure
     * function of the id (stable across runs, machines and engines — the

@@ -62,7 +62,13 @@ object Dedup {
     * At 100 TB the band join shuffles only (doc_id, band key) pairs — tiny
     * next to the corpus — and verification touches only candidates.
     */
-  def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+  def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
+    minhashLshOf(Tables.documents(spark, dir), threshold)
+
+  /** The same pipeline over ANY (doc_id, text) frame — [[graft.operators
+    * .Curation.curatePipeline]] runs it over the quality-gate survivors.
+    */
+  private[graft] def minhashLshOf(docs: DataFrame, threshold: Double): DataFrame = {
     // localCheckpoint, NOT cache(): the shingle table feeds three subtrees
     // (bands + both verify joins) so it must materialize once, but cache()
     // registers the corpus-sized plan with the session CacheManager where
@@ -74,7 +80,7 @@ object Dedup {
     // Caveat either way: checkpoint blocks are not fault-tolerant — on
     // executor loss or dynamic-allocation downscale the query fails rather
     // than recomputes, so run these operators with shrink-protection off.
-    val sh = shingleHashed(spark, dir).localCheckpoint(false)
+    val sh = shingleHashedOf(docs).localCheckpoint(false)
     // materialize the signature BEFORE fanning out band keys: inlining the
     // sig expression into the 32 element refs of the explode would evaluate
     // it 32× per row (measured 27 s vs 2 s at sf0.1)

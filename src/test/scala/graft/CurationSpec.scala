@@ -142,6 +142,27 @@ class CurationSpec extends GraftSuite {
       s"en mean ${mean(en.map(_._2).toSeq)} vs other ${mean(other.map(_._2).toSeq)}")
   }
 
+  test("curatePipeline: rows == quality survivors; one keep-best per cluster; singletons keep") {
+    val out = Curation.curatePipeline(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val q = graft.operators.Quality.qualityFilter(spark, sf).collect()
+      .filter(_.getAs[Boolean]("keep"))
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_words")).toMap
+    assert(out.map(_._1).toSet == q.keySet, "exactly one row per surviving doc")
+    out.foreach { case (id, _, nw, _) => assert(q(id) == nw, s"doc $id n_words") }
+    out.groupBy(_._2).foreach { case (cid, m) =>
+      val keeps = m.filter(_._4)
+      assert(keeps.length == 1, s"cluster $cid keeps exactly one")
+      val winner = m.minBy(t => (-t._3, t._1))
+      assert(keeps.head._1 == winner._1, s"cluster $cid winner")
+      // cluster label is the component minimum (or the doc itself for singletons)
+      assert(cid == m.map(_._1).min, s"cluster $cid label")
+    }
+    // the pipeline actually rejects something AND actually clusters something
+    assert(out.length < spark.read.parquet(s"$sf/documents.parquet").count())
+    assert(out.exists(t => !t._4), "at least one near-dup loser dropped")
+  }
+
   private def hash60(s: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))

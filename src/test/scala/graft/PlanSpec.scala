@@ -488,6 +488,18 @@ class PlanSpec extends GraftSuite {
       s"no direct corpus re-scan:\n$p")
   }
 
+  test("q_curate_pipeline: anti-join singleton branch, no cartesian, window only on clustered docs") {
+    val p = plan("q_curate_pipeline")
+    assert(!p.contains("CartesianProduct"), p)
+    // the singleton branch must be a join-free-of-window LeftAnti + Union —
+    // windowing the full survivor corpus is the naive formulation this
+    // operator exists to avoid
+    assert(p.contains("LeftAnti"), s"singletons take the anti-join branch:\n$p")
+    assert(p.contains("Union"), s"clustered ∪ singleton:\n$p")
+    assert(p.linesIterator.count(_.matches("""^\(\d+\) Window\s*$""")) <= 1,
+      s"one keep-best window, on the clustered fraction only:\n$p")
+  }
+
   test("q_cluster_prune: narrow fused assignment, one cid exchange, group-limit pushdown") {
     val p = plan("q_cluster_prune")
     // centroids are literals inside the fused kernel — assignment is a
