@@ -93,6 +93,34 @@ class DataContractSpec extends GraftSuite {
       "2024-03-01 00:00:02.001500"), s"got $got")
   }
 
+  test("documents/embeddings loaders expose the shapes every operator assumes") {
+    val docs = Tables.documents(spark, sf)
+    assert(docs.schema("doc_id").dataType == LongType)
+    assert(docs.schema("text").dataType == StringType)
+    val d = docs.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("doc_id")).as("n_ids"),
+      sum(when(col("text").isNull, 1L).otherwise(0L)).as("null_texts"),
+      countDistinct(col("lang")).as("langs")).head()
+    assert(d.getLong(0) == d.getLong(1), "doc_id must be unique — dedup keys rely on it")
+    assert(d.getLong(2) == 0L, "null text would NPE the tokenizer kernels")
+    assert(d.getLong(3) >= 2, "lang must be multi-valued — the DSIR/NB target split needs it")
+    val emb = Tables.embeddings(spark, sf)
+    val e = emb.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("vec_id")).as("n_ids"),
+      countDistinct(size(col("embedding"))).as("dims"),
+      min(size(col("embedding"))).as("dim")).head()
+    assert(e.getLong(0) == e.getLong(1), "vec_id must be unique")
+    assert(e.getLong(2) == 1L && e.getInt(3) == 64,
+      s"embeddings must be uniformly 64-dim — the ANN codebooks assume it " +
+        s"(got ${e.getLong(2)} distinct dims, min ${e.getInt(3)})")
+    // seed-codebook convention: vec_ids 0..31 exist (IVF seeds 0..15,
+    // residual PQ seeds 16..31)
+    val seeds = emb.where(col("vec_id") < 32).count()
+    assert(seeds == 32, s"seed vec_ids 0..31 must exist, got $seeds")
+  }
+
   test("loader ts agrees with the raw parquet footer min/max epoch") {
     // Read the same file with NO loader logic (plain inference if possible)
     // and compare min/max epochs — catches a loader that shifts or scales.
