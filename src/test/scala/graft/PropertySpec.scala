@@ -359,4 +359,50 @@ class PropertySpec extends GraftSuite {
       assert(got == lmRef(docs), s"lmScore diverges on $docs")
     }
   }
+
+  /** Plain-Scala twin of [[operators.Curation.dsirWeight]]: hashed-bigram
+    * bucket counts, add-1-smoothed target/raw ratio ppm, per-occurrence
+    * floor mean. Uses the same md5-prefix hash60 as the kernel.
+    */
+  private def dsirRef(docs: Seq[(Long, String, String)], buckets: Long): Map[Long, (Long, Long)] = {
+    def hash60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      h >>> 4
+    }
+    val occ = docs.flatMap { case (id, text, lang) =>
+      val t = text.split(" ").filter(_.nonEmpty).toSeq
+      if (t.size < 2) Seq.empty
+      else t.sliding(2).map(p => (id, lang, hash60(p(0) + " " + p(1)) % buckets)).toSeq
+    }
+    val model = occ.groupBy(_._3).map { case (b, os) =>
+      b -> ((os.count(_._2 == "en") + 1L) * 1000000L / (os.size + 1L))
+    }
+    occ.groupBy(_._1).map { case (id, os) =>
+      id -> ((os.size.toLong, os.map(o => model(o._3)).sum / os.size))
+    }
+  }
+
+  test("dsirWeight equals the plain-Scala hashed-ratio reference on random corpora (5 trials)") {
+    import spark.implicits._
+    val vocab = Array("a", "b", "c", "d", "e")
+    val langs = Array("en", "fr", "de")
+    (1 to 5).foreach { _ =>
+      val docs = (0 until (rnd.nextInt(10) + 3)).map { i =>
+        val n = rnd.nextInt(8)
+        (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "),
+          langs(rnd.nextInt(langs.length)))
+      }
+      val dir = java.nio.file.Files.createTempDirectory("graft-dsirprop").toString
+      docs.map { case (id, t, l) => (id, t, l, "web", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = operators.Curation.dsirWeight(spark, dir).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == dsirRef(docs, 4096L), s"dsirWeight diverges on $docs")
+    }
+  }
 }
