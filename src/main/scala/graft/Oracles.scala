@@ -1410,4 +1410,112 @@ object Oracles {
       |       count(DISTINCT e.user_id) AS n_active
       |FROM e JOIN f USING (user_id)
       |GROUP BY 1, 2""".stripMargin
+
+  /** Inverted index with champion lists: df/cf per word plus the top-8
+    * postings by (tf desc, doc_id) as a `doc:tf` string — the ordered
+    * string_agg is the engine-portable posting-list form.
+    */
+  val invertedIndex: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |tf AS (SELECT word, doc_id, count(*) AS tf FROM tok WHERE word <> '' GROUP BY 1, 2),
+      |ranked AS (SELECT word, doc_id, tf,
+      |             count(*) OVER (PARTITION BY word) AS df,
+      |             CAST(sum(tf) OVER (PARTITION BY word) AS BIGINT) AS cf,
+      |             row_number() OVER (PARTITION BY word ORDER BY tf DESC, doc_id) AS rk
+      |           FROM tf)
+      |SELECT word, CAST(df AS BIGINT) AS df, cf,
+      |       string_agg(doc_id || ':' || tf, ',' ORDER BY rk) AS postings
+      |FROM ranked WHERE rk <= 8 GROUP BY word, df, cf""".stripMargin
+
+  /** Shared CTE chain deriving per-doc BM25 term contributions (`sc`:
+    * doc_id, contrib) — reused by [[bm25]] and [[rankFusion]]. Same ratio
+    * idf, deci-token avgdl quantization and k1=1.2/b=0.75 rationalized
+    * saturation as Retrieval.bm25 (floor division throughout, so scores
+    * are bit-identical cross-engine).
+    */
+  private val bm25Ctes: String =
+    """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |tok2 AS (SELECT doc_id, word FROM tok WHERE word <> ''),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS t_tok FROM dl),
+      |tfq AS (SELECT doc_id, word, count(*) AS tf FROM tok2
+      |        WHERE word IN ('join', 'scan', 'window', 'vector') GROUP BY 1, 2),
+      |dfr AS (SELECT word, count(*) AS df FROM tfq GROUP BY 1),
+      |sc AS (SELECT tfq.doc_id,
+      |         ((n_docs - df + 1) * 1000000 // (df + 1))
+      |           * (22 * (10 * t_tok // n_docs) * tf * 1000000
+      |              // (10 * (10 * t_tok // n_docs) * tf
+      |                 + 3 * (10 * t_tok // n_docs) + 90 * dl.dl))
+      |           // 1000000 AS contrib
+      |       FROM tfq JOIN dl ON tfq.doc_id = dl.doc_id
+      |       CROSS JOIN stats JOIN dfr ON tfq.word = dfr.word)""".stripMargin
+
+  val bm25: String =
+    s"""WITH $bm25Ctes
+       |SELECT doc_id, count(*) AS n_terms, CAST(sum(contrib) AS BIGINT) AS score_ppm
+       |FROM sc GROUP BY doc_id
+       |ORDER BY score_ppm DESC, doc_id LIMIT 20""".stripMargin
+
+  /** Exact 3-shingle-Jaccard text k-NN: probe docs (doc_id < 10) against
+    * the whole corpus — same shingle/hash/round-6dp derivations as the
+    * MinHash family.
+    */
+  val textKnn: String =
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS w FROM documents),
+       |tk AS (SELECT doc_id, w FROM tok WHERE len(w) >= 3),
+       |shs AS (SELECT doc_id, list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] FOR i IN range(1, len(w)-1)]) AS sh FROM tk),
+       |hs AS (SELECT doc_id, list_transform(sh, s -> $hash60Sql % $P) AS h0 FROM shs),
+       |p AS (SELECT q.doc_id AS probe_id, c.doc_id,
+       |        round(len(list_intersect(q.h0, c.h0))::DOUBLE
+       |              / len(list_distinct(list_concat(q.h0, c.h0))), 6) AS jac
+       |      FROM hs q JOIN hs c ON c.doc_id <> q.doc_id
+       |      WHERE q.doc_id < 10),
+       |r AS (SELECT probe_id, doc_id, jac,
+       |        row_number() OVER (PARTITION BY probe_id ORDER BY jac DESC, doc_id) AS rk
+       |      FROM p)
+       |SELECT probe_id, rk, doc_id, jac FROM r WHERE rk <= 3""".stripMargin
+
+  /** Reciprocal-rank fusion of the BM25 head and embedding-kNN head —
+    * both rankings re-derived from their own oracle chains, then the
+    * 10⁶ div (60+rank) integer RRF combine over a full outer join.
+    */
+  val rankFusion: String =
+    s"""WITH $bm25Ctes,
+       |bagg AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_ppm FROM sc GROUP BY doc_id),
+       |b AS (SELECT doc_id, bm25_rk FROM (
+       |        SELECT doc_id, row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS bm25_rk
+       |        FROM bagg) t WHERE bm25_rk <= 20),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+       |q AS (SELECT * FROM n WHERE vec_id < 1),
+       |pp AS (SELECT n.vec_id AS doc_id,
+       |         round(list_dot_product(q.e, n.e) / (q.nrm * n.nrm), 4) AS cos4
+       |       FROM q JOIN n ON n.vec_id <> q.vec_id),
+       |a AS (SELECT doc_id, ann_rk FROM (
+       |        SELECT doc_id, row_number() OVER (ORDER BY cos4 DESC, doc_id) AS ann_rk
+       |        FROM pp) t WHERE ann_rk <= 20),
+       |f AS (SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+       |        coalesce(b.bm25_rk, -1) AS bm25_rk,
+       |        coalesce(a.ann_rk, -1) AS ann_rk,
+       |        (CASE WHEN b.bm25_rk IS NULL THEN 0 ELSE 1000000 // (60 + b.bm25_rk) END
+       |         + CASE WHEN a.ann_rk IS NULL THEN 0 ELSE 1000000 // (60 + a.ann_rk) END) AS rrf_ppm
+       |      FROM b FULL OUTER JOIN a ON b.doc_id = a.doc_id)
+       |SELECT doc_id, bm25_rk, ann_rk, CAST(rrf_ppm AS BIGINT) AS rrf_ppm,
+       |       row_number() OVER (ORDER BY rrf_ppm DESC, doc_id) AS fused_rk
+       |FROM f""".stripMargin
+
+  /** Type-2 SCD intervals from the event changelog: version + close-out
+    * via lead over the same (ts, event_id) per-user order; open interval
+    * = sentinel -1 / is_current 1.
+    */
+  val scd2: String =
+    """SELECT user_id, version, event_id, event_type, valid_from_ms,
+      |       coalesce(valid_to_ms, -1) AS valid_to_ms,
+      |       CAST(CASE WHEN valid_to_ms IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+      |FROM (SELECT user_id, event_id, event_type,
+      |        CAST(row_number() OVER w AS INTEGER) AS version,
+      |        epoch_ms(ts) AS valid_from_ms,
+      |        epoch_ms(lead(ts, 1) OVER w) AS valid_to_ms
+      |      FROM events
+      |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t""".stripMargin
 }

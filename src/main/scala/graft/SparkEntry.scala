@@ -221,6 +221,17 @@ object SparkEntry {
     // q_oov_rate: ppm of token occurrences outside the en-docs vocabulary
     // (CCNet-flavored coverage signal; exact token-level left join)
     "q_oov_rate"           -> ((s, d) => TextAnalysis.oovRate(s, d)),
+    // r10c block: text retrieval + CDC dimension build
+    // q_inverted_index: word -> df/cf + champion postings (bounded rows)
+    "q_inverted_index"     -> ((s, d) => Retrieval.invertedIndex(s, d)),
+    // q_bm25: BM25 top-20 for a query term set — exact integer ppm
+    "q_bm25"               -> ((s, d) => Retrieval.bm25(s, d)),
+    // q_scd2: changelog -> type-2 dimension intervals (one window exchange)
+    "q_scd2"               -> ((s, d) => Events.scd2(s, d)),
+    // q_text_knn: exact 3-shingle-Jaccard k-NN for a broadcast probe set
+    "q_text_knn"           -> ((s, d) => Retrieval.textKnn(s, d)),
+    // q_rank_fusion: RRF of BM25 + embedding k-NN heads (hybrid search)
+    "q_rank_fusion"        -> ((s, d) => Retrieval.rankFusion(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same column aliases — the driver
@@ -477,5 +488,10 @@ object SparkEntry {
     "q_dsir_weight"     -> Oracles.dsirWeight,
     "q_dsir_resample"   -> Oracles.dsirResample,
     "q_cluster_prune"   -> Oracles.clusterPrune,
+    "q_inverted_index"  -> Oracles.invertedIndex,
+    "q_bm25"            -> Oracles.bm25,
+    "q_scd2"            -> Oracles.scd2,
+    "q_text_knn"        -> Oracles.textKnn,
+    "q_rank_fusion"     -> Oracles.rankFusion,
   )
 }

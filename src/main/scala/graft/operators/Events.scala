@@ -126,6 +126,32 @@ object Events {
       .select(col("day").cast("string").as("day"), col("n_new"), col("cum_users"))
   }
 
+  /** q_scd2 — type-2 slowly-changing-dimension build from a changelog:
+    * each user's events, ordered by (ts, event_id), become versioned rows
+    * with [valid_from, valid_to) intervals; the open interval (sentinel
+    * -1, is_current=1) is the live version. This is the CDC→dimension
+    * materialization every warehouse pipeline runs (Kimball type 2), and
+    * the interval table is what an as-of join probes ([[Analytics
+    * .asofPurchaseClick]] is the query-side twin).
+    *
+    * Scale shape: ONE user-keyed exchange; version, the interval close
+    * (lead) and the current flag all ride the same window sort. Output is
+    * changelog-sized — a narrow decoration of the input, no joins, no
+    * driver state. Exact integers (millis, sentinel -1) per the parity
+    * rules.
+    */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to_raw", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("version"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("valid_from_ms"),
+        coalesce(unix_millis(col("valid_to_raw")), lit(-1L)).as("valid_to_ms"),
+        when(col("valid_to_raw").isNull, 1L).otherwise(0L).as("is_current"))
+  }
+
   /** q_retention — cohort retention matrix: cohort = each user's first
     * active date; for every (cohort, day-offset) cell, the count of
     * distinct users from that cohort active that day. The growth-analytics

@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Text retrieval over the documents corpus: the inverted index and BM25
+  * ranking — the search-engine counterpart of the ANN family (SURVEY.md
+  * §2C). Pangool's MultiShakespeareIndexer
+  * (reference: examples/src/main/java/com/datasalt/pangool/examples/
+  * multishakespeare/MultiShakespeareIndexer.java) builds exactly this
+  * artifact (word → per-play posting lines) as a MapReduce job with named
+  * outputs; here the index is a DataFrame a downstream ranker can join.
+  */
+object Retrieval {
+
+  /** C41 — inverted index with champion lists: per word, document
+    * frequency, corpus frequency, and the top-`champions` postings by
+    * (tf desc, doc_id) as a bounded `doc:tf` string — the impact-ordered
+    * truncated posting list real engines keep for query-time pruning
+    * (champion lists / impact ordering), and the reason an output row
+    * stays O(champions) even for stopwords over a 100 TB corpus.
+    *
+    * Plan shape: ONE corpus scan fans out (word, doc_id) occurrences into
+    * the tf aggregate (map-side combine collapses each task to its
+    * distinct (word, doc) pairs — the only data-sized shuffle, carrying
+    * 16-byte pairs, never text). The word-keyed window then derives df/cf
+    * and the champion rank on a SECOND, vocabulary×docs-sized exchange,
+    * and the postings groupBy reuses that same word partitioning (sort,
+    * no third exchange; array_sort makes the collect_list order
+    * deterministic). Zipf caveat at the 100 TB design point: a stopword's
+    * window partition is df-sized; if the index must include raw
+    * stopwords, swap the rank window for [[TopK.perGroup]] (map-side
+    * partial top-k bounds the hot key at champions×partitions) and take
+    * df/cf from a separate word agg — the window form is kept here
+    * because WindowGroupLimit already prunes the rank sort and the
+    * stats ride the same exchange for free.
+    */
+  def invertedIndex(spark: SparkSession, dir: String, champions: Int = 8): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy(col("word"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val byWord = Window.partitionBy(col("word"))
+    tf.withColumn("df", count(lit(1)).over(byWord))
+      .withColumn("cf", sum(col("tf")).over(byWord))
+      .withColumn("rk", row_number().over(
+        byWord.orderBy(col("tf").desc, col("doc_id"))))
+      .where(col("rk") <= champions)
+      .groupBy(col("word"))
+      .agg(max(col("df")).as("df"), max(col("cf")).as("cf"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("rk"),
+              concat(col("doc_id"), lit(":"), col("tf")).as("p")))),
+            s => s.getField("p")),
+          ",").as("postings"))
+  }
+
+  /** C42 — BM25 document ranking for a query term set, in EXACT integer
+    * ppm so both engines produce bit-identical scores (the graft-parity
+    * money/ppm rule: no log, no FP accumulation). Two deviations from
+    * textbook BM25, both monotone stand-ins chosen for integer exactness:
+    * idf uses the ratio form ((N−df+1)·10⁶ div (df+1)) instead of its
+    * log, and avgdl is quantized to deci-tokens (b10 = 10T div N). The
+    * saturation term keeps k1=1.2, b=0.75 exactly — multiplying
+    * tf + k1(1−b+b·dl/avgdl) through by 10·avgdl gives the all-integer
+    * tfc_ppm = 22·b10·tf·10⁶ div (10·b10·tf + 3·b10 + 90·dl). Overflow
+    * audit at the 100 TB point: b10 ≲ 10⁵ (10k-token avg docs), tf ≤ dl,
+    * so the widest product 22·b10·tf·10⁶ stays under 2⁶³ for docs to
+    * ~40k tokens; N−df+1 ≤ N ~ 10⁹ docs × 10⁶ fits.
+    *
+    * Plan shape: ONE corpus scan. The tokenize fan-out folds every
+    * non-query token to a NULL key, so the first aggregate collapses each
+    * doc to ≤|Q|+1 rows — (doc, term) tf counts plus the null-group rest —
+    * with map-side combine doing the collapse before the only data-sized
+    * shuffle. That compact table is checkpointed once (the Q9/lm_score
+    * single-scan pattern) and serves all four derivations: doc length
+    * (per-doc sum including the null group), the term tf rows, the corpus
+    * stats (N, T) and the per-term df — the latter two 1-row/|Q|-row
+    * broadcasts. The only join is doc-keyed tf⋈dl between two
+    * pre-aggregated sides, and the final top-k plans as
+    * TakeOrderedAndProject (per-partition bounded top-k, k-row merge —
+    * never a global sort).
+    */
+  def bm25(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("join", "scan", "window", "vector"),
+      k: Int = 20): DataFrame = {
+    val cnt = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "")
+      .select(col("doc_id"),
+        when(col("word").isin(terms: _*), col("word")).as("qword"))
+      .groupBy(col("doc_id"), col("qword")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val dl = cnt.groupBy(col("doc_id")).agg(sum(col("c")).as("dl"))
+    val tfq = cnt.where(col("qword").isNotNull)
+      .select(col("doc_id"), col("qword").as("word"), col("c").as("tf"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tok"))
+    val dfT = tfq.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    tfq.join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(dfT), "word")
+      .withColumn("b10", expr("10L * t_tok div n_docs"))
+      .withColumn("idf_ppm", expr("(n_docs - df + 1) * 1000000L div (df + 1)"))
+      .withColumn("tfc_ppm",
+        expr("22L * b10 * tf * 1000000L div (10L * b10 * tf + 3L * b10 + 90L * dl)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(expr("idf_ppm * tfc_ppm div 1000000L")).as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** C43 — exact text k-NN: for each probe document, the top-`k` most
+    * similar corpus documents by 3-shingle Jaccard — the text-side twin of
+    * C6's brute-force embedding k-NN (same role: the exact baseline the
+    * LSH paths (C2/C4) are recall-measured against, and the honest scale
+    * shape for SMALL probe sets: the probe shingle sets broadcast, the
+    * corpus scans ONCE and never shuffles text; per-pair cost is the
+    * array intersect, fanned out probe-count times on the narrow side).
+    * Shingle hashes and the round-6dp Jaccard reuse the C2 kernels
+    * ([[Dedup.shingleHashedOf]]), so scores are comparable across the
+    * dedup family. The per-probe top-k window partitions on probe_id —
+    * probe-count groups, WindowGroupLimit prunes map-side.
+    */
+  def textKnn(spark: SparkSession, dir: String, nProbes: Int = 10, k: Int = 3): DataFrame = {
+    val sh = Dedup.shingleHashedOf(Tables.documents(spark, dir))
+    val probes = broadcast(sh.where(col("doc_id") < nProbes)
+      .select(col("doc_id").as("probe_id"), col("h0").as("ph")))
+    val scored = probes.join(sh, col("doc_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("doc_id"),
+        round(graft.functions.TextHash.jaccard(col("ph"), col("h0")), 6).as("jac"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("jac").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("probe_id"), col("rk"), col("doc_id"), col("jac"))
+  }
+
+  /** C44 — reciprocal-rank fusion of the lexical (C42 BM25) and dense
+    * (C6 embedding k-NN) rankings — the hybrid-search combiner
+    * (Cormack et al. SIGIR'09: score = Σ 1/(60+rank), robust to the two
+    * systems' incomparable score scales because only RANKS enter). Exact
+    * integer ppm: each contribution is 10⁶ div (60+rank), absent-in-list
+    * contributes 0 and reports rank −1. Embeddings row i is taken as the
+    * embedding of document i (the synthetic tables are aligned by id) —
+    * the join is doc_id = vec_id.
+    *
+    * Scale shape: both inputs are top-k lists — k-row tables regardless
+    * of corpus size — so the fusion itself (full outer join + re-rank) is
+    * a driver-trivial operation; ALL the data-scale work lives in the two
+    * upstream retrievals, which keep their own audited plans. This is the
+    * right decomposition at 100 TB: fuse ranked heads, never raw scores
+    * over the corpus.
+    */
+  def rankFusion(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val lexical = bm25(spark, dir, k = k)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("score_ppm").desc, col("doc_id"))).as("bm25_rk"))
+    val dense = Ann.bruteForceTopK(spark, dir, nQueries = 1, k = k)
+      .select(col("neighbor_id").as("doc_id"), col("rk").as("ann_rk"))
+    lexical.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("bm25_rk"), lit(-1)).as("bm25_rk"),
+        coalesce(col("ann_rk"), lit(-1)).as("ann_rk"),
+        (when(col("bm25_rk").isNotNull, expr("1000000L div (60 + bm25_rk)")).otherwise(0L) +
+          when(col("ann_rk").isNotNull, expr("1000000L div (60 + ann_rk)")).otherwise(0L))
+          .as("rrf_ppm"))
+      .withColumn("fused_rk", row_number().over(
+        Window.orderBy(col("rrf_ppm").desc, col("doc_id"))))
+  }
+}

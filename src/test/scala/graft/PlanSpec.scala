@@ -545,4 +545,62 @@ class PlanSpec extends GraftSuite {
     assert(shuffles(p) <= 2, s"cohort window + distinct-count cell agg only:\n$p")
     assert(!p.contains("Join"), s"the window replaces the first-seen self-join:\n$p")
   }
+
+  test("q_inverted_index: tf agg + ONE word exchange serving window, stats and postings") {
+    val p = plan("q_inverted_index")
+    // shuffle 1: (word, doc_id) tf agg; shuffle 2: the word window — the
+    // final postings groupBy must REUSE the word partitioning (a third
+    // exchange means the agg stopped riding the window's clustering)
+    assert(shuffles(p) == 2, s"tf agg + word window only:\n$p")
+    assert(!p.contains("Join"), s"df/cf ride the window, never a stats re-join:\n$p")
+    // shuffles carry (word, doc_id, tf) triples — text dies at the explode
+    assert(p.contains("Generate"), s"occurrence fan-out must be a narrow explode:\n$p")
+  }
+
+  test("q_bm25: one sealed corpus scan, model sides broadcast, top-k never global-sorts") {
+    val p = plan("q_bm25")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must not global-sort:\n$p")
+    // the single tokenize scan is sealed inside the cnt checkpoint — every
+    // visible input is a re-read of that compact materialized RDD, so a
+    // parquet scan appearing here means a derivation re-scanned the corpus
+    assert(p.linesIterator.count(_.matches("""^\(\d+\) Scan parquet .*""")) == 0,
+      s"all derivations must read the checkpointed cnt table:\n$p")
+    // corpus stats (1 row) and per-term df (|Q| rows) broadcast; the only
+    // BNLJ allowed is the singleton stats cross join
+    val bnlj = p.linesIterator.count(_.matches("""^\(\d+\) BroadcastNestedLoopJoin.*"""))
+    assert(bnlj <= 1, s"only the 1-row stats broadcast may BNLJ (saw $bnlj):\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), s"the df side must broadcast:\n$p")
+    // every post-checkpoint shuffle carries pre-aggregated compact rows:
+    // dl agg, join alignment, stats/df model aggs, final doc agg
+    assert(shuffles(p) <= 5, s"only compact post-checkpoint exchanges:\n$p")
+  }
+
+  test("q_text_knn broadcasts the probe set; the corpus side never shuffles pre-window") {
+    val p = plan("q_text_knn")
+    // probe×corpus is a non-equi (!=) join with the probe side broadcast —
+    // exactly one BNLJ, and the only exchange is the probe_id rank window
+    val bnlj = p.linesIterator.count(_.matches("""^\(\d+\) BroadcastNestedLoopJoin.*"""))
+    assert(bnlj == 1, s"the broadcast probe join must be the only BNLJ:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(shuffles(p) == 1, s"corpus scan -> score -> ONE window exchange:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"per-probe top-k must prune map-side:\n$p")
+  }
+
+  test("q_rank_fusion fuses two bounded heads — no corpus-sized join") {
+    val p = plan("q_rank_fusion")
+    // the lexical head keeps bm25's TakeOrdered; the fusion join runs on
+    // two <=k-row rank lists
+    assert(p.contains("TakeOrderedAndProject"), s"bm25 head must stay TakeOrdered:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("FullOuter"), s"fusion must keep single-system docs:\n$p")
+  }
+
+  test("q_scd2 rides ONE user_id exchange (version, lead and flag share the sort)") {
+    val p = plan("q_scd2")
+    assert(shuffles(p) == 1, s"scd2 must be a single user window:\n$p")
+    assert(!p.contains("Join"), s"interval close is lead(), not a self-join:\n$p")
+    val windows = p.linesIterator.count(_.matches("""^\(\d+\) Window\s*$"""))
+    assert(windows == 1, s"row_number + lead must share one Window node:\n$p")
+  }
 }
