@@ -1504,6 +1504,19 @@ object Oracles {
        |       row_number() OVER (ORDER BY rrf_ppm DESC, doc_id) AS fused_rk
        |FROM f""".stripMargin
 
+  /** Exact heavy hitters: words with true count > n div (k+1), k = 40 —
+    * the sketch-then-verify composition makes the Spark side produce
+    * exactly this set (MG guarantees no false negatives; the verify pass
+    * removes false positives).
+    */
+  val heavyHitters: String =
+    """WITH t AS (SELECT word FROM
+      |  (SELECT unnest(string_split(text, ' ')) AS word FROM documents) u
+      |  WHERE word <> ''),
+      |n AS (SELECT count(*) AS n FROM t)
+      |SELECT word, count(*) AS cnt FROM t CROSS JOIN n
+      |GROUP BY word, n.n HAVING count(*) > n.n // 41""".stripMargin
+
   /** Type-2 SCD intervals from the event changelog: version + close-out
     * via lead over the same (ts, event_id) per-user order; open interval
     * = sentinel -1 / is_current 1.

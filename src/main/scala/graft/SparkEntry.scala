@@ -232,6 +232,9 @@ object SparkEntry {
     "q_text_knn"           -> ((s, d) => Retrieval.textKnn(s, d)),
     // q_rank_fusion: RRF of BM25 + embedding k-NN heads (hybrid search)
     "q_rank_fusion"        -> ((s, d) => Retrieval.rankFusion(s, d)),
+    // q_heavy_hitters: Misra-Gries sketch (typed Aggregator, O(k) state)
+    // -> exact verify pass; composed output deterministic + oracle-exact
+    "q_heavy_hitters"      -> ((s, d) => TopK.heavyHitters(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same column aliases — the driver
@@ -493,5 +496,6 @@ object SparkEntry {
     "q_scd2"            -> Oracles.scd2,
     "q_text_knn"        -> Oracles.textKnn,
     "q_rank_fusion"     -> Oracles.rankFusion,
+    "q_heavy_hitters"   -> Oracles.heavyHitters,
   )
 }

@@ -71,4 +71,33 @@ object TopK {
       .orderBy(orderCols.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }: _*)
     partial.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
   }
+
+  /** E13 — guaranteed heavy hitters by sketch-then-verify: a single
+    * [[graft.functions.MisraGriesAgg]] pass yields ≤ k candidates (O(k)
+    * shuffle bytes per partition — the whole point: the exact word
+    * histogram of a 100 TB corpus is itself huge, the sketch is not),
+    * then ONE exact counting pass restricted to the broadcast candidate
+    * set keeps words whose TRUE count exceeds n/(k+1). MG guarantees
+    * every such word is a candidate under any partitioning/merge order,
+    * so the composed output is EXACT and deterministic even though the
+    * sketch's internal state is merge-order-dependent — which is what
+    * makes it oracle-checkable (oracle: plain GROUP BY ... HAVING
+    * count > n div (k+1)). The candidate collect is model-sized (≤ k
+    * rows), same footing as the ANN codebooks.
+    */
+  def heavyHitters(spark: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int = 40): DataFrame = {
+    import spark.implicits._
+    def tok = graft.io.Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "")
+    val sketch = tok.as[String]
+      .select(new graft.functions.MisraGriesAgg(k).toColumn.name("s"))
+      .head()
+    val thresh = sketch.n / (k + 1)
+    val cands = sketch.counters.keys.toSeq.sorted
+    tok.where(col("word").isin(cands: _*))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > thresh)
+  }
 }
