@@ -127,12 +127,18 @@ object Retrieval {
     * probe-count groups, WindowGroupLimit prunes map-side.
     */
   def textKnn(spark: SparkSession, dir: String, nProbes: Int = 10, k: Int = 3): DataFrame = {
+    // sorted-distinct shingle sets let the per-pair score run through the
+    // fused SortedJaccard merge kernel (one O(m+n) pass, no per-pair hash
+    // set) — property-tested value-equal to the intersect/union composed
+    // form, and the sort is a narrow once-per-doc cost amortized over
+    // nProbes comparisons
     val sh = Dedup.shingleHashedOf(Tables.documents(spark, dir))
+      .select(col("doc_id"), sort_array(array_distinct(col("h0"))).as("h0"))
     val probes = broadcast(sh.where(col("doc_id") < nProbes)
       .select(col("doc_id").as("probe_id"), col("h0").as("ph")))
     val scored = probes.join(sh, col("doc_id") =!= col("probe_id"))
       .select(col("probe_id"), col("doc_id"),
-        round(graft.functions.TextHash.jaccard(col("ph"), col("h0")), 6).as("jac"))
+        round(graft.functions.VectorExpressions.sortedJaccard(col("ph"), col("h0")), 6).as("jac"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("jac").desc, col("doc_id"))
     scored.withColumn("rk", row_number().over(w))
