@@ -1517,6 +1517,18 @@ object Oracles {
       |SELECT word, count(*) AS cnt FROM t CROSS JOIN n
       |GROUP BY word, n.n HAVING count(*) > n.n // 41""".stripMargin
 
+  /** Per-source corpus profile in exact integers (means as ppm floor
+    * division); token count = non-empty whitespace tokens, same filter as
+    * the wordcount family.
+    */
+  val corpusProfile: String =
+    s"""SELECT source, count(*) AS n_docs,
+       |       CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens,
+       |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |       CAST(sum(len($toksSql)) * 1000000 // count(*) AS BIGINT) AS avg_tokens_ppm,
+       |       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS en_share_ppm
+       |FROM documents GROUP BY source""".stripMargin
+
   /** Type-2 SCD intervals from the event changelog: version + close-out
     * via lead over the same (ts, event_id) per-user order; open interval
     * = sentinel -1 / is_current 1.

@@ -235,6 +235,8 @@ object SparkEntry {
     // q_heavy_hitters: Misra-Gries sketch (typed Aggregator, O(k) state)
     // -> exact verify pass; composed output deterministic + oracle-exact
     "q_heavy_hitters"      -> ((s, d) => TopK.heavyHitters(s, d)),
+    // q_corpus_profile: per-source data-card stats, one narrow scan
+    "q_corpus_profile"     -> ((s, d) => Quality.corpusProfile(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same column aliases — the driver
@@ -497,5 +499,6 @@ object SparkEntry {
     "q_text_knn"        -> Oracles.textKnn,
     "q_rank_fusion"     -> Oracles.rankFusion,
     "q_heavy_hitters"   -> Oracles.heavyHitters,
+    "q_corpus_profile"  -> Oracles.corpusProfile,
   )
 }

@@ -191,4 +191,28 @@ object Quality {
       .where(col("rk") <= k)
       .select(col("source"), col("rk").cast("long").as("rk"), col("doc_id"))
   }
+
+  /** C45 — per-source corpus profile (the dataset-card table): doc count,
+    * token/char totals, mean doc length and English share, all in exact
+    * integer arithmetic (means as ppm floor division). This is the
+    * one-glance audit every corpus release ships and every mixture
+    * decision reads ([[Curation.domainMix]] consumes exactly these
+    * shares).
+    *
+    * Scale shape: ONE narrow scan — each doc collapses to (source, 1,
+    * n_toks, n_chars, is_en) in the map-side partial agg, so the only
+    * shuffle is |sources| rows wide. No windows, no joins.
+    */
+  def corpusProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_toks"),
+        col("n_chars"), when(col("lang") === "en", 1L).otherwise(0L).as("is_en"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("is_en")).as("n_en"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        expr("n_tokens * 1000000L div n_docs").as("avg_tokens_ppm"),
+        expr("n_en * 1000000L div n_docs").as("en_share_ppm"))
 }

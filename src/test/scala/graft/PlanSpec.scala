@@ -596,6 +596,26 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("FullOuter"), s"fusion must keep single-system docs:\n$p")
   }
 
+  test("q_heavy_hitters verify pass: one candidate-filtered agg exchange, no window/join") {
+    val p = plan("q_heavy_hitters")
+    // the sketch pass already ran (model-sized head() inside the builder);
+    // the VISIBLE plan is the exact verify pass: narrow fan-out, candidate
+    // In-filter, one word agg — never a full-vocabulary ranking
+    assert(shuffles(p) == 1, s"verify = one word-agg exchange:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    // >10 candidates fold to INSET; keep both spellings acceptable
+    assert(p.contains("word#") && (p.contains(" IN ") || p.contains(" INSET ")),
+      s"candidate filter must gate the agg:\n$p")
+  }
+
+  test("q_corpus_profile is one narrow scan + one source agg — no token fan-out") {
+    val p = plan("q_corpus_profile")
+    assert(shuffles(p) == 1, s"profile = map-side partials + |sources| rows:\n$p")
+    // token counts come from size(filter(split)) — never an explode
+    assert(!p.contains("Generate"), s"no per-token fan-out in a profile scan:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
   test("q_scd2 rides ONE user_id exchange (version, lead and flag share the sort)") {
     val p = plan("q_scd2")
     assert(shuffles(p) == 1, s"scd2 must be a single user window:\n$p")
