@@ -1529,6 +1529,21 @@ object Oracles {
        |       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS en_share_ppm
        |FROM documents GROUP BY source""".stripMargin
 
+  /** Per-type 3σ outliers via the cross-multiplied integer test
+    * (n·x − s1)² > 9·(n·s2 − s1²) on exact cents — HUGEINT here, the
+    * Spark side runs DECIMAL(38,0); same 128-bit integer values.
+    */
+  val outliers: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |m AS (SELECT event_type, count(*) AS n, sum(cents) AS s1,
+      |             sum(cents * cents) AS s2 FROM e GROUP BY 1)
+      |SELECT event_id, user_id, event_type, cents
+      |FROM e JOIN m USING (event_type)
+      |WHERE CAST(n * cents - s1 AS HUGEINT) * CAST(n * cents - s1 AS HUGEINT)
+      |      > 9 * (CAST(n AS HUGEINT) * CAST(s2 AS HUGEINT)
+      |             - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT))""".stripMargin
+
   /** Type-2 SCD intervals from the event changelog: version + close-out
     * via lead over the same (ts, event_id) per-user order; open interval
     * = sentinel -1 / is_current 1.

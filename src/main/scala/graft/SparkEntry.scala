@@ -237,6 +237,9 @@ object SparkEntry {
     "q_heavy_hitters"      -> ((s, d) => TopK.heavyHitters(s, d)),
     // q_corpus_profile: per-source data-card stats, one narrow scan
     "q_corpus_profile"     -> ((s, d) => Quality.corpusProfile(s, d)),
+    // q_outliers: per-type 3-sigma anomalies, cross-multiplied exact
+    // integer test in DECIMAL(38,0) (no sqrt/division/FP)
+    "q_outliers"           -> ((s, d) => Analytics.outliers(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same column aliases — the driver
@@ -500,5 +503,6 @@ object SparkEntry {
     "q_rank_fusion"     -> Oracles.rankFusion,
     "q_heavy_hitters"   -> Oracles.heavyHitters,
     "q_corpus_profile"  -> Oracles.corpusProfile,
+    "q_outliers"        -> Oracles.outliers,
   )
 }

@@ -168,4 +168,33 @@ object Analytics {
       .withColumn("pct_rank", round(percent_rank().over(w), 6))
       .withColumn("cume", round(cume_dist().over(w), 6))
   }
+
+  /** E14 — per-group z-score outliers (data-validation / anomaly gate) in
+    * EXACT arithmetic: the 2dp `value` becomes integer cents, and
+    * |x − μ| > 3σ is tested by the cross-multiplied integer form
+    * (n·x − s1)² > 9·(n·s2 − s1²) — no division, no sqrt, no FP, so the
+    * flag set is bit-identical cross-engine. The squared deltas exceed
+    * int64 once a group passes ~10⁵ rows, so the COMPARISON runs in
+    * DECIMAL(38,0) (exact 128-bit integers; DuckDB twin uses HUGEINT) —
+    * good to ~10¹² events/group, and the decimals never reach the output
+    * (parity decimal-out rule).
+    *
+    * Scale shape: one |types|-row moments agg (map-side partials), moments
+    * BROADCAST back onto a second narrow scan — the corpus never shuffles;
+    * the same two-pass pattern as the SQ8 quantizer train/encode.
+    */
+  def outliers(spark: SparkSession, dir: String): DataFrame = {
+    def ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val m = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"), sum(col("cents")).as("s1"),
+      sum(expr("cents * cents")).as("s2"))
+    val nD = col("n").cast("decimal(38,0)")
+    val s1D = col("s1").cast("decimal(38,0)")
+    val dev = nD * col("cents") - col("s1")
+    ev.join(broadcast(m), "event_type")
+      .where(dev * dev > lit(9) * (nD * col("s2") - s1D * s1D))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("cents"))
+  }
 }

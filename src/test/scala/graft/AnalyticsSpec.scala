@@ -69,4 +69,23 @@ class AnalyticsSpec extends GraftSuite {
     val bad = p.join(direct, "user_id").where(col("total") =!= col("n")).count()
     assert(bad == 0)
   }
+
+  test("outliers equals the plain-Scala BigInt 3-sigma test exactly") {
+    val rows = io.Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byType = rows.groupBy(_._2)
+    val want = byType.values.flatMap { rs =>
+      val n = BigInt(rs.length)
+      val s1 = rs.map(r => BigInt(r._3)).sum
+      val s2 = rs.map(r => BigInt(r._3) * r._3).sum
+      rs.collect { case (id, _, c)
+        if (n * c - s1).pow(2) > 9 * (n * s2 - s1 * s1) => id }
+    }.toSet
+    val got = Analytics.outliers(spark, sf).collect().map(_.getAs[Long]("event_id")).toSet
+    assert(got == want, s"flag sets differ: extra=${got -- want} missing=${want -- got}")
+    assert(want.nonEmpty, "fixture must actually contain 3-sigma outliers")
+  }
 }

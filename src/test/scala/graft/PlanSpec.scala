@@ -616,6 +616,15 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("Join") && !p.contains("Window"), p)
   }
 
+  test("q_outliers broadcasts the moments; the event scan never shuffles") {
+    val p = plan("q_outliers")
+    assert(p.contains("BroadcastHashJoin"), s"|types|-row moments must broadcast:\n$p")
+    // the only exchange is the moments agg itself (plus its 1-row-per-type
+    // partials); the flag scan is narrow
+    assert(shuffles(p) <= 1, s"one moments exchange only:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
   test("q_scd2 rides ONE user_id exchange (version, lead and flag share the sort)") {
     val p = plan("q_scd2")
     assert(shuffles(p) == 1, s"scd2 must be a single user window:\n$p")

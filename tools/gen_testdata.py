@@ -126,7 +126,11 @@ def gen(sf, outdir):
         "ts": pa.array(ev_ns, type=pa.int64()).cast(pa.timestamp("ns")),
         "user_id": pa.array(rng.randint(0, n_users, n_ev), type=pa.int64()),
         "event_type": pa.array(np.array(EVENT_TYPES)[rng.randint(0, 5, n_ev)]),
-        "value": np.round(rng.uniform(0, 561, n_ev), 2),
+        # driver value is exponential(scale=50): sf0.1 shows mean 49.9 /
+        # std 49.6 / median 34.8 (= ln2*50) / p95 149 (= 3*50); the old
+        # uniform(0, 561) matched only the max and had no 3-sigma tail,
+        # which made q_outliers trivially empty on generated data
+        "value": np.round(np.minimum(rng.exponential(50.0, n_ev), 561.0), 2),
         "props": [f'{{"k": {k}}}' for k in rng.randint(0, 100, n_ev)]}))
 
     # documents: word salad over the 31-word vocab; ~4% near-dup copies
