@@ -1529,6 +1529,22 @@ object Oracles {
        |       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS en_share_ppm
        |FROM documents GROUP BY source""".stripMargin
 
+  /** Sliding-window chunking, size 16 / stride 12 — same count formula and
+    * greatest(0,·) guard as Curation.chunkOverlap (the guard absorbs the
+    * floor-vs-truncate divergence on the negative-numerator corner).
+    */
+  val chunkOverlap: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |d AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+       |c AS (SELECT doc_id, toks, n,
+       |        unnest(range(0, 1 + greatest(0, ((n - 16) + 11) // 12))) AS ci
+       |      FROM d)
+       |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+       |       CAST(ci * 12 AS BIGINT) AS start_tok,
+       |       array_to_string(toks[(ci * 12 + 1):(ci * 12 + 16)], ' ') AS chunk_text,
+       |       CAST(least(16, n - ci * 12) AS BIGINT) AS chunk_tokens
+       |FROM c""".stripMargin
+
   /** Per-type 3σ outliers via the cross-multiplied integer test
     * (n·x − s1)² > 9·(n·s2 − s1²) on exact cents — HUGEINT here, the
     * Spark side runs DECIMAL(38,0); same 128-bit integer values.

@@ -240,6 +240,8 @@ object SparkEntry {
     // q_outliers: per-type 3-sigma anomalies, cross-multiplied exact
     // integer test in DECIMAL(38,0) (no sqrt/division/FP)
     "q_outliers"           -> ((s, d) => Analytics.outliers(s, d)),
+    // q_chunk_overlap: sliding-window RAG chunking (narrow, zero-shuffle)
+    "q_chunk_overlap"      -> ((s, d) => Curation.chunkOverlap(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same column aliases — the driver
@@ -504,5 +506,6 @@ object SparkEntry {
     "q_heavy_hitters"   -> Oracles.heavyHitters,
     "q_corpus_profile"  -> Oracles.corpusProfile,
     "q_outliers"        -> Oracles.outliers,
+    "q_chunk_overlap"   -> Oracles.chunkOverlap,
   )
 }

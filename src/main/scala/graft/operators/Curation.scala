@@ -422,6 +422,36 @@ object Curation {
         (col("offset") % maxLen).as("offset_in_seq"))
   }
 
+  /** C46 — sliding-window chunking with overlap, the RAG-index prep stage
+    * (the retrieval-side complement of [[packSequences]]: packing builds
+    * training batches across docs, chunking splits each doc into
+    * overlapping retrieval units that never cross doc boundaries). Chunk
+    * starts step by `stride` (< `size` → overlap keeps boundary context
+    * retrievable); chunk count = 1 + max(0, ceil((n−size)/stride)) so a
+    * short doc is exactly one chunk and the final partial chunk is kept.
+    * The negative-numerator corner runs INSIDE greatest(0, ·) — Spark
+    * `div` truncates while DuckDB `//` floors, and the guard makes both
+    * land on 0 (documented cross-engine corner).
+    *
+    * Scale shape: pure narrow fan-out (tokenize → bounded sequence
+    * explode → slice), zero shuffles; output rows ≈ corpus tokens/stride,
+    * each chunk O(size) — the shape that feeds C41/C42/C6 indexing
+    * downstream.
+    */
+  def chunkOverlap(spark: SparkSession, dir: String,
+      size: Int = 16, stride: Int = 12): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.functions.TextHash.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        org.apache.spark.sql.functions.size(col("toks")).as("n"))
+      .where(col("n") > 0)
+      .select(col("doc_id"), col("toks"), col("n"), explode(sequence(lit(0),
+        greatest(lit(0), expr(s"((n - $size) + ${stride - 1}) div $stride")))).as("ci"))
+      .select(col("doc_id"), col("ci").cast("long").as("chunk_idx"),
+        (col("ci") * stride).cast("long").as("start_tok"),
+        expr(s"concat_ws(' ', slice(toks, ci * $stride + 1, $size))").as("chunk_text"),
+        least(lit(size), col("n") - col("ci") * stride).cast("long").as("chunk_tokens"))
+
   /** Deterministic mixture resampling: downsample each domain (source) to a
     * target rate — how a curation pipeline rebalances a crawl toward the
     * desired training mixture. Rates are integer parts-per-million;

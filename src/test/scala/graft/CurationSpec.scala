@@ -185,4 +185,26 @@ class CurationSpec extends GraftSuite {
     assert(accepted.size < w.length, s"${accepted.size} of ${w.length}")
     assert(accepted.nonEmpty)
   }
+
+  test("chunkOverlap tiles every doc: coverage, bounds and stride invariants") {
+    import org.apache.spark.sql.functions._
+    val chunkSize = 16; val stride = 12
+    val chunks = Curation.chunkOverlap(spark, sf, chunkSize, stride).cache()
+    assert(chunks.where(col("chunk_tokens") < 1 || col("chunk_tokens") > chunkSize).count() == 0)
+    assert(chunks.where(col("start_tok") =!= col("chunk_idx") * stride).count() == 0)
+    // the last chunk of every doc reaches exactly the doc's token count
+    val cover = chunks.groupBy("doc_id")
+      .agg(max(col("start_tok") + col("chunk_tokens")).as("covered"),
+        count(lit(1)).as("n_chunks"))
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(graft.functions.TextHash.tokens(col("text"))).cast("long").as("n"))
+      .where(col("n") > 0)
+    assert(cover.join(docs, "doc_id").where(col("covered") =!= col("n")).count() == 0,
+      "chunks must cover each doc exactly to its last token")
+    assert(cover.join(docs, "doc_id", "full_outer")
+      .where(col("n").isNull || col("covered").isNull).count() == 0,
+      "every non-empty doc chunks; no phantom docs")
+    chunks.unpersist()
+  }
 }

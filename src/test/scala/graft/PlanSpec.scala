@@ -616,6 +616,13 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("Join") && !p.contains("Window"), p)
   }
 
+  test("q_chunk_overlap is a zero-shuffle narrow fan-out") {
+    val p = plan("q_chunk_overlap")
+    assert(shuffles(p) == 0, s"chunking must not shuffle anything:\n$p")
+    assert(p.contains("Generate"), s"chunk starts fan out via explode:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
   test("q_outliers broadcasts the moments; the event scan never shuffles") {
     val p = plan("q_outliers")
     assert(p.contains("BroadcastHashJoin"), s"|types|-row moments must broadcast:\n$p")
