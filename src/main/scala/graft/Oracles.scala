@@ -1203,6 +1203,54 @@ object Oracles {
        |SELECT id, score FROM s5""".stripMargin
   }
 
+  /** BFS twin: the same hop-limited frontier expansion, unrolled to the
+    * fixed hop budget exactly like [[pageRank]]'s iterations (a bounded
+    * unrolling, not a recursive CTE, so both engines run the identical
+    * hop-capped computation).
+    */
+  val bfs: String = {
+    val iter = (k: Int) =>
+      s"""f$k AS (SELECT DISTINCT e.v AS id FROM e JOIN f${k - 1} ON e.u = f${k - 1}.id
+         |        WHERE e.v NOT IN (SELECT id FROM d${k - 1})),
+         |d$k AS (SELECT id, dist FROM d${k - 1}
+         |        UNION ALL SELECT id, CAST($k AS BIGINT) AS dist FROM f$k)""".stripMargin
+    s"""WITH cs AS (SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT u, v FROM cs UNION ALL SELECT v, u FROM cs),
+       |d0 AS (SELECT CAST(2 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist),
+       |f0 AS (SELECT id FROM d0),
+       |${(1 to 4).map(iter).mkString(",\n")}
+       |SELECT id, dist FROM d4""".stripMargin
+  }
+
+  /** Bloom-pruned join twin: the Bloom filter is a lossless pre-shuffle
+    * prune (false positives die in the exact join), so the oracle is the
+    * PLAIN join — row identity is the operator's contract.
+    */
+  val bloomJoin: String =
+    """SELECT s_name, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_lines
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE s_acctbal > 6000 GROUP BY 1""".stripMargin
+
+  /** Table-profile twin: the same one-row stats card; avg via the exact
+    * decimal-sum-then-divide device, dates as epoch millis.
+    */
+  val tableProfile: String =
+    """SELECT count(*) AS n_rows,
+      | CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderkey,
+      | CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+      | CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_status,
+      | CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_price,
+      | CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_date,
+      | count(DISTINCT o_orderstatus) AS ndv_status,
+      | count(DISTINCT o_orderpriority) AS ndv_priority,
+      | round(min(o_totalprice), 2) AS min_price,
+      | round(max(o_totalprice), 2) AS max_price,
+      | round(sum(CAST(o_totalprice AS DECIMAL(12,2)))::DOUBLE / count(*), 6) AS avg_price,
+      | epoch_ms(min(o_orderdate)) AS min_date_ms,
+      | epoch_ms(max(o_orderdate)) AS max_date_ms
+      |FROM orders""".stripMargin
+
   /** SemDeDup: IVF-seed cluster assignment (same cenI/assign chain as
     * [[annIvf]]), within-cell greedy drop of any vector with a lower-id
     * cellmate at rounded cosine ≥ 0.4.

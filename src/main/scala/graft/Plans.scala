@@ -13,7 +13,8 @@ object Plans {
     "q_agg_groupby", "q_join_broadcast", "q_join_reduce_side", "q_topn_per_group",
     "q_dedup_minhash", "q_ann_bruteforce", "q_grep",
     "q_cogroup_multi", "q_ann_ivfpq", "q_nb_classify", "q_topic_fp_bits",
-    "q_dedup_containment", "q_triangles", "q_quality_filter")
+    "q_dedup_containment", "q_triangles", "q_quality_filter",
+    "q_bfs", "q_bloom_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

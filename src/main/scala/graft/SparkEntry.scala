@@ -242,6 +242,14 @@ object SparkEntry {
     "q_outliers"           -> ((s, d) => Analytics.outliers(s, d)),
     // q_chunk_overlap: sliding-window RAG chunking (narrow, zero-shuffle)
     "q_chunk_overlap"      -> ((s, d) => Curation.chunkOverlap(s, d)),
+    // q_bfs: hop-limited frontier BFS over the customer-supplier graph
+    // (edges checkpointed once; per-hop cost = frontier adjacency)
+    "q_bfs"                -> ((s, d) => Graph.bfs(s, d)),
+    // q_bloom_join: Bloom-pruned fact join — row-identical to the plain
+    // join (false positives die in the exact join), prune pre-shuffle
+    "q_bloom_join"         -> ((s, d) => BloomJoin.supplierLines(s, d)),
+    // q_table_profile: deequ-style data-validation card, one agg row
+    "q_table_profile"      -> ((s, d) => Analytics.tableProfile(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same column aliases — the driver
@@ -507,5 +515,8 @@ object SparkEntry {
     "q_corpus_profile"  -> Oracles.corpusProfile,
     "q_outliers"        -> Oracles.outliers,
     "q_chunk_overlap"   -> Oracles.chunkOverlap,
+    "q_bfs"             -> Oracles.bfs,
+    "q_bloom_join"      -> Oracles.bloomJoin,
+    "q_table_profile"   -> Oracles.tableProfile,
   )
 }

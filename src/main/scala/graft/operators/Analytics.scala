@@ -197,4 +197,38 @@ object Analytics {
       .where(dev * dev > lit(9) * (nD * col("s2") - s1D * s1D))
       .select(col("event_id"), col("user_id"), col("event_type"), col("cents"))
   }
+
+  /** E16 — table profile (the deequ/TFDV-style data-validation card): ONE
+    * aggregation row over orders with row count, per-column null counts,
+    * exact NDV for the low-cardinality enums, min/max bounds for price and
+    * date, and the exact-sum mean price (the aggGroupBy decimal device —
+    * numerator exact, divide-then-round deterministic).
+    *
+    * Scale shape: a single agg pass — every stat is map-side
+    * partial-aggregable and the output is ONE row. The two exact
+    * count-distincts plan as one Expand (×3 row multiplication on a
+    * 2-column projection) feeding the same partial agg — the standard
+    * Spark multi-distinct shape; NDV is exact only where cardinality is
+    * bounded by the domain (status/priority enums); a high-cardinality
+    * column would use approx_count_distinct instead (that sketch twin
+    * lives in q_approx_stats).
+    */
+  def tableProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("null_orderkey"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+      sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("null_status"),
+      sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("null_price"),
+      sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("null_date"),
+      countDistinct(col("o_orderstatus")).as("ndv_status"),
+      countDistinct(col("o_orderpriority")).as("ndv_priority"),
+      round(min(col("o_totalprice")), 2).as("min_price"),
+      round(max(col("o_totalprice")), 2).as("max_price"),
+      round(sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")
+        / count(lit(1)), 6).as("avg_price"),
+      // orderdate is TIMESTAMP_NTZ in the parquet; the session TZ is
+      // pinned UTC so the cast to TIMESTAMP is value-preserving
+      unix_millis(min(col("o_orderdate")).cast("timestamp")).as("min_date_ms"),
+      unix_millis(max(col("o_orderdate")).cast("timestamp")).as("max_date_ms"))
 }

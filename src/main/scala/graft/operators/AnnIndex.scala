@@ -123,4 +123,89 @@ object AnnIndex {
     case other => throw new IllegalArgumentException(
       s"unknown ANN method '$other' (expected lsh, ivf, pq or ivfpq)")
   }
+
+  /** Persist a built index under `path`: the DATA-scale artifacts (the
+    * corpus layout — normed vectors / cell assignments / 8-byte PQ codes —
+    * and the LSH bucket table) as parquet, the MODEL-scale artifacts
+    * (coarse centroids, PQ codebooks, residual seeds — KBs regardless of
+    * corpus size) as tiny parquet tables, plus a one-row meta table.
+    *
+    * This extends the build-once index lifetime ACROSS sessions: at 100 TB
+    * the built index lives on object storage and a serving job [[load]]s
+    * it and answers batches without ever touching the raw embeddings —
+    * the localCheckpoint reuse story made durable. Every artifact goes
+    * through Spark writers (no driver-local files), so the layout works on
+    * any Hadoop-compatible FS. Doubles round-trip bit-exactly through
+    * parquet, so a loaded index returns bit-identical search results
+    * (spec-pinned for all four layouts).
+    */
+  def save(h: Handle, path: String): Unit = {
+    val spark = h.corpus.sparkSession
+    import spark.implicits._
+    Seq((h.method, h.nprobe)).toDF("method", "nprobe")
+      .write.mode("overwrite").parquet(s"$path/meta.parquet")
+    h.corpus.write.mode("overwrite").parquet(s"$path/corpus.parquet")
+    h.buckets.foreach(_.write.mode("overwrite").parquet(s"$path/buckets.parquet"))
+    if (h.centroids.nonEmpty)
+      h.centroids.toDF("cid", "cen")
+        .write.mode("overwrite").parquet(s"$path/centroids.parquet")
+    if (h.pqCen.nonEmpty)
+      cenToDf(spark, h.pqCen).write.mode("overwrite").parquet(s"$path/pqcen.parquet")
+    h.resIdx.foreach { idx =>
+      idx.mdl.seeds.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+        .toDF("i", "vec").write.mode("overwrite").parquet(s"$path/seeds.parquet")
+      cenToDf(spark, idx.mdl.cenR)
+        .write.mode("overwrite").parquet(s"$path/rescen.parquet")
+    }
+  }
+
+  /** Open a [[save]]d index. The corpus/bucket tables stay as parquet
+    * scans (already materialized — the point of saving); only the
+    * model-scale tables collect to the driver, exactly like a fresh build.
+    */
+  def load(spark: SparkSession, path: String): Handle = {
+    val meta = spark.read.parquet(s"$path/meta.parquet").collect().head
+    val method = meta.getString(0)
+    val nprobe = meta.getInt(1)
+    val corpus = spark.read.parquet(s"$path/corpus.parquet")
+    def centroids: Seq[(Int, Seq[Double])] =
+      spark.read.parquet(s"$path/centroids.parquet").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).sortBy(_._1).toSeq
+    method match {
+      case "lsh" =>
+        Handle("lsh", corpus,
+          Some(spark.read.parquet(s"$path/buckets.parquet")), Nil, nprobe)
+      case "ivf" =>
+        Handle("ivf", corpus, None, centroids, nprobe)
+      case "pq" =>
+        Handle("pq", corpus, None, Nil, nprobe, None, dfToCen(spark, s"$path/pqcen.parquet"))
+      case "ivfpq" =>
+        val cen = centroids
+        val seeds = spark.read.parquet(s"$path/seeds.parquet").collect()
+          .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+        // cenFlat is the coarse centroids flattened (resModel builds it
+        // from the same seeds.take(c) the centroids come from)
+        val mdl = IvfPq.ResModel(seeds, cen, cen.flatMap(_._2).toArray,
+          dfToCen(spark, s"$path/rescen.parquet"), cen.head._2.length)
+        Handle("ivfpq", corpus, None, cen, nprobe, Some(IvfPq.ResIndex(mdl, corpus)))
+      case other => throw new IllegalArgumentException(
+        s"saved index has unknown method '$other'")
+    }
+  }
+
+  /** PQ codebook (subspace m → code k → sub-vector) ⇄ a (m, k, cen) table. */
+  private def cenToDf(spark: SparkSession,
+      cen: IndexedSeq[IndexedSeq[Seq[Double]]]): DataFrame = {
+    import spark.implicits._
+    (for {
+      (ks, m) <- cen.zipWithIndex
+      (v, k) <- ks.zipWithIndex
+    } yield (m, k, v)).toDF("m", "k", "cen")
+  }
+
+  private def dfToCen(spark: SparkSession, path: String): IndexedSeq[IndexedSeq[Seq[Double]]] =
+    spark.read.parquet(path).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+      .groupBy(_._1).toIndexedSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toIndexedSeq)
 }

@@ -52,10 +52,15 @@ object BloomJoin {
   def mightContain(c: Column, bf: BloomFilter): Column =
     ColumnBridge.column(BloomMightContain(ColumnBridge.expression(c), bf))
 
-  /** Build a Bloom filter of the dim side's (long) join keys. */
+  /** Build a Bloom filter of the dim side's (long) join keys. An EMPTY dim
+    * yields an empty filter (everything prunes — the join result is empty,
+    * which is exactly the plain join's answer); `stat.bloomFilter` itself
+    * NPEs on zero rows.
+    */
   def keyFilter(dim: DataFrame, key: String, fpp: Double = 0.01): BloomFilter = {
-    val n = math.max(1L, dim.select(key).distinct().count())
-    dim.stat.bloomFilter(key, n, fpp)
+    val n = dim.select(key).distinct().count()
+    if (n == 0L) BloomFilter.create(1, fpp)
+    else dim.stat.bloomFilter(key, n, fpp)
   }
 
   /** Inner equi-join with the fact side bloom-pruned pre-shuffle.
@@ -67,5 +72,28 @@ object BloomJoin {
       fpp: Double = 0.01): DataFrame = {
     val bf = keyFilter(dim, key, fpp)
     fact.where(mightContain(col(key), bf)).join(dim, key)
+  }
+
+  /** E11 as a driver query — lineitem revenue lines for the supplier
+    * slice with s_acctbal > 6000 (the highest bar that stays non-empty at
+    * the sf0.001 spec rung; ~30% selective at driver SFs — the pruning
+    * REGIME the operator targets is much lower selectivity, proven by the
+    * dedicated pruning-rate spec): matching fact rows drop BEFORE the join
+    * exchange for a filter that costs bits-per-key, not a hash table. The oracle is the
+    * plain join (the prune is lossless by construction), so this also
+    * oracle-proves the row-identity contract. Quantity sum is exact (small
+    * integral doubles), rounded 2dp like the TPC-H money outputs.
+    */
+  def supplierLines(spark: org.apache.spark.sql.SparkSession, dir: String,
+      minAcctbal: Double = 6000.0): DataFrame = {
+    val dim = graft.io.Tables.supplier(spark, dir)
+      .where(col("s_acctbal") > minAcctbal)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+    prunedJoin(
+      graft.io.Tables.lineitem(spark, dir).select(col("l_suppkey"), col("l_quantity")),
+      dim, "l_suppkey")
+      .groupBy(col("s_name"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n_lines"))
   }
 }

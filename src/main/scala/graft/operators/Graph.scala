@@ -12,6 +12,59 @@ import graft.io.Tables
   */
 object Graph {
 
+  /** The symmetric customer↔supplier bipartite graph of the orders —
+    * the shared substrate for [[pageRank]] and [[bfs]]. Node ids:
+    * custkey·2 / suppkey·2+1 (disjoint even/odd spaces); every undirected
+    * edge appears in both directions so out-neighborhood joins see the
+    * full adjacency.
+    */
+  private def bipartiteSym(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val cs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
+      .distinct()
+    cs.union(cs.select(col("v").as("u"), col("u").as("v")))
+  }
+
+  /** E15 — hop-limited BFS (single-source shortest hop counts) over the
+    * customer↔supplier graph: dist(id) = unweighted shortest-path length
+    * from `source`, nodes beyond `maxHops` omitted. The missing member of
+    * the iterative-graph family (PageRank = fixpoint scoring, connected
+    * components = global closure, BFS = rooted reachability) — the
+    * reference's driver-looped MapReduce idiom again
+    * (examples/.../GameOfLife.java), one Spark job chain here.
+    *
+    * Scale shape: classic frontier BFS as dataflow. The edge list is
+    * hash-partitioned on u and checkpointed ONCE; each hop is one join
+    * (frontier is the small side and arrives partitioned on u from the
+    * previous pass's agg) + one distinct + one left_anti against the
+    * visited set — all three reuse the u-partitioning, so per-hop cost is
+    * O(frontier-adjacency), never O(|E|) re-layout. A fixed hop budget
+    * keeps the plan deterministic (no convergence probe job); real
+    * deployments would early-exit on an empty frontier — one cheap count()
+    * per hop, omitted here so the oracle's bounded unrolling matches
+    * exactly. Visited/dist stay distributed throughout (no driver
+    * materialization); per-hop lazy localCheckpoints cut lineage so the
+    * plan is O(1) deep at any hop count.
+    */
+  def bfs(spark: SparkSession, dir: String, source: Long = 2L,
+      maxHops: Int = 4): DataFrame = {
+    val edges = bipartiteSym(spark, dir).repartition(col("u")).localCheckpoint()
+    var dist = spark.range(1).select(lit(source).as("id"), lit(0L).as("dist"))
+    var frontier = dist.select(col("id"))
+    for (h <- 1 to maxHops) {
+      val next = edges.join(frontier.withColumnRenamed("id", "u"), "u")
+        .select(col("v").as("id")).distinct()
+        .join(dist.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), lit(h.toLong).as("dist"))
+        .localCheckpoint(false)
+      dist = dist.union(next).localCheckpoint(false)
+      frontier = next.select(col("id"))
+    }
+    dist
+  }
+
   /** PageRank in EXACT integer arithmetic (scores scaled ×10⁶, floor
     * division everywhere): score' = 0.15·10⁶ + (85 · Σ score(u)/deg(u))/100
     * with `div`, so a fixed iteration count yields bit-identical scores on
@@ -32,12 +85,7 @@ object Graph {
     */
   def pageRank(spark: SparkSession, dir: String, iters: Int = 5,
       checkpointEvery: Int = 1): DataFrame = {
-    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
-    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
-    val cs = li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
-      .distinct()
-    val sym = cs.union(cs.select(col("v").as("u"), col("u").as("v")))
+    val sym = bipartiteSym(spark, dir)
     // hash-partition AND sort by u BEFORE checkpointing: localCheckpoint
     // preserves outputPartitioning/outputOrdering, so every iteration's
     // join reuses the layout — only the (small) score side moves. Without

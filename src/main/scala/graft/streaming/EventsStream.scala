@@ -73,6 +73,35 @@ object EventsStream {
       }
   }
 
+  /** D12 — native event-time session windows: the DECLARATIVE twin of
+    * [[sessionize]]'s explicit flatMapGroupsWithState machine, via Spark's
+    * `session_window` (merging [ts, ts+gap] intervals per key — INCLUSIVE
+    * at the boundary: a consecutive-event delta of exactly the gap still
+    * merges, same as the state machine's strict `> gap` break, spec-pinned).
+    * The one representational difference: the window end is last-event +
+    * gap (the interval bound), so `end − gap` equals the state machine's
+    * last-event session_end — and with that shift the batch form of this
+    * aggregation is row-identical to [[graft.operators.Events.sessionize]].
+    *
+    * Scale shape: state is per-OPEN-session and bounded by the watermark
+    * (closed sessions finalize and evict in append mode); no driver state,
+    * no per-user iterator materialization — for plain per-session counts
+    * this is the form to prefer at 100 TB/day, reserving the explicit
+    * state machine for logic `session_window` can't express (e.g. emitting
+    * mid-session updates or per-event session tagging). Works identically
+    * as a batch aggregation (spec cross-checks it against the window-lag
+    * sessionizer on the real events table).
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   case class FunnelUpdate(user_id: Long, view_ms: Long, click_ms: Long,
       purchase_ms: Long, depth: Long)
 

@@ -88,4 +88,25 @@ class AnalyticsSpec extends GraftSuite {
     assert(got == want, s"flag sets differ: extra=${got -- want} missing=${want -- got}")
     assert(want.nonEmpty, "fixture must actually contain 3-sigma outliers")
   }
+
+  test("tableProfile stats agree with independent recomputations; one Expand") {
+    val p = Analytics.tableProfile(spark, sf)
+    val row = p.collect().head
+    val orders = graft.io.Tables.orders(spark, sf)
+    assert(row.getAs[Long]("n_rows") == orders.count())
+    assert(row.getAs[Long]("ndv_status") ==
+      orders.select("o_orderstatus").distinct().count())
+    assert(row.getAs[Long]("ndv_priority") ==
+      orders.select("o_orderpriority").distinct().count())
+    assert(row.getAs[Long]("null_orderkey") == 0L)
+    assert(row.getAs[Double]("min_price") <= row.getAs[Double]("avg_price") &&
+      row.getAs[Double]("avg_price") <= row.getAs[Double]("max_price"))
+    assert(row.getAs[Long]("min_date_ms") < row.getAs[Long]("max_date_ms"))
+    // the two exact NDVs must share ONE Expand (the multi-distinct shape),
+    // not plan as separate scans (AQE prints final+initial plans — pin the
+    // final section only)
+    val plan = p.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("Expand".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Union"), "profile must be one pass, not unioned scans")
+  }
 }

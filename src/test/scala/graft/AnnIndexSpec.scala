@@ -95,4 +95,19 @@ class AnnIndexSpec extends GraftSuite {
     assert(r1.collect().map(_.getLong(2)).contains(0L))
     assert(r2.collect().map(_.getLong(2)).contains(5L))
   }
+
+  test("save/load round-trips all four layouts with bit-identical searches") {
+    for (method <- Seq("lsh", "ivf", "pq", "ivfpq")) {
+      val iters = if (method == "ivf" || method == "pq") 0 else 2
+      val built = AnnIndex.build(spark, sf, method, iters = iters)
+      val expect = built.search(registeredQueries, 5).collect().map(_.toSeq).toSet
+      val dir = java.nio.file.Files.createTempDirectory(s"annidx-$method").toString
+      AnnIndex.save(built, dir)
+      val loaded = AnnIndex.load(spark, dir)
+      assert(loaded.method == method && loaded.nprobe == built.nprobe)
+      val got = loaded.search(registeredQueries, 5).collect().map(_.toSeq).toSet
+      assert(got == expect, s"$method: loaded index diverges")
+      assert(got.nonEmpty)
+    }
+  }
 }

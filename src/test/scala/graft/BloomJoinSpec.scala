@@ -69,4 +69,27 @@ class BloomJoinSpec extends GraftSuite {
       .as[Long].collect().toSet
     assert((1L to 50L).map(_ * 3).forall(kept.contains))
   }
+
+  test("q_bloom_join (supplierLines) equals the plain join aggregate") {
+    import spark.implicits._
+    // sf0.001 has no supplier above 9000 — lower the bar so the spec is
+    // non-vacuous across every supplier draw
+    val bar = 0.0
+    val got = BloomJoin.supplierLines(spark, sf, minAcctbal = bar)
+      .as[(String, Double, Long)].collect().toSet
+    val plain = graft.io.Tables.lineitem(spark, sf)
+      .join(graft.io.Tables.supplier(spark, sf).where(col("s_acctbal") > bar),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n_lines"))
+      .as[(String, Double, Long)].collect().toSet
+    assert(got == plain)
+    assert(got.nonEmpty, "non-vacuous: some suppliers clear the acctbal bar")
+  }
+
+  test("an empty dim yields an empty (not crashing) bloom join") {
+    // a 9000 bar selects zero suppliers at sf0.001 — the filter must
+    // prune everything and the join must return the plain join's answer: ∅
+    assert(BloomJoin.supplierLines(spark, sf, minAcctbal = 9000.0).isEmpty)
+  }
 }

@@ -76,4 +76,35 @@ class GraphSpec extends GraftSuite {
     val total = got.values.sum
     assert(total <= 1000000L * got.size && total > 900000L * got.size)
   }
+
+  test("bfs matches a plain-Scala BFS on the real graph, hop-capped") {
+    val maxHops = 4
+    val got = Graph.bfs(spark, sf, source = 2L, maxHops = maxHops).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // rebuild the bipartite graph locally and run textbook BFS
+    val li = graft.io.Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val ord = graft.io.Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cs = li.flatMap { case (ok, sk) => ord.get(ok).map(ck => (ck * 2, sk * 2 + 1)) }.distinct
+    val adj = (cs ++ cs.map(_.swap)).groupBy(_._1)
+      .map { case (u, es) => u -> es.map(_._2).toSeq }
+    val dist = scala.collection.mutable.Map(2L -> 0L)
+    var frontier = Seq(2L)
+    for (h <- 1 to maxHops) {
+      frontier = frontier.flatMap(u => adj.getOrElse(u, Seq.empty[Long]))
+        .distinct.filterNot(dist.contains(_))
+      frontier.foreach(v => dist(v) = h.toLong)
+    }
+    assert(got == dist.toMap, s"sizes ${got.size} vs ${dist.size}")
+    assert(got(2L) == 0L)
+    // hop-1 set must be exactly the source customer's suppliers
+    val hop1 = got.filter(_._2 == 1L).keySet
+    assert(hop1 == adj(2L).toSet)
+  }
+
+  test("bfs result plan reads no parquet: every hop rides the checkpointed edges") {
+    val plan = Graph.bfs(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan"), "BFS must not re-scan source tables per hop")
+  }
 }

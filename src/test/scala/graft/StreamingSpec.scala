@@ -248,4 +248,47 @@ class StreamingSpec extends GraftSuite {
       assert(streamed == batch, s"stream $streamed vs batch $batch")
     } finally q.stop()
   }
+
+  test("streaming session_window merges through an exactly-gap delta, splits past it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStream.sessionWindows(input.toDF())
+      .writeStream.format("memory").queryName("swin").outputMode("complete").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 7, "click", 0), Event(2, ts(10), 7, "view", 0),
+        // exactly-gap delta (30 min after ts(10)) → SAME session (the
+        // boundary is inclusive — matching the batch `> gap` break)
+        Event(3, ts(40), 7, "click", 0),
+        // 35 min after ts(40) → new session
+        Event(4, ts(75), 7, "view", 0),
+        Event(5, ts(0), 8, "view", 0))
+      q.processAllAvailable()
+      val rows = spark.table("swin")
+        .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+      val gapMs = 30L * 60000
+      val expected = Set(
+        (7L, ts(0), new Timestamp(ts(40).getTime + gapMs), 3L),
+        (7L, ts(75), new Timestamp(ts(75).getTime + gapMs), 1L),
+        (8L, ts(0), new Timestamp(ts(0).getTime + gapMs), 1L))
+      assert(rows == expected, s"got $rows")
+    } finally q.stop()
+  }
+
+  test("batch session_window equals Events.sessionize modulo the end+gap bound") {
+    import spark.implicits._
+    // the same declarative aggregation runs as a plain batch query
+    val got = EventsStream.sessionWindows(graft.io.Tables.events(spark, sf))
+      .select(col("user_id"), unix_millis(col("session_start")).as("start_ms"),
+        (unix_millis(col("session_end")) - 30L * 60000).as("end_ms"), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val ref = graft.operators.Events.sessionize(spark, sf)
+      .select(col("user_id"), col("start_ms"), col("end_ms"), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == ref,
+      s"diverges: ${got.diff(ref).take(3)} vs ${ref.diff(got).take(3)}")
+    assert(got.size > 1, "non-vacuous: multiple sessions exist at this SF")
+  }
 }
