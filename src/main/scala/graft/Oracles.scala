@@ -1206,17 +1206,23 @@ object Oracles {
   /** BFS twin: the same hop-limited frontier expansion, unrolled to the
     * fixed hop budget exactly like [[pageRank]]'s iterations (a bounded
     * unrolling, not a recursive CTE, so both engines run the identical
-    * hop-capped computation).
+    * hop-capped computation). EVERY CTE is MATERIALIZED: each hop level
+    * references the previous frontier AND the previous dist table (join +
+    * NOT IN), so plain-CTE inlining re-evaluates the chain EXPONENTIALLY
+    * in the hop count — with the lineitem⋈orders+DISTINCT edge build at
+    * the bottom of every copy, that spilled past the disk budget at sf10.
+    * The Spark side checkpoints edges once and each hop once for exactly
+    * the same reason.
     */
   val bfs: String = {
     val iter = (k: Int) =>
-      s"""f$k AS (SELECT DISTINCT e.v AS id FROM e JOIN f${k - 1} ON e.u = f${k - 1}.id
+      s"""f$k AS MATERIALIZED (SELECT DISTINCT e.v AS id FROM e JOIN f${k - 1} ON e.u = f${k - 1}.id
          |        WHERE e.v NOT IN (SELECT id FROM d${k - 1})),
-         |d$k AS (SELECT id, dist FROM d${k - 1}
+         |d$k AS MATERIALIZED (SELECT id, dist FROM d${k - 1}
          |        UNION ALL SELECT id, CAST($k AS BIGINT) AS dist FROM f$k)""".stripMargin
-    s"""WITH cs AS (SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+    s"""WITH cs AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-       |e AS (SELECT u, v FROM cs UNION ALL SELECT v, u FROM cs),
+       |e AS MATERIALIZED (SELECT u, v FROM cs UNION ALL SELECT v, u FROM cs),
        |d0 AS (SELECT CAST(2 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist),
        |f0 AS (SELECT id FROM d0),
        |${(1 to 4).map(iter).mkString(",\n")}
@@ -1231,6 +1237,19 @@ object Oracles {
     """SELECT s_name, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_lines
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |WHERE s_acctbal > 6000 GROUP BY 1""".stripMargin
+
+  /** Sliding-window twin: Spark's window(1h, 15m) assigns each event to
+    * the 4 epoch-aligned slots covering it — spelled here as an explicit
+    * k∈0..3 unnest in epoch-millis space (start = floor(ms/slide)·slide −
+    * k·slide). Integer cents, HUGEINT sum cast back.
+    */
+  val slidingWindow: String =
+    """WITH e AS (SELECT epoch_ms(ts) AS ms, event_type,
+      |                  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+      |SELECT (ms // 900000) * 900000 - k * 900000 AS win_ms, event_type,
+      |       count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM e CROSS JOIN generate_series(0, 3) AS t(k)
+      |GROUP BY 1, 2""".stripMargin
 
   /** Table-profile twin: the same one-row stats card; avg via the exact
     * decimal-sum-then-divide device, dates as epoch millis.

@@ -250,6 +250,9 @@ object SparkEntry {
     "q_bloom_join"         -> ((s, d) => BloomJoin.supplierLines(s, d)),
     // q_table_profile: deequ-style data-validation card, one agg row
     "q_table_profile"      -> ((s, d) => Analytics.tableProfile(s, d)),
+    // q_events_sliding: 1h/15m sliding windows (x4 fan-out rides the
+    // map-side partial agg, never the exchange)
+    "q_events_sliding"     -> ((s, d) => Events.slidingWindow(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same column aliases — the driver
@@ -518,5 +521,6 @@ object SparkEntry {
     "q_bfs"             -> Oracles.bfs,
     "q_bloom_join"      -> Oracles.bloomJoin,
     "q_table_profile"   -> Oracles.tableProfile,
+    "q_events_sliding"  -> Oracles.slidingWindow,
   )
 }

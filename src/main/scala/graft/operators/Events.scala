@@ -20,6 +20,29 @@ object Events {
       .groupBy(unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), ExactMoney.sum2(col("value")).as("sum_value"))
 
+  /** D13 — SLIDING 1-hour window (15-minute slide) per event type: each
+    * event lands in exactly window÷slide = 4 overlapping windows, the
+    * third window kind next to D1's tumbling and D12's session windows.
+    * Uses Spark's native `window(ts, '1 hour', '15 minutes')` (epoch-
+    * aligned starts), so the identical expression runs under Structured
+    * Streaming ([[graft.streaming.EventsStream.slidingCounts]]).
+    *
+    * Exactness: counts + CENTS sums (integer), never FP accumulation —
+    * the window fan-out multiplies row count ×4, and a double sum's
+    * order-dependence would ×4 too. Scale shape: the ×4 expansion happens
+    * map-side INSIDE the partial aggregation (Expand before the exchange
+    * carries (win, type) partials, not events ×4); output is
+    * |windows|·|types| rows. Oracle: the same fan-out spelled as an
+    * explicit k∈0..3 unnest in epoch-millis space.
+    */
+  def slidingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("sum_cents"))
+      .select(unix_millis(col("window.start")).as("win_ms"), col("event_type"),
+        col("n_events"), col("sum_cents"))
+
   /** D2 — sessionization: a session breaks after a 30-minute silence per
     * user. Session id = running count of gap-breaks (one window exchange
     * keyed by user); output is per-session shape.

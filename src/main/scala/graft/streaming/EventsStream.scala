@@ -73,6 +73,19 @@ object EventsStream {
       }
   }
 
+  /** D13 streaming — sliding 1h/15m window counts with a watermark: the
+    * streaming form of [[graft.operators.Events.slidingWindow]] (same
+    * `window(ts, '1 hour', '15 minutes')` expression — each event lands in
+    * 4 overlapping epoch-aligned windows). State = open windows per type,
+    * bounded by the watermark.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n_events"))
+
   /** D12 — native event-time session windows: the DECLARATIVE twin of
     * [[sessionize]]'s explicit flatMapGroupsWithState machine, via Spark's
     * `session_window` (merging [ts, ts+gap] intervals per key — INCLUSIVE

@@ -277,6 +277,52 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming sliding window assigns each event to its 4 covering windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStream.slidingCounts(input.toDF())
+      .writeStream.format("memory").queryName("slide").outputMode("complete").start()
+    try {
+      input.addData(Event(1, ts(0), 7, "click", 0), Event(2, ts(10), 7, "click", 0))
+      q.processAllAvailable()
+      val rows = spark.table("slide")
+        .select(col("win_start"), col("n_events")).as[(Timestamp, Long)]
+        .collect().toMap
+      // ts(0) and ts(10) sit 10 min apart: 3 windows cover both, one
+      // covers only ts(0), one only ts(10) — 5 windows, counts 1/2/2/2/1
+      assert(rows.size == 5, s"got $rows")
+      assert(rows.values.sum == 8L && rows.values.count(_ == 2L) == 3)
+      // every start is 15-min aligned (epoch-aligned slide)
+      assert(rows.keys.forall(_.getTime % (15 * 60000) == 0))
+    } finally q.stop()
+  }
+
+  test("batch sliding window equals the explicit k-unnest fan-out") {
+    import spark.implicits._
+    val got = graft.operators.Events.slidingWindow(spark, sf)
+      .as[(Long, String, Long, Long)].collect().toSet
+    // reference: unnest k∈0..3 in millis space (the oracle construction)
+    val ref = graft.io.Tables.events(spark, sf)
+      .select(unix_millis(col("ts")).as("ms"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("k", explode(sequence(lit(0), lit(3))))
+      .groupBy(((col("ms") / 900000L).cast("long") * 900000L
+          - col("k") * 900000L).as("win_ms"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == ref, s"diverges: ${got.diff(ref).take(3)} vs ${ref.diff(got).take(3)}")
+    assert(got.size > 4, "non-vacuous")
+    // scale pin: the x4 window fan-out (Expand) sits BELOW the exchange,
+    // inside the map-side partial agg — the shuffle carries partials,
+    // never events x4
+    val plan = graft.operators.Events.slidingWindow(spark, sf)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("Expand"), plan)
+    assert(plan.indexOf("Exchange") < plan.indexOf("Expand"),
+      "Expand must be below the exchange (map-side)")
+  }
+
   test("batch session_window equals Events.sessionize modulo the end+gap bound") {
     import spark.implicits._
     // the same declarative aggregation runs as a plain batch query
