@@ -1251,6 +1251,20 @@ object Oracles {
       |FROM e CROSS JOIN generate_series(0, 3) AS t(k)
       |GROUP BY 1, 2""".stripMargin
 
+  /** Equi-depth twin: identical histogram→cumulative→fold construction;
+    * HUGEINT sums cast back, `//` ↔ Spark `div`.
+    */
+  val equidepth: String =
+    """WITH h AS (SELECT l_quantity AS q, count(*) AS c FROM lineitem GROUP BY 1),
+      |cum AS (SELECT q, c,
+      |        coalesce(sum(c) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+      |                              AND 1 PRECEDING), 0) AS before,
+      |        sum(c) OVER () AS n FROM h)
+      |SELECT CAST(1 + (4 * before) // n AS BIGINT) AS bucket,
+      |       CAST(sum(c) AS BIGINT) AS n_rows,
+      |       round(min(q), 2) AS lo, round(max(q), 2) AS hi
+      |FROM cum GROUP BY 1""".stripMargin
+
   /** Table-profile twin: the same one-row stats card; avg via the exact
     * decimal-sum-then-divide device, dates as epoch millis.
     */

@@ -253,6 +253,9 @@ object SparkEntry {
     // q_events_sliding: 1h/15m sliding windows (x4 fan-out rides the
     // map-side partial agg, never the exchange)
     "q_events_sliding"     -> ((s, d) => Events.slidingWindow(s, d)),
+    // q_equidepth: exact quartiles from the bounded value histogram —
+    // the scale-honest NTILE (no fact-scale sort, one scan)
+    "q_equidepth"          -> ((s, d) => Analytics.equidepth(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same column aliases — the driver
@@ -522,5 +525,6 @@ object SparkEntry {
     "q_bloom_join"      -> Oracles.bloomJoin,
     "q_table_profile"   -> Oracles.tableProfile,
     "q_events_sliding"  -> Oracles.slidingWindow,
+    "q_equidepth"       -> Oracles.equidepth,
   )
 }

@@ -231,4 +231,36 @@ object Analytics {
       // pinned UTC so the cast to TIMESTAMP is value-preserving
       unix_millis(min(col("o_orderdate")).cast("timestamp")).as("min_date_ms"),
       unix_millis(max(col("o_orderdate")).cast("timestamp")).as("max_date_ms"))
+
+  /** E17 — equi-depth quartiles of l_quantity, the SCALE-HONEST form of
+    * NTILE: a plain `ntile(4) over (order by ...)` globally sorts the fact
+    * into ONE task (and a per-segment variant puts each whole segment in
+    * one task) — the classic window-function scale trap. Here the value
+    * domain is bounded (quantities 1..50), so the exact assignment derives
+    * from the VALUE HISTOGRAM instead: every row of a value lands in the
+    * bucket of its value-group's FIRST row, bucket(v) = 1 + (4·rows-before-
+    * v) div n — integer arithmetic, deterministic, and ties never split
+    * (documented deviation from NTILE, which splits value groups to
+    * equalize counts).
+    *
+    * Scale shape: ONE narrow fact scan → |domain|-row histogram agg
+    * (map-side partials); the cumulative window and the bucket fold run on
+    * that bounded table (single tiny partition BY CONSTRUCTION — the
+    * aggregation reduced cardinality first, the D9 rule). No second fact
+    * scan, no fact-scale sort anywhere. Output ≤4 rows: bucket, row count,
+    * value bounds.
+    */
+  def equidepth(spark: SparkSession, dir: String, buckets: Int = 4): DataFrame = {
+    val h = Tables.lineitem(spark, dir)
+      .groupBy(col("l_quantity").as("q"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("q")).rowsBetween(Window.unboundedPreceding, -1)
+    h.withColumn("before", coalesce(sum(col("c")).over(w), lit(0L)))
+      .withColumn("n", sum(col("c")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("bucket", expr(s"1 + ($buckets * before) div n"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("c")).as("n_rows"),
+        round(min(col("q")), 2).as("lo"), round(max(col("q")), 2).as("hi"))
+  }
 }

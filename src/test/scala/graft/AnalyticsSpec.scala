@@ -109,4 +109,31 @@ class AnalyticsSpec extends GraftSuite {
     assert("Expand".r.findAllIn(plan).size == 1, plan)
     assert(!plan.contains("Union"), "profile must be one pass, not unioned scans")
   }
+
+  test("equidepth equals a plain-Scala histogram fold; buckets near-equal; one scan") {
+    val q = Analytics.equidepth(spark, sf)
+    val got = q.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    // reference: fold the collected histogram with the same first-row rule
+    val hist = graft.io.Tables.lineitem(spark, sf).groupBy("l_quantity").count()
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
+    val n = hist.map(_._2).sum
+    var before = 0L
+    val assigned = hist.map { case (v, c) =>
+      val b = 1 + (4 * before) / n; before += c; (b, v, c)
+    }
+    val want = assigned.groupBy(_._1).map { case (b, g) =>
+      (b, g.map(_._3).sum,
+        BigDecimal(g.map(_._2).min).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(g.map(_._2).max).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    assert(got == want)
+    // equi-depth up to tie-groups: each bucket within max-group-size of n/4
+    val maxGroup = hist.map(_._2).max
+    assert(got.forall { case (_, rows, _, _) => (rows - n / 4).abs <= maxGroup })
+    // scale pin: ONE fact scan — the buckets derive from the histogram,
+    // never a second pass or a fact-scale sort
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+  }
 }
