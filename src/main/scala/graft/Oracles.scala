@@ -1251,6 +1251,19 @@ object Oracles {
       |FROM e CROSS JOIN generate_series(0, 3) AS t(k)
       |GROUP BY 1, 2""".stripMargin
 
+  /** Rolling-median twin: DuckDB `list()` as a window aggregate over the
+    * same 7-row frame, sorted and indexed identically (both engines
+    * 1-index; lower median = element (n+1)//2).
+    */
+  val rollingMedian: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+      |                  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |w AS (SELECT user_id, event_id, ts_ms,
+      |             list_sort(list(cents) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
+      |      FROM e)
+      |SELECT user_id, event_id, ts_ms, win[(len(win) + 1) // 2] AS med_cents FROM w""".stripMargin
+
   /** Equi-depth twin: identical histogram→cumulative→fold construction;
     * HUGEINT sums cast back, `//` ↔ Spark `div`.
     */

@@ -256,6 +256,9 @@ object SparkEntry {
     // q_equidepth: exact quartiles from the bounded value histogram —
     // the scale-honest NTILE (no fact-scale sort, one scan)
     "q_equidepth"          -> ((s, d) => Analytics.equidepth(s, d)),
+    // q_rolling_median: trailing-7 exact lower-median per user (robust
+    // twin of q_moving_avg; one user-keyed exchange, O(window) state)
+    "q_rolling_median"     -> ((s, d) => Analytics.rollingMedian(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same column aliases — the driver
@@ -526,5 +529,6 @@ object SparkEntry {
     "q_table_profile"   -> Oracles.tableProfile,
     "q_events_sliding"  -> Oracles.slidingWindow,
     "q_equidepth"       -> Oracles.equidepth,
+    "q_rolling_median"  -> Oracles.rollingMedian,
   )
 }

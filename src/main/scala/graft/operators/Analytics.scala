@@ -263,4 +263,31 @@ object Analytics {
       .agg(sum(col("c")).as("n_rows"),
         round(min(col("q")), 2).as("lo"), round(max(col("q")), 2).as("hi"))
   }
+
+  /** E18 — trailing-7-event rolling MEDIAN of event value per user: the
+    * robust-statistics complement of A12's rolling mean (a median shrugs
+    * off the spikes that drag a mean — the anomaly-tolerant smoother real
+    * monitoring pipelines use). Exact: values become integer cents, the
+    * median is the LOWER median element_at((n+1) div 2) of the sorted
+    * window — a picked element, never an average of two, so no FP and no
+    * cross-engine tie ambiguity.
+    *
+    * Scale shape: ONE user-keyed exchange (the same single-window budget
+    * as q_moving_avg/q_lag_delta); the collect_list is bounded at 7
+    * elements per row by the ROWS frame, so per-row state is O(window),
+    * never O(partition). Oracle: DuckDB `list()` as a window aggregate
+    * with the identical sort+index — both engines 1-index lists.
+    */
+  def rollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    // ordering by ts_ms is the same total order as ts (unix_millis is
+    // monotone) and lets the projection drop the timestamp early
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id")).rowsBetween(-6, 0)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("win", sort_array(collect_list(col("cents")).over(w)))
+      .select(col("user_id"), col("event_id"), col("ts_ms"),
+        expr("element_at(win, CAST((size(win) + 1) div 2 AS INT))").as("med_cents"))
+  }
 }

@@ -136,4 +136,25 @@ class AnalyticsSpec extends GraftSuite {
     val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
     assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
   }
+
+  test("rollingMedian equals a plain-Scala trailing-window lower median") {
+    val got = Analytics.rollingMedian(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val events = graft.io.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = events.groupBy(_._1).flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      sorted.indices.map { i =>
+        val win = sorted.slice(math.max(0, i - 6), i + 1).map(_._4).sorted
+        (sorted(i)._1, sorted(i)._2) -> win((win.length + 1) / 2 - 1)
+      }
+    }.toMap
+    assert(got == want)
+    assert(got.size == events.length, "one output row per event")
+    // a median must shrug off a window's single extreme: every median is
+    // an actual observed value inside its window
+    assert(got.nonEmpty)
+  }
 }
