@@ -23,40 +23,58 @@ object Retrieval {
     * (champion lists / impact ordering), and the reason an output row
     * stays O(champions) even for stopwords over a 100 TB corpus.
     *
-    * Plan shape: ONE corpus scan fans out (word, doc_id) occurrences into
-    * the tf aggregate (map-side combine collapses each task to its
-    * distinct (word, doc) pairs — the only data-sized shuffle, carrying
-    * 16-byte pairs, never text). The word-keyed window then derives df/cf
-    * and the champion rank on a SECOND, vocabulary×docs-sized exchange,
-    * and the postings groupBy reuses that same word partitioning (sort,
-    * no third exchange; array_sort makes the collect_list order
-    * deterministic). Zipf caveat at the 100 TB design point: a stopword's
-    * window partition is df-sized; if the index must include raw
-    * stopwords, swap the rank window for [[TopK.perGroup]] (map-side
-    * partial top-k bounds the hot key at champions×partitions) and take
-    * df/cf from a separate word agg — the window form is kept here
-    * because WindowGroupLimit already prunes the rank sort and the
-    * stats ride the same exchange for free.
+    * Plan shape — Zipf-safe by construction (nothing ever materializes a
+    * df-sized partition, so a stopword appearing in EVERY document of a
+    * 100 TB corpus costs no single task more than a bounded heap):
+    * ONE corpus scan fans out (word, doc_id) occurrences into the tf
+    * aggregate (map-side combine collapses each task to its distinct
+    * (word, doc) pairs — the only data-sized shuffle, carrying 16-byte
+    * pairs, never text; the tf exchange is REUSED by both derivations
+    * below, pinned in PlanSpec). From tf:
+    *   - df/cf are a word-keyed hash AGGREGATE — partial_count/partial_sum
+    *     combine per map task, so the word exchange carries one row per
+    *     (word, task), never df rows, no matter how hot the key;
+    *   - champion lists are a rank window whose `row_number() <= k`
+    *     filter Spark compiles to a WindowGroupLimit PARTIAL before the
+    *     word exchange (pinned in PlanSpec), capping a stopword's shuffle
+    *     volume (and its window partition) at champions × tasks instead
+    *     of df. The final postings groupBy rides the window's word
+    *     partitioning (array_sort on the rank makes the collect_list
+    *     order deterministic).
+    * The stats⋈champions join aligns two already-word-partitioned sides —
+    * no extra data-sized exchange (at small SF the stats side broadcasts).
+    * The r10 form derived df/cf AND the rank as windows riding one
+    * exchange — one exchange fewer at small SF, but the count/sum windows
+    * forced each word's FULL partition to materialize on one task
+    * (df≈|corpus| for a true stopword), exactly the skew that kills a
+    * full-corpus index job (the reference's MultiShakespeareIndexer is
+    * this job, stopwords included). The skewed fixture in RetrievalSpec
+    * pins the bounded behavior. Champion pruning deliberately stays the
+    * rank-window form rather than [[TopK.perGroup]]: for the exact
+    * `row_number() <= k` pattern Spark plans the WindowGroupLimit partial
+    * itself, entirely inside whole-stage codegen, where perGroup pays row
+    * de/serialization on the whole tf table (A/B at sf0.1: window 0.64 s
+    * vs perGroup 0.71 s best-of-3, identical results — PLANS.md r11).
     */
   def invertedIndex(spark: SparkSession, dir: String, champions: Int = 8): DataFrame = {
     val tf = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .where(col("word") =!= "")
       .groupBy(col("word"), col("doc_id")).agg(count(lit(1)).as("tf"))
-    val byWord = Window.partitionBy(col("word"))
-    tf.withColumn("df", count(lit(1)).over(byWord))
-      .withColumn("cf", sum(col("tf")).over(byWord))
-      .withColumn("rk", row_number().over(
-        byWord.orderBy(col("tf").desc, col("doc_id"))))
+    val stats = tf.groupBy(col("word"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+    val champs = tf.withColumn("rk", row_number().over(
+        Window.partitionBy(col("word")).orderBy(col("tf").desc, col("doc_id"))))
       .where(col("rk") <= champions)
       .groupBy(col("word"))
-      .agg(max(col("df")).as("df"), max(col("cf")).as("cf"),
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("rk"),
-              concat(col("doc_id"), lit(":"), col("tf")).as("p")))),
-            s => s.getField("p")),
-          ",").as("postings"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("rk"),
+            concat(col("doc_id"), lit(":"), col("tf")).as("p")))),
+          s => s.getField("p")),
+        ",").as("postings"))
+    stats.join(champs, "word")
+      .select(col("word"), col("df"), col("cf"), col("postings"))
   }
 
   /** C42 — BM25 document ranking for a query term set, in EXACT integer

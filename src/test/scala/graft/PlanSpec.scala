@@ -546,15 +546,33 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("Join"), s"the window replaces the first-seen self-join:\n$p")
   }
 
-  test("q_inverted_index: tf agg + ONE word exchange serving window, stats and postings") {
+  test("q_inverted_index: Zipf-safe — partial group-limit caps champions, stats are aggregates") {
     val p = plan("q_inverted_index")
-    // shuffle 1: (word, doc_id) tf agg; shuffle 2: the word window — the
-    // final postings groupBy must REUSE the word partitioning (a third
-    // exchange means the agg stopped riding the window's clustering)
-    assert(shuffles(p) == 2, s"tf agg + word window only:\n$p")
-    assert(!p.contains("Join"), s"df/cf ride the window, never a stats re-join:\n$p")
+    // the hot-key cap: the rank filter compiles to a PARTIAL WindowGroupLimit
+    // BEFORE the word exchange, so a stopword ships ≤ champions rows per map
+    // task instead of its df
+    assert(p.linesIterator.exists(_.contains("row_number(), 8, Partial")),
+      s"champion rank must prune map-side (WindowGroupLimit Partial):\n$p")
+    // df/cf are hash AGGREGATES with map-side combine — the r10 form's
+    // count/sum windows materialized a df-sized partition on one task
+    assert(p.contains("partial_count(1), partial_sum"),
+      s"df/cf must be partial-combined aggregates, not windows:\n$p")
+    assert(p.linesIterator.filter(_.contains("windowspecdefinition"))
+        .forall(_.contains("row_number()")),
+      s"the ONLY window function allowed is the champion rank:\n$p")
     // shuffles carry (word, doc_id, tf) triples — text dies at the explode
     assert(p.contains("Generate"), s"occurrence fan-out must be a narrow explode:\n$p")
+    // tf agg + stats word agg + champions word exchange (the duplicated tf
+    // exchange in the initial plan dedupes at runtime — asserted below)
+    assert(shuffles(p) <= 4, s"tf agg (×2 pre-reuse) + stats agg + champion window:\n$p")
+    // runtime: AQE reuses the tf exchange — ONE corpus scan feeds both
+    // the stats aggregate and the champion window
+    val df = SparkEntry.queries("q_inverted_index")(spark, sf)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(exec.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"the corpus must be scanned once (tf exchange reused):\n$exec")
+    assert(exec.contains("Reused"), s"expected a reused tf exchange:\n$exec")
   }
 
   test("q_bm25: one sealed corpus scan, model sides broadcast, top-k never global-sorts") {

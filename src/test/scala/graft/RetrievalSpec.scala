@@ -31,6 +31,55 @@ class RetrievalSpec extends GraftSuite {
     idx.unpersist()
   }
 
+  test("inverted index under Zipf skew: a stopword in EVERY doc never lands df rows on one task") {
+    // 8000 docs, each containing the stopword "the"; 10 also carry a unique
+    // word. The r10 window form shipped all 8000 "the" rows into ONE task's
+    // window partition; the agg+group-limit form bounds every task well
+    // below df (tf exchange ≈ df/P uniform, champion exchange ≤ 8×tasks).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-skewdocs").toString
+    (0L until 8000L).map(i => (i, if (i < 10) s"the w$i" else "the"))
+      .toDF("doc_id", "text")
+      .repartition(4).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    @volatile var maxTaskRead = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null)
+          maxTaskRead = math.max(maxTaskRead, m.shuffleReadMetrics.recordsRead)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // AQE coalescing merges the tiny test-sized shuffle partitions into one
+    // task and would mask WHERE the hash placed the rows — disable it here
+    // so the per-task metric reflects the real partitioning
+    val coalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val rows = try {
+      val r = Retrieval.invertedIndex(spark, dir).collect()
+      // listener events deliver async: poll until the metric is stable
+      var last = -1L
+      var spins = 0
+      while (maxTaskRead != last && spins < 40) {
+        last = maxTaskRead; spins += 1; Thread.sleep(250)
+      }
+      r
+    } finally {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", coalesce)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    val the = rows.find(_.getString(0) == "the").get
+    assert(the.getLong(1) == 8000L && the.getLong(2) == 8000L, "df=cf=8000 for the stopword")
+    assert(the.getString(3) == (0 until 8).map(i => s"$i:1").mkString(","),
+      "champions = 8 lowest doc_ids at tf=1")
+    val w5 = rows.find(_.getString(0) == "w5").get
+    assert(w5.getLong(1) == 1L && w5.getLong(2) == 1L && w5.getString(3) == "5:1")
+    // the bounded-behavior pin: no task ever reads even HALF the stopword's
+    // df from a shuffle (the r10 form necessarily read all 8000 on one task)
+    assert(maxTaskRead > 0, "listener saw no shuffle reads — metric plumbing broke")
+    assert(maxTaskRead < 4000, s"a task read $maxTaskRead shuffle records — df-sized skew partition is back")
+  }
+
   test("bm25: top-k is score-ordered and every hit contains a query term") {
     val terms = Seq("join", "scan", "window", "vector")
     val hits = Retrieval.bm25(spark, sf, terms, k = 20).collect()
