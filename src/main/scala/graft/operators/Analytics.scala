@@ -249,6 +249,11 @@ object Analytics {
     * aggregation reduced cardinality first, the D9 rule). No second fact
     * scan, no fact-scale sort anywhere. Output ≤4 rows: bucket, row count,
     * value bounds.
+    *
+    * NOTE: the registered q_equidepth oracle hardcodes quartiles — callers
+    * passing `buckets != 4` get a correct equi-depth histogram but are NOT
+    * covered by the DuckDB parity gate (EquidepthSpec-style checks must
+    * pin any other bucket count on their own).
     */
   def equidepth(spark: SparkSession, dir: String, buckets: Int = 4): DataFrame = {
     val h = Tables.lineitem(spark, dir)

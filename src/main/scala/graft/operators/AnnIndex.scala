@@ -33,7 +33,8 @@ object AnnIndex {
       centroids: Seq[(Int, Seq[Double])],
       nprobe: Int,
       resIdx: Option[IvfPq.ResIndex] = None,
-      pqCen: IndexedSeq[IndexedSeq[Seq[Double]]] = IndexedSeq.empty) {
+      pqCen: IndexedSeq[IndexedSeq[Seq[Double]]] = IndexedSeq.empty,
+      cells: IndexedSeq[IndexedSeq[IndexedSeq[Seq[Double]]]] = IndexedSeq.empty) {
 
     /** Top-k cosine neighbors per query. `queries` = (query_id, qe) with
       * qe an array<double> of the corpus dimension — corpus rows or
@@ -55,6 +56,13 @@ object AnnIndex {
       if (method == "ivfpq")
         return IvfPq.searchResidual(resIdx.get,
           queries.select(col("query_id"), col("qe")), k, nprobe, excludeSelf)
+      if (method == "ivfpq_res_refined") {
+        // per-probed-cell ADC tables come from the refined codebooks
+        // driver-side: collect the (bounded, serving-sized) query batch
+        val qs = queries.select(col("query_id"), col("qe")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        return IvfPq.searchRefined(resIdx.get.mdl, cells, corpus, qs, k, nprobe, excludeSelf)
+      }
       val q0 = queries.select(col("query_id"), col("qe"))
         .withColumn("qn", sqrt(VectorExpressions.dot(col("qe"), col("qe"))))
       val cand = method match {
@@ -120,8 +128,14 @@ object AnnIndex {
     case "ivfpq" =>
       val idx = IvfPq.residualIndex(spark, dir, c)
       Handle("ivfpq", idx.corpus, None, idx.mdl.centroids, nprobe, Some(idx))
+    case "ivfpq_res_refined" =>
+      val mdl = IvfPq.resModel(spark, dir, c)
+      val cells = IvfPq.refineResidualPerCell(spark, dir, c, iters)
+      val corpus = IvfPq.refinedCorpus(spark, dir, mdl, cells).localCheckpoint(false)
+      Handle("ivfpq_res_refined", corpus, None, mdl.centroids, nprobe,
+        Some(IvfPq.ResIndex(mdl, corpus)), cells = cells)
     case other => throw new IllegalArgumentException(
-      s"unknown ANN method '$other' (expected lsh, ivf, pq or ivfpq)")
+      s"unknown ANN method '$other' (expected lsh, ivf, pq, ivfpq or ivfpq_res_refined)")
   }
 
   /** Persist a built index under `path`: the DATA-scale artifacts (the
@@ -142,6 +156,14 @@ object AnnIndex {
   def save(h: Handle, path: String): Unit = {
     val spark = h.corpus.sparkSession
     import spark.implicits._
+    // clear any previous layout FIRST: per-file overwrite into a shared
+    // directory would leave a stale mixture when re-saving a different
+    // method into a previously used path (e.g. ivfpq centroids under a
+    // path now holding lsh) — misleading and wasted storage even though
+    // load() keys off meta
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hPath)) fs.delete(hPath, true)
     Seq((h.method, h.nprobe)).toDF("method", "nprobe")
       .write.mode("overwrite").parquet(s"$path/meta.parquet")
     h.corpus.write.mode("overwrite").parquet(s"$path/corpus.parquet")
@@ -157,6 +179,13 @@ object AnnIndex {
       cenToDf(spark, idx.mdl.cenR)
         .write.mode("overwrite").parquet(s"$path/rescen.parquet")
     }
+    if (h.cells.nonEmpty)
+      (for {
+        (cellCen, ci) <- h.cells.zipWithIndex
+        (ks, m) <- cellCen.zipWithIndex
+        (v, kk) <- ks.zipWithIndex
+      } yield (ci, m, kk, v)).toDF("cid", "m", "k", "cen")
+        .write.mode("overwrite").parquet(s"$path/cellcen.parquet")
   }
 
   /** Open a [[save]]d index. The corpus/bucket tables stay as parquet
@@ -164,32 +193,60 @@ object AnnIndex {
     * model-scale tables collect to the driver, exactly like a fresh build.
     */
   def load(spark: SparkSession, path: String): Handle = {
-    val meta = spark.read.parquet(s"$path/meta.parquet").collect().head
-    val method = meta.getString(0)
-    val nprobe = meta.getInt(1)
-    val corpus = spark.read.parquet(s"$path/corpus.parquet")
+    // fail with errors that name the path and the problem — a missing or
+    // half-written index otherwise surfaces as NoSuchElementException /
+    // head-of-empty deep inside the method dispatch
+    def table(name: String): DataFrame =
+      try spark.read.parquet(s"$path/$name.parquet")
+      catch {
+        case scala.util.control.NonFatal(e) => throw new IllegalArgumentException(
+          s"no readable ANN index artifact '$name' under $path: ${e.getMessage}", e)
+      }
+    def model(name: String): Array[org.apache.spark.sql.Row] = {
+      val rows = table(name).collect()
+      if (rows.isEmpty) throw new IllegalArgumentException(
+        s"ANN index artifact '$name' under $path is empty — index corrupt or half-written")
+      rows
+    }
+    val metaRows = model("meta")
+    if (metaRows.length != 1) throw new IllegalArgumentException(
+      s"ANN index meta under $path has ${metaRows.length} rows (expected 1)")
+    val method = metaRows.head.getString(0)
+    val nprobe = metaRows.head.getInt(1)
+    val corpus = table("corpus")
     def centroids: Seq[(Int, Seq[Double])] =
-      spark.read.parquet(s"$path/centroids.parquet").collect()
+      model("centroids")
         .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).sortBy(_._1).toSeq
+    def resModelOf(cen: Seq[(Int, Seq[Double])]): IvfPq.ResModel = {
+      val seeds = model("seeds")
+        .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+      // cenFlat is the coarse centroids flattened (resModel builds it
+      // from the same seeds.take(c) the centroids come from)
+      IvfPq.ResModel(seeds, cen, cen.flatMap(_._2).toArray,
+        dfToCen(spark, s"$path/rescen.parquet"), cen.head._2.length)
+    }
     method match {
       case "lsh" =>
-        Handle("lsh", corpus,
-          Some(spark.read.parquet(s"$path/buckets.parquet")), Nil, nprobe)
+        Handle("lsh", corpus, Some(table("buckets")), Nil, nprobe)
       case "ivf" =>
         Handle("ivf", corpus, None, centroids, nprobe)
       case "pq" =>
         Handle("pq", corpus, None, Nil, nprobe, None, dfToCen(spark, s"$path/pqcen.parquet"))
       case "ivfpq" =>
         val cen = centroids
-        val seeds = spark.read.parquet(s"$path/seeds.parquet").collect()
-          .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
-        // cenFlat is the coarse centroids flattened (resModel builds it
-        // from the same seeds.take(c) the centroids come from)
-        val mdl = IvfPq.ResModel(seeds, cen, cen.flatMap(_._2).toArray,
-          dfToCen(spark, s"$path/rescen.parquet"), cen.head._2.length)
-        Handle("ivfpq", corpus, None, cen, nprobe, Some(IvfPq.ResIndex(mdl, corpus)))
+        Handle("ivfpq", corpus, None, cen, nprobe, Some(IvfPq.ResIndex(resModelOf(cen), corpus)))
+      case "ivfpq_res_refined" =>
+        val cen = centroids
+        val cells = model("cellcen")
+          .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getSeq[Double](3).toSeq)
+          .toMap
+        val nCells = cells.keys.map(_._1).max + 1
+        val byCell = (0 until nCells).map(ci => (0 until Pq.M).map(m =>
+          (0 until Pq.Ksub).map(kk => cells((ci, m, kk)): Seq[Double])))
+        Handle("ivfpq_res_refined", corpus, None, cen, nprobe,
+          Some(IvfPq.ResIndex(resModelOf(cen), corpus)), cells = byCell)
       case other => throw new IllegalArgumentException(
-        s"saved index has unknown method '$other'")
+        s"saved index under $path has unknown method '$other'")
     }
   }
 

@@ -36,15 +36,19 @@ object Graph {
     * (examples/.../GameOfLife.java), one Spark job chain here.
     *
     * Scale shape: classic frontier BFS as dataflow. The edge list is
-    * hash-partitioned on u and checkpointed ONCE; each hop is one join
-    * (frontier is the small side and arrives partitioned on u from the
-    * previous pass's agg) + one distinct + one left_anti against the
-    * visited set — all three reuse the u-partitioning, so per-hop cost is
-    * O(frontier-adjacency), never O(|E|) re-layout. A fixed hop budget
-    * keeps the plan deterministic (no convergence probe job); real
-    * deployments would early-exit on an empty frontier — one cheap count()
-    * per hop, omitted here so the oracle's bounded unrolling matches
-    * exactly. Visited/dist stay distributed throughout (no driver
+    * hash-partitioned on u and checkpointed ONCE; each hop's expansion
+    * join probes that stable layout with the (typically broadcast-sized)
+    * frontier, so per-hop cost is O(frontier-adjacency), never O(|E|)
+    * re-layout — the distinct (keyed on v) and the left_anti against the
+    * visited set (keyed on id) are their own small exchanges over
+    * frontier-sized data. A fixed hop budget keeps the plan deterministic
+    * (no convergence probe job) and lets the oracle's bounded unrolling
+    * match exactly. `maxHops = -1` is the production form: run until the
+    * frontier empties, probing with one count() per hop against the
+    * already-checkpointed frontier (the count materializes blocks the
+    * next hop reuses, so the probe's marginal cost is the count itself —
+    * GraphSpec pins unbounded ≡ a generous fixed budget on the real
+    * graph). Visited/dist stay distributed throughout (no driver
     * materialization); per-hop lazy localCheckpoints cut lineage so the
     * plan is O(1) deep at any hop count.
     */
@@ -53,14 +57,20 @@ object Graph {
     val edges = bipartiteSym(spark, dir).repartition(col("u")).localCheckpoint()
     var dist = spark.range(1).select(lit(source).as("id"), lit(0L).as("dist"))
     var frontier = dist.select(col("id"))
-    for (h <- 1 to maxHops) {
+    var h = 1
+    var exhausted = false
+    while (!exhausted && (maxHops < 0 || h <= maxHops)) {
       val next = edges.join(frontier.withColumnRenamed("id", "u"), "u")
         .select(col("v").as("id")).distinct()
         .join(dist.select(col("id")), Seq("id"), "left_anti")
         .select(col("id"), lit(h.toLong).as("dist"))
         .localCheckpoint(false)
-      dist = dist.union(next).localCheckpoint(false)
-      frontier = next.select(col("id"))
+      if (maxHops < 0 && next.count() == 0) exhausted = true
+      else {
+        dist = dist.union(next).localCheckpoint(false)
+        frontier = next.select(col("id"))
+        h += 1
+      }
     }
     dist
   }

@@ -220,26 +220,48 @@ object IvfPq {
     */
   def topKResidualRefined(spark: SparkSession, dir: String, nQueries: Int = 20,
       k: Int = 5, c: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
-    import spark.implicits._
     val mdl = resModel(spark, dir, c)
     val cells = refineResidualPerCell(spark, dir, c, iters)
+    val corpus = refinedCorpus(spark, dir, mdl, cells)
+    // driver-side probe lists + per-cell ADC tables for the bounded query set
+    val queries = Ann.normed(spark, dir).where(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("e")).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    searchRefined(mdl, cells, corpus, queries, k, nprobe, excludeSelf = true)
+  }
+
+  /** Per-cell-refined corpus layout: (vec_id, cid, codes) with codes from
+    * the fused [[graft.functions.PqEncodeCell]] kernel over the cell's own
+    * sub-codebooks — shared by [[topKResidualRefined]] and the
+    * "ivfpq_res_refined" [[AnnIndex]] layout.
+    */
+  private[operators] def refinedCorpus(spark: SparkSession, dir: String,
+      mdl: ResModel, cells: IndexedSeq[IndexedSeq[IndexedSeq[Seq[Double]]]]): DataFrame = {
     val cenFlat = (for {
-      ci <- 0 until c; m <- 0 until Pq.M; kk <- 0 until Pq.Ksub
+      ci <- cells.indices; m <- 0 until Pq.M; kk <- 0 until Pq.Ksub
       d <- 0 until Pq.Dsub
     } yield cells(ci)(m)(kk)(d)).toArray
-    val ccFlat = (for { ci <- 0 until c; m <- 0 until Pq.M; kk <- 0 until Pq.Ksub }
+    val ccFlat = (for { ci <- cells.indices; m <- 0 until Pq.M; kk <- 0 until Pq.Ksub }
       yield cells(ci)(m)(kk).map(x => x * x).sum).toArray
-    val v = Ann.normed(spark, dir)
-    val corpus = v
+    Ann.normed(spark, dir)
       .select(col("vec_id"), col("e"), Ivf.nearestCid(col("e"), mdl.centroids).as("cid"))
       .select(col("vec_id"), col("cid"), graft.functions.VectorExpressions
         .pqEncodeCell(graft.functions.VectorExpressions
           .subCentroid(col("e"), col("cid"), mdl.cenFlat, mdl.dim),
           col("cid"), cenFlat, ccFlat, Pq.M, Pq.Ksub, Pq.Dsub).as("codes"))
-    // driver-side probe lists + per-cell ADC tables for the bounded query set
-    val queries = v.where(col("vec_id") < nQueries)
-      .select(col("vec_id"), col("e")).orderBy("vec_id").collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+  }
+
+  /** ADC search over a per-cell-refined corpus for a COLLECTED query batch
+    * (probe lists and per-probed-cell distance tables computed driver-side
+    * from the refined codebooks — bounded by the batch size, the same
+    * footing as the codebook collects; the corpus side only ever sees the
+    * broadcast (query_id, cid, dtab) rows and its own 8-byte codes).
+    */
+  private[operators] def searchRefined(mdl: ResModel,
+      cells: IndexedSeq[IndexedSeq[IndexedSeq[Seq[Double]]]], corpus: DataFrame,
+      queries: Array[(Long, Array[Double])], k: Int, nprobe: Int,
+      excludeSelf: Boolean): DataFrame = {
+    import corpus.sparkSession.implicits._
     def sq(a: Array[Double], ce: Seq[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { val d = a(i) - ce(i); s += d * d; i += 1 }
@@ -268,7 +290,7 @@ object IvfPq {
       element_at(element_at(col("dtab"), m + 1), element_at(col("codes"), m + 1) + 1)
     }.reduce(_ + _)
     val scored = q.join(corpus, Seq("cid"))
-      .where(col("vec_id") =!= col("query_id"))
+      .where(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), adc.as("adc_scaled"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_scaled").asc, col("neighbor_id"))

@@ -96,8 +96,8 @@ class AnnIndexSpec extends GraftSuite {
     assert(r2.collect().map(_.getLong(2)).contains(5L))
   }
 
-  test("save/load round-trips all four layouts with bit-identical searches") {
-    for (method <- Seq("lsh", "ivf", "pq", "ivfpq")) {
+  test("save/load round-trips all five layouts with bit-identical searches") {
+    for (method <- Seq("lsh", "ivf", "pq", "ivfpq", "ivfpq_res_refined")) {
       val iters = if (method == "ivf" || method == "pq") 0 else 2
       val built = AnnIndex.build(spark, sf, method, iters = iters)
       val expect = built.search(registeredQueries, 5).collect().map(_.toSeq).toSet
@@ -109,5 +109,32 @@ class AnnIndexSpec extends GraftSuite {
       assert(got == expect, s"$method: loaded index diverges")
       assert(got.nonEmpty)
     }
+  }
+
+  test("ivfpq_res_refined index search == topKResidualRefined on the registered batch") {
+    val idx = AnnIndex.build(spark, sf, "ivfpq_res_refined", iters = 2)
+    val got = idx.search(registeredQueries, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val want = graft.operators.IvfPq.topKResidualRefined(spark, sf, nQueries = 20, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("re-saving a different method into a used path leaves no stale artifacts") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx-restate").toString
+    AnnIndex.save(AnnIndex.build(spark, sf, "ivfpq"), dir)
+    assert(new java.io.File(s"$dir/centroids.parquet").exists())
+    AnnIndex.save(AnnIndex.build(spark, sf, "lsh"), dir)
+    // the ivfpq model artifacts must be GONE, not a misleading leftover mix
+    for (stale <- Seq("centroids", "seeds", "rescen"))
+      assert(!new java.io.File(s"$dir/$stale.parquet").exists(), s"stale $stale survived re-save")
+    assert(AnnIndex.load(spark, dir).method == "lsh")
+  }
+
+  test("load on a missing or empty path names the path and the problem") {
+    val missing = "/tmp/annidx-definitely-absent"
+    val e = intercept[IllegalArgumentException](AnnIndex.load(spark, missing))
+    assert(e.getMessage.contains(missing) && e.getMessage.contains("meta"))
   }
 }

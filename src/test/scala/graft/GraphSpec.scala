@@ -103,6 +103,18 @@ class GraphSpec extends GraftSuite {
     assert(hop1 == adj(2L).toSet)
   }
 
+  test("bfs early-exit (maxHops = -1) equals a generous fixed budget") {
+    // unbounded mode stops on the first empty frontier; on the real graph
+    // that must yield exactly the distances a more-than-deep-enough fixed
+    // budget finds (and prove the graph exhausts before 10 hops)
+    val unbounded = Graph.bfs(spark, sf, maxHops = -1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val budget = Graph.bfs(spark, sf, maxHops = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unbounded == budget, "early-exit must not change reachability or distances")
+    assert(unbounded.map(_._2).max < 10L, "fixture graph must exhaust within the budget")
+  }
+
   test("bfs result plan reads no parquet: every hop rides the checkpointed edges") {
     val plan = Graph.bfs(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("FileScan"), "BFS must not re-scan source tables per hop")
