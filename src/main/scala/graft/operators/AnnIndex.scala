@@ -58,8 +58,12 @@ object AnnIndex {
           queries.select(col("query_id"), col("qe")), k, nprobe, excludeSelf)
       if (method == "ivfpq_res_refined") {
         // per-probed-cell ADC tables come from the refined codebooks
-        // driver-side: collect the (bounded, serving-sized) query batch
-        val qs = queries.select(col("query_id"), col("qe")).collect()
+        // driver-side: collect the query batch — this method's batch size
+        // is bounded by driver memory (the other methods broadcast the
+        // batch instead); the corpus scoring itself stays distributed.
+        // Cast query_id so int-typed external ids work like they do on
+        // every column-based path.
+        val qs = queries.select(col("query_id").cast("long"), col("qe")).collect()
           .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
         return IvfPq.searchRefined(resIdx.get.mdl, cells, corpus, qs, k, nprobe, excludeSelf)
       }
@@ -130,7 +134,7 @@ object AnnIndex {
       Handle("ivfpq", idx.corpus, None, idx.mdl.centroids, nprobe, Some(idx))
     case "ivfpq_res_refined" =>
       val mdl = IvfPq.resModel(spark, dir, c)
-      val cells = IvfPq.refineResidualPerCell(spark, dir, c, iters)
+      val cells = IvfPq.refineResidualPerCell(spark, dir, mdl, iters)
       val corpus = IvfPq.refinedCorpus(spark, dir, mdl, cells).localCheckpoint(false)
       Handle("ivfpq_res_refined", corpus, None, mdl.centroids, nprobe,
         Some(IvfPq.ResIndex(mdl, corpus)), cells = cells)
@@ -151,19 +155,39 @@ object AnnIndex {
     * through Spark writers (no driver-local files), so the layout works on
     * any Hadoop-compatible FS. Doubles round-trip bit-exactly through
     * parquet, so a loaded index returns bit-identical search results
-    * (spec-pinned for all four layouts).
+    * (spec-pinned for all five layouts).
+    *
+    * Replacing a previous index is guarded and near-atomic: the new layout
+    * is fully written to a temp sibling first, then swapped in — a crash
+    * mid-save leaves the old index untouched (or, in the tiny
+    * delete-to-rename window, the complete new layout under the temp
+    * name). A non-empty `path` that has no `meta.parquet` marker is NOT an
+    * index (a typo'd or shared directory) and save() refuses to destroy
+    * it.
     */
   def save(h: Handle, path: String): Unit = {
     val spark = h.corpus.sparkSession
-    import spark.implicits._
-    // clear any previous layout FIRST: per-file overwrite into a shared
-    // directory would leave a stale mixture when re-saving a different
-    // method into a previously used path (e.g. ivfpq centroids under a
-    // path now holding lsh) — misleading and wasted storage even though
-    // load() keys off meta
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val isIndex = fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta.parquet"))
+    if (fs.exists(hPath) && !isIndex && fs.listStatus(hPath).nonEmpty)
+      throw new IllegalArgumentException(
+        s"refusing to overwrite $path: non-empty directory with no meta.parquet marker " +
+          "— not a saved ANN index (delete it explicitly if intended)")
+    // full new layout to a temp sibling FIRST (also clears any stale
+    // artifacts of a previously-saved different method: load() reads only
+    // what the swap put in place)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.__saving__")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    writeArtifacts(h, tmp.toString)
     if (fs.exists(hPath)) fs.delete(hPath, true)
+    if (!fs.rename(tmp, hPath)) throw new java.io.IOException(
+      s"failed to move freshly-written ANN index from $tmp to $path")
+  }
+
+  private def writeArtifacts(h: Handle, path: String): Unit = {
+    val spark = h.corpus.sparkSession
+    import spark.implicits._
     Seq((h.method, h.nprobe)).toDF("method", "nprobe")
       .write.mode("overwrite").parquet(s"$path/meta.parquet")
     h.corpus.write.mode("overwrite").parquet(s"$path/corpus.parquet")
@@ -223,7 +247,7 @@ object AnnIndex {
       // cenFlat is the coarse centroids flattened (resModel builds it
       // from the same seeds.take(c) the centroids come from)
       IvfPq.ResModel(seeds, cen, cen.flatMap(_._2).toArray,
-        dfToCen(spark, s"$path/rescen.parquet"), cen.head._2.length)
+        rowsToCen(model("rescen")), cen.head._2.length)
     }
     method match {
       case "lsh" =>
@@ -231,7 +255,7 @@ object AnnIndex {
       case "ivf" =>
         Handle("ivf", corpus, None, centroids, nprobe)
       case "pq" =>
-        Handle("pq", corpus, None, Nil, nprobe, None, dfToCen(spark, s"$path/pqcen.parquet"))
+        Handle("pq", corpus, None, Nil, nprobe, None, rowsToCen(model("pqcen")))
       case "ivfpq" =>
         val cen = centroids
         Handle("ivfpq", corpus, None, cen, nprobe, Some(IvfPq.ResIndex(resModelOf(cen), corpus)))
@@ -242,7 +266,10 @@ object AnnIndex {
           .toMap
         val nCells = cells.keys.map(_._1).max + 1
         val byCell = (0 until nCells).map(ci => (0 until Pq.M).map(m =>
-          (0 until Pq.Ksub).map(kk => cells((ci, m, kk)): Seq[Double])))
+          (0 until Pq.Ksub).map(kk => cells.getOrElse((ci, m, kk),
+            throw new IllegalArgumentException(
+              s"ANN index cellcen under $path is missing entry (cid=$ci, m=$m, k=$kk) " +
+                "— index corrupt or half-written")): Seq[Double])))
         Handle("ivfpq_res_refined", corpus, None, cen, nprobe,
           Some(IvfPq.ResIndex(resModelOf(cen), corpus)), cells = byCell)
       case other => throw new IllegalArgumentException(
@@ -260,8 +287,8 @@ object AnnIndex {
     } yield (m, k, v)).toDF("m", "k", "cen")
   }
 
-  private def dfToCen(spark: SparkSession, path: String): IndexedSeq[IndexedSeq[Seq[Double]]] =
-    spark.read.parquet(path).collect()
+  private def rowsToCen(rows: Array[org.apache.spark.sql.Row]): IndexedSeq[IndexedSeq[Seq[Double]]] =
+    rows
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
       .groupBy(_._1).toIndexedSeq.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3).toIndexedSeq)

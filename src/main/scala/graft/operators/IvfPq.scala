@@ -170,8 +170,16 @@ object IvfPq {
     * query stays the deterministic seed construction.
     */
   def refineResidualPerCell(spark: SparkSession, dir: String, c: Int = 16,
-      iters: Int = 2): IndexedSeq[IndexedSeq[IndexedSeq[Seq[Double]]]] = {
-    val mdl = resModel(spark, dir, c)
+      iters: Int = 2): IndexedSeq[IndexedSeq[IndexedSeq[Seq[Double]]]] =
+    refineResidualPerCell(spark, dir, resModel(spark, dir, c), iters)
+
+  /** Overload taking a pre-built [[ResModel]] so a caller that already
+    * computed it (AnnIndex.build needs the model itself too) doesn't pay
+    * the seed-collect corpus scan twice.
+    */
+  def refineResidualPerCell(spark: SparkSession, dir: String, mdl: ResModel,
+      iters: Int): IndexedSeq[IndexedSeq[IndexedSeq[Seq[Double]]]] = {
+    val c = mdl.centroids.length
     val v = Ann.normed(spark, dir)
     // consumed fully by the per-iteration collects below → cache +
     // finally-unpersist (the Ivf.train pattern), never left pinned

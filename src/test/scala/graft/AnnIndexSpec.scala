@@ -132,6 +132,28 @@ class AnnIndexSpec extends GraftSuite {
     assert(AnnIndex.load(spark, dir).method == "lsh")
   }
 
+  test("save refuses to destroy a non-empty directory that is not an index") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx-notanidx")
+    val bystander = dir.resolve("precious.txt")
+    java.nio.file.Files.write(bystander, "not an index".getBytes)
+    val e = intercept[IllegalArgumentException](
+      AnnIndex.save(AnnIndex.build(spark, sf, "lsh"), dir.toString))
+    assert(e.getMessage.contains(dir.toString) && e.getMessage.contains("meta.parquet"))
+    // and the typo'd target survives untouched
+    assert(java.nio.file.Files.exists(bystander))
+  }
+
+  test("refined search accepts an int-typed external query_id") {
+    import spark.implicits._
+    val idx = AnnIndex.build(spark, sf, "ivfpq_res_refined", iters = 1)
+    val ext = Ann.normed(spark, sf).where(col("vec_id") === 0)
+      .select(col("e")).as[Seq[Double]].head().map(_ * 0.9 + 0.01)
+    // IntegerType id — the driver-side collect must cast, not ClassCast
+    val got = idx.search(Seq((7, ext)).toDF("query_id", "qe"), 3,
+      excludeSelf = false).collect()
+    assert(got.length == 3 && got.forall(_.getLong(0) == 7L))
+  }
+
   test("load on a missing or empty path names the path and the problem") {
     val missing = "/tmp/annidx-definitely-absent"
     val e = intercept[IllegalArgumentException](AnnIndex.load(spark, missing))
