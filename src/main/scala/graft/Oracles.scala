@@ -632,6 +632,31 @@ object Oracles {
        |      FROM g x JOIN g y ON x.bucket = y.bucket AND x.doc_id < y.doc_id)
        |SELECT d1, d2, jac FROM p WHERE jac >= 0.35""".stripMargin
 
+  /** [[ngramJaccard]]'s pair derivation, mirrored to both directions and
+    * capped to each doc's top-3 by (jac DESC, nbr) — the output-bounded
+    * variant.
+    */
+  val ngramTopK: String =
+    s"""WITH g AS (SELECT doc_id, (n_chars // 25) AS bucket,
+       |            list_distinct([ CAST((((least(ord(substr(text, i, 1)), 255) * 256
+       |                + least(ord(substr(text, i + 1, 1)), 255)) * 256
+       |                + least(ord(substr(text, i + 2, 1)), 255)) * 256
+       |                + least(ord(substr(text, i + 3, 1)), 255)) AS BIGINT)
+       |              FOR i IN range(1, len(text) - 2) ]) AS grams
+       |           FROM documents),
+       |p AS (SELECT x.doc_id AS d1, y.doc_id AS d2,
+       |        round(len(list_intersect(x.grams, y.grams))::DOUBLE
+       |              / len(list_distinct(list_concat(x.grams, y.grams))), 6) AS jac
+       |      FROM g x JOIN g y ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       |f AS (SELECT d1, d2, jac FROM p WHERE jac >= 0.35),
+       |sym AS (SELECT d1 AS doc_id, d2 AS nbr, jac FROM f
+       |        UNION ALL
+       |        SELECT d2 AS doc_id, d1 AS nbr, jac FROM f),
+       |r AS (SELECT doc_id, nbr, jac,
+       |        row_number() OVER (PARTITION BY doc_id ORDER BY jac DESC, nbr) AS rk
+       |      FROM sym)
+       |SELECT doc_id, rk, nbr, jac FROM r WHERE rk <= 3""".stripMargin
+
   /** Cell-blocked near-dup pairs: the same seed-codebook cells, assignment
     * tie-break ((dist, cid) row_number) and cell-count derivation
     * (`clamp(n/250, 16, 65536)`) as the Spark plan, then within-cell pairs

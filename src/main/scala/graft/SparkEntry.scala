@@ -70,6 +70,9 @@ object SparkEntry {
     "q_sample_uniform"     -> ((s, d) => Curation.hashSample(s, d)),
     "q_dedup_simhash"      -> ((s, d) => Dedup.simhash(s, d)),
     "q_ngram_jaccard"      -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    // q_ngram_topk: output-bounded variant — ≤ k best matches per doc
+    // (WindowGroupLimit partial caps the shuffle like the C41 champions)
+    "q_ngram_topk"         -> ((s, d) => Dedup.ngramTopK(s, d)),
     "q_dedup_embedding"    -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "q_ann_bruteforce"     -> ((s, d) => Ann.bruteForceTopK(s, d)),
     "q_ann_lsh"            -> ((s, d) => Ann.lshTopK(s, d)),
@@ -94,6 +97,10 @@ object SparkEntry {
     // FAISS by_residual layout: PQ over r = e - centroid(cell), per-cell
     // query ADC tables; residual codebook seeds from vectors 16..31
     "q_ann_ivfpq_res"      -> ((s, d) => IvfPq.topKResidual(s, d)),
+    // per-cell Lloyd-refined residual codebooks (the production FAISS
+    // shape) — refined centroids are FP-accumulation-ordered, so rows-only
+    // (AnnIndexSpec pins equality with the served ivfpq_res_refined layout)
+    "q_ann_refined"        -> ((s, d) => IvfPq.topKResidualRefined(s, d)),
     "q_lang_id"            -> ((s, d) => TextAnalysis.langId(s, d)),
     "q_quality_score"      -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "q_fingerprint"        -> ((s, d) => TextAnalysis.fingerprint(s, d)),
@@ -218,6 +225,10 @@ object SparkEntry {
     // q_compression_ratio: deflate-ratio boilerplate signal — rows-only
     // (codec output is JVM-specific; spec pins ordering + determinism)
     "q_compression_ratio"  -> ((s, d) => Quality.compressionRatio(s, d)),
+    // q_multimodal_features: per-kind media summary over the deterministic
+    // PNG/WAV corpus — real codec decode, integer checksums — rows-only
+    // (DuckDB has no media decoder; spec pins pixel/sample values)
+    "q_multimodal_features" -> ((s, d) => Multimodal.features(s, d)),
     // q_oov_rate: ppm of token occurrences outside the en-docs vocabulary
     // (CCNet-flavored coverage signal; exact token-level left join)
     "q_oov_rate"           -> ((s, d) => TextAnalysis.oovRate(s, d)),
@@ -429,6 +440,7 @@ object SparkEntry {
     "q_sample_uniform"  -> Oracles.hashSample,
     "q_dedup_simhash"   -> Oracles.dedupSimhash,
     "q_ngram_jaccard"   -> Oracles.ngramJaccard,
+    "q_ngram_topk"      -> Oracles.ngramTopK,
     "q_dedup_embedding" -> Oracles.dedupEmbedding,
     "q_ann_bruteforce"  -> Oracles.annBruteForce,
     "q_ann_lsh"         -> Oracles.annLsh,

@@ -369,6 +369,32 @@ object Dedup {
       .where(col("jac") >= threshold)
   }
 
+  /** C4b — top-k nearest neighbors per document by 4-gram Jaccard: the
+    * output-bounded form of [[ngramJaccard]] (the one declared-quadratic
+    * query in the dedup family). Candidate generation is identical — the
+    * banded length-bucket blocks, all-pairs merge walk or lossless prefix
+    * filter — but the ≥-threshold pairs then mirror to both directions and
+    * a per-doc `row_number() <= k` keeps only each document's k best
+    * matches, so the OUTPUT is ≤ k rows per document regardless of how
+    * dense the near-dup neighborhoods are (a boilerplate-heavy crawl makes
+    * the unbounded pair list itself the scale hazard). Spark compiles the
+    * rank filter to a WindowGroupLimit partial before the doc_id exchange
+    * — only ≤ k candidate rows per doc per map partition shuffle (the C41
+    * champion-postings pattern). Ties (jac is rounded to 6) break by
+    * neighbor id, so the result is deterministic and oracle-exact.
+    */
+  def ngramTopK(spark: SparkSession, dir: String, k: Int = 3,
+      threshold: Double = 0.35): DataFrame = {
+    val pairs = ngramJaccard(spark, dir, threshold)
+    val sym = pairs.select(col("d1").as("doc_id"), col("d2").as("nbr"), col("jac"))
+      .unionAll(pairs.select(col("d2").as("doc_id"), col("d1").as("nbr"), col("jac")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("jac").desc, col("nbr"))
+    sym.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("nbr"), col("jac"))
+  }
+
   /** C5 — embedding cosine near-dup pairs (ids + rounded score only, so the
     * result is FP-stable across engines), candidate-blocked by the same
     * deterministic coarse-quantizer cells [[semDedup]] uses: pairs are

@@ -229,7 +229,7 @@ object IvfPq {
   def topKResidualRefined(spark: SparkSession, dir: String, nQueries: Int = 20,
       k: Int = 5, c: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
     val mdl = resModel(spark, dir, c)
-    val cells = refineResidualPerCell(spark, dir, c, iters)
+    val cells = refineResidualPerCell(spark, dir, mdl, iters)
     val corpus = refinedCorpus(spark, dir, mdl, cells)
     // driver-side probe lists + per-cell ADC tables for the bounded query set
     val queries = Ann.normed(spark, dir).where(col("vec_id") < nQueries)

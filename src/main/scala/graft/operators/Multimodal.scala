@@ -240,6 +240,36 @@ object Multimodal {
     }
   }
 
+  /** Registered driver query (q_multimodal_features, rows-only): the
+    * per-media-kind corpus summary a multimodal ingest job reports —
+    * media counts, payload bytes, and a decode-path checksum proving the
+    * REAL codecs ran (PNG pixels → luminance histogram, WAV samples →
+    * amplitude histogram, [[extractFeatures]]).
+    *
+    * No SQL oracle by design (C34 precedent): DuckDB has no PNG/WAV
+    * decoder, so the driver records a rows-only check; MultimodalSpec pins
+    * the decoded pixel/sample values and the cross-run determinism this
+    * query relies on. Every output column is integral — the histogram
+    * folds to micro-unit longs per document BEFORE the sum, so the
+    * aggregate is associative and bit-stable under any partitioning (a
+    * float sum would be accumulation-order-dependent).
+    */
+  def features(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    extractFeatures(mediaTable(spark, dir))
+      .map { f =>
+        val chk = f.features.zipWithIndex
+          .map { case (v, i) => math.round(v.toDouble * 1e6) * (i + 1) }.sum
+        (f.kind, f.n_bytes, chk)
+      }
+      .toDF("kind", "n_bytes", "chk")
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(col("chk")).as("hist_checksum"))
+      .orderBy(col("kind"))
+  }
+
   /** Resize. Image rows are REALLY resized: decode → bilinear Graphics2D
     * resample to targetW×targetH → re-encode PNG; audio rows are REALLY
     * resampled in the sample domain: parse WAV → nearest-neighbor pick of

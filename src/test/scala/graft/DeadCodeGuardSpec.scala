@@ -59,10 +59,15 @@ class DeadCodeGuardSpec extends GraftSuite {
     // codec-implementation-specific), q_bpe_train/q_bpe_tokenize (the BPE
     // merge loop is a sequential per-round argmax — deterministic, pinned
     // by BpeSpec's textbook example + plain-Scala twin, but not
-    // SQL-expressible); anything else without an oracle is an unverified
-    // ship
+    // SQL-expressible); q_multimodal_features (DuckDB has no PNG/WAV
+    // decoder — MultimodalSpec pins decoded pixel/sample values and
+    // bit-stability); q_ann_refined (per-cell Lloyd-refined codebooks are
+    // FP-accumulation-ordered — AnnIndexSpec pins equality with the
+    // served ivfpq_res_refined layout); anything else without an oracle
+    // is an unverified ship
     val waived = Set("q_approx_stats", "q_compression_ratio",
-      "q_bpe_train", "q_bpe_tokenize")
+      "q_bpe_train", "q_bpe_tokenize",
+      "q_multimodal_features", "q_ann_refined")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- waived
     assert(noOracle.isEmpty, s"queries without a DuckDB oracle: $noOracle")
   }

@@ -20,6 +20,27 @@ class DedupSpec extends GraftSuite {
     assert(allPairs.nonEmpty)
   }
 
+  test("ngramTopK caps output at k per doc and keeps each doc's best matches") {
+    import spark.implicits._
+    val pairs = Dedup.ngramJaccard(spark, sf).as[(Long, Long, Double)].collect()
+    val topk = Dedup.ngramTopK(spark, sf, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // every surviving row IS a qualifying pair (no invented neighbors)
+    val pairSet = pairs.flatMap(p => Seq((p._1, p._2, p._3), (p._2, p._1, p._3))).toSet
+    assert(topk.forall { case (d, _, n, j) => pairSet((d, n, j)) })
+    // ≤ k rows per doc, ranks contiguous from 1
+    val byDoc = topk.groupBy(_._1)
+    assert(byDoc.values.forall(rs => rs.length <= 3 &&
+      rs.map(_._2).sorted.sameElements(1 to rs.length)))
+    // every doc touched by any qualifying pair keeps its best match, and
+    // rank 1 carries the doc's maximum jaccard
+    val docs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(byDoc.keySet == docs)
+    val bestOf = pairs.flatMap(p => Seq((p._1, p._3), (p._2, p._3)))
+      .groupBy(_._1).map { case (d, js) => d -> js.map(_._2).max }
+    assert(topk.collect { case (d, 1, _, j) => j == bestOf(d) }.forall(identity))
+  }
+
   test("ngramSalt honors both the parallelism and the block-size budget") {
     // sf0.1 shape (25 buckets, max pop 292, 32 cores): the parallelism
     // term alone decides — block budget already satisfied, S unchanged

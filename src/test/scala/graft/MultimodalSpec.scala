@@ -96,6 +96,22 @@ class MultimodalSpec extends GraftSuite {
       .forall { case (a, b) => a.features.sameElements(b.features) })
   }
 
+  test("q_multimodal_features: per-kind summary is integral, complete, and bit-stable") {
+    val q = SparkEntry.queries("q_multimodal_features")
+    val r1 = q(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // both kinds present, ordered, and together covering every document
+    assert(r1.map(_._1).toSeq == Seq("audio", "image"))
+    val nDocs = graft.io.Tables.documents(spark, sf).count()
+    assert(r1.map(_._2).sum == nDocs)
+    assert(r1.forall(t => t._3 > 0 && t._4 != 0L))
+    // the rows-only driver check leans on this: exact same longs on re-run
+    // (per-doc micro-unit folding makes the sums partitioning-independent)
+    val r2 = q(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(r1.toSet == r2.toSet)
+  }
+
   test("resize really resamples images and audio, metadata in lockstep") {
     val r = Multimodal.resize(Multimodal.mediaTable(spark, sf), 8, 6).collect()
     assert(r.forall(m => m.width == 8 && m.height == 6))
