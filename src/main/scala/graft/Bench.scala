@@ -58,10 +58,33 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, Left(_)) => "\"" + k + "\"" }
     val total = results.collect { case (_, Right(v)) => v }.sum
-    // headline fields repeat at the END of the line: tail buffers clip the
-    // FRONT of long lines (91 queries ≈ 2.5 KB), and a clipped "value" is
-    // what nulled the round-8 artifact's parse
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","n_queries":${results.size},"total_sec":$total%.3f}""")
+    val head = f""""metric":"total","value":$total%.3f,"unit":"sec","failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","n_queries":${results.size},"total_sec":$total%.3f"""
+    // The driver keeps only the LAST 2000 chars of output and json-parses
+    // what survives — a single line carrying all 128 per-query times
+    // (~3.2 KB) can NEVER fit, which is what nulled the r8–r11 artifacts'
+    // "parsed". Three-part emission instead:
+    //  1. the full object, first (complete in the captured stdout / logs);
+    //  2. the full object to BENCH_FULL.json next to the repo artifacts
+    //     (the committed trend tooling reads it);
+    //  3. LAST, a compact self-contained line < 1900 chars: headline +
+    //     the slowest queries' times, greedily packed — the tail window
+    //     then always ends with one complete parseable JSON line, and the
+    //     dropped entries are the sub-noise-floor fast ones.
+    println(s"""{$head,"queries":$qs}""")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"),
+      s"""{$head,"queries":$qs}\n""")
+    catch { case e: Exception => System.err.println(s"[bench] BENCH_FULL.json: $e") }
+    val slowFirst = results.collect { case (k, Right(v)) => (k, v) }.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    // 2000-char window minus sbt's trailing "[success] Total time" line
+    // (~70 chars) minus the fixed JSON scaffolding, with slack
+    val budget = 1840 - head.length - 60
+    val (packed, _) = slowFirst.foldLeft((List.empty[String], 0)) {
+      case ((acc, len), e) =>
+        if (len + e.length + 1 <= budget) (e :: acc, len + e.length + 1) else (acc, len)
+    }
+    val omitted = slowFirst.size - packed.size
+    println(s"""{$head,"queries_omitted":$omitted,"queries":${packed.reverse.mkString("{", ",", "}")}}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

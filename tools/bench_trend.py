@@ -34,6 +34,20 @@ def load():
                 p = {"queries": {k: float(v) for k, v in pairs}}
         if p.get("queries"):
             rounds[rn] = p["queries"]
+    # Complete per-round data: Bench writes the full 128-query object to
+    # BENCH_FULL.json (the 2000-char driver tail can physically hold only
+    # the compact slowest-first subset); a quiet local full run committed
+    # as BENCH_FULL_r{N}.json supplements/overrides the tail-recovered
+    # numbers for that round.
+    for f in sorted(glob.glob("BENCH_FULL_r*.json")):
+        rn = int(re.search(r"BENCH_FULL_r(\d+)", f).group(1))
+        try:
+            full = json.load(open(f)).get("queries") or {}
+        except ValueError:
+            continue
+        merged = dict(rounds.get(rn, {}))
+        merged.update({k: v for k, v in full.items() if v is not None})
+        rounds[rn] = merged
     return rounds
 
 def table(rounds):
