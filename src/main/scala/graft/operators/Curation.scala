@@ -342,18 +342,19 @@ object Curation {
     * the fact side never shuffles at all.
     */
   def saltedSupplierRevenue(spark: SparkSession, dir: String): DataFrame = {
-    // revenue accumulates in DECIMAL: the inputs are 2dp business values,
-    // so decimal(12,2)·decimal(4,2) is exact and the sum order-independent.
-    // The double-sum form diverged from the oracle by one cent at sf1
-    // (per-supplier groups grew to ~600 rows → partial-agg order 1-ulp
-    // drift landed on a cent boundary for 1 of 10k suppliers).
+    // revenue accumulates EXACTLY (integer 1e-4 units through
+    // SumCentsExact — order-independent like the decimal form it
+    // replaced, but on the codegen long fast path). The double-sum form
+    // diverged from the oracle by one cent at sf1 (per-supplier groups
+    // grew to ~600 rows → partial-agg order 1-ulp drift landed on a cent
+    // boundary for 1 of 10k suppliers).
     val li = Tables.lineitem(spark, dir).select(col("l_suppkey"),
-      ExactMoney.revenue(col("l_extendedprice"), col("l_discount")).as("rev"))
+      ExactMoney.revenueUnits(col("l_extendedprice"), col("l_discount")).as("rev"))
     val sup = Tables.supplier(spark, dir)
       .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
     Skew.saltedJoin(li, sup, "l_suppkey", salts = 8)
       .groupBy("s_name")
-      .agg(ExactMoney.toMoney(sum("rev")).as("revenue"), count(lit(1)).as("n_items"))
+      .agg(ExactMoney.sumUnits4Col(col("rev")).as("revenue"), count(lit(1)).as("n_items"))
   }
 
   /** Deterministic uniform sample WITHOUT replacement: rank by a salted

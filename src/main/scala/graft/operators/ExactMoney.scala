@@ -61,7 +61,36 @@ object ExactMoney {
     * result is emitted as DOUBLE.
     */
   def sumRevenue(price: Column, discount: Column): Column =
-    sumUnits(10000, cents(price) * (lit(100L) - round(discount * lit(100)).cast("long")))
+    sumUnits(10000, revenueUnits(price, discount))
+
+  /** Exact per-row revenue in integer 1e-4 units (LONG): cents ×
+    * (100 − discount%). Project THIS through joins instead of the decimal
+    * [[revenue]] — a long is cheaper to carry and feeds the fast
+    * aggregates below.
+    */
+  def revenueUnits(price: Column, discount: Column): Column =
+    cents(price) * (lit(100L) - round(discount * lit(100)).cast("long"))
+
+  /** [[cents]] for callers composing their own integer-unit terms. */
+  def centsCol(c: Column): Column = cents(c)
+
+  /** Fast exact sum of 1e-4-unit longs → money DOUBLE (exact 4dp sum,
+    * HALF_UP to cents — [[sumRevenue]]'s output contract).
+    */
+  def sumUnits4Col(c: Column): Column = sumUnits(10000, c)
+
+  /** Fast exact sum of cent longs → money DOUBLE ([[sum2]]'s contract). */
+  def sumCentsCol(c: Column): Column = sumUnits(100, c)
+
+  /** Raw exact sum of integer-unit longs as decimal(38,0) — for callers
+    * that compare/join/re-aggregate the EXACT aggregate before the final
+    * money cast (the q11/q15 cross-multiplied-threshold shapes).
+    */
+  def sumUnitsRaw(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions
+      .SumCentsExact(ColumnBridge.expression(c)).toAggregateExpression())
+  }
 
   /** The final-projection cast for money sums accumulated in decimal by the
     * caller: round-to-cents exactly, emit DOUBLE.

@@ -372,11 +372,11 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
     val l = Tables.lineitem(spark, dir).where(col("l_shipdate") > cut)
       .select(col("l_orderkey"),
-        ExactMoney.revenue(col("l_extendedprice"), col("l_discount")).as("rev"))
+        ExactMoney.revenueUnits(col("l_extendedprice"), col("l_discount")).as("rev"))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderpriority"))
-      .agg(ExactMoney.toMoney(sum(col("rev"))).as("revenue"))
+      .agg(ExactMoney.sumUnits4Col(col("rev")).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -402,13 +402,13 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"))
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"),
-        ExactMoney.revenue(col("l_extendedprice"), col("l_discount")).as("rev"))
+        ExactMoney.revenueUnits(col("l_extendedprice"), col("l_discount")).as("rev"))
       .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
-      .agg(ExactMoney.toMoney(sum(col("rev"))).as("revenue"))
+      .agg(ExactMoney.sumUnits4Col(col("rev")).as("revenue"))
   }
 
   /** A26 — TPC-H Q18 shape (large-volume customers): a HAVING-filtered
@@ -435,8 +435,8 @@ object Relational {
       .where(col("l_shipdate") >= lo && col("l_shipdate") < hi &&
         col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
         col("l_quantity") < 24)
-      .agg(ExactMoney.toMoney(sum(col("l_extendedprice").cast("decimal(12,2)")
-          * col("l_discount").cast("decimal(4,2)"))).as("revenue"),
+      .agg(ExactMoney.sumUnits4Col(ExactMoney.centsCol(col("l_extendedprice"))
+          * round(col("l_discount") * lit(100)).cast("long")).as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
@@ -457,13 +457,13 @@ object Relational {
     val l = Tables.lineitem(spark, dir)
       .where(col("l_returnflag") === "R")
       .select(col("l_orderkey"),
-        ExactMoney.revenue(col("l_extendedprice"), col("l_discount")).as("rev"))
+        ExactMoney.revenueUnits(col("l_extendedprice"), col("l_discount")).as("rev"))
     val o = Tables.orders(spark, dir)
       .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
       .select(col("o_orderkey"), col("o_custkey"))
     val top = l.join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey"))
-      .agg(ExactMoney.toMoney(sum(col("rev"))).as("revenue"),
+      .agg(ExactMoney.sumUnits4Col(col("rev")).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("revenue").desc, col("o_custkey"))
       .limit(n)
@@ -542,12 +542,13 @@ object Relational {
     Tables.lineitem(spark, dir)
       .where(col("l_shipdate") >= lo && col("l_shipdate") < hi)
       .select(col("l_partkey"),
-        ExactMoney.revenue(col("l_extendedprice"), col("l_discount")).as("rev"))
+        ExactMoney.revenueUnits(col("l_extendedprice"), col("l_discount")).as("rev"))
       .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_type")),
         col("l_partkey") === col("p_partkey"))
-      .agg(sum(when(col("p_type") === "PROMO", col("rev")).otherwise(lit(0)))
-          .cast("decimal(18,2)").as("promo_d"),
-        sum(col("rev")).cast("decimal(18,2)").as("total_d"))
+      .agg((ExactMoney.sumUnitsRaw(when(col("p_type") === "PROMO", col("rev"))
+            .otherwise(lit(0L))) / lit(10000)).cast("decimal(18,2)").as("promo_d"),
+        (ExactMoney.sumUnitsRaw(col("rev")) / lit(10000))
+          .cast("decimal(18,2)").as("total_d"))
       .select(col("promo_d").cast("double").as("promo_rev"),
         col("total_d").cast("double").as("total_rev"),
         expr("CAST(promo_d * 100 AS BIGINT) * 1000000 div CAST(total_d * 100 AS BIGINT)")
@@ -640,14 +641,14 @@ object Relational {
       .where(col("l_shipdate") >= lo && col("l_shipdate") < hi)
       .select(col("l_orderkey"), col("l_suppkey"),
         year(col("l_shipdate")).cast("long").as("l_year"),
-        ExactMoney.revenue(col("l_extendedprice"), col("l_discount")).as("rev"))
+        ExactMoney.revenueUnits(col("l_extendedprice"), col("l_discount")).as("rev"))
       .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
       .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey") &&
         col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
-      .agg(ExactMoney.toMoney(sum(col("rev"))).as("revenue"))
+      .agg(ExactMoney.sumUnits4Col(col("rev")).as("revenue"))
   }
 
   /** A35 — TPC-H Q8 shape (national market share): one nation's share of
@@ -676,7 +677,7 @@ object Relational {
       .select(col("c_custkey"))
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
-        ExactMoney.revenue(col("l_extendedprice"), col("l_discount")).as("rev"))
+        ExactMoney.revenueUnits(col("l_extendedprice"), col("l_discount")).as("rev"))
       .join(Tables.part(spark, dir).where(col("p_type") === ptype)
         .select(col("p_partkey")), col("l_partkey") === col("p_partkey"))
       .join(Tables.orders(spark, dir)
@@ -689,9 +690,10 @@ object Relational {
         .select(col("s_suppkey"), col("s_nationkey"))),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("o_year"))
-      .agg(sum(when(col("s_nationkey") === nationKey, col("rev"))
-          .otherwise(lit(0))).cast("decimal(18,2)").as("nation_d"),
-        sum(col("rev")).cast("decimal(18,2)").as("total_d"))
+      .agg((ExactMoney.sumUnitsRaw(when(col("s_nationkey") === nationKey, col("rev"))
+            .otherwise(lit(0L))) / lit(10000)).cast("decimal(18,2)").as("nation_d"),
+        (ExactMoney.sumUnitsRaw(col("rev")) / lit(10000))
+          .cast("decimal(18,2)").as("total_d"))
       .select(col("o_year"),
         col("nation_d").cast("double").as("nation_rev"),
         col("total_d").cast("double").as("total_rev"),
@@ -717,8 +719,9 @@ object Relational {
     val rev = Tables.lineitem(spark, dir)
       .where(col("l_shipdate") >= lo && col("l_shipdate") < hi)
       .groupBy(col("l_suppkey"))
-      .agg(sum(ExactMoney.revenue(col("l_extendedprice"), col("l_discount")))
-        .cast("decimal(18,2)").as("total_d"))
+      .agg((ExactMoney.sumUnitsRaw(
+          ExactMoney.revenueUnits(col("l_extendedprice"), col("l_discount")))
+        / lit(10000)).cast("decimal(18,2)").as("total_d"))
       .localCheckpoint(false)
     val top = rev.agg(max(col("total_d")).as("max_d"))
     rev.join(broadcast(top), col("total_d") === col("max_d"))
@@ -781,7 +784,7 @@ object Relational {
     val l = Tables.lineitem(spark, dir)
       .where(col("l_quantity") >= 1 && col("l_quantity") <= 30)
       .select(col("l_partkey"), col("l_quantity"),
-        ExactMoney.revenue(col("l_extendedprice"), col("l_discount")).as("rev"))
+        ExactMoney.revenueUnits(col("l_extendedprice"), col("l_discount")).as("rev"))
     val p = Tables.part(spark, dir)
       .where(col("p_size").between(1, 15) &&
         col("p_brand").isin("Brand#12", "Brand#23", "Brand#15"))
@@ -794,7 +797,7 @@ object Relational {
           col("l_quantity").between(10, 20)) ||
         (col("p_brand") === "Brand#15" && col("p_size").between(1, 15) &&
           col("l_quantity").between(20, 30)))
-      .agg(ExactMoney.toMoney(sum(col("rev"))).as("revenue"),
+      .agg(ExactMoney.sumUnits4Col(col("rev")).as("revenue"),
         count(lit(1)).as("n_lines"))
   }
 
@@ -859,18 +862,18 @@ object Relational {
     val sel = Tables.customer(spark, dir)
       .where(col("c_nationkey").isin(0, 1, 2, 3, 4, 5, 6))
       .select(col("c_custkey"), col("c_nationkey"),
-        col("c_acctbal").cast("decimal(12,2)").as("bal"))
-    val stats = sel.where(col("bal") > 0)
-      .agg(sum(col("bal")).as("s"), count(lit(1)).as("n"))
+        ExactMoney.centsCol(col("c_acctbal")).as("bal_c"))
+    val stats = sel.where(col("bal_c") > 0)
+      .agg(ExactMoney.sumUnitsRaw(col("bal_c")).as("s"), count(lit(1)).as("n"))
     val recent = Tables.orders(spark, dir)
       .where(col("o_orderdate") >= expr("TIMESTAMP '2000-01-01 00:00:00'"))
       .select(col("o_custkey"))
     sel.crossJoin(broadcast(stats))
-      .where(col("bal") * col("n") > col("s"))
+      .where(col("bal_c").cast("decimal(38,0)") * col("n") > col("s"))
       .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("numcust"),
-        ExactMoney.toMoney(sum(col("bal"))).as("totacctbal"))
+        ExactMoney.sumCentsCol(col("bal_c")).as("totacctbal"))
   }
 
   /** The part-supplier catalog the schema doesn't ship: TPC-H's partsupp
@@ -970,8 +973,8 @@ object Relational {
       .join(broadcast(pk), col("l_partkey") === col("p_partkey"), "left_semi")
       .localCheckpoint(false)
     val amount =
-      ExactMoney.revenue(col("l_extendedprice"), col("l_discount")) -
-        col("ps_supplycost").cast("decimal(12,2)")
+      ExactMoney.revenueUnits(col("l_extendedprice"), col("l_discount")) -
+        ExactMoney.centsCol(col("ps_supplycost")) * lit(100L)
     l.join(derivedPartsupp(l),
         col("l_partkey") === col("ps_partkey") &&
           col("l_suppkey") === col("ps_suppkey"))
@@ -985,7 +988,7 @@ object Relational {
             year(col("o_orderdate")).cast("long").as("o_year")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name").as("nation"), col("o_year"))
-      .agg(ExactMoney.toMoney(sum(amount)).as("sum_profit"))
+      .agg(ExactMoney.sumUnits4Col(amount).as("sum_profit"))
   }
 
   /** A43 — TPC-H Q11 shape (important stock): parts whose catalog value
@@ -1012,12 +1015,12 @@ object Relational {
     val value = derivedPartsupp(Tables.lineitem(spark, dir))
       .join(broadcast(rs), col("ps_suppkey") === col("s_suppkey"), "left_semi")
       .groupBy(col("ps_partkey"))
-      .agg(sum(col("ps_supplycost").cast("decimal(12,2)")).as("val"))
+      .agg(ExactMoney.sumUnitsRaw(ExactMoney.centsCol(col("ps_supplycost"))).as("val"))
       .localCheckpoint(false)
     val total = value.agg(sum(col("val")).as("t"))
     value.crossJoin(broadcast(total))
       .where(col("val") * denom > col("t"))
-      .select(col("ps_partkey"), ExactMoney.toMoney(col("val")).as("value"))
+      .select(col("ps_partkey"), ExactMoney.toMoney(col("val") / lit(100)).as("value"))
       .orderBy(col("value").desc, col("ps_partkey"))
   }
 
