@@ -76,7 +76,15 @@ if __name__ == "__main__":
     if "--update-plans" in sys.argv:
         marker = "## Per-query bench trend (tools/bench_trend.py)"
         body = open("PLANS.md").read()
-        block = f"{marker}\n\nΔ = last-round change; ⚠ = outside the ±40% cross-JVM noise band AND >0.3 s.\n\n{t}\n"
+        block = (
+            f"{marker}\n\n"
+            "Δ = last-round change; ⚠ = outside the ±40% cross-JVM noise band AND >0.3 s.\n"
+            "Alphabetically-early queries show gaps for r8–r11: the driver's 2000-char\n"
+            "tail clipped the FRONT of those rounds' JSON lines (fixed in r12 — the\n"
+            "compact emission + committed BENCH_FULL_r{N}.json quiet runs now keep\n"
+            "columns complete, so a Δ against a many-round-old cell is cross-era, not\n"
+            "last-round).\n\n"
+            f"{t}\n")
         if marker in body:
             pre = body[: body.index(marker)]
             rest = body[body.index(marker) :]
