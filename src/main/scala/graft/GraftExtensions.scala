@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{DotProduct, Hash60Array, MinHashSig, PackedGrams4,
-  RollingHash31, ShingleHash3, SimHash64, SortedJaccard}
+  RollingHash31, ShingleHash3, SimHash64, SortedJaccard, SumCentsExact}
 
 /** SparkSessionExtensions hook exposing the graft codegen kernels as SQL
   * functions — `spark.sql("SELECT graft_dot(a, b) ...")` — so pure-SQL users
@@ -60,5 +60,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_packed_grams4"),
       info("graft_packed_grams4", "graft_packed_grams4(text) - injectively packed char 4-grams (ASCII)"),
       (children: Seq[Expression]) => PackedGrams4(children.head)))
+    // aggregate kernel: exact integer money sum on the long fast path
+    ext.injectFunction((FunctionIdentifier("graft_sum_cents_exact"),
+      info("graft_sum_cents_exact",
+        "graft_sum_cents_exact(units) - exact int128 sum of long money units as decimal(38,0)"),
+      (children: Seq[Expression]) => SumCentsExact(children.head)))
   }
 }

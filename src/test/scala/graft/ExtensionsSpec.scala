@@ -50,6 +50,15 @@ class ExtensionsSpec extends AnyFunSuite {
       intercept[Exception] { // non-literal config must be rejected
         spark.sql("SELECT graft_rolling_hash('a', CAST(rand()*2 AS BIGINT), 7L)").collect()
       }
+      // the aggregate kernel: exact int128 sum usable from pure SQL,
+      // incl. a sum that overflows a single long
+      val big = Long.MaxValue / 2 + 17
+      val s = spark.sql(
+        s"SELECT k, graft_sum_cents_exact(v) AS s FROM VALUES " +
+          s"(1, ${big}L), (1, ${big}L), (1, -3L), (2, CAST(NULL AS BIGINT)) " +
+          "AS t(k, v) GROUP BY k ORDER BY k").collect()
+      assert(BigDecimal(s(0).getDecimal(1)) == BigDecimal(big) * 2 - 3)
+      assert(s(1).isNullAt(1))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
