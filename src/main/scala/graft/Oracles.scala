@@ -23,14 +23,14 @@ object Oracles {
     val bandSelects = (0 until Bands).map { j =>
       s"SELECT doc_id, $j AS bid, (${m(2 * j)}::VARCHAR || ',' || ${m(2 * j + 1)}::VARCHAR) AS bkey FROM hs"
     }.mkString(" UNION ALL ")
-    s"""tok AS (SELECT doc_id, $toksSql AS w FROM documents),
-       |tk AS (SELECT doc_id, w FROM tok WHERE len(w) >= 3),
-       |shs AS (SELECT doc_id, list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] FOR i IN range(1, len(w)-1)]) AS sh FROM tk),
-       |hs AS (SELECT doc_id, list_transform(sh, s -> $hash60Sql % $P) AS h0 FROM shs),
-       |bands AS ($bandSelects),
-       |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2 FROM bands x
+    s"""tok AS MATERIALIZED (SELECT doc_id, $toksSql AS w FROM documents),
+       |tk AS MATERIALIZED (SELECT doc_id, w FROM tok WHERE len(w) >= 3),
+       |shs AS MATERIALIZED (SELECT doc_id, list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] FOR i IN range(1, len(w)-1)]) AS sh FROM tk),
+       |hs AS MATERIALIZED (SELECT doc_id, list_transform(sh, s -> $hash60Sql % $P) AS h0 FROM shs),
+       |bands AS MATERIALIZED ($bandSelects),
+       |cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2 FROM bands x
        |         JOIN bands y ON x.bid = y.bid AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-       |ver AS (SELECT d1, d2,
+       |ver AS MATERIALIZED (SELECT d1, d2,
        |          round(len(list_intersect(a.h0, b.h0))::DOUBLE
        |                / len(list_distinct(list_concat(a.h0, b.h0))), 6) AS jac
        |        FROM cand JOIN hs a ON d1 = a.doc_id JOIN hs b ON d2 = b.doc_id)""".stripMargin
@@ -49,12 +49,12 @@ object Oracles {
     val bandSelects = (0 until Bands).map { j =>
       s"SELECT doc_id, $j AS bid, (${m(2 * j)}::VARCHAR || ',' || ${m(2 * j + 1)}::VARCHAR) AS bkey FROM hs"
     }.mkString(" UNION ALL ")
-    s"""WITH tok AS (SELECT doc_id, $toksSql AS w FROM documents),
-       |tk AS (SELECT doc_id, w FROM tok WHERE len(w) >= 3),
-       |shs AS (SELECT doc_id, list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] FOR i IN range(1, len(w)-1)]) AS sh FROM tk),
-       |hs AS (SELECT doc_id, list_transform(sh, s -> $hash60Sql % $P) AS h0 FROM shs),
-       |bands AS ($bandSelects),
-       |cand AS (SELECT DISTINCT y.doc_id AS new_id, x.doc_id AS corpus_id
+    s"""WITH tok AS MATERIALIZED (SELECT doc_id, $toksSql AS w FROM documents),
+       |tk AS MATERIALIZED (SELECT doc_id, w FROM tok WHERE len(w) >= 3),
+       |shs AS MATERIALIZED (SELECT doc_id, list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] FOR i IN range(1, len(w)-1)]) AS sh FROM tk),
+       |hs AS MATERIALIZED (SELECT doc_id, list_transform(sh, s -> $hash60Sql % $P) AS h0 FROM shs),
+       |bands AS MATERIALIZED ($bandSelects),
+       |cand AS MATERIALIZED (SELECT DISTINCT y.doc_id AS new_id, x.doc_id AS corpus_id
        |         FROM bands x JOIN bands y ON x.bid = y.bid AND x.bkey = y.bkey
        |         WHERE x.doc_id % 5 <> 4 AND y.doc_id % 5 = 4)
        |SELECT new_id, corpus_id,
@@ -72,8 +72,8 @@ object Oracles {
     */
   val dedupCluster: String =
     s"""WITH RECURSIVE $minhashVerCtes,
-       |pairs AS (SELECT d1, d2 FROM ver WHERE jac >= 0.5),
-       |und AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION SELECT d2, d1 FROM pairs),
+       |pairs AS MATERIALIZED (SELECT d1, d2 FROM ver WHERE jac >= 0.5),
+       |und AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM pairs UNION SELECT d2, d1 FROM pairs),
        |reach(src, dst) AS (
        |  SELECT src, dst FROM und
        |  UNION
@@ -86,15 +86,15 @@ object Oracles {
     */
   val dedupKeepBest: String =
     s"""WITH RECURSIVE $minhashVerCtes,
-       |pairs AS (SELECT d1, d2 FROM ver WHERE jac >= 0.5),
-       |und AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION SELECT d2, d1 FROM pairs),
+       |pairs AS MATERIALIZED (SELECT d1, d2 FROM ver WHERE jac >= 0.5),
+       |und AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM pairs UNION SELECT d2, d1 FROM pairs),
        |reach(src, dst) AS (
        |  SELECT src, dst FROM und
        |  UNION
        |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
-       |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |cl AS MATERIALIZED (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
        |       FROM reach GROUP BY src),
-       |wc AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_words FROM documents)
+       |wc AS MATERIALIZED (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_words FROM documents)
        |SELECT c.doc_id, c.cluster_id, w.n_words,
        |       row_number() OVER (PARTITION BY c.cluster_id
        |                          ORDER BY w.n_words DESC, c.doc_id) = 1 AS keep
@@ -111,8 +111,8 @@ object Oracles {
       s"SELECT doc_id, $j AS bid, (${m(2 * j)}::VARCHAR || ',' || ${m(2 * j + 1)}::VARCHAR) AS bkey FROM hs"
     }.mkString(" UNION ALL ")
     s"""WITH RECURSIVE
-       |qt AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
-       |q AS (SELECT doc_id FROM (
+       |qt AS MATERIALIZED (SELECT doc_id, text, $toksSql AS toks FROM documents),
+       |q AS MATERIALIZED (SELECT doc_id FROM (
        |    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
        |      (len(replace(text, ' ', '')) * 100) // len(toks) AS wl,
        |      len(list_filter(toks, x -> list_contains($stopListSql, x))) AS sh,
@@ -121,25 +121,25 @@ object Oracles {
        |    FROM qt WHERE len(toks) > 0) f
        |  WHERE n_words >= 5 AND n_words <= 10000 AND wl >= 200 AND wl <= 1200
        |    AND sh >= 1 AND mf * 5 <= n_words),
-       |tok AS (SELECT doc_id, $toksSql AS w FROM documents
+       |tok AS MATERIALIZED (SELECT doc_id, $toksSql AS w FROM documents
        |        WHERE doc_id IN (SELECT doc_id FROM q)),
-       |tk AS (SELECT doc_id, w FROM tok WHERE len(w) >= 3),
-       |shs AS (SELECT doc_id, list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] FOR i IN range(1, len(w)-1)]) AS sh FROM tk),
-       |hs AS (SELECT doc_id, list_transform(sh, s -> $hash60Sql % $P) AS h0 FROM shs),
-       |bands AS ($bandSelects),
-       |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2 FROM bands x
+       |tk AS MATERIALIZED (SELECT doc_id, w FROM tok WHERE len(w) >= 3),
+       |shs AS MATERIALIZED (SELECT doc_id, list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] FOR i IN range(1, len(w)-1)]) AS sh FROM tk),
+       |hs AS MATERIALIZED (SELECT doc_id, list_transform(sh, s -> $hash60Sql % $P) AS h0 FROM shs),
+       |bands AS MATERIALIZED ($bandSelects),
+       |cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2 FROM bands x
        |         JOIN bands y ON x.bid = y.bid AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-       |pairs AS (SELECT d1, d2 FROM cand JOIN hs a ON d1 = a.doc_id JOIN hs b ON d2 = b.doc_id
+       |pairs AS MATERIALIZED (SELECT d1, d2 FROM cand JOIN hs a ON d1 = a.doc_id JOIN hs b ON d2 = b.doc_id
        |          WHERE round(len(list_intersect(a.h0, b.h0))::DOUBLE
        |                      / len(list_distinct(list_concat(a.h0, b.h0))), 6) >= 0.5),
-       |und AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION SELECT d2, d1 FROM pairs),
+       |und AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM pairs UNION SELECT d2, d1 FROM pairs),
        |reach(src, dst) AS (
        |  SELECT src, dst FROM und
        |  UNION
        |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
-       |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |cl AS MATERIALIZED (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
        |       FROM reach GROUP BY src),
-       |wc AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_words FROM documents
+       |wc AS MATERIALIZED (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_words FROM documents
        |       WHERE doc_id IN (SELECT doc_id FROM q))
        |SELECT c.doc_id, c.cluster_id, w.n_words,
        |       row_number() OVER (PARTITION BY c.cluster_id
@@ -155,7 +155,7 @@ object Oracles {
     * LIMIT deterministic under price ties.
     */
   val tpchQ18: String =
-    """WITH big AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+    """WITH big AS MATERIALIZED (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
       |             FROM lineitem GROUP BY 1
       |             HAVING round(sum(l_quantity), 2) > 250)
       |SELECT c_name, c_custkey, o_orderkey, epoch_ms(o_orderdate) AS o_date_ms,
@@ -181,7 +181,7 @@ object Oracles {
     * revenue, (revenue DESC, custkey) tiebreak.
     */
   val tpchQ10: String =
-    """WITH agg AS (
+    """WITH agg AS MATERIALIZED (
       |  SELECT o_custkey,
       |         CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
       |                        * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
@@ -217,13 +217,13 @@ object Oracles {
     * division (`//` ↔ Spark `div`).
     */
   val tpchQ14: String =
-    """WITH j AS (
+    """WITH j AS MATERIALIZED (
       |  SELECT CAST(l_extendedprice AS DECIMAL(12,2))
       |         * (1 - CAST(l_discount AS DECIMAL(4,2))) AS rev, p_type
       |  FROM lineitem JOIN part ON l_partkey = p_partkey
       |  WHERE l_shipdate >= TIMESTAMP '1996-09-01'
       |    AND l_shipdate < TIMESTAMP '1996-10-01'),
-      |a AS (
+      |a AS MATERIALIZED (
       |  SELECT CAST(round(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END), 2)
       |              AS DECIMAL(18,2)) AS promo_d,
       |         CAST(round(sum(rev), 2) AS DECIMAL(18,2)) AS total_d
@@ -289,7 +289,7 @@ object Oracles {
     * floor division per year (the Q14 rule).
     */
   val tpchQ8: String =
-    """WITH j AS (
+    """WITH j AS MATERIALIZED (
       |  SELECT year(o_orderdate)::BIGINT AS o_year, s_nationkey,
       |         CAST(l_extendedprice AS DECIMAL(12,2))
       |         * (1 - CAST(l_discount AS DECIMAL(4,2))) AS rev
@@ -303,7 +303,7 @@ object Oracles {
       |  WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
       |    AND o_orderdate >= TIMESTAMP '1996-01-01'
       |    AND o_orderdate < TIMESTAMP '1998-01-01'),
-      |a AS (
+      |a AS MATERIALIZED (
       |  SELECT o_year,
       |         CAST(round(sum(CASE WHEN s_nationkey = 5 THEN rev ELSE 0 END), 2)
       |              AS DECIMAL(18,2)) AS nation_d,
@@ -319,7 +319,7 @@ object Oracles {
     * kept) by DECIMAL equality against the scalar max, DOUBLE out.
     */
   val tpchQ15: String =
-    """WITH rev AS (
+    """WITH rev AS MATERIALIZED (
       |  SELECT l_suppkey,
       |         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
       |                        * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
@@ -337,7 +337,7 @@ object Oracles {
     * 20%-of-average compare (5·qty·cnt < sum), exact-cent total.
     */
   val tpchQ17: String =
-    """WITH l AS (
+    """WITH l AS MATERIALIZED (
       |  SELECT l_quantity, l_extendedprice,
       |         sum(l_quantity) OVER (PARTITION BY l_partkey) AS sum_qty,
       |         count(*) OVER (PARTITION BY l_partkey) AS cnt
@@ -372,12 +372,12 @@ object Oracles {
     * the culprit), late = shipped >60 days after order date.
     */
   val tpchQ21: String =
-    """WITH l AS (
+    """WITH l AS MATERIALIZED (
       |  SELECT l_orderkey, l_suppkey,
       |         l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  WHERE o_orderstatus = 'F'),
-      |po AS (
+      |po AS MATERIALIZED (
       |  SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
       |         count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late,
       |         max(CASE WHEN late THEN l_suppkey END) AS late_supp
@@ -394,10 +394,10 @@ object Oracles {
     * anti join (no orders since 2000-01-01), exact-cent balance totals.
     */
   val tpchQ22: String =
-    """WITH sel AS (
+    """WITH sel AS MATERIALIZED (
       |  SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(12,2)) AS bal
       |  FROM customer WHERE c_nationkey IN (0,1,2,3,4,5,6)),
-      |st AS (SELECT sum(bal) AS s, count(*)::BIGINT AS n FROM sel WHERE bal > 0)
+      |st AS MATERIALIZED (SELECT sum(bal) AS s, count(*)::BIGINT AS n FROM sel WHERE bal > 0)
       |SELECT c_nationkey, count(*)::BIGINT AS numcust,
       |       CAST(CAST(sum(bal) AS DECIMAL(18,2)) AS DOUBLE) AS totacctbal
       |FROM sel, st
@@ -413,14 +413,14 @@ object Oracles {
     * doubles are bit-equal cross-engine.
     */
   val collocations: String =
-    s"""WITH tok AS (SELECT $toksSql AS toks FROM documents),
-       |uni AS (SELECT w, count(*)::BIGINT AS n
+    s"""WITH tok AS MATERIALIZED (SELECT $toksSql AS toks FROM documents),
+       |uni AS MATERIALIZED (SELECT w, count(*)::BIGINT AS n
        |        FROM (SELECT unnest(toks) AS w FROM tok) GROUP BY 1),
-       |bi AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+       |bi AS MATERIALIZED (SELECT toks[i] AS w1, toks[i+1] AS w2
        |       FROM tok, unnest(generate_series(1, len(toks) - 1)) AS t(i)
        |       WHERE len(toks) >= 2),
-       |biAll AS (SELECT w1, w2, count(*)::BIGINT AS n12 FROM bi GROUP BY 1, 2),
-       |tot AS (SELECT (SELECT sum(n) FROM uni)::BIGINT AS n_tok,
+       |biAll AS MATERIALIZED (SELECT w1, w2, count(*)::BIGINT AS n12 FROM bi GROUP BY 1, 2),
+       |tot AS MATERIALIZED (SELECT (SELECT sum(n) FROM uni)::BIGINT AS n_tok,
        |               (SELECT sum(n12) FROM biAll)::BIGINT AS n_big)
        |SELECT w1, w2, n12, u1.n AS n1, u2.n AS n2,
        |       CAST(n12 AS DOUBLE) * n_tok * n_tok
@@ -436,12 +436,12 @@ object Oracles {
     * (Σ_w c(w1,w)), matching the Spark window exactly.
     */
   val lmScore: String =
-    s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
-       |bi AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+    s"""WITH tok AS MATERIALIZED (SELECT doc_id, $toksSql AS toks FROM documents),
+       |bi AS MATERIALIZED (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
        |       FROM tok, unnest(generate_series(1, len(toks) - 1)) AS t(i)
        |       WHERE len(toks) >= 2),
-       |agg AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS tf FROM bi GROUP BY 1, 2, 3),
-       |c AS (SELECT doc_id, tf,
+       |agg AS MATERIALIZED (SELECT doc_id, w1, w2, count(*)::BIGINT AS tf FROM bi GROUP BY 1, 2, 3),
+       |c AS MATERIALIZED (SELECT doc_id, tf,
        |             sum(tf) OVER (PARTITION BY w1) AS c1,
        |             sum(tf) OVER (PARTITION BY w1, w2) AS c12 FROM agg)
        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
@@ -455,17 +455,17 @@ object Oracles {
     * scores are bit-identical cross-engine.
     */
   private val dsirCtes: String =
-    s"""tok AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
-       |occ AS (SELECT doc_id, lang, h % 4096 AS b FROM (
+    s"""tok AS MATERIALIZED (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+       |occ AS MATERIALIZED (SELECT doc_id, lang, h % 4096 AS b FROM (
        |    SELECT doc_id, lang,
        |      unnest([$hash60Sql FOR s IN
        |              [array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]]) AS h
        |    FROM tok WHERE len(toks) >= 2)),
-       |model AS (SELECT b,
+       |model AS MATERIALIZED (SELECT b,
        |    CAST((sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1) * 1000000
        |         // (count(*) + 1) AS BIGINT) AS r_ppm
        |  FROM occ GROUP BY b),
-       |w AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       |w AS MATERIALIZED (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
        |        CAST(sum(r_ppm) // count(*) AS BIGINT) AS dsir_ppm
        |      FROM occ JOIN model USING (b) GROUP BY doc_id)""".stripMargin
 
@@ -488,18 +488,18 @@ object Oracles {
     * convention before the per-cell top-10 ranking.
     */
   val clusterPrune: String =
-    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-      |cen AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cid, e AS ce
+    """WITH v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |cen AS MATERIALIZED (SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cid, e AS ce
       |        FROM v WHERE vec_id < 16),
-      |d AS (SELECT v.vec_id, cen.cid,
+      |d AS MATERIALIZED (SELECT v.vec_id, cen.cid,
       |        (list_dot_product(e, e) - 2 * list_dot_product(e, ce)
       |         + list_dot_product(ce, ce)) AS dist
       |      FROM v, cen),
-      |a AS (SELECT vec_id, cid, dist,
+      |a AS MATERIALIZED (SELECT vec_id, cid, dist,
       |        row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS r FROM d),
-      |asg AS (SELECT vec_id, cid, CAST(floor(dist * 1000000) AS BIGINT) AS dist6
+      |asg AS MATERIALIZED (SELECT vec_id, cid, CAST(floor(dist * 1000000) AS BIGINT) AS dist6
       |        FROM a WHERE r = 1),
-      |rr AS (SELECT cid, vec_id, dist6,
+      |rr AS MATERIALIZED (SELECT cid, vec_id, dist6,
       |         row_number() OVER (PARTITION BY cid ORDER BY dist6, vec_id) AS rk FROM asg)
       |SELECT CAST(cid AS BIGINT) AS cid, rk, vec_id, dist6 FROM rr WHERE rk <= 10""".stripMargin
 
@@ -508,7 +508,7 @@ object Oracles {
     * exact-2dp doubles, so no decimal accumulation is needed.
     */
   private val psSql: String =
-    """ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+    """ps AS MATERIALIZED (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
       |             min(l_extendedprice) AS ps_supplycost
       |      FROM lineitem GROUP BY 1, 2)""".stripMargin
 
@@ -518,10 +518,10 @@ object Oracles {
     */
   val tpchQ2: String =
     s"""WITH $psSql,
-       |es AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+       |es AS MATERIALIZED (SELECT s_suppkey, s_name, s_acctbal, n_name
        |       FROM supplier JOIN nation ON s_nationkey = n_nationkey
        |       JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
-       |cand AS (SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name,
+       |cand AS MATERIALIZED (SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name,
        |                ps_supplycost,
        |                min(ps_supplycost) OVER (PARTITION BY p_partkey) AS mincost
        |         FROM ps JOIN es ON ps_suppkey = s_suppkey
@@ -555,14 +555,14 @@ object Oracles {
     */
   val tpchQ11: String =
     s"""WITH $psSql,
-       |v AS (SELECT ps_partkey, sum(CAST(ps_supplycost AS DECIMAL(12,2))) AS val
+       |v AS MATERIALIZED (SELECT ps_partkey, sum(CAST(ps_supplycost AS DECIMAL(12,2))) AS val
        |      FROM ps
        |      WHERE ps_suppkey IN (SELECT s_suppkey FROM supplier
        |                           JOIN nation ON s_nationkey = n_nationkey
        |                           JOIN region ON n_regionkey = r_regionkey
        |                           WHERE r_name = 'ASIA')
        |      GROUP BY 1),
-       |tot AS (SELECT sum(val) AS t FROM v)
+       |tot AS MATERIALIZED (SELECT sum(val) AS t FROM v)
        |SELECT ps_partkey, CAST(CAST(val AS DECIMAL(18,2)) AS DOUBLE) AS value
        |FROM v, tot WHERE val * 1000 > t
        |ORDER BY value DESC, ps_partkey""".stripMargin
@@ -585,14 +585,14 @@ object Oracles {
     * same EUROPE listing.
     */
   val tpchQ20: String =
-    """WITH sp AS (
+    """WITH sp AS MATERIALIZED (
       |  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS BIGINT)) AS q
       |  FROM lineitem
       |  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
       |    AND l_shipdate < TIMESTAMP '1999-01-01'
       |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red %')
       |  GROUP BY 1, 2),
-      |pt AS (SELECT l_partkey, sum(q) AS qp FROM sp GROUP BY 1)
+      |pt AS MATERIALIZED (SELECT l_partkey, sum(q) AS qp FROM sp GROUP BY 1)
       |SELECT s_name, s_acctbal
       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey
@@ -605,8 +605,8 @@ object Oracles {
     * null test, same integer floor division.
     */
   val oovRate: String =
-    s"""WITH tok AS (SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents),
-       |v AS (SELECT DISTINCT tok FROM tok WHERE lang = 'en')
+    s"""WITH tok AS MATERIALIZED (SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents),
+       |v AS MATERIALIZED (SELECT DISTINCT tok FROM tok WHERE lang = 'en')
        |SELECT t.doc_id, t.lang, count(*)::BIGINT AS n_tokens,
        |       (count(*) FILTER (v.tok IS NULL))::BIGINT AS n_oov,
        |       ((count(*) FILTER (v.tok IS NULL)) * 1000000 // count(*))::BIGINT AS oov_ppm
@@ -614,19 +614,19 @@ object Oracles {
        |GROUP BY 1, 2""".stripMargin
 
   val dedupSimhash: String =
-    s"""WITH t AS (SELECT doc_id, list_transform($toksSql, s -> $hash60Sql) AS hs FROM documents)
+    s"""WITH t AS MATERIALIZED (SELECT doc_id, list_transform($toksSql, s -> $hash60Sql) AS hs FROM documents)
        |SELECT doc_id, CAST(list_sum([CASE WHEN list_sum([CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0
        |       THEN (1::BIGINT << b) ELSE 0 END FOR b IN range(60)]) AS BIGINT) AS simhash FROM t""".stripMargin
 
   val ngramJaccard: String =
-    s"""WITH g AS (SELECT doc_id, (n_chars // 25) AS bucket,
+    s"""WITH g AS MATERIALIZED (SELECT doc_id, (n_chars // 25) AS bucket,
        |            list_distinct([ CAST((((least(ord(substr(text, i, 1)), 255) * 256
        |                + least(ord(substr(text, i + 1, 1)), 255)) * 256
        |                + least(ord(substr(text, i + 2, 1)), 255)) * 256
        |                + least(ord(substr(text, i + 3, 1)), 255)) AS BIGINT)
        |              FOR i IN range(1, len(text) - 2) ]) AS grams
        |           FROM documents),
-       |p AS (SELECT x.doc_id AS d1, y.doc_id AS d2,
+       |p AS MATERIALIZED (SELECT x.doc_id AS d1, y.doc_id AS d2,
        |        round(len(list_intersect(x.grams, y.grams))::DOUBLE
        |              / len(list_distinct(list_concat(x.grams, y.grams))), 6) AS jac
        |      FROM g x JOIN g y ON x.bucket = y.bucket AND x.doc_id < y.doc_id)
@@ -637,22 +637,22 @@ object Oracles {
     * variant.
     */
   val ngramTopK: String =
-    s"""WITH g AS (SELECT doc_id, (n_chars // 25) AS bucket,
+    s"""WITH g AS MATERIALIZED (SELECT doc_id, (n_chars // 25) AS bucket,
        |            list_distinct([ CAST((((least(ord(substr(text, i, 1)), 255) * 256
        |                + least(ord(substr(text, i + 1, 1)), 255)) * 256
        |                + least(ord(substr(text, i + 2, 1)), 255)) * 256
        |                + least(ord(substr(text, i + 3, 1)), 255)) AS BIGINT)
        |              FOR i IN range(1, len(text) - 2) ]) AS grams
        |           FROM documents),
-       |p AS (SELECT x.doc_id AS d1, y.doc_id AS d2,
+       |p AS MATERIALIZED (SELECT x.doc_id AS d1, y.doc_id AS d2,
        |        round(len(list_intersect(x.grams, y.grams))::DOUBLE
        |              / len(list_distinct(list_concat(x.grams, y.grams))), 6) AS jac
        |      FROM g x JOIN g y ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
-       |f AS (SELECT d1, d2, jac FROM p WHERE jac >= 0.35),
-       |sym AS (SELECT d1 AS doc_id, d2 AS nbr, jac FROM f
+       |f AS MATERIALIZED (SELECT d1, d2, jac FROM p WHERE jac >= 0.35),
+       |sym AS MATERIALIZED (SELECT d1 AS doc_id, d2 AS nbr, jac FROM f
        |        UNION ALL
        |        SELECT d2 AS doc_id, d1 AS nbr, jac FROM f),
-       |r AS (SELECT doc_id, nbr, jac,
+       |r AS MATERIALIZED (SELECT doc_id, nbr, jac,
        |        row_number() OVER (PARTITION BY doc_id ORDER BY jac DESC, nbr) AS rk
        |      FROM sym)
        |SELECT doc_id, rk, nbr, jac FROM r WHERE rk <= 3""".stripMargin
@@ -663,31 +663,31 @@ object Oracles {
     * with rounded cosine ≥ threshold.
     */
   val dedupEmbedding: String =
-    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-      |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
-      |cen AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cid, e AS ce
+    """WITH v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |n AS MATERIALIZED (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+      |cen AS MATERIALIZED (SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cid, e AS ce
       |        FROM v WHERE vec_id < (SELECT least(65536, greatest(16, count(*) // 250)) FROM v)),
-      |d AS (SELECT n.vec_id, cen.cid,
+      |d AS MATERIALIZED (SELECT n.vec_id, cen.cid,
       |        (list_dot_product(e, e) - 2 * list_dot_product(e, ce)
       |         + list_dot_product(ce, ce)) AS dist
       |      FROM n, cen),
-      |assign AS (SELECT vec_id, cid FROM (
+      |assign AS MATERIALIZED (SELECT vec_id, cid FROM (
       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS r
       |    FROM d) t WHERE r = 1),
-      |a AS (SELECT n.vec_id, cid, e, nrm FROM n JOIN assign USING (vec_id)),
-      |p AS (SELECT x.vec_id AS id1, y.vec_id AS id2,
+      |a AS MATERIALIZED (SELECT n.vec_id, cid, e, nrm FROM n JOIN assign USING (vec_id)),
+      |p AS MATERIALIZED (SELECT x.vec_id AS id1, y.vec_id AS id2,
       |        round(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 4) AS cos4
       |      FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id)
       |SELECT id1, id2, cos4 FROM p WHERE cos4 >= 0.4""".stripMargin
 
   val annBruteForce: String =
-    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-      |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
-      |q AS (SELECT * FROM n WHERE vec_id < 20),
-      |p AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+    """WITH v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |n AS MATERIALIZED (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+      |q AS MATERIALIZED (SELECT * FROM n WHERE vec_id < 20),
+      |p AS MATERIALIZED (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
       |        round(list_dot_product(q.e, n.e) / (q.nrm * n.nrm), 4) AS cos4
       |      FROM q JOIN n ON n.vec_id <> q.vec_id),
-      |r AS (SELECT query_id, neighbor_id, cos4,
+      |r AS MATERIALIZED (SELECT query_id, neighbor_id, cos4,
       |        row_number() OVER (PARTITION BY query_id ORDER BY cos4 DESC, neighbor_id) AS rk
       |      FROM p)
       |SELECT query_id, rk, neighbor_id, cos4 FROM r WHERE rk <= 5""".stripMargin
@@ -697,22 +697,22 @@ object Oracles {
     * reconstructs bit-identical buckets, candidates and re-ranking.
     */
   val annLsh: String =
-    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-      |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
-      |planes AS (
+    """WITH v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |n AS MATERIALIZED (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+      |planes AS MATERIALIZED (
       |  SELECT t, j,
       |    [ ((((t*4 + j)*64 + d) * 2654435761) % 1000003) / 1000003.0 - 0.5 FOR d IN range(64) ] AS w
       |  FROM (SELECT unnest(range(8)) AS t) tt, (SELECT unnest(range(4)) AS j) jj),
-      |bt AS (SELECT vec_id, t,
+      |bt AS MATERIALIZED (SELECT vec_id, t,
       |         CAST(sum(CASE WHEN list_dot_product(e, w) > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
       |       FROM n, planes GROUP BY vec_id, t),
-      |cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+      |cand AS MATERIALIZED (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
       |         FROM bt a JOIN bt b ON a.t = b.t AND a.bucket = b.bucket
       |         WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id),
-      |scored AS (SELECT qid AS query_id, nid AS neighbor_id,
+      |scored AS MATERIALIZED (SELECT qid AS query_id, nid AS neighbor_id,
       |             round(list_dot_product(q.e, x.e) / (q.nrm * x.nrm), 4) AS cos4
       |           FROM cand JOIN n q ON qid = q.vec_id JOIN n x ON nid = x.vec_id),
-      |r AS (SELECT query_id, neighbor_id, cos4,
+      |r AS MATERIALIZED (SELECT query_id, neighbor_id, cos4,
       |        row_number() OVER (PARTITION BY query_id ORDER BY cos4 DESC, neighbor_id) AS rk
       |      FROM scored)
       |SELECT query_id, rk, neighbor_id, cos4 FROM r WHERE rk <= 5""".stripMargin
@@ -722,24 +722,24 @@ object Oracles {
     * same expansion as the Spark plan: |e|² - 2·e·c + |c|².
     */
   val annIvf: String =
-    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-      |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
-      |cen AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cid, e AS ce
+    """WITH v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |n AS MATERIALIZED (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+      |cen AS MATERIALIZED (SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cid, e AS ce
       |        FROM v WHERE vec_id < 16),
-      |d AS (SELECT n.vec_id, cen.cid,
+      |d AS MATERIALIZED (SELECT n.vec_id, cen.cid,
       |        (list_dot_product(e, e) - 2 * list_dot_product(e, ce)
       |         + list_dot_product(ce, ce)) AS dist
       |      FROM n, cen),
-      |ranked AS (SELECT vec_id, cid, dist,
+      |ranked AS MATERIALIZED (SELECT vec_id, cid, dist,
       |             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS r FROM d),
-      |assign AS (SELECT vec_id, cid FROM ranked WHERE r = 1),
-      |probes AS (SELECT vec_id AS qid, cid FROM ranked WHERE vec_id < 20 AND r <= 4),
-      |cand AS (SELECT DISTINCT p.qid, a.vec_id AS nid
+      |assign AS MATERIALIZED (SELECT vec_id, cid FROM ranked WHERE r = 1),
+      |probes AS MATERIALIZED (SELECT vec_id AS qid, cid FROM ranked WHERE vec_id < 20 AND r <= 4),
+      |cand AS MATERIALIZED (SELECT DISTINCT p.qid, a.vec_id AS nid
       |         FROM probes p JOIN assign a ON p.cid = a.cid WHERE a.vec_id <> p.qid),
-      |scored AS (SELECT qid AS query_id, nid AS neighbor_id,
+      |scored AS MATERIALIZED (SELECT qid AS query_id, nid AS neighbor_id,
       |             round(list_dot_product(q.e, x.e) / (q.nrm * x.nrm), 4) AS cos4
       |           FROM cand JOIN n q ON qid = q.vec_id JOIN n x ON nid = x.vec_id),
-      |rr AS (SELECT query_id, neighbor_id, cos4,
+      |rr AS MATERIALIZED (SELECT query_id, neighbor_id, cos4,
       |         row_number() OVER (PARTITION BY query_id ORDER BY cos4 DESC, neighbor_id) AS rk
       |       FROM scored)
       |SELECT query_id, rk, neighbor_id, cos4 FROM rr WHERE rk <= 5""".stripMargin
@@ -756,14 +756,14 @@ object Oracles {
 
   /** Exact-integer tf-idf: same floor-division formula as Curation.tfidf. */
   val tfidf: String =
-    """WITH tok2 AS (SELECT doc_id, word
+    """WITH tok2 AS MATERIALIZED (SELECT doc_id, word
       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) u
       |  WHERE word <> ''),
-      |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok2 GROUP BY 1, 2),
-      |dlen AS (SELECT doc_id, count(*) AS dlen FROM tok2 GROUP BY 1),
-      |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
-      |n AS (SELECT count(*) AS n_docs FROM documents),
-      |s AS (SELECT tf.doc_id, tf.word,
+      |tf AS MATERIALIZED (SELECT doc_id, word, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+      |dlen AS MATERIALIZED (SELECT doc_id, count(*) AS dlen FROM tok2 GROUP BY 1),
+      |dfreq AS MATERIALIZED (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+      |n AS MATERIALIZED (SELECT count(*) AS n_docs FROM documents),
+      |s AS MATERIALIZED (SELECT tf.doc_id, tf.word,
       |        CAST((tf.tf * 1000000 * n.n_docs) // (dlen.dlen * dfreq.df) AS BIGINT) AS tfidf_scaled
       |      FROM tf CROSS JOIN n
       |      JOIN dlen ON tf.doc_id = dlen.doc_id
@@ -801,27 +801,27 @@ object Oracles {
     * sum makes the score order-independent and exactly portable.
     */
   val annPq: String =
-    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-      |mm AS (SELECT unnest(range(8)) AS m),
-      |cen AS (SELECT m, (row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1) AS k,
+    """WITH v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |mm AS MATERIALIZED (SELECT unnest(range(8)) AS m),
+      |cen AS MATERIALIZED (SELECT m, (row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1) AS k,
       |               e[(8*m+1):(8*m+8)] AS csub
       |        FROM v, mm WHERE vec_id < 16),
-      |sub AS (SELECT vec_id, m, e[(8*m+1):(8*m+8)] AS s FROM v, mm),
-      |d AS (SELECT sub.vec_id, sub.m, cen.k,
+      |sub AS MATERIALIZED (SELECT vec_id, m, e[(8*m+1):(8*m+8)] AS s FROM v, mm),
+      |d AS MATERIALIZED (SELECT sub.vec_id, sub.m, cen.k,
       |        (list_dot_product(s, s) - 2*list_dot_product(s, csub)
       |         + list_dot_product(csub, csub)) AS dist
       |      FROM sub JOIN cen ON sub.m = cen.m),
-      |codes AS (SELECT vec_id, m, k FROM (
+      |codes AS MATERIALIZED (SELECT vec_id, m, k FROM (
       |    SELECT vec_id, m, k, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS r
       |    FROM d) t
       |  WHERE r = 1),
-      |qtab AS (SELECT vec_id AS query_id, m, k, CAST(floor(dist * 1000000) AS BIGINT) AS dq
+      |qtab AS MATERIALIZED (SELECT vec_id AS query_id, m, k, CAST(floor(dist * 1000000) AS BIGINT) AS dq
       |         FROM d WHERE vec_id < 20),
-      |pairs AS (SELECT q.query_id, c.vec_id AS neighbor_id, CAST(sum(q.dq) AS BIGINT) AS adc_scaled
+      |pairs AS MATERIALIZED (SELECT q.query_id, c.vec_id AS neighbor_id, CAST(sum(q.dq) AS BIGINT) AS adc_scaled
       |          FROM codes c JOIN qtab q ON q.m = c.m AND q.k = c.k
       |          WHERE c.vec_id <> q.query_id
       |          GROUP BY 1, 2),
-      |r AS (SELECT query_id, neighbor_id, adc_scaled,
+      |r AS MATERIALIZED (SELECT query_id, neighbor_id, adc_scaled,
       |        row_number() OVER (PARTITION BY query_id ORDER BY adc_scaled, neighbor_id) AS rk
       |      FROM pairs)
       |SELECT query_id, rk, neighbor_id, adc_scaled FROM r WHERE rk <= 5""".stripMargin
@@ -831,40 +831,40 @@ object Oracles {
     * then the same integer-scaled 8-lookup sums and ranking.
     */
   val annIvfPq: String =
-    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-      |cenI AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cid, e AS ce
+    """WITH v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |cenI AS MATERIALIZED (SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cid, e AS ce
       |         FROM v WHERE vec_id < 16),
-      |dI AS (SELECT v.vec_id, cenI.cid,
+      |dI AS MATERIALIZED (SELECT v.vec_id, cenI.cid,
       |         (list_dot_product(e, e) - 2 * list_dot_product(e, ce)
       |          + list_dot_product(ce, ce)) AS dist
       |       FROM v, cenI),
-      |rankedI AS (SELECT vec_id, cid,
+      |rankedI AS MATERIALIZED (SELECT vec_id, cid,
       |              row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS r FROM dI),
-      |assign AS (SELECT vec_id, cid FROM rankedI WHERE r = 1),
-      |probes AS (SELECT vec_id AS qid, cid FROM rankedI WHERE vec_id < 20 AND r <= 4),
-      |mm AS (SELECT unnest(range(8)) AS m),
-      |cen AS (SELECT m, (row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1) AS k,
+      |assign AS MATERIALIZED (SELECT vec_id, cid FROM rankedI WHERE r = 1),
+      |probes AS MATERIALIZED (SELECT vec_id AS qid, cid FROM rankedI WHERE vec_id < 20 AND r <= 4),
+      |mm AS MATERIALIZED (SELECT unnest(range(8)) AS m),
+      |cen AS MATERIALIZED (SELECT m, (row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1) AS k,
       |               e[(8*m+1):(8*m+8)] AS csub
       |        FROM v, mm WHERE vec_id < 16),
-      |sub AS (SELECT vec_id, m, e[(8*m+1):(8*m+8)] AS s FROM v, mm),
-      |d AS (SELECT sub.vec_id, sub.m, cen.k,
+      |sub AS MATERIALIZED (SELECT vec_id, m, e[(8*m+1):(8*m+8)] AS s FROM v, mm),
+      |d AS MATERIALIZED (SELECT sub.vec_id, sub.m, cen.k,
       |        (list_dot_product(s, s) - 2*list_dot_product(s, csub)
       |         + list_dot_product(csub, csub)) AS dist
       |      FROM sub JOIN cen ON sub.m = cen.m),
-      |codes AS (SELECT vec_id, m, k FROM (
+      |codes AS MATERIALIZED (SELECT vec_id, m, k FROM (
       |    SELECT vec_id, m, k, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS r
       |    FROM d) t
       |  WHERE r = 1),
-      |qtab AS (SELECT vec_id AS query_id, m, k, CAST(floor(dist * 1000000) AS BIGINT) AS dq
+      |qtab AS MATERIALIZED (SELECT vec_id AS query_id, m, k, CAST(floor(dist * 1000000) AS BIGINT) AS dq
       |         FROM d WHERE vec_id < 20),
-      |pairs AS (SELECT q.query_id, c.vec_id AS neighbor_id, CAST(sum(q.dq) AS BIGINT) AS adc_scaled
+      |pairs AS MATERIALIZED (SELECT q.query_id, c.vec_id AS neighbor_id, CAST(sum(q.dq) AS BIGINT) AS adc_scaled
       |          FROM codes c
       |          JOIN qtab q ON q.m = c.m AND q.k = c.k
       |          JOIN assign a ON a.vec_id = c.vec_id
       |          JOIN probes p ON p.qid = q.query_id AND p.cid = a.cid
       |          WHERE c.vec_id <> q.query_id
       |          GROUP BY 1, 2),
-      |r AS (SELECT query_id, neighbor_id, adc_scaled,
+      |r AS MATERIALIZED (SELECT query_id, neighbor_id, adc_scaled,
       |        row_number() OVER (PARTITION BY query_id ORDER BY adc_scaled, neighbor_id) AS rk
       |      FROM pairs)
       |SELECT query_id, rk, neighbor_id, adc_scaled FROM r WHERE rk <= 5""".stripMargin
@@ -875,48 +875,48 @@ object Oracles {
     * vectors 16..31 (the first 16 are the centroids — zero residuals).
     */
   val annIvfPqRes: String =
-    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-      |cenI AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cid, e AS ce
+    """WITH v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |cenI AS MATERIALIZED (SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cid, e AS ce
       |         FROM v WHERE vec_id < 16),
-      |dI AS (SELECT v.vec_id, cenI.cid,
+      |dI AS MATERIALIZED (SELECT v.vec_id, cenI.cid,
       |         (list_dot_product(e, e) - 2 * list_dot_product(e, ce)
       |          + list_dot_product(ce, ce)) AS dist
       |       FROM v, cenI),
-      |rankedI AS (SELECT vec_id, cid,
+      |rankedI AS MATERIALIZED (SELECT vec_id, cid,
       |              row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS r FROM dI),
-      |assign AS (SELECT vec_id, cid FROM rankedI WHERE r = 1),
-      |probes AS (SELECT vec_id AS qid, cid FROM rankedI WHERE vec_id < 20 AND r <= 4),
-      |resv AS (SELECT a.vec_id, a.cid,
+      |assign AS MATERIALIZED (SELECT vec_id, cid FROM rankedI WHERE r = 1),
+      |probes AS MATERIALIZED (SELECT vec_id AS qid, cid FROM rankedI WHERE vec_id < 20 AND r <= 4),
+      |resv AS MATERIALIZED (SELECT a.vec_id, a.cid,
       |           [ e[d+1] - ce[d+1] FOR d IN range(64) ] AS r
       |         FROM assign a JOIN v ON a.vec_id = v.vec_id JOIN cenI ON a.cid = cenI.cid),
-      |mm AS (SELECT unnest(range(8)) AS m),
-      |cenR AS (SELECT m, (row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1) AS k,
+      |mm AS MATERIALIZED (SELECT unnest(range(8)) AS m),
+      |cenR AS MATERIALIZED (SELECT m, (row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1) AS k,
       |               r[(8*m+1):(8*m+8)] AS csub
       |        FROM resv, mm WHERE vec_id >= 16 AND vec_id < 32),
-      |subv AS (SELECT vec_id, m, r[(8*m+1):(8*m+8)] AS s FROM resv, mm),
-      |dcode AS (SELECT subv.vec_id, subv.m AS m, cenR.k,
+      |subv AS MATERIALIZED (SELECT vec_id, m, r[(8*m+1):(8*m+8)] AS s FROM resv, mm),
+      |dcode AS MATERIALIZED (SELECT subv.vec_id, subv.m AS m, cenR.k,
       |            (list_dot_product(s, s) - 2*list_dot_product(s, csub)
       |             + list_dot_product(csub, csub)) AS dist
       |          FROM subv JOIN cenR ON subv.m = cenR.m),
-      |codes AS (SELECT vec_id, m, k FROM (
+      |codes AS MATERIALIZED (SELECT vec_id, m, k FROM (
       |    SELECT vec_id, m, k, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS r
       |    FROM dcode) t
       |  WHERE r = 1),
-      |resq AS (SELECT p.qid, p.cid,
+      |resq AS MATERIALIZED (SELECT p.qid, p.cid,
       |           [ e[d+1] - ce[d+1] FOR d IN range(64) ] AS r
       |         FROM probes p JOIN v ON p.qid = v.vec_id JOIN cenI ON p.cid = cenI.cid),
-      |subq AS (SELECT qid, cid, m, r[(8*m+1):(8*m+8)] AS s FROM resq, mm),
-      |qtab AS (SELECT qid AS query_id, cid, subq.m AS m, k,
+      |subq AS MATERIALIZED (SELECT qid, cid, m, r[(8*m+1):(8*m+8)] AS s FROM resq, mm),
+      |qtab AS MATERIALIZED (SELECT qid AS query_id, cid, subq.m AS m, k,
       |           CAST(floor((list_dot_product(s, s) - 2*list_dot_product(s, csub)
       |                       + list_dot_product(csub, csub)) * 1000000) AS BIGINT) AS dq
       |         FROM subq JOIN cenR ON subq.m = cenR.m),
-      |pairs AS (SELECT q.query_id, c.vec_id AS neighbor_id, CAST(sum(q.dq) AS BIGINT) AS adc_scaled
+      |pairs AS MATERIALIZED (SELECT q.query_id, c.vec_id AS neighbor_id, CAST(sum(q.dq) AS BIGINT) AS adc_scaled
       |          FROM codes c
       |          JOIN assign a ON a.vec_id = c.vec_id
       |          JOIN qtab q ON q.m = c.m AND q.k = c.k AND q.cid = a.cid
       |          WHERE c.vec_id <> q.query_id
       |          GROUP BY 1, 2),
-      |r AS (SELECT query_id, neighbor_id, adc_scaled,
+      |r AS MATERIALIZED (SELECT query_id, neighbor_id, adc_scaled,
       |        row_number() OVER (PARTITION BY query_id ORDER BY adc_scaled, neighbor_id) AS rk
       |      FROM pairs)
       |SELECT query_id, rk, neighbor_id, adc_scaled FROM r WHERE rk <= 5""".stripMargin
@@ -926,17 +926,17 @@ object Oracles {
        |       len(list_distinct($toksSql))::BIGINT AS n_unique FROM documents""".stripMargin
 
   val langId: String =
-    s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
-       |h AS (SELECT doc_id, lang,
+    s"""WITH t AS MATERIALIZED (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+       |h AS MATERIALIZED (SELECT doc_id, lang,
        |        len(list_filter(toks, x -> list_contains($stopListSql, x)))::DOUBLE AS hits,
        |        len(toks) AS n FROM t),
-       |p AS (SELECT doc_id, lang,
+       |p AS MATERIALIZED (SELECT doc_id, lang,
        |        CASE WHEN hits / n >= 0.05 THEN 'en' ELSE 'unknown' END AS predicted FROM h)
        |SELECT doc_id, lang, predicted, (predicted = lang) AS correct FROM p""".stripMargin
 
   val qualityScore: String =
-    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-       |f AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+    s"""WITH t AS MATERIALIZED (SELECT doc_id, $toksSql AS toks FROM documents),
+       |f AS MATERIALIZED (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
        |        len(list_distinct(toks))::BIGINT AS uniq,
        |        len(list_filter(toks, x -> list_contains($stopListSql, x)))::BIGINT AS stop
        |      FROM t)
@@ -946,38 +946,38 @@ object Oracles {
        |        + 2000 * least(n_tokens, 100))::BIGINT AS quality_ppm FROM f""".stripMargin
 
   val fingerprint: String =
-    s"""WITH tok AS (SELECT doc_id, $toksSql AS w FROM documents),
-       |tk AS (SELECT doc_id, w FROM tok WHERE len(w) >= 3),
-       |shs AS (SELECT doc_id, list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] FOR i IN range(1, len(w)-1)]) AS sh FROM tk)
+    s"""WITH tok AS MATERIALIZED (SELECT doc_id, $toksSql AS w FROM documents),
+       |tk AS MATERIALIZED (SELECT doc_id, w FROM tok WHERE len(w) >= 3),
+       |shs AS MATERIALIZED (SELECT doc_id, list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] FOR i IN range(1, len(w)-1)]) AS sh FROM tk)
        |SELECT doc_id, list_min(list_transform(sh, s -> $hash60Sql)) AS fp FROM shs""".stripMargin
 
   val nbTrain: String =
-    s"""WITH words AS (SELECT source, unnest($toksSql) AS word FROM documents),
-       |c AS (SELECT source, word, count(*) AS cnt FROM words GROUP BY 1, 2),
-       |t AS (SELECT source, count(*) AS cat_total FROM words GROUP BY 1)
+    s"""WITH words AS MATERIALIZED (SELECT source, unnest($toksSql) AS word FROM documents),
+       |c AS MATERIALIZED (SELECT source, word, count(*) AS cnt FROM words GROUP BY 1, 2),
+       |t AS MATERIALIZED (SELECT source, count(*) AS cat_total FROM words GROUP BY 1)
        |SELECT c.source, word, cnt, cat_total FROM c JOIN t ON c.source = t.source""".stripMargin
 
   val nbClassify: String =
-    s"""WITH words AS (SELECT doc_id, unnest($toksSql) AS word FROM documents),
-       |dw AS (SELECT doc_id, word, count(*) AS wcnt FROM words GROUP BY 1, 2),
-       |cw AS (SELECT source, unnest($toksSql) AS word FROM documents),
-       |model AS (SELECT source, word, count(*) AS cnt FROM cw GROUP BY 1, 2),
-       |totals AS (SELECT source, count(*) AS cat_total FROM cw GROUP BY 1),
-       |vocab AS (SELECT count(DISTINCT word) AS v FROM model),
-       |scored AS (SELECT dw.doc_id, t.source,
+    s"""WITH words AS MATERIALIZED (SELECT doc_id, unnest($toksSql) AS word FROM documents),
+       |dw AS MATERIALIZED (SELECT doc_id, word, count(*) AS wcnt FROM words GROUP BY 1, 2),
+       |cw AS MATERIALIZED (SELECT source, unnest($toksSql) AS word FROM documents),
+       |model AS MATERIALIZED (SELECT source, word, count(*) AS cnt FROM cw GROUP BY 1, 2),
+       |totals AS MATERIALIZED (SELECT source, count(*) AS cat_total FROM cw GROUP BY 1),
+       |vocab AS MATERIALIZED (SELECT count(DISTINCT word) AS v FROM model),
+       |scored AS MATERIALIZED (SELECT dw.doc_id, t.source,
        |             sum(dw.wcnt * ln((coalesce(m.cnt, 0) + 1)::DOUBLE / (t.cat_total + v.v))) AS score
        |           FROM dw CROSS JOIN totals t CROSS JOIN vocab v
        |           LEFT JOIN model m ON m.source = t.source AND m.word = dw.word
        |           GROUP BY 1, 2),
-       |r AS (SELECT doc_id, source,
+       |r AS MATERIALIZED (SELECT doc_id, source,
        |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, source) AS rk FROM scored)
        |SELECT doc_id, source AS predicted FROM r WHERE rk = 1""".stripMargin
 
   val asofJoin: String =
-    """WITH c AS (SELECT user_id, ts, event_id, 0 AS tag FROM events WHERE event_type = 'click'),
-      |p AS (SELECT user_id, ts, event_id, 1 AS tag FROM events WHERE event_type = 'purchase'),
-      |u AS (SELECT * FROM c UNION ALL SELECT * FROM p),
-      |w AS (SELECT user_id, ts, event_id, tag,
+    """WITH c AS MATERIALIZED (SELECT user_id, ts, event_id, 0 AS tag FROM events WHERE event_type = 'click'),
+      |p AS MATERIALIZED (SELECT user_id, ts, event_id, 1 AS tag FROM events WHERE event_type = 'purchase'),
+      |u AS MATERIALIZED (SELECT * FROM c UNION ALL SELECT * FROM p),
+      |w AS MATERIALIZED (SELECT user_id, ts, event_id, tag,
       |        last_value(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS)
       |          OVER (PARTITION BY user_id ORDER BY ts, tag, event_id ROWS UNBOUNDED PRECEDING) AS last_click_id,
       |        last_value(CASE WHEN tag = 0 THEN epoch_us(ts) END IGNORE NULLS)
@@ -1029,13 +1029,13 @@ object Oracles {
       |FROM events GROUP BY 1, 2""".stripMargin
 
   val sessionize: String =
-    """WITH e AS (SELECT user_id, event_id, ts,
+    """WITH e AS MATERIALIZED (SELECT user_id, event_id, ts,
       |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
       |           FROM events),
-      |b AS (SELECT user_id, event_id, ts,
+      |b AS MATERIALIZED (SELECT user_id, event_id, ts,
       |        CASE WHEN prev_ts IS NULL OR (epoch_ms(ts) - epoch_ms(prev_ts)) > 1800000
       |             THEN 1 ELSE 0 END AS brk FROM e),
-      |s AS (SELECT user_id, ts,
+      |s AS MATERIALIZED (SELECT user_id, ts,
       |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
       |      FROM b)
       |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
@@ -1043,8 +1043,8 @@ object Oracles {
       |FROM s GROUP BY 1, 2""".stripMargin
 
   val topUsers: String =
-    """WITH c AS (SELECT event_type, user_id, count(*) AS cnt FROM events GROUP BY 1, 2),
-      |r AS (SELECT event_type, user_id, cnt,
+    """WITH c AS MATERIALIZED (SELECT event_type, user_id, count(*) AS cnt FROM events GROUP BY 1, 2),
+      |r AS MATERIALIZED (SELECT event_type, user_id, cnt,
       |        row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, user_id) AS rk FROM c)
       |SELECT event_type, rk, user_id, cnt FROM r WHERE rk <= 5""".stripMargin
 
@@ -1054,15 +1054,15 @@ object Oracles {
     * .ShingleHashN]] uses.
     */
   val decontaminate: String =
-    s"""WITH tok AS (SELECT doc_id, $toksSql AS w FROM documents),
-       |d AS (SELECT doc_id,
+    s"""WITH tok AS MATERIALIZED (SELECT doc_id, $toksSql AS w FROM documents),
+       |d AS MATERIALIZED (SELECT doc_id,
        |        list_distinct([ array_to_string(w[i:i+7], ' ') FOR i IN range(1, len(w) - 6) ]) AS gs
        |      FROM tok WHERE len(w) >= 8),
-       |g AS (SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS g
+       |g AS MATERIALIZED (SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS g
        |      FROM (SELECT doc_id, unnest(gs) AS s FROM d)),
-       |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
-       |corpus AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM g WHERE doc_id % 50 <> 0 GROUP BY 1),
-       |hits AS (SELECT doc_id, count(*)::BIGINT AS n_hit FROM g
+       |bench AS MATERIALIZED (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
+       |corpus AS MATERIALIZED (SELECT doc_id, count(*)::BIGINT AS n_grams FROM g WHERE doc_id % 50 <> 0 GROUP BY 1),
+       |hits AS MATERIALIZED (SELECT doc_id, count(*)::BIGINT AS n_hit FROM g
        |         WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM bench) GROUP BY 1)
        |SELECT c.doc_id, c.n_grams, coalesce(h.n_hit, 0)::BIGINT AS n_hit,
        |       coalesce(h.n_hit, 0) > 0 AS contaminated
@@ -1072,10 +1072,10 @@ object Oracles {
     * within a doc (one per position).
     */
   val repeatedSpans: String =
-    s"""WITH tok AS (SELECT doc_id, $toksSql AS w FROM documents),
-       |s AS (SELECT doc_id, unnest([ array_to_string(w[i:i+5], ' ') FOR i IN range(1, len(w) - 4) ]) AS s
+    s"""WITH tok AS MATERIALIZED (SELECT doc_id, $toksSql AS w FROM documents),
+       |s AS MATERIALIZED (SELECT doc_id, unnest([ array_to_string(w[i:i+5], ' ') FOR i IN range(1, len(w) - 4) ]) AS s
        |      FROM tok WHERE len(w) >= 6),
-       |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS span FROM s)
+       |h AS MATERIALIZED (SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS span FROM s)
        |SELECT span, count(DISTINCT doc_id)::BIGINT AS n_docs, count(*)::BIGINT AS n_total,
        |       min(doc_id) AS first_doc
        |FROM h GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin
@@ -1086,15 +1086,15 @@ object Oracles {
     * `pos − row_number()` islands trick — mirrored term-for-term.
     */
   val dedupSubstring: String =
-    s"""WITH tok AS (SELECT doc_id, $toksSql AS w FROM documents),
-       |s AS (SELECT doc_id,
+    s"""WITH tok AS MATERIALIZED (SELECT doc_id, $toksSql AS w FROM documents),
+       |s AS MATERIALIZED (SELECT doc_id,
        |        unnest([{'pos': i - 1,
        |                 'h': CAST(concat('0x', substr(md5(array_to_string(w[i:i+9], ' ')), 1, 15)) AS BIGINT)}
        |                FOR i IN range(1, len(w) - 8)]) AS u
        |      FROM tok WHERE len(w) >= 10),
-       |p AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM s),
-       |rep AS (SELECT h FROM p GROUP BY h HAVING count(*) >= 2),
-       |runs AS (SELECT doc_id, pos,
+       |p AS MATERIALIZED (SELECT doc_id, u.pos AS pos, u.h AS h FROM s),
+       |rep AS MATERIALIZED (SELECT h FROM p GROUP BY h HAVING count(*) >= 2),
+       |runs AS MATERIALIZED (SELECT doc_id, pos,
        |           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS run
        |         FROM p JOIN rep USING (h))
        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_pos,
@@ -1106,10 +1106,10 @@ object Oracles {
     * offset, integer-division sequence ids (`//` ↔ Spark `div`).
     */
   val packSequences: String =
-    s"""WITH t AS (SELECT doc_id,
+    s"""WITH t AS MATERIALIZED (SELECT doc_id,
        |    CAST(concat('0x', substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard,
        |    len($toksSql)::BIGINT AS n_tokens FROM documents),
-       |o AS (SELECT doc_id, shard, n_tokens,
+       |o AS MATERIALIZED (SELECT doc_id, shard, n_tokens,
        |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS "offset"
        |  FROM t WHERE n_tokens > 0)
@@ -1120,9 +1120,9 @@ object Oracles {
 
   /** Per-domain hash-acceptance resampling; integer rates in ppm. */
   val domainMix: String =
-    """WITH t AS (SELECT doc_id, source, lang,
+    """WITH t AS MATERIALIZED (SELECT doc_id, source, lang,
       |    1000000 // (1 + CAST(substring(source, 4) AS BIGINT) % 4) AS r FROM documents),
-      |e AS (SELECT doc_id, source, lang,
+      |e AS MATERIALIZED (SELECT doc_id, source, lang,
       |    CAST(CASE WHEN lang = 'en' THEN r ELSE r // 2 END AS BIGINT) AS rate_pm FROM t)
       |SELECT doc_id, source, lang, rate_pm FROM e
       |WHERE CAST(concat('0x', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
@@ -1134,7 +1134,7 @@ object Oracles {
     * replace-all.
     */
   val piiRedact: String =
-    """WITH a AS (SELECT doc_id,
+    """WITH a AS MATERIALIZED (SELECT doc_id,
       |    text || repeat(' u' || CAST(doc_id AS VARCHAR) || '@ex.org', CAST(doc_id % 3 AS INT) + 1)
       |         || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com from 10.'
       |         || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR)
@@ -1156,9 +1156,9 @@ object Oracles {
     * accumulation, so codes are bit-identical across engines.
     */
   val scalarQuant: String =
-    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-      |dims AS (SELECT unnest(range(64)) AS dim),
-      |mm AS (SELECT dim, min(e[dim + 1]) AS mn, max(e[dim + 1]) AS mx
+    """WITH v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |dims AS MATERIALIZED (SELECT unnest(range(64)) AS dim),
+      |mm AS MATERIALIZED (SELECT dim, min(e[dim + 1]) AS mn, max(e[dim + 1]) AS mx
       |       FROM v, dims GROUP BY 1)
       |SELECT vec_id, CAST(dim AS BIGINT) AS dim,
       |       CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
@@ -1215,15 +1215,15 @@ object Oracles {
     */
   val pageRank: String = {
     val iter = (k: Int) =>
-      s"""s$k AS (SELECT e.v AS id,
+      s"""s$k AS MATERIALIZED (SELECT e.v AS id,
          |  CAST(150000 + (85 * sum(s.score // e.deg)) // 100 AS BIGINT) AS score
          |FROM e JOIN s${k - 1} s ON e.u = s.id GROUP BY 1)""".stripMargin
-    s"""WITH cs AS (SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+    s"""WITH cs AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-       |sym AS (SELECT u, v FROM cs UNION ALL SELECT v, u FROM cs),
-       |deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY 1),
-       |e AS (SELECT sym.u, sym.v, deg.deg FROM sym JOIN deg ON sym.u = deg.u),
-       |s0 AS (SELECT DISTINCT u AS id, CAST(1000000 AS BIGINT) AS score FROM e),
+       |sym AS MATERIALIZED (SELECT u, v FROM cs UNION ALL SELECT v, u FROM cs),
+       |deg AS MATERIALIZED (SELECT u, count(*) AS deg FROM sym GROUP BY 1),
+       |e AS MATERIALIZED (SELECT sym.u, sym.v, deg.deg FROM sym JOIN deg ON sym.u = deg.u),
+       |s0 AS MATERIALIZED (SELECT DISTINCT u AS id, CAST(1000000 AS BIGINT) AS score FROM e),
        |${(1 to 5).map(iter).mkString(",\n")}
        |SELECT id, score FROM s5""".stripMargin
   }
@@ -1248,8 +1248,8 @@ object Oracles {
     s"""WITH cs AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
        |e AS MATERIALIZED (SELECT u, v FROM cs UNION ALL SELECT v, u FROM cs),
-       |d0 AS (SELECT CAST(2 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist),
-       |f0 AS (SELECT id FROM d0),
+       |d0 AS MATERIALIZED (SELECT CAST(2 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist),
+       |f0 AS MATERIALIZED (SELECT id FROM d0),
        |${(1 to 4).map(iter).mkString(",\n")}
        |SELECT id, dist FROM d4""".stripMargin
   }
@@ -1269,7 +1269,7 @@ object Oracles {
     * k·slide). Integer cents, HUGEINT sum cast back.
     */
   val slidingWindow: String =
-    """WITH e AS (SELECT epoch_ms(ts) AS ms, event_type,
+    """WITH e AS MATERIALIZED (SELECT epoch_ms(ts) AS ms, event_type,
       |                  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
       |SELECT (ms // 900000) * 900000 - k * 900000 AS win_ms, event_type,
       |       count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
@@ -1281,9 +1281,9 @@ object Oracles {
     * 1-index; lower median = element (n+1)//2).
     */
   val rollingMedian: String =
-    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+    """WITH e AS MATERIALIZED (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
       |                  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
-      |w AS (SELECT user_id, event_id, ts_ms,
+      |w AS MATERIALIZED (SELECT user_id, event_id, ts_ms,
       |             list_sort(list(cents) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
       |                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
       |      FROM e)
@@ -1293,8 +1293,8 @@ object Oracles {
     * HUGEINT sums cast back, `//` ↔ Spark `div`.
     */
   val equidepth: String =
-    """WITH h AS (SELECT l_quantity AS q, count(*) AS c FROM lineitem GROUP BY 1),
-      |cum AS (SELECT q, c,
+    """WITH h AS MATERIALIZED (SELECT l_quantity AS q, count(*) AS c FROM lineitem GROUP BY 1),
+      |cum AS MATERIALIZED (SELECT q, c,
       |        coalesce(sum(c) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
       |                              AND 1 PRECEDING), 0) AS before,
       |        sum(c) OVER () AS n FROM h)
@@ -1327,19 +1327,19 @@ object Oracles {
     * cellmate at rounded cosine ≥ 0.4.
     */
   val semDedup: String =
-    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-      |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
-      |cen AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cid, e AS ce
+    """WITH v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |n AS MATERIALIZED (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+      |cen AS MATERIALIZED (SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cid, e AS ce
       |        FROM v WHERE vec_id < (SELECT least(65536, greatest(16, count(*) // 1000)) FROM v)),
-      |d AS (SELECT n.vec_id, cen.cid,
+      |d AS MATERIALIZED (SELECT n.vec_id, cen.cid,
       |        (list_dot_product(e, e) - 2 * list_dot_product(e, ce)
       |         + list_dot_product(ce, ce)) AS dist
       |      FROM n, cen),
-      |assign AS (SELECT vec_id, cid FROM (
+      |assign AS MATERIALIZED (SELECT vec_id, cid FROM (
       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS r
       |    FROM d) t WHERE r = 1),
-      |a AS (SELECT n.vec_id, cid, e, nrm FROM n JOIN assign USING (vec_id)),
-      |drops AS (SELECT DISTINCT y.vec_id
+      |a AS MATERIALIZED (SELECT n.vec_id, cid, e, nrm FROM n JOIN assign USING (vec_id)),
+      |drops AS MATERIALIZED (SELECT DISTINCT y.vec_id
       |          FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
       |          WHERE round(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 4) >= 0.4)
       |SELECT vec_id, cid, vec_id NOT IN (SELECT vec_id FROM drops) AS keep FROM a""".stripMargin
@@ -1348,8 +1348,8 @@ object Oracles {
     * same arithmetic as operators.Quality.qualityFilter.
     */
   val qualityFilter: String =
-    s"""WITH t AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
-       |f AS (SELECT doc_id, source,
+    s"""WITH t AS MATERIALIZED (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
+       |f AS MATERIALIZED (SELECT doc_id, source,
        |        CAST(len(toks) AS BIGINT) AS n_words,
        |        (len(replace(text, ' ', '')) * 100) // len(toks) AS mean_wl_x100,
        |        CAST(len(list_filter(toks, x -> list_contains($stopListSql, x))) AS BIGINT) AS stop_hits,
@@ -1369,10 +1369,10 @@ object Oracles {
 
   /** Equi-width histogram, integer bucket arithmetic, empty buckets kept. */
   val histogram: String =
-    """WITH r AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents),
-      |c AS (SELECT ((n_chars - mn) * 16) // (mx - mn + 1) AS bucket, count(*) AS cnt
+    """WITH r AS MATERIALIZED (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents),
+      |c AS MATERIALIZED (SELECT ((n_chars - mn) * 16) // (mx - mn + 1) AS bucket, count(*) AS cnt
       |      FROM documents, r GROUP BY 1),
-      |s AS (SELECT unnest(range(16)) AS bucket)
+      |s AS MATERIALIZED (SELECT unnest(range(16)) AS bucket)
       |SELECT s.bucket AS bucket,
       |  mn + (s.bucket * (mx - mn + 1)) // 16 AS lo,
       |  mn + ((s.bucket + 1) * (mx - mn + 1)) // 16 - 1 AS hi,
@@ -1384,8 +1384,8 @@ object Oracles {
     * counts agree even under (negligible) hash collisions.
     */
   val repetition: String =
-    s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
-       |r AS (SELECT doc_id, w,
+    s"""WITH t AS MATERIALIZED (SELECT doc_id, $toksSql AS w FROM documents),
+       |r AS MATERIALIZED (SELECT doc_id, w,
        |        [$hash60Sql FOR s IN [array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))]] AS g2,
        |        [$hash60Sql FOR s IN [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w)-1)]] AS g3
        |      FROM t WHERE len(w) >= 3)
@@ -1399,10 +1399,10 @@ object Oracles {
     * totals); same shingle→hash60%P derivation as the MinHash CTEs.
     */
   val sourceOverlap: String =
-    s"""WITH tok AS (SELECT source, $toksSql AS w FROM documents),
-       |tk AS (SELECT source, w FROM tok WHERE len(w) >= 3),
-       |shs AS (SELECT source, list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] FOR i IN range(1, len(w)-1)]) AS sh FROM tk),
-       |hs AS (SELECT DISTINCT source, $hash60Sql % $P AS h
+    s"""WITH tok AS MATERIALIZED (SELECT source, $toksSql AS w FROM documents),
+       |tk AS MATERIALIZED (SELECT source, w FROM tok WHERE len(w) >= 3),
+       |shs AS MATERIALIZED (SELECT source, list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] FOR i IN range(1, len(w)-1)]) AS sh FROM tk),
+       |hs AS MATERIALIZED (SELECT DISTINCT source, $hash60Sql % $P AS h
        |       FROM (SELECT source, unnest(sh) AS s FROM shs))
        |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
        |FROM hs a JOIN hs b ON a.h = b.h AND a.source <= b.source
@@ -1412,10 +1412,10 @@ object Oracles {
     * as hashSplit/sampleUniform).
     */
   val sampleStratified: String =
-    """WITH h AS (SELECT doc_id, source,
+    """WITH h AS MATERIALIZED (SELECT doc_id, source,
       |  CAST(concat('0x', substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
       |FROM documents),
-      |r AS (SELECT source, doc_id, h,
+      |r AS MATERIALIZED (SELECT source, doc_id, h,
       |        row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
       |      FROM h)
       |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id FROM r WHERE rk <= 10""".stripMargin
@@ -1425,14 +1425,14 @@ object Oracles {
     */
   val dedupContainment: String =
     s"""WITH $minhashVerCtes,
-       |smp AS (SELECT doc_id, h FROM (SELECT doc_id, unnest(h0) AS h FROM hs) WHERE h % 8 = 0),
-       |dfok AS (SELECT h FROM smp GROUP BY h HAVING count(*) <= 64),
-       |smpf AS (SELECT doc_id, h FROM smp JOIN dfok USING (h)),
-       |cs AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+       |smp AS MATERIALIZED (SELECT doc_id, h FROM (SELECT doc_id, unnest(h0) AS h FROM hs) WHERE h % 8 = 0),
+       |dfok AS MATERIALIZED (SELECT h FROM smp GROUP BY h HAVING count(*) <= 64),
+       |smpf AS MATERIALIZED (SELECT doc_id, h FROM smp JOIN dfok USING (h)),
+       |cs AS MATERIALIZED (SELECT a.doc_id AS d1, b.doc_id AS d2
        |       FROM smpf a JOIN smpf b ON a.h = b.h AND a.doc_id < b.doc_id),
-       |c2 AS (SELECT d1, d2 FROM cand UNION SELECT d1, d2 FROM cs),
-       |sets AS (SELECT doc_id, list_sort(list_distinct(h0)) AS hh FROM hs),
-       |p AS (SELECT d1, d2, len(list_intersect(a.hh, b.hh)) AS ix,
+       |c2 AS MATERIALIZED (SELECT d1, d2 FROM cand UNION SELECT d1, d2 FROM cs),
+       |sets AS MATERIALIZED (SELECT doc_id, list_sort(list_distinct(h0)) AS hh FROM hs),
+       |p AS MATERIALIZED (SELECT d1, d2, len(list_intersect(a.hh, b.hh)) AS ix,
        |        len(a.hh) AS n1, len(b.hh) AS n2
        |      FROM c2 JOIN sets a ON d1 = a.doc_id JOIN sets b ON d2 = b.doc_id)
        |SELECT d1, d2, round(ix::DOUBLE / n1, 6) AS cont1, round(ix::DOUBLE / n2, 6) AS cont2
@@ -1443,14 +1443,14 @@ object Oracles {
     * as the Spark plan.
     */
   val dedupParagraph: String =
-    s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
-       |pl AS (SELECT doc_id,
+    s"""WITH t AS MATERIALIZED (SELECT doc_id, $toksSql AS w FROM documents),
+       |pl AS MATERIALIZED (SELECT doc_id,
        |         [{'idx': i, 'ph': md5(array_to_string(w[i*20+1 : i*20+20], ' '))}
        |          FOR i IN range(0, ((len(w)-1)//20)+1)] AS ps
        |       FROM t WHERE len(w) > 0),
-       |p AS (SELECT doc_id, u.idx AS para_idx, u.ph AS phash
+       |p AS MATERIALIZED (SELECT doc_id, u.idx AS para_idx, u.ph AS phash
        |      FROM (SELECT doc_id, unnest(ps) AS u FROM pl)),
-       |d AS (SELECT doc_id, para_idx, phash,
+       |d AS MATERIALIZED (SELECT doc_id, para_idx, phash,
        |        count(*) OVER (PARTITION BY phash) AS n_copies,
        |        row_number() OVER (PARTITION BY phash ORDER BY doc_id, para_idx) AS rk
        |      FROM p)
@@ -1464,16 +1464,16 @@ object Oracles {
     */
   val triangles: String =
     s"""WITH $minhashVerCtes,
-       |pr AS (SELECT d1 AS u, d2 AS v FROM ver WHERE jac >= 0.5),
-       |dg AS (SELECT id, count(*) AS deg
+       |pr AS MATERIALIZED (SELECT d1 AS u, d2 AS v FROM ver WHERE jac >= 0.5),
+       |dg AS MATERIALIZED (SELECT id, count(*) AS deg
        |       FROM (SELECT u AS id FROM pr UNION ALL SELECT v AS id FROM pr) GROUP BY 1),
-       |ky AS (SELECT pr.u, pr.v, a.deg * 10000000 + pr.u AS ku, b.deg * 10000000 + pr.v AS kv
+       |ky AS MATERIALIZED (SELECT pr.u, pr.v, a.deg * 10000000 + pr.u AS ku, b.deg * 10000000 + pr.v AS kv
        |       FROM pr JOIN dg a ON pr.u = a.id JOIN dg b ON pr.v = b.id),
-       |ori AS (SELECT CASE WHEN ku < kv THEN u ELSE v END AS s,
+       |ori AS MATERIALIZED (SELECT CASE WHEN ku < kv THEN u ELSE v END AS s,
        |               CASE WHEN ku < kv THEN v ELSE u END AS t FROM ky),
-       |w AS (SELECT e1.s AS apex, e1.t AS x, e2.t AS y
+       |w AS MATERIALIZED (SELECT e1.s AS apex, e1.t AS x, e2.t AS y
        |      FROM ori e1 JOIN ori e2 ON e1.s = e2.s AND e1.t < e2.t),
-       |tri AS (SELECT apex, x, y FROM w
+       |tri AS MATERIALIZED (SELECT apex, x, y FROM w
        |        JOIN pr ON pr.u = least(x, y) AND pr.v = greatest(x, y))
        |SELECT least(apex, x, y) AS t1,
        |       apex + x + y - least(apex, x, y) - greatest(apex, x, y) AS t2,
@@ -1487,14 +1487,14 @@ object Oracles {
     * predicate NULL, so the later min aggregates nothing.
     */
   val funnel: String =
-    """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
-      |v AS (SELECT user_id,
+    """WITH e AS MATERIALIZED (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |v AS MATERIALIZED (SELECT user_id,
       |        min(CASE WHEN event_type = 'view' THEN ms END) AS mv
       |      FROM e GROUP BY 1),
-      |c AS (SELECT e.user_id,
+      |c AS MATERIALIZED (SELECT e.user_id,
       |        min(CASE WHEN event_type = 'click' AND ms > mv THEN ms END) AS mc
       |      FROM e JOIN v USING (user_id) GROUP BY 1),
-      |p AS (SELECT e.user_id,
+      |p AS MATERIALIZED (SELECT e.user_id,
       |        min(CASE WHEN event_type = 'purchase' AND ms > mc THEN ms END) AS mp
       |      FROM e JOIN c USING (user_id) GROUP BY 1)
       |SELECT v.user_id,
@@ -1509,8 +1509,8 @@ object Oracles {
 
   /** Daily new users + running total over the per-day table. */
   val userGrowth: String =
-    """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
-      |d AS (SELECT day, count(*) AS n_new FROM f GROUP BY 1)
+    """WITH f AS MATERIALIZED (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
+      |d AS MATERIALIZED (SELECT day, count(*) AS n_new FROM f GROUP BY 1)
       |SELECT CAST(day AS VARCHAR) AS day, n_new,
       |       CAST(sum(n_new) OVER (ORDER BY day
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
@@ -1522,8 +1522,8 @@ object Oracles {
     * pinned to UTC by Verify/Bench).
     */
   val retention: String =
-    """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
-      |f AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY 1)
+    """WITH e AS MATERIALIZED (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |f AS MATERIALIZED (SELECT user_id, min(day) AS cohort FROM e GROUP BY 1)
       |SELECT CAST(cohort AS VARCHAR) AS cohort,
       |       CAST(datediff('day', cohort, day) AS BIGINT) AS day_offset,
       |       count(DISTINCT e.user_id) AS n_active
@@ -1535,9 +1535,9 @@ object Oracles {
     * string_agg is the engine-portable posting-list form.
     */
   val invertedIndex: String =
-    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-      |tf AS (SELECT word, doc_id, count(*) AS tf FROM tok WHERE word <> '' GROUP BY 1, 2),
-      |ranked AS (SELECT word, doc_id, tf,
+    """WITH tok AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |tf AS MATERIALIZED (SELECT word, doc_id, count(*) AS tf FROM tok WHERE word <> '' GROUP BY 1, 2),
+      |ranked AS MATERIALIZED (SELECT word, doc_id, tf,
       |             count(*) OVER (PARTITION BY word) AS df,
       |             CAST(sum(tf) OVER (PARTITION BY word) AS BIGINT) AS cf,
       |             row_number() OVER (PARTITION BY word ORDER BY tf DESC, doc_id) AS rk
@@ -1553,14 +1553,14 @@ object Oracles {
     * are bit-identical cross-engine).
     */
   private val bm25Ctes: String =
-    """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-      |tok2 AS (SELECT doc_id, word FROM tok WHERE word <> ''),
-      |dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY 1),
-      |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS t_tok FROM dl),
-      |tfq AS (SELECT doc_id, word, count(*) AS tf FROM tok2
+    """tok AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |tok2 AS MATERIALIZED (SELECT doc_id, word FROM tok WHERE word <> ''),
+      |dl AS MATERIALIZED (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY 1),
+      |stats AS MATERIALIZED (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS t_tok FROM dl),
+      |tfq AS MATERIALIZED (SELECT doc_id, word, count(*) AS tf FROM tok2
       |        WHERE word IN ('join', 'scan', 'window', 'vector') GROUP BY 1, 2),
-      |dfr AS (SELECT word, count(*) AS df FROM tfq GROUP BY 1),
-      |sc AS (SELECT tfq.doc_id,
+      |dfr AS MATERIALIZED (SELECT word, count(*) AS df FROM tfq GROUP BY 1),
+      |sc AS MATERIALIZED (SELECT tfq.doc_id,
       |         ((n_docs - df + 1) * 1000000 // (df + 1))
       |           * (22 * (10 * t_tok // n_docs) * tf * 1000000
       |              // (10 * (10 * t_tok // n_docs) * tf
@@ -1580,16 +1580,16 @@ object Oracles {
     * MinHash family.
     */
   val textKnn: String =
-    s"""WITH tok AS (SELECT doc_id, $toksSql AS w FROM documents),
-       |tk AS (SELECT doc_id, w FROM tok WHERE len(w) >= 3),
-       |shs AS (SELECT doc_id, list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] FOR i IN range(1, len(w)-1)]) AS sh FROM tk),
-       |hs AS (SELECT doc_id, list_transform(sh, s -> $hash60Sql % $P) AS h0 FROM shs),
-       |p AS (SELECT q.doc_id AS probe_id, c.doc_id,
+    s"""WITH tok AS MATERIALIZED (SELECT doc_id, $toksSql AS w FROM documents),
+       |tk AS MATERIALIZED (SELECT doc_id, w FROM tok WHERE len(w) >= 3),
+       |shs AS MATERIALIZED (SELECT doc_id, list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] FOR i IN range(1, len(w)-1)]) AS sh FROM tk),
+       |hs AS MATERIALIZED (SELECT doc_id, list_transform(sh, s -> $hash60Sql % $P) AS h0 FROM shs),
+       |p AS MATERIALIZED (SELECT q.doc_id AS probe_id, c.doc_id,
        |        round(len(list_intersect(q.h0, c.h0))::DOUBLE
        |              / len(list_distinct(list_concat(q.h0, c.h0))), 6) AS jac
        |      FROM hs q JOIN hs c ON c.doc_id <> q.doc_id
        |      WHERE q.doc_id < 10),
-       |r AS (SELECT probe_id, doc_id, jac,
+       |r AS MATERIALIZED (SELECT probe_id, doc_id, jac,
        |        row_number() OVER (PARTITION BY probe_id ORDER BY jac DESC, doc_id) AS rk
        |      FROM p)
        |SELECT probe_id, rk, doc_id, jac FROM r WHERE rk <= 3""".stripMargin
@@ -1600,20 +1600,20 @@ object Oracles {
     */
   val rankFusion: String =
     s"""WITH $bm25Ctes,
-       |bagg AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_ppm FROM sc GROUP BY doc_id),
-       |b AS (SELECT doc_id, bm25_rk FROM (
+       |bagg AS MATERIALIZED (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_ppm FROM sc GROUP BY doc_id),
+       |b AS MATERIALIZED (SELECT doc_id, bm25_rk FROM (
        |        SELECT doc_id, row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS bm25_rk
        |        FROM bagg) t WHERE bm25_rk <= 20),
-       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-       |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
-       |q AS (SELECT * FROM n WHERE vec_id < 1),
-       |pp AS (SELECT n.vec_id AS doc_id,
+       |v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |n AS MATERIALIZED (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+       |q AS MATERIALIZED (SELECT * FROM n WHERE vec_id < 1),
+       |pp AS MATERIALIZED (SELECT n.vec_id AS doc_id,
        |         round(list_dot_product(q.e, n.e) / (q.nrm * n.nrm), 4) AS cos4
        |       FROM q JOIN n ON n.vec_id <> q.vec_id),
-       |a AS (SELECT doc_id, ann_rk FROM (
+       |a AS MATERIALIZED (SELECT doc_id, ann_rk FROM (
        |        SELECT doc_id, row_number() OVER (ORDER BY cos4 DESC, doc_id) AS ann_rk
        |        FROM pp) t WHERE ann_rk <= 20),
-       |f AS (SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+       |f AS MATERIALIZED (SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
        |        coalesce(b.bm25_rk, -1) AS bm25_rk,
        |        coalesce(a.ann_rk, -1) AS ann_rk,
        |        (CASE WHEN b.bm25_rk IS NULL THEN 0 ELSE 1000000 // (60 + b.bm25_rk) END
@@ -1629,10 +1629,10 @@ object Oracles {
     * removes false positives).
     */
   val heavyHitters: String =
-    """WITH t AS (SELECT word FROM
+    """WITH t AS MATERIALIZED (SELECT word FROM
       |  (SELECT unnest(string_split(text, ' ')) AS word FROM documents) u
       |  WHERE word <> ''),
-      |n AS (SELECT count(*) AS n FROM t)
+      |n AS MATERIALIZED (SELECT count(*) AS n FROM t)
       |SELECT word, count(*) AS cnt FROM t CROSS JOIN n
       |GROUP BY word, n.n HAVING count(*) > n.n // 41""".stripMargin
 
@@ -1653,9 +1653,9 @@ object Oracles {
     * floor-vs-truncate divergence on the negative-numerator corner).
     */
   val chunkOverlap: String =
-    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-       |d AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
-       |c AS (SELECT doc_id, toks, n,
+    s"""WITH t AS MATERIALIZED (SELECT doc_id, $toksSql AS toks FROM documents),
+       |d AS MATERIALIZED (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+       |c AS MATERIALIZED (SELECT doc_id, toks, n,
        |        unnest(range(0, 1 + greatest(0, ((n - 16) + 11) // 12))) AS ci
        |      FROM d)
        |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
@@ -1669,9 +1669,9 @@ object Oracles {
     * Spark side runs DECIMAL(38,0); same 128-bit integer values.
     */
   val outliers: String =
-    """WITH e AS (SELECT event_id, user_id, event_type,
+    """WITH e AS MATERIALIZED (SELECT event_id, user_id, event_type,
       |             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
-      |m AS (SELECT event_type, count(*) AS n, sum(cents) AS s1,
+      |m AS MATERIALIZED (SELECT event_type, count(*) AS n, sum(cents) AS s1,
       |             sum(cents * cents) AS s2 FROM e GROUP BY 1)
       |SELECT event_id, user_id, event_type, cents
       |FROM e JOIN m USING (event_type)
