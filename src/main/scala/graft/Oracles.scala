@@ -65,35 +65,53 @@ object Oracles {
        |            / len(list_distinct(list_concat(a.h0, b.h0))), 6) >= 0.5""".stripMargin
   }
 
+  /** Connected-component min labels over a symmetric `und(src, dst)` edge
+    * CTE, ending in `cl(doc_id, cluster_id)` — a BOUNDED unrolled
+    * iteration replacing the pairwise-reachability recursive CTE whose
+    * |component|^2 `reach` row count ground for CPU-hours at sf10.
+    * Alternates a neighbor-min round with a pointer-jumping shortcut
+    * round (label := label of current label, valid because lab(v) <= v
+    * and labels are themselves member doc_ids), so convergence needs
+    * O(log2 diameter) alternations — 12 of each covers any component a
+    * dedup graph can produce. Every level is MATERIALIZED (the DuckDB
+    * plain-CTE inlining rule). Matches the Spark min-label-propagation
+    * fixpoint in graft.operators.Curation.connectedComponents.
+    */
+  private def ccLabelCtes(rounds: Int = 12): String = {
+    val steps = (1 to rounds).flatMap { k =>
+      val prev = if (k == 1) "lab0" else s"labj${k - 1}"
+      Seq(
+        s"labn$k AS MATERIALIZED (SELECT x.doc_id, least(x.lab, min(y.lab)) AS lab\n" +
+          s"  FROM $prev x JOIN und e ON e.src = x.doc_id JOIN $prev y ON y.doc_id = e.dst\n" +
+          "  GROUP BY x.doc_id, x.lab)",
+        s"labj$k AS MATERIALIZED (SELECT x.doc_id, least(x.lab, y.lab) AS lab\n" +
+          s"  FROM labn$k x JOIN labn$k y ON y.doc_id = x.lab)")
+    }
+    ("lab0 AS MATERIALIZED (SELECT DISTINCT src AS doc_id, src AS lab FROM und)" +:
+      steps :+ s"cl AS MATERIALIZED (SELECT doc_id, lab AS cluster_id FROM labj$rounds)")
+      .mkString(",\n")
+  }
+
   /** Transitive closure of the near-dup pairs via recursive CTE: label =
     * min reachable doc_id (the und edge set is symmetric, so every node
     * reaches its whole component). Matches the Spark min-label-propagation
     * fixpoint in graft.operators.Curation.connectedComponents.
     */
   val dedupCluster: String =
-    s"""WITH RECURSIVE $minhashVerCtes,
+    s"""WITH $minhashVerCtes,
        |pairs AS MATERIALIZED (SELECT d1, d2 FROM ver WHERE jac >= 0.5),
        |und AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM pairs UNION SELECT d2, d1 FROM pairs),
-       |reach(src, dst) AS (
-       |  SELECT src, dst FROM und
-       |  UNION
-       |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src)
-       |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-       |FROM reach GROUP BY src""".stripMargin
+       |${ccLabelCtes()}
+       |SELECT doc_id, cluster_id FROM cl""".stripMargin
 
   /** Cluster closure as in [[dedupCluster]], then the most-words member
     * (ties → smaller doc_id) keeps — same window rule as the Spark plan.
     */
   val dedupKeepBest: String =
-    s"""WITH RECURSIVE $minhashVerCtes,
+    s"""WITH $minhashVerCtes,
        |pairs AS MATERIALIZED (SELECT d1, d2 FROM ver WHERE jac >= 0.5),
        |und AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM pairs UNION SELECT d2, d1 FROM pairs),
-       |reach(src, dst) AS (
-       |  SELECT src, dst FROM und
-       |  UNION
-       |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
-       |cl AS MATERIALIZED (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-       |       FROM reach GROUP BY src),
+       |${ccLabelCtes()},
        |wc AS MATERIALIZED (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_words FROM documents)
        |SELECT c.doc_id, c.cluster_id, w.n_words,
        |       row_number() OVER (PARTITION BY c.cluster_id
@@ -110,7 +128,7 @@ object Oracles {
     val bandSelects = (0 until Bands).map { j =>
       s"SELECT doc_id, $j AS bid, (${m(2 * j)}::VARCHAR || ',' || ${m(2 * j + 1)}::VARCHAR) AS bkey FROM hs"
     }.mkString(" UNION ALL ")
-    s"""WITH RECURSIVE
+    s"""WITH
        |qt AS MATERIALIZED (SELECT doc_id, text, $toksSql AS toks FROM documents),
        |q AS MATERIALIZED (SELECT doc_id FROM (
        |    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
@@ -133,12 +151,7 @@ object Oracles {
        |          WHERE round(len(list_intersect(a.h0, b.h0))::DOUBLE
        |                      / len(list_distinct(list_concat(a.h0, b.h0))), 6) >= 0.5),
        |und AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM pairs UNION SELECT d2, d1 FROM pairs),
-       |reach(src, dst) AS (
-       |  SELECT src, dst FROM und
-       |  UNION
-       |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
-       |cl AS MATERIALIZED (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-       |       FROM reach GROUP BY src),
+       |${ccLabelCtes()},
        |wc AS MATERIALIZED (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_words FROM documents
        |       WHERE doc_id IN (SELECT doc_id FROM q))
        |SELECT c.doc_id, c.cluster_id, w.n_words,
