@@ -225,7 +225,10 @@ object Analytics {
       countDistinct(col("o_orderpriority")).as("ndv_priority"),
       round(min(col("o_totalprice")), 2).as("min_price"),
       round(max(col("o_totalprice")), 2).as("max_price"),
-      round(sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")
+      // int128 cent sum, not sum(decimal): same exact numerator, but the
+      // long buffer keeps this wide aggregate fast-hash-map eligible (the
+      // r12 money-path sweep — see ExactMoney's cost-history note)
+      round(ExactMoney.sumCentsCol(ExactMoney.centsCol(col("o_totalprice")))
         / count(lit(1)), 6).as("avg_price"),
       // orderdate is TIMESTAMP_NTZ in the parquet; the session TZ is
       // pinned UTC so the cast to TIMESTAMP is value-preserving

@@ -32,14 +32,20 @@ object Relational {
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         ExactMoney.sum2(col("l_extendedprice")).as("sum_base_price"),
         ExactMoney.sumRevenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
-        // averages via exact-decimal sums cast back to double BEFORE the
-        // divide: numerator identical on both engines, the double division
-        // and round are then deterministic (plain avg(double) is an
-        // order-dependent sum — same latent cent/ppm-boundary class
-        // ExactMoney fixes for sums)
-        round(sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+        // averages via exact integer-cent sums cast back to double BEFORE
+        // the divide: numerator identical on both engines (the int128
+        // aggregate reassembles the same exact decimal the old
+        // sum(decimal(12,2)) produced), the double division and round are
+        // then deterministic (plain avg(double) is an order-dependent sum —
+        // same latent cent/ppm-boundary class ExactMoney fixes for sums).
+        // Cent longs, not decimal: a sum(decimal(12,2)) buffer is
+        // decimal(22,2) > 18 digits → not long-backed → it alone evicts the
+        // whole aggregate from HashAggregate's primitive fast map (the r12
+        // q_agg_groupby adjudication: these two numerators kept A1 on the
+        // slow path AFTER the money sums moved to int128)
+        round(ExactMoney.sumCentsCol(ExactMoney.centsCol(col("l_quantity")))
           / count(lit(1)), 6).as("avg_qty"),
-        round(sum(col("l_discount").cast("decimal(8,2)")).cast("double")
+        round(ExactMoney.sumCentsCol(ExactMoney.centsCol(col("l_discount")))
           / count(lit(1)), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
@@ -760,8 +766,8 @@ object Relational {
       .withColumn("sum_qty", sum(col("l_quantity")).over(w))
       .withColumn("cnt", count(lit(1)).over(w))
       .where(lit(5) * col("l_quantity") * col("cnt") < col("sum_qty"))
-      .agg(sum(col("l_extendedprice").cast("decimal(12,2)"))
-        .cast("decimal(18,2)").as("total_d"),
+      .agg((ExactMoney.sumUnitsRaw(ExactMoney.centsCol(col("l_extendedprice")))
+          / lit(100)).cast("decimal(18,2)").as("total_d"),
         count(lit(1)).as("n_lines"))
       .select(col("total_d").cast("double").as("total_rev"),
         (col("total_d").cast("double") / lit(7.0)).as("avg_yearly"),

@@ -23,6 +23,17 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("l_shipdate") && !p.contains("l_orderkey"))
   }
 
+  test("q_agg_groupby aggregates carry no decimal sum (int128 fast path)") {
+    // r12 money sweep: every sum in A1 goes through sum_cents_exact (long
+    // buffer, fast-hash-map eligible). One sum(decimal) buffer is
+    // decimal(22,2) > 18 digits → evicts the WHOLE aggregate from
+    // HashAggregate's primitive fast map (the r12 adjudication's root
+    // cause); this pin keeps the regression loud.
+    val p = plan("q_agg_groupby")
+    assert(p.contains("sum_cents_exact"), p.take(4000))
+    assert(!p.contains("sum(cast("), p.take(4000))
+  }
+
   test("q_join_broadcast never shuffles the fact table") {
     val p = plan("q_join_broadcast")
     assert(p.contains("BroadcastHashJoin"))
