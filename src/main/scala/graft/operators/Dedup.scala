@@ -309,22 +309,58 @@ object Dedup {
         val (_, lo, hi) = key
         val docs = it.map { case (_, _, _, band, doc, grams) => (band, doc, grams) }
           .toArray.sortBy(_._2)
-        def jacOf(a: Array[Long], b: Array[Long]): Double = {
+        // Thresholded merge walk with early exit: returns the exact
+        // jaccard when it can still reach `cmin` shared grams, −1 as soon
+        // as even matching EVERY remaining gram (min of the two tails)
+        // can't. Most pairs in a block are far below threshold, so most
+        // walks exit in a few steps instead of |a|+|b|; survivors pay the
+        // full walk and get the exact value — losslessness is the cmin
+        // bound's (conservative ceil below), not the walk's.
+        def jacAtLeast(a: Array[Long], b: Array[Long], cmin: Int): Double = {
           var x = 0; var y = 0; var c = 0
           while (x < a.length && y < b.length) {
             if (a(x) == b(y)) { c += 1; x += 1; y += 1 }
-            else if (a(x) < b(y)) x += 1 else y += 1
+            else {
+              if (a(x) < b(y)) x += 1 else y += 1
+              val rem = math.min(a.length - x, b.length - y)
+              if (c + rem < cmin) return -1.0
+            }
           }
           val union = a.length + b.length - c
           if (union == 0) 0.0 else c.toDouble / union
         }
+        // Emit bound: the outer filter keeps round(jac,6) ≥ t, i.e.
+        // jac ≥ t − 5e-7; emitting at tEmit = t − 1e-6 is a strict
+        // superset, so the rounded filter stays the single source of
+        // truth. cmin: jac ≥ tEmit ⟺ c ≥ tEmit·(|a|+|b|)/(1+tEmit);
+        // the 1e-9 pulls the ceil DOWN — FP noise may only weaken the
+        // early exit, never drop a qualifying pair.
+        val tEmit = t - 1e-6
+        def cminOf(sumLen: Int): Int =
+          math.ceil(tEmit * sumLen / (1.0 + tEmit) - 1e-9).toInt
         if (docs.length <= maxAllPairsBlock) {
-          for {
-            i <- docs.indices.iterator
-            j <- (i + 1 until docs.length).iterator
-            // within-band pairs belong to the (band, band) group only
-            if (lo == hi) || (docs(i)._1 != docs(j)._1)
-          } yield (docs(i)._2, docs(j)._2, jacOf(docs(i)._3, docs(j)._3))
+          // Tight while-loops emitting ONLY ≥-threshold pairs: the old
+          // form yielded every pair (sub-threshold included) out of
+          // flatMapGroups and filtered after serialization — at sf10
+          // that materialized billions of Tuple3s/InternalRows that the
+          // very next operator dropped.
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          var i = 0
+          while (i < docs.length - 1) {
+            val gi = docs(i)._3
+            var j = i + 1
+            while (j < docs.length) {
+              // within-band pairs belong to the (band, band) group only
+              if ((lo == hi) || (docs(i)._1 != docs(j)._1)) {
+                val gj = docs(j)._3
+                val jc = jacAtLeast(gi, gj, cminOf(gi.length + gj.length))
+                if (jc >= tEmit) out += ((docs(i)._2, docs(j)._2, jc))
+              }
+              j += 1
+            }
+            i += 1
+          }
+          out.iterator
         } else {
           // in-block document frequency → rarity order (df asc, gram asc)
           val df = new java.util.HashMap[Long, Int]()
@@ -354,7 +390,9 @@ object Dedup {
                 // within-band pairs belong to the (band, band) group only
                 if (((lo == hi) || (docs(i)._1 != docs(j)._1)) &&
                     seen.add(i.toLong << 32 | j)) {
-                  out += ((docs(i)._2, docs(j)._2, jacOf(docs(i)._3, docs(j)._3)))
+                  val gi = docs(i)._3; val gj = docs(j)._3
+                  val jc = jacAtLeast(gi, gj, cminOf(gi.length + gj.length))
+                  if (jc >= tEmit) out += ((docs(i)._2, docs(j)._2, jc))
                 }
                 b += 1
               }
@@ -386,8 +424,16 @@ object Dedup {
   def ngramTopK(spark: SparkSession, dir: String, k: Int = 3,
       threshold: Double = 0.35): DataFrame = {
     val pairs = ngramJaccard(spark, dir, threshold)
-    val sym = pairs.select(col("d1").as("doc_id"), col("d2").as("nbr"), col("jac"))
-      .unionAll(pairs.select(col("d2").as("doc_id"), col("d1").as("nbr"), col("jac")))
+    // Mirror via explode, not unionAll(self): a union's two branches are
+    // two full copies of the plan, and the reuse the optimizer CAN do
+    // (ReusedExchange) only shares the shuffle below flatMapGroups — the
+    // candidate pair generation itself ran twice (measured 2× at sf10).
+    // One Generate keeps it single-pass.
+    val sym = pairs.select(explode(array(
+        struct(col("d1").as("doc_id"), col("d2").as("nbr"), col("jac")),
+        struct(col("d2").as("doc_id"), col("d1").as("nbr"), col("jac")))).as("s"))
+      .select(col("s.doc_id").as("doc_id"), col("s.nbr").as("nbr"),
+        col("s.jac").as("jac"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("jac").desc, col("nbr"))
     sym.withColumn("rk", row_number().over(w))

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe (Test scope, not shipped): decompose the C4-family cost —
+  * does ngramTopK's mirror re-run candidate generation, and how much of
+  * ngramJaccard is sub-threshold pair materialization? Run:
+  * sbt "Test/runMain graft.NgramProbe"
+  */
+object NgramProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.Dedup
+
+    val topkPlan = Dedup.ngramTopK(spark, dir).queryExecution.executedPlan.toString
+    println("[probe] topk FlatMapGroups in plan: " +
+      "FlatMapGroups".r.findAllIn(topkPlan).size)
+
+    def time(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      val ts = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[probe] $name%-28s best=${ts.min}%.3f all=${ts.map(t => f"$t%.2f").mkString(",")}")
+    }
+
+    time("ngram_jaccard")(Dedup.ngramJaccard(spark, dir))
+    time("ngram_topk")(Dedup.ngramTopK(spark, dir))
+    spark.stop()
+  }
+}
