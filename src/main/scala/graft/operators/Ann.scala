@@ -21,10 +21,22 @@ object Ann {
 
   /** Embeddings cast to double with precomputed L2 norm (narrow). */
   def normed(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"),
+    normedOf(Tables.embeddings(spark, dir))
+
+  /** [[normed]] over any embeddings-shaped frame (vec_id, embedding
+    * [, label]) — how [[AnnIndex.buildOn]]/[[AnnIndex.append]] accept
+    * corpora and ingest batches that aren't the dir's table. A missing
+    * label column becomes null so every downstream layout keeps one
+    * schema.
+    */
+  def normedOf(raw: DataFrame): DataFrame = {
+    val withLabel =
+      if (raw.columns.contains("label")) raw
+      else raw.withColumn("label", lit(null).cast("int"))
+    withLabel.select(col("vec_id"), col("label"),
         transform(col("embedding"), _.cast("double")).as("e"))
       .withColumn("nrm", sqrt(VectorExpressions.dot(col("e"), col("e"))))
+  }
 
   /** Cosine similarity from precomputed norms. The dot product is a native
     * codegen expression ([[graft.functions.DotProduct]]) — the HOF
@@ -90,8 +102,14 @@ object Ann {
       struct(lit(t).as("tbl"), bucket.as("bucket"))
     }
 
-  def lshBuckets(spark: SparkSession, dir: String, nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
-    val v = normed(spark, dir)
+  def lshBuckets(spark: SparkSession, dir: String, nPlanes: Int = 4, nTables: Int = 8): DataFrame =
+    lshBucketsOf(normed(spark, dir), nPlanes, nTables)
+
+  /** [[lshBuckets]] over a pre-[[normedOf]]'d frame — the same plane
+    * constants for the dir corpus, a [[AnnIndex.buildOn]] corpus, or an
+    * [[AnnIndex.append]] ingest batch.
+    */
+  def lshBucketsOf(v: DataFrame, nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
     val buckets = tableBucketStructs(col("e"), nPlanes, nTables)
     v.select(col("vec_id"), col("label"), explode(array(buckets: _*)).as("tb"))
       .select(col("vec_id"), col("label"), col("tb.tbl"), col("tb.bucket"))

@@ -65,13 +65,20 @@ object Ivf {
     * query uses; refined codebooks (iters≥1) give better recall but their
     * centroids depend on partial-aggregation summation order.
     */
-  def train(spark: SparkSession, dir: String, c: Int = 16, iters: Int = 2): Seq[(Int, Seq[Double])] = {
+  def train(spark: SparkSession, dir: String, c: Int = 16, iters: Int = 2): Seq[(Int, Seq[Double])] =
+    trainOn(Ann.normed(spark, dir), c, iters)
+
+  /** [[train]] over a pre-[[Ann.normedOf]]'d corpus frame (what
+    * [[AnnIndex.buildOn]] passes). Seeds come from vec_id 0..c−1, so the
+    * frame must contain that id range.
+    */
+  def trainOn(normed: DataFrame, c: Int = 16, iters: Int = 2): Seq[(Int, Seq[Double])] = {
     // cache only pays when Lloyd iterations re-scan; iters=0 (the oracle
     // path) would cache for nothing. train() fully consumes the cache via
     // its collects, so it can (and must) unpersist before returning —
     // leaving the corpus pinned in the session CacheManager would degrade
     // every later job on a shared cluster.
-    val base = Ann.normed(spark, dir).select(col("vec_id"), col("e"))
+    val base = normed.select(col("vec_id"), col("e"))
     val cached = iters > 0
     val v = if (cached) base.cache() else base
     try {

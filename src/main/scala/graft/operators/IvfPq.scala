@@ -50,8 +50,15 @@ object IvfPq {
       centroids: Seq[(Int, Seq[Double])], cenFlat: Array[Double],
       cenR: IndexedSeq[IndexedSeq[Seq[Double]]], dim: Int)
 
-  private[operators] def resModel(spark: SparkSession, dir: String, c: Int): ResModel = {
-    val seeds = Ann.normed(spark, dir).select(col("vec_id"), col("e"))
+  private[operators] def resModel(spark: SparkSession, dir: String, c: Int): ResModel =
+    resModelOn(Ann.normed(spark, dir), c)
+
+  /** [[resModel]] over a pre-[[Ann.normedOf]]'d frame (must contain seed
+    * vec_ids 0..max(c, 2·Ksub)−1 — what [[AnnIndex.buildOn]] requires of
+    * its initial corpus).
+    */
+  private[operators] def resModelOn(normed: DataFrame, c: Int): ResModel = {
+    val seeds = normed.select(col("vec_id"), col("e"))
       .where(col("vec_id") < math.max(c, 2 * Pq.Ksub)).orderBy("vec_id").collect()
       .map(_.getSeq[Double](1).toArray)
     val centroids: Seq[(Int, Seq[Double])] =
@@ -98,16 +105,28 @@ object IvfPq {
   private[operators] case class ResIndex(mdl: ResModel, corpus: DataFrame)
 
   private[operators] def residualIndex(spark: SparkSession, dir: String,
+      c: Int = 16, materialize: Boolean = true): ResIndex =
+    residualIndexOn(Ann.normed(spark, dir), c, materialize)
+
+  private[operators] def residualIndexOn(normed: DataFrame,
       c: Int = 16, materialize: Boolean = true): ResIndex = {
-    val v = Ann.normed(spark, dir)
-    val mdl = resModel(spark, dir, c)
+    val mdl = resModelOn(normed, c)
+    val corpus = encodeResidual(normed, mdl)
+    ResIndex(mdl, if (materialize) corpus.localCheckpoint(false) else corpus)
+  }
+
+  /** Frozen-model residual encode of any pre-[[Ann.normedOf]]'d frame to
+    * the (vec_id, cid, codes) corpus layout — the build-time corpus pass
+    * and the [[AnnIndex.append]] ingest pass are the same arithmetic by
+    * construction.
+    */
+  private[operators] def encodeResidual(normed: DataFrame, mdl: ResModel): DataFrame = {
     val residual = (e: org.apache.spark.sql.Column, cid: org.apache.spark.sql.Column) =>
       graft.functions.VectorExpressions.subCentroid(e, cid, mdl.cenFlat, mdl.dim)
-    val corpus = v
+    normed
       .select(col("vec_id"), col("e"), Ivf.nearestCid(col("e"), mdl.centroids).as("cid"))
       .select(col("vec_id"), col("cid"),
         Pq.codesCol(residual(col("e"), col("cid")), mdl.cenR).as("codes"))
-    ResIndex(mdl, if (materialize) corpus.localCheckpoint(false) else corpus)
   }
 
   /** Integer-ADC search over a built [[ResIndex]] for ANY broadcast
@@ -178,9 +197,14 @@ object IvfPq {
     * the seed-collect corpus scan twice.
     */
   def refineResidualPerCell(spark: SparkSession, dir: String, mdl: ResModel,
+      iters: Int): IndexedSeq[IndexedSeq[IndexedSeq[Seq[Double]]]] =
+    refineResidualPerCellOn(Ann.normed(spark, dir), mdl, iters)
+
+  /** [[refineResidualPerCell]] over a pre-[[Ann.normedOf]]'d frame. */
+  def refineResidualPerCellOn(normed: DataFrame, mdl: ResModel,
       iters: Int): IndexedSeq[IndexedSeq[IndexedSeq[Seq[Double]]]] = {
     val c = mdl.centroids.length
-    val v = Ann.normed(spark, dir)
+    val v = normed
     // consumed fully by the per-iteration collects below → cache +
     // finally-unpersist (the Ivf.train pattern), never left pinned
     val rows = v
@@ -244,6 +268,14 @@ object IvfPq {
     * "ivfpq_res_refined" [[AnnIndex]] layout.
     */
   private[operators] def refinedCorpus(spark: SparkSession, dir: String,
+      mdl: ResModel, cells: IndexedSeq[IndexedSeq[IndexedSeq[Seq[Double]]]]): DataFrame =
+    encodeRefined(Ann.normed(spark, dir), mdl, cells)
+
+  /** Frozen-model per-cell-refined encode of any pre-[[Ann.normedOf]]'d
+    * frame — shared by the build-time corpus pass and
+    * [[AnnIndex.append]]'s ingest pass.
+    */
+  private[operators] def encodeRefined(normed: DataFrame,
       mdl: ResModel, cells: IndexedSeq[IndexedSeq[IndexedSeq[Seq[Double]]]]): DataFrame = {
     val cenFlat = (for {
       ci <- cells.indices; m <- 0 until Pq.M; kk <- 0 until Pq.Ksub
@@ -251,7 +283,7 @@ object IvfPq {
     } yield cells(ci)(m)(kk)(d)).toArray
     val ccFlat = (for { ci <- cells.indices; m <- 0 until Pq.M; kk <- 0 until Pq.Ksub }
       yield cells(ci)(m)(kk).map(x => x * x).sum).toArray
-    Ann.normed(spark, dir)
+    normed
       .select(col("vec_id"), col("e"), Ivf.nearestCid(col("e"), mdl.centroids).as("cid"))
       .select(col("vec_id"), col("cid"), graft.functions.VectorExpressions
         .pqEncodeCell(graft.functions.VectorExpressions

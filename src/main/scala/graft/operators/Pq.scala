@@ -38,8 +38,14 @@ object Pq {
   /** Codebook cen(m)(k) = subvector m of seed vector k — a driver-side
     * model artifact of M×K×Dsub doubles; the corpus never leaves executors.
     */
-  def codebook(spark: SparkSession, dir: String): IndexedSeq[IndexedSeq[Seq[Double]]] = {
-    val seeds = Ann.normed(spark, dir).select(col("vec_id"), col("e"))
+  def codebook(spark: SparkSession, dir: String): IndexedSeq[IndexedSeq[Seq[Double]]] =
+    codebookOf(Ann.normed(spark, dir))
+
+  /** [[codebook]] over a pre-[[Ann.normedOf]]'d frame (must contain seed
+    * vec_ids 0..Ksub−1).
+    */
+  def codebookOf(normed: DataFrame): IndexedSeq[IndexedSeq[Seq[Double]]] = {
+    val seeds = normed.select(col("vec_id"), col("e"))
       .where(col("vec_id") < Ksub).orderBy("vec_id").collect()
       .map(_.getSeq[Double](1))
     (0 until M).map(m => seeds.toIndexedSeq.map(_.slice(m * Dsub, (m + 1) * Dsub)))
@@ -55,9 +61,13 @@ object Pq {
     * oracle-checked query uses iters=0 and refinement is recall-spec'd.
     */
   def refine(spark: SparkSession, dir: String,
-      iters: Int): IndexedSeq[IndexedSeq[Seq[Double]]] = {
-    val v = Ann.normed(spark, dir).select(col("vec_id"), col("e"))
-    var cen = codebook(spark, dir)
+      iters: Int): IndexedSeq[IndexedSeq[Seq[Double]]] =
+    refineOn(Ann.normed(spark, dir), iters)
+
+  /** [[refine]] over a pre-[[Ann.normedOf]]'d frame. */
+  def refineOn(normed: DataFrame, iters: Int): IndexedSeq[IndexedSeq[Seq[Double]]] = {
+    val v = normed.select(col("vec_id"), col("e"))
+    var cen = codebookOf(normed)
     for (_ <- 1 to iters) {
       val coded = v.select(col("e"), codesCol(col("e"), cen).as("codes"))
         .select(col("e"), posexplode(col("codes")).as(Seq("m", "code")))
