@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorExpressions
+import graft.io.Tables
 
 /** End-to-end ANN serving façade: build an index over the corpus ONCE,
   * then answer arbitrary batch query sets against it — the entry point a
@@ -113,33 +114,91 @@ object AnnIndex {
     * instead of cos4).
     */
   def build(spark: SparkSession, dir: String, method: String = "ivf",
+      c: Int = 16, iters: Int = 2, nprobe: Int = 4): Handle =
+    buildOn(Tables.embeddings(spark, dir), method, c, iters, nprobe)
+
+  /** [[build]] over any embeddings-shaped frame (vec_id, embedding
+    * [, label]) — a filtered/unioned corpus, a staging table, another
+    * source entirely. The trained layouts seed their models from the
+    * frame's lowest vec_ids ([[Ivf.trainOn]] needs 0..c−1,
+    * [[IvfPq.resModelOn]] 0..max(c, 2·Ksub)−1), so the initial corpus must
+    * contain that id range; [[append]] batches have no such constraint
+    * (they never touch the model).
+    */
+  def buildOn(raw: DataFrame, method: String = "ivf",
       c: Int = 16, iters: Int = 2, nprobe: Int = 4): Handle = method match {
     case "lsh" =>
-      Handle("lsh", Ann.normed(spark, dir).localCheckpoint(false),
-        Some(Ann.lshBuckets(spark, dir).localCheckpoint(false)), Nil, nprobe)
+      val normed = Ann.normedOf(raw)
+      Handle("lsh", normed.localCheckpoint(false),
+        Some(Ann.lshBucketsOf(normed).localCheckpoint(false)), Nil, nprobe)
     case "ivf" =>
-      val centroids = Ivf.train(spark, dir, c, iters)
-      val corpus = Ann.normed(spark, dir)
+      val normed = Ann.normedOf(raw)
+      val centroids = Ivf.trainOn(normed, c, iters)
+      val corpus = normed
         .withColumn("cid", Ivf.nearestCid(col("e"), centroids))
         .localCheckpoint(false)
       Handle("ivf", corpus, None, centroids, nprobe)
     case "pq" =>
-      val cen = if (iters == 0) Pq.codebook(spark, dir) else Pq.refine(spark, dir, iters)
-      val codes = Ann.normed(spark, dir)
+      val normed = Ann.normedOf(raw)
+      val cen = if (iters == 0) Pq.codebookOf(normed) else Pq.refineOn(normed, iters)
+      val codes = normed
         .select(col("vec_id"), Pq.codesCol(col("e"), cen).as("codes"))
         .localCheckpoint(false)
       Handle("pq", codes, None, Nil, nprobe, None, cen)
     case "ivfpq" =>
-      val idx = IvfPq.residualIndex(spark, dir, c)
+      val idx = IvfPq.residualIndexOn(Ann.normedOf(raw), c)
       Handle("ivfpq", idx.corpus, None, idx.mdl.centroids, nprobe, Some(idx))
     case "ivfpq_res_refined" =>
-      val mdl = IvfPq.resModel(spark, dir, c)
-      val cells = IvfPq.refineResidualPerCell(spark, dir, mdl, iters)
-      val corpus = IvfPq.refinedCorpus(spark, dir, mdl, cells).localCheckpoint(false)
+      val normed = Ann.normedOf(raw)
+      val mdl = IvfPq.resModelOn(normed, c)
+      val cells = IvfPq.refineResidualPerCellOn(normed, mdl, iters)
+      val corpus = IvfPq.encodeRefined(normed, mdl, cells).localCheckpoint(false)
       Handle("ivfpq_res_refined", corpus, None, mdl.centroids, nprobe,
         Some(IvfPq.ResIndex(mdl, corpus)), cells = cells)
     case other => throw new IllegalArgumentException(
       s"unknown ANN method '$other' (expected lsh, ivf, pq, ivfpq or ivfpq_res_refined)")
+  }
+
+  /** Ingest a batch into a built index WITHOUT retraining: the batch is
+    * encoded through the handle's frozen model — the same arithmetic as the
+    * build-time corpus pass ([[Ann.lshBucketsOf]] / [[Ivf.nearestCid]] /
+    * [[Pq.codesCol]] / [[IvfPq.encodeResidual]] / [[IvfPq.encodeRefined]])
+    * — and unioned into the served corpus. Cost is one narrow encode of the
+    * batch (plus its own lazy checkpoint); the existing corpus is never
+    * recomputed or reshuffled, which is what makes incremental ingest
+    * viable at 100 TB (the C2c/D10 batch-probes-index precedent, applied to
+    * serving). Because the model is frozen, append(batch) is bit-identical
+    * to the batch's rows in a full rebuild under the same model
+    * (AnnIndexSpec pins this across all five layouts).
+    *
+    * `batch` is embeddings-shaped like [[buildOn]]'s corpus; vec_id
+    * uniqueness across base + batches is the caller's contract (same as any
+    * ingest path — enforcing it would cost a full-corpus join per batch).
+    */
+  def append(h: Handle, batch: DataFrame): Handle = {
+    val nb = Ann.normedOf(batch).localCheckpoint(false)
+    h.method match {
+      case "lsh" =>
+        h.copy(corpus = h.corpus.unionByName(nb),
+          buckets = Some(h.buckets.get
+            .unionByName(Ann.lshBucketsOf(nb).localCheckpoint(false))))
+      case "ivf" =>
+        h.copy(corpus = h.corpus.unionByName(
+          nb.withColumn("cid", Ivf.nearestCid(col("e"), h.centroids))
+            .localCheckpoint(false)))
+      case "pq" =>
+        h.copy(corpus = h.corpus.unionByName(
+          nb.select(col("vec_id"), Pq.codesCol(col("e"), h.pqCen).as("codes"))
+            .localCheckpoint(false)))
+      case "ivfpq" =>
+        val corpus = h.corpus.unionByName(
+          IvfPq.encodeResidual(nb, h.resIdx.get.mdl).localCheckpoint(false))
+        h.copy(corpus = corpus, resIdx = Some(h.resIdx.get.copy(corpus = corpus)))
+      case "ivfpq_res_refined" =>
+        val corpus = h.corpus.unionByName(
+          IvfPq.encodeRefined(nb, h.resIdx.get.mdl, h.cells).localCheckpoint(false))
+        h.copy(corpus = corpus, resIdx = Some(h.resIdx.get.copy(corpus = corpus)))
+    }
   }
 
   /** Persist a built index under `path`: the DATA-scale artifacts (the

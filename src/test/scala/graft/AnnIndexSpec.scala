@@ -154,6 +154,44 @@ class AnnIndexSpec extends GraftSuite {
     assert(got.length == 3 && got.forall(_.getLong(0) == 7L))
   }
 
+  test("append(batch) == the batch's rows in a full rebuild, all five layouts") {
+    // The frozen-model contract: with the model seeds (vec_id 0..31) in the
+    // base corpus and deterministic seed codebooks (iters=0), buildOn(base)
+    // trains the SAME model as buildOn(full) — so append's frozen-model
+    // encode of the remainder must reproduce the full rebuild's search
+    // results bit-for-bit (the C2c/D10 incremental-dedup precedent).
+    val raw = graft.io.Tables.embeddings(spark, sf)
+    val base = raw.where(col("vec_id") < 250)
+    val batch = raw.where(col("vec_id") >= 250)
+    for (method <- Seq("lsh", "ivf", "pq", "ivfpq", "ivfpq_res_refined")) {
+      val full = AnnIndex.buildOn(raw, method, iters = 0)
+      val inc = AnnIndex.append(AnnIndex.buildOn(base, method, iters = 0), batch)
+      val got = inc.search(registeredQueries, 5).collect().map(_.toSeq).toSet
+      val want = full.search(registeredQueries, 5).collect().map(_.toSeq).toSet
+      assert(got == want && got.nonEmpty, s"$method: append diverges from full rebuild")
+    }
+  }
+
+  test("appended vectors are served, survive save/load, and never retrain the model") {
+    import spark.implicits._
+    val idx = AnnIndex.buildOn(graft.io.Tables.embeddings(spark, sf), "ivf") // iters=2: trained
+    val e0 = Ann.normed(spark, sf).where(col("vec_id") === 0)
+      .select(col("e")).as[Seq[Double]].head()
+    val batch = Seq((1000000L, e0.map(_ * 0.95 + 0.005)))
+      .toDF("vec_id", "embedding") // no label column — normedOf defaults it
+    val appended = AnnIndex.append(idx, batch)
+    assert(appended.centroids == idx.centroids, "append must not retrain")
+    val q = Seq((-5L, e0.map(_ * 0.9 + 0.01))).toDF("query_id", "qe")
+    val got = appended.search(q, 3, excludeSelf = false).collect().map(_.getLong(2))
+    assert(got.contains(1000000L), "ingested vector must be findable")
+    // durability: the appended corpus is what save() persists
+    val dir = java.nio.file.Files.createTempDirectory("annidx-append").toString
+    AnnIndex.save(appended, dir)
+    val reloaded = AnnIndex.load(spark, dir).search(q, 3, excludeSelf = false)
+      .collect().map(_.getLong(2))
+    assert(reloaded.toSeq == got.toSeq, "appended index diverges after save/load")
+  }
+
   test("load on a missing or empty path names the path and the problem") {
     val missing = "/tmp/annidx-definitely-absent"
     val e = intercept[IllegalArgumentException](AnnIndex.load(spark, missing))
