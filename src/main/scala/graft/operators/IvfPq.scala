@@ -188,16 +188,8 @@ object IvfPq {
     * so this path is recall-spec'd, not oracle-checked; the registered
     * query stays the deterministic seed construction.
     */
-  def refineResidualPerCell(spark: SparkSession, dir: String, c: Int = 16,
-      iters: Int = 2): IndexedSeq[IndexedSeq[IndexedSeq[Seq[Double]]]] =
-    refineResidualPerCell(spark, dir, resModel(spark, dir, c), iters)
-
-  /** Overload taking a pre-built [[ResModel]] so a caller that already
-    * computed it (AnnIndex.build needs the model itself too) doesn't pay
-    * the seed-collect corpus scan twice.
-    */
-  def refineResidualPerCell(spark: SparkSession, dir: String, mdl: ResModel,
-      iters: Int): IndexedSeq[IndexedSeq[IndexedSeq[Seq[Double]]]] =
+  private[operators] def refineResidualPerCell(spark: SparkSession, dir: String,
+      mdl: ResModel, iters: Int): IndexedSeq[IndexedSeq[IndexedSeq[Seq[Double]]]] =
     refineResidualPerCellOn(Ann.normed(spark, dir), mdl, iters)
 
   /** [[refineResidualPerCell]] over a pre-[[Ann.normedOf]]'d frame. */

@@ -60,7 +60,7 @@ object Pq {
     * refined centroids are FP-accumulation-order-sensitive, so the
     * oracle-checked query uses iters=0 and refinement is recall-spec'd.
     */
-  def refine(spark: SparkSession, dir: String,
+  private[operators] def refine(spark: SparkSession, dir: String,
       iters: Int): IndexedSeq[IndexedSeq[Seq[Double]]] =
     refineOn(Ann.normed(spark, dir), iters)
 

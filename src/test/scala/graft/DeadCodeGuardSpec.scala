@@ -23,24 +23,31 @@ class DeadCodeGuardSpec extends GraftSuite {
     finally stream.close()
   }
 
-  /** Public `def name(...): DataFrame | Dataset[...]` signatures
-    * (modifier-free defs only; the lookahead keeps the non-greedy span from
-    * leaking across defs).
+  /** ALL public member defs, any return type — r12 shipped dead
+    * model-returning overloads (trainOn, codebookOf, refineOn) that the
+    * old DataFrame-only pattern never saw. Anchored at exactly the
+    * two-space member indentation so local helper defs inside methods
+    * don't count, and `override def` lines (polymorphic dispatch — no
+    * by-name call sites) are naturally excluded by the anchor.
     */
   private val defPat =
-    """(?s)(private(\[\w+\])?\s+|protected\s+)?def\s+(\w+)\s*\(((?!def\s)[\s\S])*?\)\s*:\s*(DataFrame|Dataset\[)""".r
+    """(?m)^  (private(\[\w+\])?\s+|protected\s+)?def\s+(\w+)""".r
 
-  private def publicDataFrameDefs(text: String): Seq[String] =
+  private val structuralNames = Set("apply", "unapply", "this", "main")
+
+  private def publicDefs(text: String): Seq[String] =
     defPat.findAllMatchIn(text)
       .filter(_.group(1) == null) // no private/protected modifier
-      .map(_.group(3)).toSeq
+      .map(_.group(3))
+      .filterNot(structuralNames)
+      .toSeq
 
   test("every public operator method is wired to SparkEntry or a spec") {
     val corpus = (scalaFiles(mainDir) ++ scalaFiles(testDir))
       .map(p => p -> Files.readString(p)).toMap
     val unwired = for {
       f <- guardedDirs.flatMap(scalaFiles)
-      m <- publicDataFrameDefs(corpus(f)).distinct
+      m <- publicDefs(corpus(f)).distinct
       refPat = ("""\b""" + m + """\s*\(""").r
       referencedElsewhere = corpus.exists { case (p, text) =>
         p != f && refPat.findFirstIn(text).isDefined

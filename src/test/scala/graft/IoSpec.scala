@@ -72,6 +72,39 @@ class IoSpec extends GraftSuite {
     assert(io.Tables.load(spark, sf, "part").count() == base.count())
   }
 
+  test("writeCsv round-trips the dialect knobs (TupleTextOutputFormat)") {
+    val dir = tmp("wcsv") + "/out"
+    val df = spark.createDataFrame(Seq((1, Some("a;b"), Some(2.5)), (2, None, None)))
+      .toDF("id", "s", "v")
+    TextTupleSource.writeCsv(df, dir, sep = ';')
+    val back = TextTupleSource.csv(spark, dir,
+      GSchema.parse("id:int, s:string?, v:double?"), sep = ';').orderBy("id").collect()
+    assert(back(0).getString(1) == "a;b" && back(0).getDouble(2) == 2.5)
+    assert(back(1).isNullAt(1) && back(1).isNullAt(2)) // \N marker round-trips
+  }
+
+  test("byLabel routes labels to heterogeneous formats (per-named-output formats)") {
+    val base = tmp("bylabel") + "/out"
+    val df = io.Tables.events(spark, sf).select("event_id", "event_type", "user_id")
+    MultiSink.byLabel(df, "event_type", base,
+      Map("click" -> "parquet", "view" -> "json"))
+    val click = spark.read.parquet(s"$base/click").count()
+    val view = spark.read.json(s"$base/view").count()
+    assert(click == df.where(col("event_type") === "click").count() && click > 0)
+    assert(view == df.where(col("event_type") === "view").count() && view > 0)
+  }
+
+  test("toAvroSchema maps the Pangool primitive set to nullable Avro unions") {
+    val avro = AvroSource.toAvroSchema(
+      GSchema.parse("i:int, l:long, s:string?, bin:bytes"))
+    assert(avro.getType.toString == "RECORD")
+    assert(avro.getFields.size() == 4)
+    // nullable marker → union [null, string]
+    val sField = avro.getField("s").schema()
+    assert(sField.getType.toString == "UNION" &&
+      sField.getTypes.toString.contains("string"))
+  }
+
   test("multi-sink writes one partition dir per label in a single pass") {
     val base = tmp("msink") + "/out"
     val df = io.Tables.events(spark, sf).select("event_id", "event_type", "user_id")
