@@ -349,9 +349,9 @@ object SparkEntry {
         |  FROM lineitem GROUP BY l_orderkey) l
         |ON o_orderkey = l_orderkey""".stripMargin,
     "q_cogroup_multi" ->
-      """WITH c AS (SELECT c_custkey AS k, count(*) AS n FROM customer GROUP BY 1),
-        |     o AS (SELECT o_custkey AS k, count(*) AS n FROM orders GROUP BY 1),
-        |     e AS (SELECT user_id AS k, count(*) AS n FROM events GROUP BY 1)
+      """WITH c AS MATERIALIZED (SELECT c_custkey AS k, count(*) AS n FROM customer GROUP BY 1),
+        |     o AS MATERIALIZED (SELECT o_custkey AS k, count(*) AS n FROM orders GROUP BY 1),
+        |     e AS MATERIALIZED (SELECT user_id AS k, count(*) AS n FROM events GROUP BY 1)
         |SELECT coalesce(c.k, o.k, e.k) AS k,
         |       coalesce(c.n, 0) AS n_cust,
         |       coalesce(o.n, 0) AS n_orders,
@@ -386,17 +386,17 @@ object SparkEntry {
         |            WHERE word <> '' GROUP BY source, word) c) t
         |WHERE rk <= 5""".stripMargin,
     "q_topic_fp_bits" ->
-      """WITH c AS (SELECT source, word, count(*) AS cnt
+      """WITH c AS MATERIALIZED (SELECT source, word, count(*) AS cnt
         |           FROM (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents) u
         |           WHERE word <> '' GROUP BY source, word),
-        |t AS (SELECT source, word, cnt FROM (
+        |t AS MATERIALIZED (SELECT source, word, cnt FROM (
         |        SELECT source, word, cnt,
         |               row_number() OVER (PARTITION BY source ORDER BY cnt DESC, word) AS rk
         |        FROM c) r
         |      WHERE rk <= 5),
-        |v AS (SELECT word, row_number() OVER (ORDER BY word) - 1 AS idx
+        |v AS MATERIALIZED (SELECT word, row_number() OVER (ORDER BY word) - 1 AS idx
         |      FROM (SELECT DISTINCT word FROM t) dw),
-        |j AS (SELECT t.source, v.idx, t.cnt FROM t JOIN v ON t.word = v.word)
+        |j AS MATERIALIZED (SELECT t.source, v.idx, t.cnt FROM t JOIN v ON t.word = v.word)
         |SELECT source,
         |  CAST(sum(CASE WHEN idx < 64 THEN (1::BIGINT << CAST(idx AS INT)) ELSE 0 END) AS BIGINT) AS bits_0,
         |  CAST(sum(CASE WHEN idx >= 64 THEN (1::BIGINT << CAST(idx - 64 AS INT)) ELSE 0 END) AS BIGINT) AS bits_1,
