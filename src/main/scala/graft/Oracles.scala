@@ -76,6 +76,12 @@ object Oracles {
     * dedup graph can produce. Every level is MATERIALIZED (the DuckDB
     * plain-CTE inlining rule). Matches the Spark min-label-propagation
     * fixpoint in graft.operators.Curation.connectedComponents.
+    *
+    * Unlike the Spark side's true-fixpoint probe, the unroll is bounded —
+    * so a final guard round re-runs one neighbor-min pass and calls
+    * DuckDB's error() if ANY label would still drop: a component whose
+    * propagation outruns the 12 alternations is a loud oracle failure, not
+    * silently-wrong cluster labels at a larger scale factor.
     */
   private def ccLabelCtes(rounds: Int = 12): String = {
     val steps = (1 to rounds).flatMap { k =>
@@ -87,9 +93,17 @@ object Oracles {
         s"labj$k AS MATERIALIZED (SELECT x.doc_id, least(x.lab, y.lab) AS lab\n" +
           s"  FROM labn$k x JOIN labn$k y ON y.doc_id = x.lab)")
     }
+    val guard =
+      s"labguard AS MATERIALIZED (SELECT count(*) AS n_unconverged\n" +
+        s"  FROM labj$rounds x JOIN und e ON e.src = x.doc_id\n" +
+        s"  JOIN labj$rounds y ON y.doc_id = e.dst WHERE y.lab < x.lab)"
+    val cl =
+      s"cl AS MATERIALIZED (SELECT doc_id,\n" +
+        s"  CASE WHEN (SELECT n_unconverged FROM labguard) > 0\n" +
+        s"       THEN error('cc label propagation did not converge in $rounds rounds — raise ccLabelCtes(rounds)')\n" +
+        s"       ELSE lab END AS cluster_id FROM labj$rounds)"
     ("lab0 AS MATERIALIZED (SELECT DISTINCT src AS doc_id, src AS lab FROM und)" +:
-      steps :+ s"cl AS MATERIALIZED (SELECT doc_id, lab AS cluster_id FROM labj$rounds)")
-      .mkString(",\n")
+      steps :+ guard :+ cl).mkString(",\n")
   }
 
   /** Transitive closure of the near-dup pairs via recursive CTE: label =

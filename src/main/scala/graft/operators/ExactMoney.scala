@@ -29,8 +29,11 @@ import org.apache.spark.sql.functions._
    * [[graft.functions.SumCentsExact]]: integer money units summed by an
    * ANSI long add in whole-stage codegen (the per-row hot path), partials
    * folded into decimal(38,0) at merge (the once-per-group×partition cold
-   * path) — sum(decimal)-identical values at sum(long) speed, loud (ANSI
-   * throw) rather than silent on the unreachable per-partial overflow.
+   * path) — sum(decimal)-identical values at sum(long) speed, including
+   * overflow semantics: every decimal op in the aggregate pins
+   * EvalMode.LEGACY, so an (unreachable — int128 range strictly exceeds
+   * the decimal(38,0) output domain) overflow would NULL like
+   * sum(decimal(38,0)) does, not throw.
    * The naive long-cents alternative (sum the whole group as BIGINT)
    * stays rejected: it wraps silently at ~9e18 cent-units per group —
    * real at 100 TB fact-table group sizes. */
