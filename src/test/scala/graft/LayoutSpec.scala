@@ -39,6 +39,21 @@ class LayoutSpec extends GraftSuite {
     assert(shuffles(p) == 0, s"bucketed agg must not exchange:\n$p")
   }
 
+  test("q_bucketed_join runs join AND group-by with zero exchanges off the layout") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // pin the SMJ path
+    try {
+      val q = SparkEntry.queries("q_bucketed_join")(spark, sf)
+      val p = q.queryExecution.explainString(FormattedMode)
+      assert(p.contains("SortMergeJoin") && p.contains("Bucketed: true"), p)
+      assert(shuffles(p) == 0,
+        s"the registered bucketed query must not exchange anywhere:\n$p")
+      // second call reuses the session's bucket tables (the bench contract):
+      // same result, still no exchange, no rewrite
+      assert(SparkEntry.queries("q_bucketed_join")(spark, sf).count() == q.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("compact rewrites many small files into few sized ones, losslessly") {
     val inDir = java.nio.file.Files.createTempDirectory("small-files").toString
     val outDir = java.nio.file.Files.createTempDirectory("compacted").toString + "/out"
