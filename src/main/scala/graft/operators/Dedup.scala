@@ -243,10 +243,13 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.35,
       maxAllPairsBlock: Int = 4096, saltOverride: Option[Int] = None): DataFrame = {
     import spark.implicits._
+    // Grams ride the shuffle as order-preserving INTs (SortedGramInts: the
+    // packed 4-byte code always fits 32 bits) — half the payload bytes of
+    // the long form for the S× salted fan-out, int compares in the walks,
+    // identical pair output (the encoding is an order-preserving bijection).
     val g = Tables.documents(spark, dir)
       .select(col("doc_id"), (col("n_chars") / 25).cast("long").as("bucket"),
-        array_sort(array_distinct(
-          graft.functions.VectorExpressions.packedGrams4(col("text")))).as("grams"))
+        graft.functions.VectorExpressions.sortedGramInts(col("text")).as("grams"))
     // Block-local candidate generation: each doc's gram set crosses the
     // shuffle ONCE (grouped by block). A bucket join instead copies both
     // arrays into every joined row — measured 9 s vs 2 s at sf0.1.
@@ -298,14 +301,14 @@ object Dedup {
     val t = threshold
     g.flatMap { r =>
       val doc = r.getAs[Long]("doc_id"); val bucket = r.getAs[Long]("bucket")
-      val grams = r.getSeq[Long](2).toArray
+      val grams = r.getSeq[Int](2).toArray
       val band = (doc % S).toInt
       (0 until S).map { x =>
         (bucket, math.min(band, x), math.max(band, x), band, doc, grams)
       }
     }
       .groupByKey { case (bucket, lo, hi, _, _, _) => (bucket, lo, hi) }
-      .flatMapGroups { (key: (Long, Int, Int), it: Iterator[(Long, Int, Int, Int, Long, Array[Long])]) =>
+      .flatMapGroups { (key: (Long, Int, Int), it: Iterator[(Long, Int, Int, Int, Long, Array[Int])]) =>
         val (_, lo, hi) = key
         val docs = it.map { case (_, _, _, band, doc, grams) => (band, doc, grams) }
           .toArray.sortBy(_._2)
@@ -316,7 +319,7 @@ object Dedup {
         // walks exit in a few steps instead of |a|+|b|; survivors pay the
         // full walk and get the exact value — losslessness is the cmin
         // bound's (conservative ceil below), not the walk's.
-        def jacAtLeast(a: Array[Long], b: Array[Long], cmin: Int): Double = {
+        def jacAtLeast(a: Array[Int], b: Array[Int], cmin: Int): Double = {
           var x = 0; var y = 0; var c = 0
           while (x < a.length && y < b.length) {
             if (a(x) == b(y)) { c += 1; x += 1; y += 1 }
@@ -363,9 +366,9 @@ object Dedup {
           out.iterator
         } else {
           // in-block document frequency → rarity order (df asc, gram asc)
-          val df = new java.util.HashMap[Long, Int]()
+          val df = new java.util.HashMap[Int, Int]()
           docs.foreach(_._3.foreach(gr => df.merge(gr, 1, Integer.sum _)))
-          val index = new java.util.HashMap[Long, java.util.ArrayList[Int]]()
+          val index = new java.util.HashMap[Int, java.util.ArrayList[Int]]()
           docs.indices.foreach { i =>
             val grams = docs(i)._3
             // ceil(t·|g|) computed with a downward epsilon: FP noise may

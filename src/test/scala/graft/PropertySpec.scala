@@ -184,6 +184,29 @@ class PropertySpec extends GraftSuite {
     }
   }
 
+  test("SortedGramInts == sorted-distinct PackedGrams4 under the sign-bit bijection") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array_distinct, array_sort, col}
+    // random Latin-1-ish strings incl. >255 chars (clamped to the sentinel),
+    // plus the boundary lengths 0..4
+    val texts = Seq("", "a", "abc", "abcd", "aaaaaa") ++
+      Seq.fill(120)(Seq.fill(rnd.nextInt(60))(
+        (rnd.nextInt(300) + 1).toChar).mkString)
+    val rows = texts.toDF("text")
+      .select(
+        graft.functions.VectorExpressions.sortedGramInts(col("text")).as("gi"),
+        array_sort(array_distinct(
+          graft.functions.VectorExpressions.packedGrams4(col("text")))).as("gl"))
+      .collect()
+    rows.foreach { r =>
+      val gi = r.getSeq[Int](0)
+      val gl = r.getSeq[Long](1)
+      // same length (same distinct set), same order, exact bijection
+      assert(gi == gl.map(v => (v ^ 0x80000000L).toInt),
+        s"int grams diverge: $gi vs $gl")
+    }
+  }
+
   test("PqEncodeCell: interpreted == codegen == offset PqEncode (100 trials)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
