@@ -34,6 +34,8 @@ object SparkEntry {
     "q_join_broadcast"     -> ((s, d) => Relational.joinBroadcast(s, d)),
     // B10 read path: bucketed fact⋈fact join + group-by, zero Exchange
     "q_bucketed_join"      -> ((s, d) => Relational.bucketedJoin(s, d)),
+    // B11 read path: Morton-clustered rewrite + range scan, oracle-lossless
+    "q_zorder_scan"        -> ((s, d) => Relational.zorderScan(s, d)),
     "q_cogroup"            -> ((s, d) => Relational.coGroup(s, d)),
     // 3 heterogeneous schemas, one tagged-union shuffle (TupleJob.coGroupMulti)
     "q_cogroup_multi"      -> ((s, d) => Relational.coGroupMultiCounts(s, d)),
@@ -340,6 +342,12 @@ object SparkEntry {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY o_orderkey""".stripMargin,
+    "q_zorder_scan" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(user_id) AS BIGINT) AS sum_uid,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events WHERE user_id BETWEEN 10 AND 60
+        |GROUP BY event_type""".stripMargin,
     "q_join_broadcast" ->
       """SELECT n_name,
         |       CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))

@@ -189,6 +189,41 @@ object Relational {
         count(lit(1)).as("n_lines"))
   }
 
+  /** B11 as a driver-visible query — the z-ordered read path: events are
+    * rewritten once per (dir, session) Morton-clustered on (user_id,
+    * event_id) ([[graft.io.Layout.zorderWrite]]), then a user-range
+    * roll-up reads the clustered copy — at scale the parquet footer
+    * min/max stats skip every file whose (user, event) rectangle misses
+    * the predicate, on EITHER dimension (LayoutSpec measures the skip
+    * rate; this query pins the rewrite LOSSLESS via the DuckDB oracle over
+    * the raw table). Integer-only aggregates so the hash-match is
+    * FP-order-free.
+    */
+  def zorderScan(spark: SparkSession, dir: String): DataFrame = {
+    val tag = (dir.hashCode.toLong & 0xffffffffL).toHexString
+    val out = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"g_z_events_$tag").toString
+    zorderWritten.synchronized {
+      if (!zorderWritten.contains(out)) {
+        graft.io.Layout.zorderWrite(
+          Tables.events(spark, dir).select(col("event_id"), col("user_id"), col("event_type")),
+          out, "user_id", "event_id")
+        zorderWritten += out
+      }
+    }
+    spark.read.parquet(out)
+      .where(col("user_id").between(10, 60))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("user_id")).cast("long").as("sum_uid"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+  // session-lifetime memo of z-ordered copies: a fresh session (fresh
+  // driver run, possibly regenerated source data) rewrites; bench
+  // iterations within a session reuse — the same contract the bucketed
+  // tables get from the in-memory catalog
+  private val zorderWritten = scala.collection.mutable.Set.empty[String]
+
   /** A11 — co-group (reference: multi-schema TupleMRBuilder co-grouping,
     * MultipleInputsInterface.java): orders and lineitem grouped on orderkey.
     * Expressed as aggregate-then-join so both sides stay in whole-stage

@@ -24,8 +24,9 @@ object NgramProbe {
     println("[probe] topk FlatMapGroups in plan: " +
       "FlatMapGroups".r.findAllIn(topkPlan).size)
 
+    val iters = sys.env.getOrElse("SPARK_GRAFT_PROBE_ITERS", "5").toInt
     def time(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
-      val ts = (1 to 5).map { _ =>
+      val ts = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         df.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
