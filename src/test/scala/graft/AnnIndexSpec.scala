@@ -192,6 +192,37 @@ class AnnIndexSpec extends GraftSuite {
     assert(reloaded.toSeq == got.toSeq, "appended index diverges after save/load")
   }
 
+  test("streaming ingest: append per micro-batch == one batch rebuild") {
+    // The production ingest shape at 100 TB: a built index serves while
+    // new embeddings arrive on a stream; foreachBatch appends each
+    // micro-batch through the frozen model (one narrow encode per batch).
+    // Equality with the full rebuild follows from the append≡rebuild pin;
+    // this test proves the STREAMING plumbing — batch boundaries, the
+    // handle handoff across triggers — adds nothing.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val raw = graft.io.Tables.embeddings(spark, sf)
+    val base = raw.where(col("vec_id") < 250)
+    @volatile var idx = AnnIndex.buildOn(base, "ivf", iters = 0)
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        idx = AnnIndex.append(idx, batch)
+      }.start()
+    val tail = raw.where(col("vec_id") >= 250)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Double])].collect()
+    val (b1, b2) = tail.splitAt(tail.length / 2)
+    input.addData(b1.toSeq); q.processAllAvailable()
+    input.addData(b2.toSeq); q.processAllAvailable()
+    q.stop()
+    val got = idx.search(registeredQueries, 5).collect().map(_.toSeq).toSet
+    val want = AnnIndex.buildOn(raw, "ivf", iters = 0)
+      .search(registeredQueries, 5).collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("load on a missing or empty path names the path and the problem") {
     val missing = "/tmp/annidx-definitely-absent"
     val e = intercept[IllegalArgumentException](AnnIndex.load(spark, missing))
