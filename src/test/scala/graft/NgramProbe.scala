@@ -20,7 +20,10 @@ object NgramProbe {
     spark.sparkContext.setLogLevel("WARN")
     import graft.operators.Dedup
 
-    val topkPlan = Dedup.ngramTopK(spark, dir).queryExecution.executedPlan.toString
+    // count on the OPTIMIZED LOGICAL plan: the executed plan is an
+    // unexpanded AdaptiveSparkPlan wrapper before the first action, which
+    // silently counted 0 here
+    val topkPlan = Dedup.ngramTopK(spark, dir).queryExecution.optimizedPlan.toString
     println("[probe] topk FlatMapGroups in plan: " +
       "FlatMapGroups".r.findAllIn(topkPlan).size)
 
