@@ -22,10 +22,11 @@ object NgramProbe {
 
     // count on the OPTIMIZED LOGICAL plan: the executed plan is an
     // unexpanded AdaptiveSparkPlan wrapper before the first action, which
-    // silently counted 0 here
+    // silently counted 0 here — and the node PRINTS as "MapGroups"
+    // (Dataset.flatMapGroups lowers to logical MapGroups / MapGroupsExec)
     val topkPlan = Dedup.ngramTopK(spark, dir).queryExecution.optimizedPlan.toString
-    println("[probe] topk FlatMapGroups in plan: " +
-      "FlatMapGroups".r.findAllIn(topkPlan).size)
+    println("[probe] topk MapGroups in plan: " +
+      "MapGroups".r.findAllIn(topkPlan).size)
 
     val iters = sys.env.getOrElse("SPARK_GRAFT_PROBE_ITERS", "5").toInt
     def time(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
