@@ -66,6 +66,9 @@ object SparkEntry {
     // propagation (O(diameter) joined passes, lineage cut per pass)
     "q_dedup_cluster"      -> ((s, d) => Curation.dedupCluster(s, d)),
     "q_hash_split"         -> ((s, d) => Curation.hashSplit(s, d)),
+    // C47: seeded deterministic epoch order — global sort + zipWithIndex,
+    // no single-partition window
+    "q_shuffle_order"      -> ((s, d) => Curation.shuffleOrder(s, d)),
     "q_tfidf"              -> ((s, d) => Curation.tfidf(s, d)),
     "q_skew_join_salted"   -> ((s, d) => Curation.saltedSupplierRevenue(s, d)),
     "q_collect_sorted"     -> ((s, d) => Curation.vocabPerSource(s, d)),
@@ -453,6 +456,12 @@ object SparkEntry {
     "q_dedup_minhash"   -> Oracles.dedupMinhash,
     "q_dedup_cluster"   -> Oracles.dedupCluster,
     "q_hash_split"      -> Oracles.hashSplit,
+    "q_shuffle_order" ->
+      """SELECT doc_id,
+        |  row_number() OVER (
+        |    ORDER BY CAST(concat('0x', substr(md5('shuffle:epoch0:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+        |             doc_id) - 1 AS pos
+        |FROM documents""".stripMargin,
     "q_tfidf"           -> Oracles.tfidf,
     "q_skew_join_salted" -> Oracles.saltedJoin,
     "q_collect_sorted"  -> Oracles.vocabPerSource,

@@ -174,6 +174,12 @@ object AnnIndex {
     * `batch` is embeddings-shaped like [[buildOn]]'s corpus; vec_id
     * uniqueness across base + batches is the caller's contract (same as any
     * ingest path — enforcing it would cost a full-corpus join per batch).
+    *
+    * Each append adds one union branch to the served plan; after a long
+    * ingest run, [[save]] + [[load]] is the compaction pass — save writes
+    * the union out as one parquet corpus, load serves it as a flat scan
+    * (the same maintenance cadence as [[graft.io.Layout.compact]] for
+    * streaming sinks).
     */
   def append(h: Handle, batch: DataFrame): Handle = {
     val nb = Ann.normedOf(batch).localCheckpoint(false)

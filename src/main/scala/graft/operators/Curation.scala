@@ -302,6 +302,36 @@ object Curation {
       .select(col("doc_id"), col("source"), col("split"))
   }
 
+  /** C47 — seeded deterministic global shuffle: the training-order
+    * assignment every epoch of a data pipeline needs. Each doc's sort key
+    * is the salted md5-prefix hash of (seed, doc_id) — the same
+    * engine-portable construction as [[hashSplit]] — so the permutation is
+    * a pure function of (seed, id): stable across runs, machines, engines,
+    * and resumable mid-epoch. Different seed → independent permutation.
+    *
+    * The contiguous position is stamped WITHOUT a single-partition window
+    * (the naive row_number() OVER (ORDER BY ...) serializes the corpus
+    * through one task — the textbook scale-killer): range-partition by the
+    * key (the global sort Spark already does distributively), then
+    * zipWithIndex adds per-partition offsets with one extra count-only
+    * job. RDD zipWithIndex is the justified mapPartitions-tier escape:
+    * no builtin computes a contiguous global index distributively
+    * (monotonically_increasing_id leaves gaps). Range boundaries may vary
+    * with sampling, but the TOTAL order (skey, doc_id) doesn't — pos is
+    * deterministic regardless of partitioning.
+    */
+  def shuffleOrder(spark: SparkSession, dir: String, seed: String = "epoch0"): DataFrame = {
+    val skey = conv(substring(md5(
+        concat(lit(s"shuffle:$seed:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val keyed = Tables.documents(spark, dir).select(col("doc_id"), skey.as("skey"))
+    val sorted = keyed
+      .repartitionByRange(col("skey"), col("doc_id"))
+      .sortWithinPartitions("skey", "doc_id")
+    val stamped = sorted.rdd.zipWithIndex.map { case (r, i) => (r.getLong(0), i) }
+    spark.createDataFrame(stamped).toDF("doc_id", "pos")
+  }
+
   /** TF-IDF top terms per document, in EXACT integer arithmetic:
     * score = tf · 10⁶ · N / (|d| · df) with integer (floor) division, so
     * both engines produce bit-identical scores (no log, no FP accumulation
