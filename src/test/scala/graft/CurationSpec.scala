@@ -207,4 +207,24 @@ class CurationSpec extends GraftSuite {
       "every non-empty doc chunks; no phantom docs")
     chunks.unpersist()
   }
+
+  test("shuffleOrder: contiguous permutation, run-deterministic, seed-independent") {
+    val n = io.Tables.documents(spark, sf).count()
+    val a = Curation.shuffleOrder(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // pos is exactly 0..n-1 (contiguous, no gaps, no dups)
+    assert(a.map(_._2).sorted.toSeq == (0L until n))
+    // pure function of (seed, id): a second run is bit-identical
+    val b = Curation.shuffleOrder(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSet == b.toSet)
+    // a different seed is an (overwhelmingly) different permutation of the
+    // same ids
+    val c = Curation.shuffleOrder(spark, sf, seed = "epoch1").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(c.map(_._1).sorted.toSeq == a.map(_._1).sorted.toSeq)
+    assert(c.toSet != a.toSet, "new seed must reshuffle")
+    // and NOT the identity order on doc_id (it actually shuffles)
+    assert(a.sortBy(_._2).map(_._1).toSeq != a.map(_._1).sorted.toSeq)
+  }
 }
