@@ -41,6 +41,22 @@ object Layout {
       .mode("overwrite").format("parquet").saveAsTable(table)
   }
 
+  /** Append an ingest batch into an existing bucketed table WITHOUT
+    * rewriting it — the daily-ingest maintenance path for a 100 TB
+    * bucketed fact table (the [[graft.operators.AnnIndex.append]] economics
+    * applied to storage): the batch pays its own bucket shuffle, lands as
+    * one new file per bucket, and every later join/group-by on the key
+    * keeps the ZERO-Exchange plan (Spark unions the per-write files of a
+    * bucket into that bucket's scan partition; LayoutSpec pins it). Cost is
+    * O(batch); the base table's files are untouched. Periodic
+    * [[writeBucketed]] re-writes (or [[compact]]) bound the
+    * files-per-bucket growth of a long append cadence.
+    */
+  def appendBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+      .write.bucketBy(buckets, key).sortBy(key)
+      .mode("append").format("parquet").saveAsTable(table)
+
   /** Write partitioned by low-cardinality columns: `dir/col=value/...`
     * layout; equality/IN filters on those columns prune whole directories
     * at planning time (visible as PartitionFilters in the scan).

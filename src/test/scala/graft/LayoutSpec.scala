@@ -39,6 +39,27 @@ class LayoutSpec extends GraftSuite {
     assert(shuffles(p) == 0, s"bucketed agg must not exchange:\n$p")
   }
 
+  test("appendBucketed ingests a batch; the joined layout stays zero-exchange") {
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+    val (base, batch) = (orders.where(col("o_orderkey") % 2 === 0),
+      orders.where(col("o_orderkey") % 2 =!= 0))
+    Layout.writeBucketed(base, "b_app_orders", "o_orderkey", 4)
+    Layout.appendBucketed(batch, "b_app_orders", "o_orderkey", 4)
+    val t = Layout.readTable(spark, "b_app_orders")
+    // nothing lost, nothing duplicated
+    assert(t.count() == orders.count())
+    assert(t.select("o_orderkey").distinct().count()
+      == orders.select("o_orderkey").distinct().count())
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = t.join(t.groupBy("o_orderkey").count(), "o_orderkey")
+        .queryExecution.explainString(FormattedMode)
+      assert(p.contains("Bucketed: true"), p)
+      assert(shuffles(p) == 0, s"appended bucketed table must keep co-location:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("q_bucketed_join runs join AND group-by with zero exchanges off the layout") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // pin the SMJ path
