@@ -36,10 +36,28 @@ object Layout {
       spark.conf.get("spark.sql.warehouse.dir"), table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
+    bucketWriter(df, table, key, buckets, "overwrite")
+  }
+
+  /** The ONE write recipe both the full write and the append share — the
+    * zero-Exchange contract depends on every write of a table using the
+    * same bucket hash, count, and sort; keeping the chain here makes a
+    * future desync impossible.
+    */
+  private def bucketWriter(df: DataFrame, table: String, key: String,
+      buckets: Int, mode: String): Unit =
     df.repartition(buckets, org.apache.spark.sql.functions.col(key))
       .write.bucketBy(buckets, key).sortBy(key)
-      .mode("overwrite").format("parquet").saveAsTable(table)
-  }
+      .mode(mode).format("parquet").saveAsTable(table)
+
+  /** Collision-free per-dir tag for session-scoped layout table names —
+    * md5-derived, NOT String.hashCode (32-bit hashCode collisions across
+    * two data dirs would silently serve one dir's materialized layout for
+    * the other).
+    */
+  def dirTag(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
 
   /** Append an ingest batch into an existing bucketed table WITHOUT
     * rewriting it — the daily-ingest maintenance path for a 100 TB
@@ -52,10 +70,14 @@ object Layout {
     * [[writeBucketed]] re-writes (or [[compact]]) bound the
     * files-per-bucket growth of a long append cadence.
     */
-  def appendBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
-      .write.bucketBy(buckets, key).sortBy(key)
-      .mode("append").format("parquet").saveAsTable(table)
+  def appendBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    // the contract is append into an EXISTING bucketed table; a typo'd or
+    // not-yet-created name would otherwise silently fork a one-batch table
+    // that later joins read as if it were the full fact table
+    require(df.sparkSession.catalog.tableExists(table),
+      s"appendBucketed target '$table' does not exist — create it with writeBucketed first")
+    bucketWriter(df, table, key, buckets, "append")
+  }
 
   /** Write partitioned by low-cardinality columns: `dir/col=value/...`
     * layout; equality/IN filters on those columns prune whole directories

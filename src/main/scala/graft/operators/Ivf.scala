@@ -85,6 +85,12 @@ object Ivf {
       var centroids: Seq[(Int, Seq[Double])] = v.where(col("vec_id") < c)
         .orderBy("vec_id").collect()
         .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
+      // loud on a frame missing the documented seed range — a short seed
+      // set would otherwise train a silently-degenerate quantizer
+      require(centroids.length == c,
+        s"IVF training needs seed vec_ids 0..${c - 1} in the corpus frame; " +
+          s"found ${centroids.length} of $c (AnnIndex.buildOn requires the " +
+          "initial corpus to contain the seed id range)")
       for (_ <- 1 to iters) {
         val assigned = v.withColumn("cid", nearestCid(col("e"), centroids))
         val dims = 0 until centroids.head._2.length

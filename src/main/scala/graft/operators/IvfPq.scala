@@ -61,6 +61,10 @@ object IvfPq {
     val seeds = normed.select(col("vec_id"), col("e"))
       .where(col("vec_id") < math.max(c, 2 * Pq.Ksub)).orderBy("vec_id").collect()
       .map(_.getSeq[Double](1).toArray)
+    require(seeds.length == math.max(c, 2 * Pq.Ksub),
+      s"residual model needs seed vec_ids 0..${math.max(c, 2 * Pq.Ksub) - 1} " +
+        s"in the corpus frame; found ${seeds.length} " +
+        "(AnnIndex.buildOn requires the initial corpus to contain the seed id range)")
     val centroids: Seq[(Int, Seq[Double])] =
       seeds.take(c).zipWithIndex.map { case (e, i) => (i, e.toSeq) }.toSeq
     val cenFlat = seeds.take(c).flatten.toArray

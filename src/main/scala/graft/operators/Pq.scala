@@ -48,6 +48,9 @@ object Pq {
     val seeds = normed.select(col("vec_id"), col("e"))
       .where(col("vec_id") < Ksub).orderBy("vec_id").collect()
       .map(_.getSeq[Double](1))
+    require(seeds.length == Ksub,
+      s"PQ codebook needs seed vec_ids 0..${Ksub - 1} in the corpus frame; " +
+        s"found ${seeds.length} of $Ksub")
     (0 until M).map(m => seeds.toIndexedSeq.map(_.slice(m * Dsub, (m + 1) * Dsub)))
   }
 

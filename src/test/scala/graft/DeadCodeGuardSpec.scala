@@ -27,18 +27,25 @@ class DeadCodeGuardSpec extends GraftSuite {
     * model-returning overloads (trainOn, codebookOf, refineOn) that the
     * old DataFrame-only pattern never saw. Anchored at exactly the
     * two-space member indentation so local helper defs inside methods
-    * don't count, and `override def` lines (polymorphic dispatch — no
-    * by-name call sites) are naturally excluded by the anchor.
+    * don't count. The modifier prefix is matched wholesale and CLASSIFIED
+    * after the fact: private/protected are excluded, override is excluded
+    * (polymorphic dispatch — no by-name call sites), but final / implicit
+    * / lazy / @annotation'd defs stay IN scope — a `final def helper` is
+    * just as dead-shippable as a bare one.
     */
   private val defPat =
-    """(?m)^  (private(\[\w+\])?\s+|protected\s+)?def\s+(\w+)""".r
+    """(?m)^  ((?:[\w@]+(?:\[\w+\])?\s+)*)def\s+(\w+)""".r
 
   private val structuralNames = Set("apply", "unapply", "this", "main")
 
   private def publicDefs(text: String): Seq[String] =
     defPat.findAllMatchIn(text)
-      .filter(_.group(1) == null) // no private/protected modifier
-      .map(_.group(3))
+      .filterNot { m =>
+        val mods = Option(m.group(1)).getOrElse("")
+        mods.contains("private") || mods.contains("protected") ||
+          mods.contains("override")
+      }
+      .map(_.group(2))
       .filterNot(structuralNames)
       .toSeq
 
