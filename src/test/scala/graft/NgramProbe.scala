@@ -38,7 +38,10 @@ object NgramProbe {
       println(f"[probe] $name%-28s best=${ts.min}%.3f all=${ts.map(t => f"$t%.2f").mkString(",")}")
     }
 
-    time("ngram_jaccard")(Dedup.ngramJaccard(spark, dir))
+    // SPARK_GRAFT_SALT=s overrides the adaptive band count (A/B the
+    // payload-vs-parallelism trade after the int-gram halving)
+    val salt = sys.env.get("SPARK_GRAFT_SALT").filter(_.nonEmpty).map(_.toInt)
+    time("ngram_jaccard")(Dedup.ngramJaccard(spark, dir, saltOverride = salt))
     time("ngram_topk")(Dedup.ngramTopK(spark, dir))
     spark.stop()
   }
