@@ -59,6 +59,58 @@ object Layout {
     java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
 
+  /** Cheap driver-side fingerprint of the SOURCE data under `paths` (file
+    * names + lengths + mtimes, one FS listing, no Spark job). Folded into
+    * the memo tag of the session-scoped layout queries so a dir whose data
+    * is regenerated IN PLACE mid-session gets a fresh materialization
+    * instead of silently serving the stale bucketed/z-ordered copy while
+    * the oracle reads the new source.
+    */
+  def sourceFingerprint(spark: SparkSession, paths: String*): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    paths.foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(hp, true)
+      while (it.hasNext) {
+        val f = it.next()
+        md.update(s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime};"
+          .getBytes("UTF-8"))
+      }
+    }
+    md.digest().take(8).map("%02x".format(_)).mkString
+  }
+
+  /** Total on-disk bytes under `paths` — one content-summary call per
+    * path, driver-side, no Spark job.
+    */
+  def inputBytes(spark: SparkSession, paths: String*): Long =
+    paths.map { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(hp).getLength
+    }.sum
+
+  /** Corpus-derived bucket count: actual input bytes over a target
+    * per-bucket size, floored, rounded UP to a power of two. Sizing from
+    * bytes is the rule the rest of the repo already follows (semDedup's
+    * corpus-derived cell count, [[compact]]'s partition count) — a pinned
+    * constant is a toy at one SF and a scale-killer at another (8 buckets
+    * over 100 TB = 12.5 TB per bucket task). Power-of-two so a future
+    * re-bucketing at 2× splits every Murmur3 bucket `h % B` into exactly
+    * two of `h % 2B` — bounded re-cluster cost — and so slow corpus growth
+    * doesn't thrash the count between adjacent integers.
+    */
+  def deriveBuckets(spark: SparkSession, paths: Seq[String],
+      targetBucketBytes: Long = 256L * 1024 * 1024, floor: Int = 8): Int = {
+    val raw = math.max(floor.toLong,
+      math.ceil(inputBytes(spark, paths: _*).toDouble / targetBucketBytes).toLong)
+    require(raw <= (1L << 30), s"derived bucket count $raw is implausible")
+    var p = 1
+    while (p < raw) p <<= 1
+    p
+  }
+
   /** Append an ingest batch into an existing bucketed table WITHOUT
     * rewriting it — the daily-ingest maintenance path for a 100 TB
     * bucketed fact table (the [[graft.operators.AnnIndex.append]] economics
@@ -106,32 +158,85 @@ object Layout {
   }
 
   /** Z-order (Morton-curve) clustering for TWO-dimensional min/max file
-    * skipping: each column rank-scales to 16 bits off its global (min,
-    * max), the interleaved code range-partitions + sorts the write, and
-    * every output file ends up covering a small RECTANGLE in (a, b) space
-    * — so a predicate on EITHER column (or a box on both) intersects only
-    * ~√(files) of them, where a linear sort on `a` would leave a `b`-only
-    * predicate scanning everything. The footer min/max stats parquet
-    * already writes are the skipping index; no extra metadata needed. This
-    * is the standard lakehouse layout trick (Delta/Iceberg `ZORDER BY`),
-    * here as a plain write pass.
+    * skipping: each column QUANTILE-scales to 16 bits, the interleaved
+    * code range-partitions + sorts the write, and every output file ends
+    * up covering a small RECTANGLE in (a, b) rank space — so a predicate
+    * on EITHER column (or a box on both) intersects only ~√(files) of
+    * them, where a linear sort on `a` would leave a `b`-only predicate
+    * scanning everything. The footer min/max stats parquet already writes
+    * are the skipping index; no extra metadata needed. This is the
+    * standard lakehouse layout trick (Delta/Iceberg `ZORDER BY`), here as
+    * a plain write pass.
+    *
+    * Codes come from approx-quantile boundaries (one pass, both columns),
+    * NOT linear (min, max) scaling: on a skewed column — power-law ids,
+    * timestamps with outliers — linear scaling collapses most values into
+    * a few 16-bit codes and the curve degenerates toward a 1-D sort on the
+    * other column, silently killing the skewed dimension's file-skip
+    * (LayoutSpec's power-law fixture pins the difference). Equal-mass rank
+    * codes keep the z-property under ANY distribution. The boundary array
+    * is ≤255 longs — model-as-literals, same footing as the ANN codebooks.
+    * Values beyond ±2^53 lose low bits crossing the quantile sketch's
+    * double — harmless here: codes only place rows, the rewrite stays
+    * lossless by construction.
+    *
+    * `files` ≤ 0 (the default) derives the output file count from the
+    * plan's input-size estimate over `targetFileBytes`, floored at 16 —
+    * the [[compact]]/[[deriveBuckets]] sizing rule; a pinned file count is
+    * wrong at every other SF.
     */
   def zorderWrite(df: DataFrame, dir: String, colA: String, colB: String,
-      files: Int = 16): Unit = {
+      files: Int = 0, targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     import org.apache.spark.sql.functions._
-    // Cast inside the agg: min/max return the column's own type, and
-    // Row.getLong on an int/short column throws — a long agg always works.
-    val r = df.agg(min(col(colA).cast("long")), max(col(colA).cast("long")),
-      min(col(colB).cast("long")), max(col(colB).cast("long"))).first()
-    def scale(c: String, mn: Long, mx: Long) = // truncation == floor: nonneg
-      ((col(c).cast("long") - mn) * 65535.0 / math.max(1L, mx - mn)).cast("long")
+    val nFiles = if (files > 0) files else {
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        .min(BigInt(Long.MaxValue)).toLong
+      math.max(16, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    }
+    // 255 interior cut points → 256 equal-mass cells per dimension; one
+    // shared sketch pass computes both columns' boundaries.
+    val probs = (1 to 255).map(_ / 256.0).toArray
+    val casted = df.select(col(colA).cast("double").as("__qa"),
+      col(colB).cast("double").as("__qb"))
+    val bs = casted.stat.approxQuantile(Array("__qa", "__qb"), probs, 0.001)
+    def codeOf(c: String, b: Array[Double]) =
+      graft.functions.VectorExpressions.quantileCode16(
+        col(c).cast("long"), b.map(_.toLong).distinct.sorted)
     val z = graft.functions.VectorExpressions.interleave16(
-      scale(colA, r.getLong(0), r.getLong(1)),
-      scale(colB, r.getLong(2), r.getLong(3)))
+      codeOf(colA, bs(0)), codeOf(colB, bs(1)))
     df.withColumn("__z", z)
-      .repartitionByRange(files, col("__z"))
+      .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Rewrite a bucketed table in place: read → one file per bucket through
+    * the SAME [[bucketWriter]] recipe → atomic-ish swap (staging table,
+    * drop, rename). This is the maintenance pass that bounds
+    * [[appendBucketed]]'s files-per-bucket growth — plain [[compact]]
+    * round-robins rows and would DESTROY the bucket hash. Passing a new
+    * (power-of-two) `buckets` is the re-bucketing path for a grown corpus;
+    * passing the current count is pure compaction. Zero-Exchange plans and
+    * row content are preserved either way (LayoutSpec pins both).
+    */
+  def compactBucketed(spark: SparkSession, table: String, key: String,
+      buckets: Int): Unit = {
+    require(spark.catalog.tableExists(table),
+      s"compactBucketed target '$table' does not exist")
+    val staging = s"${table}_compacting"
+    // Read the table's FILES, not the catalog table: when the source scan
+    // is the bucketed table itself the planner elides bucketWriter's
+    // aligning repartition as redundant — and then auto-disables the
+    // bucketed read, so write tasks get size-based file splits with MIXED
+    // bucket ids and the rewrite lands >1 file per bucket (observed: 10
+    // files for 4 buckets). A plain parquet scan has UnknownPartitioning,
+    // the shuffle survives, and each bucket compacts to exactly one file.
+    val loc = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .location.toString
+    writeBucketed(spark.read.parquet(loc), staging, key, buckets)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
   }
 }

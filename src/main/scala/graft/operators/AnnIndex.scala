@@ -204,6 +204,9 @@ object AnnIndex {
         val corpus = h.corpus.unionByName(
           IvfPq.encodeRefined(nb, h.resIdx.get.mdl, h.cells).localCheckpoint(false))
         h.copy(corpus = corpus, resIdx = Some(h.resIdx.get.copy(corpus = corpus)))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown AnnIndex method '$other' (expected lsh/ivf/pq/ivfpq/ivfpq_res_refined)")
     }
   }
 

@@ -314,7 +314,11 @@ object Curation {
     * through one task — the textbook scale-killer): range-partition by the
     * key (the global sort Spark already does distributively), then
     * zipWithIndex adds per-partition offsets with one extra count-only
-    * job. RDD zipWithIndex is the justified mapPartitions-tier escape:
+    * job — the sorted frame is localCheckpointed first so that count pass
+    * reads the materialized partitions instead of re-running the
+    * range-shuffle sort (two full sorts of a 100 TB corpus otherwise; the
+    * checkpoint holds only the 16-byte (doc_id, skey) projection).
+    * RDD zipWithIndex is the justified mapPartitions-tier escape:
     * no builtin computes a contiguous global index distributively
     * (monotonically_increasing_id leaves gaps). Range boundaries may vary
     * with sampling, but the TOTAL order (skey, doc_id) doesn't — pos is
@@ -328,6 +332,7 @@ object Curation {
     val sorted = keyed
       .repartitionByRange(col("skey"), col("doc_id"))
       .sortWithinPartitions("skey", "doc_id")
+      .localCheckpoint(true)
     val stamped = sorted.rdd.zipWithIndex.map { case (r, i) => (r.getLong(0), i) }
     spark.createDataFrame(stamped).toDF("doc_id", "pos")
   }

@@ -167,7 +167,12 @@ object Relational {
     * every consumer of a bucketed fact table gets its co-location free.
     */
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val tag = graft.io.Layout.dirTag(dir)
+    val srcPaths = Seq(s"$dir/orders.parquet", s"$dir/lineitem.parquet")
+    // the memo tag fingerprints the SOURCE files (names+lengths+mtimes),
+    // so a dir regenerated in place mid-session re-materializes instead of
+    // silently serving the stale layout against a fresh-source oracle
+    val tag = graft.io.Layout.dirTag(dir) + "_" +
+      graft.io.Layout.sourceFingerprint(spark, srcPaths: _*)
     val ot = s"g_b_orders_$tag"
     val lt = s"g_b_lineitem_$tag"
     // serialized check-then-write: two concurrent first calls would both
@@ -175,12 +180,16 @@ object Relational {
     // saveAsTable into a corrupt table
     layoutLock.synchronized {
       if (!spark.catalog.tableExists(ot) || !spark.catalog.tableExists(lt)) {
+        // ONE corpus-derived count for both tables (zero-Exchange needs
+        // equal bucket counts); sized from the joint input bytes so the
+        // same code is 8 buckets at sf0.01 and thousands at 100 TB
+        val buckets = graft.io.Layout.deriveBuckets(spark, srcPaths)
         graft.io.Layout.writeBucketed(
           Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority"),
-          ot, "o_orderkey", 8)
+          ot, "o_orderkey", buckets)
         graft.io.Layout.writeBucketed(
           Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice", "l_discount"),
-          lt, "l_orderkey", 8)
+          lt, "l_orderkey", buckets)
       }
     }
     val o = graft.io.Layout.readTable(spark, ot)
@@ -205,7 +214,9 @@ object Relational {
     * FP-order-free.
     */
   def zorderScan(spark: SparkSession, dir: String): DataFrame = {
-    val tag = graft.io.Layout.dirTag(dir)
+    // source-fingerprinted memo tag — same rationale as [[bucketedJoin]]
+    val tag = graft.io.Layout.dirTag(dir) + "_" +
+      graft.io.Layout.sourceFingerprint(spark, s"$dir/events.parquet")
     val out = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), s"g_z_events_$tag").toString
     // memo = a session-scoped TEMP VIEW marker, not a JVM-lifetime set: a

@@ -32,6 +32,12 @@ class DeadCodeGuardSpec extends GraftSuite {
     * (polymorphic dispatch — no by-name call sites), but final / implicit
     * / lazy / @annotation'd defs stay IN scope — a `final def helper` is
     * just as dead-shippable as a bare one.
+    *
+    * Known limit: the two-space anchor sees only members of TOP-LEVEL
+    * objects/classes. Defs of nested objects (4+-space indentation) are
+    * invisible; the guarded dirs currently contain none — if one appears,
+    * widen to brace-depth tracking rather than loosening the indent anchor
+    * (which would start counting method-local helpers).
     */
   private val defPat =
     """(?m)^  ((?:[\w@]+(?:\[\w+\])?\s+)*)def\s+(\w+)""".r

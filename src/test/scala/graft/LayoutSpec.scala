@@ -128,6 +128,120 @@ class LayoutSpec extends GraftSuite {
     assert(spark.read.parquet(zdir).count() == li.count())
   }
 
+  test("deriveBuckets sizes from input bytes: floor, power-of-two, monotone") {
+    val paths = Seq(s"$sf/orders.parquet", s"$sf/lineitem.parquet")
+    // tiny corpus → the floor
+    assert(Layout.deriveBuckets(spark, paths) == 8)
+    val bytes = Layout.inputBytes(spark, paths: _*)
+    assert(bytes > 0)
+    val grown = Layout.deriveBuckets(spark, paths,
+      targetBucketBytes = math.max(1, bytes / 20))
+    assert(grown > 8 && Integer.bitCount(grown) == 1, s"grown=$grown")
+    // a bigger corpus (≡ smaller target) never shrinks the count
+    assert(Layout.deriveBuckets(spark, paths,
+      targetBucketBytes = math.max(1, bytes / 40)) >= grown)
+  }
+
+  test("zero-Exchange join+agg holds at two different derived bucket counts") {
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    val path = Seq(s"$sf/orders.parquet")
+    val bytes = Layout.inputBytes(spark, path: _*)
+    val b1 = Layout.deriveBuckets(spark, path) // floor
+    val b2 = Layout.deriveBuckets(spark, path,
+      targetBucketBytes = math.max(1, bytes / 20))
+    assert(b1 != b2, s"fixture must exercise two counts, got $b1/$b2")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for ((b, t) <- Seq((b1, "b_derived_lo"), (b2, "b_derived_hi"))) {
+        Layout.writeBucketed(orders, t, "o_orderkey", b)
+        val joined = Layout.readTable(spark, t)
+          .join(Layout.readTable(spark, t).groupBy("o_orderkey").count(), "o_orderkey")
+        val p = joined.queryExecution.explainString(FormattedMode)
+        assert(p.contains("Bucketed: true"), p)
+        assert(shuffles(p) == 0, s"derived count $b must keep zero-Exchange:\n$p")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("compactBucketed bounds append growth: 1 file/bucket, plan + rows preserved") {
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+    val parts = (0 until 4).map(i => orders.where(col("o_orderkey") % 4 === i))
+    Layout.writeBucketed(parts(0), "b_cmp_orders", "o_orderkey", 4)
+    parts.drop(1).foreach(Layout.appendBucketed(_, "b_cmp_orders", "o_orderkey", 4))
+    def parquetFiles(table: String): Int = {
+      val loc = new java.io.File(new java.net.URI(
+        spark.sql(s"DESCRIBE TABLE EXTENDED `$table`")
+          .where(col("col_name") === "Location").first().getString(1)))
+      loc.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    val before = parquetFiles("b_cmp_orders")
+    assert(before == 16, s"setup: 4 writes × 4 buckets = 16 files, got $before")
+    Layout.compactBucketed(spark, "b_cmp_orders", "o_orderkey", 4)
+    assert(parquetFiles("b_cmp_orders") == 4, "compaction must leave one file per bucket")
+    val t = Layout.readTable(spark, "b_cmp_orders")
+    assert(t.count() == orders.count(), "compaction must be lossless")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = t.join(t.groupBy("o_orderkey").count(), "o_orderkey")
+        .queryExecution.explainString(FormattedMode)
+      assert(p.contains("Bucketed: true"), p)
+      assert(shuffles(p) == 0, s"compacted table must keep the zero-Exchange plan:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("quantile z-codes keep file-skipping on a power-law column where linear dies") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{input_file_name, max => fmax, min => fmin}
+    // dim a: power-law — 99% of mass in [0, 1000), outliers out to ~10^9;
+    // dim b: uniform. Deterministic (hash-derived), no RNG.
+    val df = (0 until 20000).map { i =>
+      val h = (i * 2654435761L) & 0x7fffffffL
+      val a = if (i % 100 == 0) 1000L + (h % 1000000000L) else h % 1000L
+      (a, (i * 48271L) % 4096L)
+    }.toDF("a", "b")
+    val qdir = "/tmp/graft-layout-zq"
+    Layout.zorderWrite(df, qdir, "a", "b", files = 16)
+    // the OLD linear (min,max) scaling, reconstructed: outliers stretch the
+    // range so the whole 99% head collapses into code 0 and the curve
+    // degenerates to a 1-D sort on b
+    val r = df.agg(fmin("a"), fmax("a")).first()
+    val lin = ((col("a") - r.getLong(0)) * 65535.0 /
+      math.max(1L, r.getLong(1) - r.getLong(0))).cast("long")
+    val ldir = "/tmp/graft-layout-zlin"
+    df.withColumn("__z", graft.functions.VectorExpressions.interleave16(
+        lin, ((col("b") - 0) * 65535.0 / 4095.0).cast("long")))
+      .repartitionByRange(16, col("__z")).sortWithinPartitions("__z").drop("__z")
+      .write.mode("overwrite").parquet(ldir)
+    def filesHit(dir: String, lo: Long, hi: Long): (Long, Long) = {
+      val stats = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(fmin("a").as("mn"), fmax("a").as("mx"))
+      (stats.where(col("mx") >= lo && col("mn") <= hi).count(), stats.count())
+    }
+    // a mid-head predicate on the SKEWED dimension
+    val (qHit, qAll) = filesHit(qdir, 400, 500)
+    val (lHit, lAll) = filesHit(ldir, 400, 500)
+    assert(qAll >= 8 && lAll >= 8, s"need enough files ($qAll/$lAll)")
+    assert(lHit == lAll,
+      s"fixture check: linear codes collapse the head → no skip ($lHit of $lAll)")
+    assert(qHit * 2 <= qAll,
+      s"quantile codes must keep the skewed dim's skip ($qHit of $qAll)")
+    assert(spark.read.parquet(qdir).count() == 20000)
+  }
+
+  test("sourceFingerprint changes when the source dir is regenerated in place") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fp-src").toString + "/t.parquet"
+    (0 until 100).toDF("x").write.mode("overwrite").parquet(dir)
+    val fp1 = Layout.sourceFingerprint(spark, dir)
+    (0 until 250).toDF("x").write.mode("overwrite").parquet(dir)
+    val fp2 = Layout.sourceFingerprint(spark, dir)
+    assert(fp1 != fp2, "regenerated data must produce a different fingerprint")
+    assert(Layout.sourceFingerprint(spark, dir) == fp2, "fingerprint is stable")
+  }
+
   test("zorderWrite accepts non-long integral columns") {
     import spark.implicits._
     val df = (0 until 256).map(i => (i % 16, i / 16)).toDF("a", "b") // ints
