@@ -961,6 +961,44 @@ object Oracles {
        |        CASE WHEN hits / n >= 0.05 THEN 'en' ELSE 'unknown' END AS predicted FROM h)
        |SELECT doc_id, lang, predicted, (predicted = lang) AS correct FROM p""".stripMargin
 
+  /** C9b — hashed char-trigram NB lang-id. The weight table is the SAME
+    * integer model [[graft.operators.LangIdModel]] serves (generated into
+    * a VALUES literal here — model-as-literals on both engines), so the
+    * oracle independently re-derives the whole serving path: trigram
+    * extraction, the positional-polynomial bucket hash, weight lookup,
+    * integer sum, argmax with the alphabetical tie-break. No FP anywhere.
+    * Docs shorter than 3 chars keep their prior-only scores via the LEFT
+    * JOIN (none exist in the driver data, but the contract shouldn't
+    * depend on that).
+    */
+  val langIdNgram: String = {
+    import graft.operators.LangIdModel
+    val ls = LangIdModel.Langs
+    val rows = (0 until LangIdModel.B).map { b =>
+      val ws = ls.indices.map(l => LangIdModel.weights(b * ls.length + l)).mkString(", ")
+      s"($b, $ws)"
+    }.mkString(", ")
+    val sums = ls.map(l => s"sum(w.w_$l)::BIGINT AS g_$l").mkString(", ")
+    val scores = ls.zipWithIndex.map { case (l, i) =>
+      s"coalesce(s.g_$l, 0) + ${LangIdModel.priors(i)} AS s_$l"
+    }.mkString(", ")
+    val mx = s"greatest(${ls.map(l => s"s_$l").mkString(", ")})"
+    val cases = ls.map(l => s"WHEN s_$l = mx THEN '$l'").mkString(" ")
+    s"""WITH w(b, ${ls.map(l => s"w_$l").mkString(", ")}) AS MATERIALIZED (VALUES $rows),
+       |pos AS MATERIALIZED (SELECT doc_id, text,
+       |        unnest(generate_series(1, length(text) - 2)) AS i FROM documents),
+       |g AS MATERIALIZED (SELECT doc_id,
+       |        (ascii(substr(text, i, 1)) * 961 + ascii(substr(text, i + 1, 1)) * 31
+       |         + ascii(substr(text, i + 2, 1))) % ${LangIdModel.B} AS b
+       |      FROM pos),
+       |gs AS MATERIALIZED (SELECT doc_id, $sums FROM g JOIN w USING (b) GROUP BY doc_id),
+       |sc AS MATERIALIZED (SELECT d.doc_id, $scores
+       |      FROM documents d LEFT JOIN gs s USING (doc_id)),
+       |mxd AS MATERIALIZED (SELECT *, $mx AS mx FROM sc)
+       |SELECT doc_id, ${ls.map(l => s"s_$l").mkString(", ")},
+       |       CASE $cases END AS predicted FROM mxd""".stripMargin
+  }
+
   val qualityScore: String =
     s"""WITH t AS MATERIALIZED (SELECT doc_id, $toksSql AS toks FROM documents),
        |f AS MATERIALIZED (SELECT doc_id, len(toks)::BIGINT AS n_tokens,

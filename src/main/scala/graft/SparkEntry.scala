@@ -109,6 +109,7 @@ object SparkEntry {
     // (AnnIndexSpec pins equality with the served ivfpq_res_refined layout)
     "q_ann_refined"        -> ((s, d) => IvfPq.topKResidualRefined(s, d)),
     "q_lang_id"            -> ((s, d) => TextAnalysis.langId(s, d)),
+    "q_langid_ngram"       -> ((s, d) => TextAnalysis.langIdNgram(s, d)),
     "q_quality_score"      -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "q_fingerprint"        -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "q_asof_join"          -> ((s, d) => Analytics.asofPurchaseClick(s, d)),
@@ -515,6 +516,7 @@ object SparkEntry {
     "q_tpch_q16"        -> Oracles.tpchQ16,
     "q_tpch_q20"        -> Oracles.tpchQ20,
     "q_lang_id"         -> Oracles.langId,
+    "q_langid_ngram"    -> Oracles.langIdNgram,
     "q_quality_score"   -> Oracles.qualityScore,
     "q_fingerprint"     -> Oracles.fingerprint,
     "q_asof_join"       -> Oracles.asofJoin,

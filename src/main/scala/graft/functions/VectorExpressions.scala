@@ -76,6 +76,11 @@ object VectorExpressions {
   def quantileCode16(v: Column, boundaries: Array[Long]): Column =
     ColumnBridge.column(QuantileCode16(ColumnBridge.expression(v), boundaries))
 
+  def ngramLangScores(text: Column, weights: Array[Long], priors: Array[Long],
+      buckets: Int): Column =
+    ColumnBridge.column(NgramLangScores(ColumnBridge.expression(text),
+      weights, priors, buckets))
+
   def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
@@ -287,6 +292,39 @@ case class MaxTokenFreq(child: Expression) extends UnaryExpression
   * for multi-dimensional min/max file skipping ([[graft.io.Layout
   * .zorderWrite]]). Inputs are masked to 16 bits.
   */
+/** Fused hashed-char-trigram NB scorer for
+  * [[graft.operators.LangIdModel]]: one pass over the text, per gram a
+  * positional-polynomial bucket then `langs` integer adds off the flat
+  * [bucket × lang] weight table — emits the per-language micro-log score
+  * array (priors included). The composed form (transform/sequence/substr +
+  * aggregate over a 4096-long literal array per language) is interpreted
+  * per element; this is the [[NbArgmax]] model-serve precedent with
+  * integer arithmetic so the DuckDB oracle reproduces scores bit-exactly.
+  * Gram hashing matches the oracle's `ascii(substr(...))` polynomial for
+  * the ASCII documents it scores.
+  */
+case class NgramLangScores(child: Expression, weights: Array[Long],
+    priors: Array[Long], buckets: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    val n = priors.length
+    val acc = priors.clone()
+    var i = 0
+    while (i < s.length - 2) {
+      val off = ((s.charAt(i) * 961 + s.charAt(i + 1) * 31 + s.charAt(i + 2)) % buckets) * n
+      var l = 0
+      while (l < n) { acc(l) += weights(off + l); l += 1 }
+      i += 1
+    }
+    new GenericArrayData(acc)
+  }
+}
+
 /** Equal-mass 16-bit rank code for [[graft.io.Layout.zorderWrite]]:
   * binary-search the value into the sorted distinct approx-quantile
   * boundary array (≤255 longs, baked in as literals) and spread the bucket

@@ -37,6 +37,41 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("predicted"),
         (col("predicted") === col("lang")).as("correct"))
 
+  /** C9b — REAL language-id: hashed char-trigram Naive Bayes
+    * ([[LangIdModel]] — the fastText/CLD architecture) served as ONE
+    * zero-shuffle narrow scan via the fused [[graft.functions
+    * .VectorExpressions.ngramLangScores]] expression; the model is
+    * 4096×5 integer micro-log weights baked in as literals (bounded at
+    * any corpus size). Emits the per-language integer scores plus the
+    * argmax (ties → alphabetically first), all exact — the DuckDB oracle
+    * carries the same weight table as a VALUES literal and re-derives
+    * gram extraction, hashing, lookup, sum, and argmax independently.
+    * The scores array is materialized once per row before the per-lang
+    * element_at projections (an inlined expression would re-walk the text
+    * five times). Accuracy is pinned by LangIdSpec on held-out real
+    * sentences — NOT on `documents.lang`, which is synthetic noise (see
+    * [[LangIdModel]]); the stopword heuristic [[langId]] stays as the
+    * cheap en/unknown filter.
+    */
+  def langIdNgram(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{LangIdModel => M}
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.VectorExpressions.ngramLangScores(
+          col("text"), M.weights, M.priors, M.B).as("sc"))
+    val withCols = M.Langs.zipWithIndex.foldLeft(scored) { case (df, (lang, i)) =>
+      df.withColumn(s"s_$lang", element_at(col("sc"), i + 1))
+    }
+    val mx = greatest(M.Langs.map(l => col(s"s_$l")): _*)
+    // argmax, ties to the alphabetically FIRST lang: fold from the last
+    // lang so earlier langs' WHEN branches sit outermost
+    val pred = M.Langs.reverse.foldLeft(lit(null).cast("string")) { (acc, lang) =>
+      when(col(s"s_$lang") === mx, lit(lang)).otherwise(acc)
+    }
+    withCols.select(
+      col("doc_id") +: M.Langs.map(l => col(s"s_$l")) :+ pred.as("predicted"): _*)
+  }
+
   /** C10 — quality score: rational-arithmetic-only formula so any engine
     * reproduces it exactly (no exp/log).
     */
