@@ -137,13 +137,16 @@ object Oracles {
     * recursive-CTE closure → keep-best window) runs over SURVIVORS only;
     * singleton survivors keep themselves via the anti-join branch.
     */
-  val curatePipeline: String = {
+  /** The C40 curation chain as a reusable CTE block ending in `curated`
+    * (doc_id, cluster_id, n_words, keep) — shared by the standalone
+    * q_curate_pipeline oracle and the q_training_batches composition.
+    */
+  private val curateCtes: String = {
     def m(i: Int) = s"list_min(list_transform(h0, h -> (h * ${permA(i)} + ${permB(i)}) % $P))"
     val bandSelects = (0 until Bands).map { j =>
       s"SELECT doc_id, $j AS bid, (${m(2 * j)}::VARCHAR || ',' || ${m(2 * j + 1)}::VARCHAR) AS bkey FROM hs"
     }.mkString(" UNION ALL ")
-    s"""WITH
-       |qt AS MATERIALIZED (SELECT doc_id, text, $toksSql AS toks FROM documents),
+    s"""qt AS MATERIALIZED (SELECT doc_id, text, $toksSql AS toks FROM documents),
        |q AS MATERIALIZED (SELECT doc_id FROM (
        |    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
        |      (len(replace(text, ' ', '')) * 100) // len(toks) AS wl,
@@ -167,15 +170,45 @@ object Oracles {
        |und AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM pairs UNION SELECT d2, d1 FROM pairs),
        |${ccLabelCtes()},
        |wc AS MATERIALIZED (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_words FROM documents
-       |       WHERE doc_id IN (SELECT doc_id FROM q))
-       |SELECT c.doc_id, c.cluster_id, w.n_words,
-       |       row_number() OVER (PARTITION BY c.cluster_id
-       |                          ORDER BY w.n_words DESC, c.doc_id) = 1 AS keep
-       |FROM cl c JOIN wc w USING (doc_id)
-       |UNION ALL
-       |SELECT w.doc_id, w.doc_id AS cluster_id, w.n_words, true AS keep
-       |FROM wc w WHERE w.doc_id NOT IN (SELECT doc_id FROM cl)""".stripMargin
+       |       WHERE doc_id IN (SELECT doc_id FROM q)),
+       |curated AS MATERIALIZED (
+       |  SELECT c.doc_id, c.cluster_id, w.n_words,
+       |         row_number() OVER (PARTITION BY c.cluster_id
+       |                            ORDER BY w.n_words DESC, c.doc_id) = 1 AS keep
+       |  FROM cl c JOIN wc w USING (doc_id)
+       |  UNION ALL
+       |  SELECT w.doc_id, w.doc_id AS cluster_id, w.n_words, true AS keep
+       |  FROM wc w WHERE w.doc_id NOT IN (SELECT doc_id FROM cl))""".stripMargin
   }
+
+  val curatePipeline: String =
+    s"""WITH $curateCtes
+       |SELECT doc_id, cluster_id, n_words, keep FROM curated""".stripMargin
+
+  /** C48 — the end-to-end training-batch emission: curated keepers →
+    * train split (salted id hash < 8 of 10) → seeded epoch order → global
+    * token offsets / sequence ids. The global window here is fine for the
+    * ORACLE (DuckDB runs single-node anyway); the Spark side computes the
+    * same total order with a distributed prefix sum instead.
+    */
+  val trainingBatches: String =
+    s"""WITH $curateCtes,
+       |kept AS MATERIALIZED (SELECT doc_id FROM curated WHERE keep),
+       |tr AS MATERIALIZED (SELECT doc_id FROM kept
+       |  WHERE CAST(concat('0x', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 < 8),
+       |tb_toks AS MATERIALIZED (SELECT d.doc_id,
+       |    CAST(concat('0x', substr(md5('shuffle:epoch0:' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS skey,
+       |    len($toksSql)::BIGINT AS n_tokens
+       |  FROM documents d JOIN tr USING (doc_id)),
+       |tb_ord AS MATERIALIZED (SELECT doc_id, n_tokens,
+       |    row_number() OVER (ORDER BY skey, doc_id) - 1 AS pos,
+       |    coalesce(sum(n_tokens) OVER (ORDER BY skey, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS "offset"
+       |  FROM tb_toks WHERE n_tokens > 0)
+       |SELECT doc_id, pos, n_tokens, "offset",
+       |       "offset" // 512 AS seq_first,
+       |       ("offset" + n_tokens - 1) // 512 AS seq_last,
+       |       "offset" % 512 AS offset_in_seq FROM tb_ord""".stripMargin
 
   /** TPC-H Q18 shape: the HAVING filter applies to the ROUNDED quantity sum
     * exactly as the Spark agg does; (totalprice DESC, orderkey) makes the

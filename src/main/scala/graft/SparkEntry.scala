@@ -69,6 +69,7 @@ object SparkEntry {
     // C47: seeded deterministic epoch order — global sort + zipWithIndex,
     // no single-partition window
     "q_shuffle_order"      -> ((s, d) => Curation.shuffleOrder(s, d)),
+    "q_training_batches"   -> ((s, d) => Curation.trainingBatches(s, d)),
     "q_tfidf"              -> ((s, d) => Curation.tfidf(s, d)),
     "q_skew_join_salted"   -> ((s, d) => Curation.saltedSupplierRevenue(s, d)),
     "q_collect_sorted"     -> ((s, d) => Curation.vocabPerSource(s, d)),
@@ -463,6 +464,7 @@ object SparkEntry {
         |    ORDER BY CAST(concat('0x', substr(md5('shuffle:epoch0:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
         |             doc_id) - 1 AS pos
         |FROM documents""".stripMargin,
+    "q_training_batches" -> Oracles.trainingBatches,
     "q_tfidf"           -> Oracles.tfidf,
     "q_skew_join_salted" -> Oracles.saltedJoin,
     "q_collect_sorted"  -> Oracles.vocabPerSource,

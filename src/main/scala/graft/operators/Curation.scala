@@ -324,6 +324,69 @@ object Curation {
     * with sampling, but the TOTAL order (skey, doc_id) doesn't — pos is
     * deterministic regardless of partitioning.
     */
+  /** C48 — the training-data emission END-TO-END: curate (C40's
+    * quality-gate + near-dup keep-best) → leak-proof train split (C14's
+    * salted id hash) → epoch shuffle order (C47's seeded permutation) →
+    * pack into maxLen-token sequences with GLOBAL batch positions. Every
+    * stage is the exact-integer construction its standalone query uses, so
+    * the whole composition has a full SQL oracle — this is the query that
+    * proves the stages CHAIN, the way q_curate_pipeline proved the
+    * curation side.
+    *
+    * Scale shape: no new exchange beyond the stages' own. Curate/split
+    * gates are semi-joins on doc_id; skey/tokens are narrow; the single
+    * new shuffle is C47's range-partition by (skey, doc_id). Global `pos`
+    * AND global token `offset` come from ONE two-pass distributed prefix
+    * sum over the localCheckpointed sorted partitions (per-partition
+    * (count, token-total) → driver scan of #partitions pairs → stamping
+    * pass) — the textbook scan algorithm, same justified mapPartitions
+    * tier as C47's zipWithIndex, where a global window would serialize
+    * the epoch through one task. Offsets are a pure function of the
+    * (skey, doc_id) TOTAL order, so the result is partitioning-independent.
+    */
+  def trainingBatches(spark: SparkSession, dir: String, seed: String = "epoch0",
+      maxLen: Int = 512): DataFrame = {
+    val curated = curatePipeline(spark, dir).where(col("keep")).select("doc_id")
+    val train = hashSplit(spark, dir).where(col("split") === "train").select("doc_id")
+    val skey = conv(substring(md5(
+        concat(lit(s"shuffle:$seed:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val keyed = Tables.documents(spark, dir)
+      .join(curated, Seq("doc_id"), "left_semi")
+      .join(train, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), skey.as("skey"),
+        size(graft.functions.TextHash.tokens(col("text"))).cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+    val sorted = keyed
+      .repartitionByRange(col("skey"), col("doc_id"))
+      .sortWithinPartitions("skey", "doc_id")
+      .localCheckpoint(true)
+    val rdd = sorted.rdd
+    // pass 1: per-partition (row count, token total) — #partitions pairs
+    // to the driver, bounded by cluster size not data size
+    val totals = rdd.mapPartitionsWithIndex { (i, it) =>
+      var rows = 0L; var toks = 0L
+      it.foreach { r => rows += 1; toks += r.getLong(2) }
+      Iterator((i, rows, toks))
+    }.collect().sortBy(_._1)
+    val posBase = totals.scanLeft(0L)(_ + _._2).init
+    val offBase = totals.scanLeft(0L)(_ + _._3).init
+    // pass 2: stamp positions/offsets off the checkpointed partitions
+    val stamped = rdd.mapPartitionsWithIndex { (i, it) =>
+      var pos = posBase(i); var off = offBase(i)
+      it.map { r =>
+        val out = (r.getLong(0), pos, r.getLong(2), off)
+        pos += 1; off += r.getLong(2)
+        out
+      }
+    }
+    spark.createDataFrame(stamped).toDF("doc_id", "pos", "n_tokens", "offset")
+      .select(col("doc_id"), col("pos"), col("n_tokens"), col("offset"),
+        expr(s"offset div $maxLen").as("seq_first"),
+        expr(s"(offset + n_tokens - 1) div $maxLen").as("seq_last"),
+        (col("offset") % maxLen).as("offset_in_seq"))
+  }
+
   def shuffleOrder(spark: SparkSession, dir: String, seed: String = "epoch0"): DataFrame = {
     val skey = conv(substring(md5(
         concat(lit(s"shuffle:$seed:"), col("doc_id").cast("string"))), 1, 15), 16, 10)

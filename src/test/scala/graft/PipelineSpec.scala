@@ -106,6 +106,40 @@ class PipelineSpec extends GraftSuite {
     assert(rows.exists(r => r._6 > r._5), "some doc spans a sequence boundary")
   }
 
+  test("trainingBatches: curate→split→shuffle→pack chain, exact and distributed") {
+    import org.apache.spark.sql.functions.col
+    val out = Curation.trainingBatches(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // membership = curated keepers ∩ train split with tokens
+    val kept = Curation.curatePipeline(spark, sf).where(col("keep"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val train = Curation.hashSplit(spark, sf).where(col("split") === "train")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.map(_._1).toSet == (kept intersect train), "stage gating composes")
+    // pos is a contiguous 0..n-1 permutation in seeded-hash order, and the
+    // global offsets are the exact running token sums in that order
+    val byPos = out.sortBy(_._2)
+    assert(byPos.map(_._2).toSeq == (0L until out.length).toSeq)
+    var run = 0L
+    byPos.foreach { case (_, _, n, offset, sf_, sl, inSeq) =>
+      assert(offset == run, "global offset is the sum of preceding docs' tokens")
+      assert(sf_ == offset / 512 && sl == (offset + n - 1) / 512 && inSeq == offset % 512)
+      run += n
+    }
+    // the epoch order really is the C47 permutation restricted to survivors
+    val order = Curation.shuffleOrder(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2)
+      .map(_._1).filter(out.map(_._1).toSet)
+    assert(byPos.map(_._1).toSeq == order.toSeq, "pack order == shuffle order")
+    // scale pin: no global single-partition window anywhere — the only
+    // Window is curate's cluster-keyed keep-best
+    val plan = Curation.trainingBatches(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Window".r.findAllIn(plan.split("== Initial Plan ==")(0)).size <= 1,
+      s"composition must not add a window:\n$plan")
+  }
+
   test("domainMix membership is the exact per-doc hash rule") {
     val meta = graft.io.Tables.documents(spark, sf).select("doc_id", "source", "lang")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
