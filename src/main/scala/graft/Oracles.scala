@@ -777,6 +777,45 @@ object Oracles {
       |      FROM scored)
       |SELECT query_id, rk, neighbor_id, cos4 FROM r WHERE rk <= 5""".stripMargin
 
+  /** C7g multi-probe LSH: same corpus bucket table as [[annLsh]]; the
+    * query side additionally probes the buckets reached by flipping the
+    * two lowest-|dot|-margin sign bits (ties by plane index) and their
+    * combination. Dots are the same sequential sum both engines compute
+    * bit-identically; probes are integer XOR — fully re-derived here.
+    */
+  val annMultiprobe: String =
+    """WITH v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |n AS MATERIALIZED (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+      |planes AS MATERIALIZED (
+      |  SELECT t, j,
+      |    [ ((((t*4 + j)*64 + d) * 2654435761) % 1000003) / 1000003.0 - 0.5 FOR d IN range(64) ] AS w
+      |  FROM (SELECT unnest(range(8)) AS t) tt, (SELECT unnest(range(4)) AS j) jj),
+      |bt AS MATERIALIZED (SELECT vec_id, t,
+      |         CAST(sum(CASE WHEN list_dot_product(e, w) > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+      |       FROM n, planes GROUP BY vec_id, t),
+      |qd AS MATERIALIZED (SELECT vec_id, t, j, list_dot_product(e, w) AS dot
+      |      FROM n, planes WHERE vec_id < 20),
+      |qb AS MATERIALIZED (SELECT vec_id, t,
+      |         CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+      |       FROM qd GROUP BY vec_id, t),
+      |fl AS MATERIALIZED (SELECT vec_id, t, j,
+      |        row_number() OVER (PARTITION BY vec_id, t ORDER BY abs(dot), j) AS fr FROM qd),
+      |f1 AS MATERIALIZED (SELECT vec_id, t, (1::BIGINT << j) AS m1 FROM fl WHERE fr = 1),
+      |f2 AS MATERIALIZED (SELECT vec_id, t, (1::BIGINT << j) AS m2 FROM fl WHERE fr = 2),
+      |pr AS MATERIALIZED (SELECT vec_id, t,
+      |        unnest([bucket, xor(bucket, m1), xor(bucket, m2), xor(xor(bucket, m1), m2)]) AS bucket
+      |      FROM qb JOIN f1 USING (vec_id, t) JOIN f2 USING (vec_id, t)),
+      |cand AS MATERIALIZED (SELECT DISTINCT p.vec_id AS qid, b.vec_id AS nid
+      |         FROM pr p JOIN bt b ON p.t = b.t AND p.bucket = b.bucket
+      |         WHERE b.vec_id <> p.vec_id),
+      |scored AS MATERIALIZED (SELECT qid AS query_id, nid AS neighbor_id,
+      |             round(list_dot_product(q.e, x.e) / (q.nrm * x.nrm), 4) AS cos4
+      |           FROM cand JOIN n q ON qid = q.vec_id JOIN n x ON nid = x.vec_id),
+      |r AS MATERIALIZED (SELECT query_id, neighbor_id, cos4,
+      |        row_number() OVER (PARTITION BY query_id ORDER BY cos4 DESC, neighbor_id) AS rk
+      |      FROM scored)
+      |SELECT query_id, rk, neighbor_id, cos4 FROM r WHERE rk <= 5""".stripMargin
+
   /** IVF search with the raw seed codebook (first 16 vectors): assignment,
     * nprobe=4 probing and re-ranking re-derived in SQL. Distances use the
     * same expansion as the Spark plan: |e|² - 2·e·c + |c|².

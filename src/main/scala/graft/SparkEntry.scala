@@ -84,6 +84,7 @@ object SparkEntry {
     "q_dedup_embedding"    -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "q_ann_bruteforce"     -> ((s, d) => Ann.bruteForceTopK(s, d)),
     "q_ann_lsh"            -> ((s, d) => Ann.lshTopK(s, d)),
+    "q_ann_multiprobe"     -> ((s, d) => Ann.lshMultiProbeTopK(s, d)),
     "q_token_count"        -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "q_token_bpe"          -> ((s, d) => TextAnalysis.tokenCountBpe(s, d)),
     // q_bpe_train/q_bpe_tokenize: real BPE merge learning on the
@@ -475,6 +476,7 @@ object SparkEntry {
     "q_dedup_embedding" -> Oracles.dedupEmbedding,
     "q_ann_bruteforce"  -> Oracles.annBruteForce,
     "q_ann_lsh"         -> Oracles.annLsh,
+    "q_ann_multiprobe"  -> Oracles.annMultiprobe,
     "q_token_count"     -> Oracles.tokenCount,
     "q_token_bpe"       ->
       "SELECT doc_id, len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS n_bpe_tokens FROM documents",

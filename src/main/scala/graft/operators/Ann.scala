@@ -144,4 +144,70 @@ object Ann {
       .where(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos4"))
   }
+
+  /** C7g — MULTI-PROBE LSH [Lv et al., VLDB'07]: instead of paying recall
+    * with more tables (more corpus storage + bucket rows), each QUERY also
+    * probes the neighboring buckets most likely to hold its misses — the
+    * buckets reached by flipping the sign bits whose hyperplane margin
+    * |dot| is smallest. Per table the probe set is {base, flip b₁,
+    * flip b₂, flip b₁b₂} (b₁/b₂ = the two lowest-margin planes), a 4×
+    * query-side fan-out at UNCHANGED corpus layout — the 100 TB economics
+    * multi-probe exists for: the corpus bucket table (data-scale) is
+    * byte-identical to C7's, only the ~20-row broadcast probe list grows.
+    *
+    * Everything stays oracle-checkable: dots are the same sequential
+    * DotProduct both engines compute bit-identically, the margin ranking
+    * breaks ties by plane index, and bucket arithmetic is integer XOR —
+    * the DuckDB oracle re-derives probes → candidates → re-rank exactly.
+    * The per-table dots are materialized as columns BEFORE the probe
+    * fan-out references them (the Generate-inlining trap).
+    */
+  def lshMultiProbeTopK(spark: SparkSession, dir: String, nQueries: Int = 20,
+      k: Int = 5, nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
+    val v = normed(spark, dir)
+    val b = lshBucketsOf(v, nPlanes, nTables) // corpus: ONE bucket per table
+    val masks = typedlit((0 until nPlanes).map(j => 1L << j))
+    val withDots = v.where(col("vec_id") < nQueries).select(
+      col("vec_id") +:
+        (for { t <- 0 until nTables; j <- 0 until nPlanes } yield
+          VectorExpressions.dot(col("e"),
+            typedlit((0 until 64).map(planeComponent(t * nPlanes + j, _))))
+            .as(s"d_${t}_$j")): _*)
+    val probeStructs: Seq[Column] = (0 until nTables).flatMap { t =>
+      val dots = (0 until nPlanes).map(j => col(s"d_${t}_$j"))
+      val base = dots.zipWithIndex
+        .map { case (d, j) => when(d > 0, lit(1L << j)).otherwise(lit(0L)) }
+        .reduce(_ + _)
+      // two lowest-margin planes, ties to the lower index (array_sort on
+      // (|dot|, j) structs is lexicographic — same order as the oracle's
+      // ORDER BY abs(dot), j)
+      val sortedM = array_sort(array(dots.zipWithIndex.map { case (d, j) =>
+        struct(abs(d).as("m"), lit(j).as("j"))
+      }: _*))
+      val m1 = element_at(masks, sortedM.getItem(0).getField("j") + 1)
+      val m2 = element_at(masks, sortedM.getItem(1).getField("j") + 1)
+      Seq(base, base.bitwiseXOR(m1), base.bitwiseXOR(m2),
+        base.bitwiseXOR(m1).bitwiseXOR(m2))
+        .map(bk => struct(lit(t).as("tbl"), bk.as("bucket")))
+    }
+    val qb = broadcast(withDots
+      .select(col("vec_id").as("query_id"), explode(array(probeStructs: _*)).as("tb"))
+      .select(col("query_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket")))
+    val cand = qb.join(b, Seq("tbl", "bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    val q = broadcast(v.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn")))
+    val scored = cand
+      .join(v, "vec_id")
+      .join(q, "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qe"), col("e"), col("qn"), col("nrm")), 4).as("cos4"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos4").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos4"))
+  }
 }

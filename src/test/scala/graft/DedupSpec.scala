@@ -347,6 +347,29 @@ class DedupSpec extends GraftSuite {
     assert(recall >= 0.4, s"recall $recall")
   }
 
+  test("multi-probe LSH lifts recall >= 0.7 at UNCHANGED table count") {
+    import spark.implicits._
+    val bf = Ann.bruteForceTopK(spark, sf).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val single = Ann.lshTopK(spark, sf).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val multi = Ann.lshMultiProbeTopK(spark, sf).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val rSingle = (bf & single).size.toDouble / bf.size
+    val rMulti = (bf & multi).size.toDouble / bf.size
+    // measured 0.92 at sf0.001 / 0.87 at sf0.01 vs single-probe 0.59/0.58
+    assert(rMulti >= 0.7, s"multi-probe recall $rMulti < 0.7")
+    assert(rMulti > rSingle, s"multi-probe $rMulti must beat single-probe $rSingle")
+    // the base bucket is in the probe set, so multi-probe's candidate pool
+    // is a superset — its best hit per query can only improve
+    def top1(df: org.apache.spark.sql.DataFrame) = df.where(col("rk") === 1)
+      .select("query_id", "cos4").as[(Long, Double)].collect().toMap
+    val (s1, m1) = (top1(Ann.lshTopK(spark, sf)), top1(Ann.lshMultiProbeTopK(spark, sf)))
+    s1.foreach { case (q, c) =>
+      assert(m1(q) >= c, s"query $q: multi-probe top-1 ${m1(q)} < single $c")
+    }
+  }
+
   test("minhashIncremental == full LSH restricted to batch×corpus pairs") {
     val full = Dedup.minhashLsh(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet // d1 < d2
