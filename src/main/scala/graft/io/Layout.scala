@@ -99,10 +99,12 @@ object Layout {
     * over 100 TB = 12.5 TB per bucket task). Power-of-two so a future
     * re-bucketing at 2× splits every Murmur3 bucket `h % B` into exactly
     * two of `h % 2B` — bounded re-cluster cost — and so slow corpus growth
-    * doesn't thrash the count between adjacent integers.
+    * doesn't thrash the count between adjacent integers. The 128 MB target
+    * matches [[compact]]'s file sizing; on the in-repo ladder it derives
+    * 8 (floor) at sf0.01/sf1 and 16 at sf10, ~800k buckets at 100 TB.
     */
   def deriveBuckets(spark: SparkSession, paths: Seq[String],
-      targetBucketBytes: Long = 256L * 1024 * 1024, floor: Int = 8): Int = {
+      targetBucketBytes: Long = 128L * 1024 * 1024, floor: Int = 8): Int = {
     val raw = math.max(floor.toLong,
       math.ceil(inputBytes(spark, paths: _*).toDouble / targetBucketBytes).toLong)
     require(raw <= (1L << 30), s"derived bucket count $raw is implausible")
