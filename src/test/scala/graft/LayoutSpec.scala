@@ -10,6 +10,13 @@ class LayoutSpec extends GraftSuite {
   private def shuffles(p: String): Int =
     p.linesIterator.count(_.matches("""^\(\d+\) Exchange\s*$"""))
 
+  private def parquetFiles(table: String): Int = {
+    val loc = new java.io.File(new java.net.URI(
+      spark.sql(s"DESCRIBE TABLE EXTENDED `$table`")
+        .where(col("col_name") === "Location").first().getString(1)))
+    loc.listFiles().count(_.getName.endsWith(".parquet"))
+  }
+
   test("bucketed tables join with zero exchanges") {
     val orders = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
     val lineitem = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
@@ -169,12 +176,6 @@ class LayoutSpec extends GraftSuite {
     val parts = (0 until 4).map(i => orders.where(col("o_orderkey") % 4 === i))
     Layout.writeBucketed(parts(0), "b_cmp_orders", "o_orderkey", 4)
     parts.drop(1).foreach(Layout.appendBucketed(_, "b_cmp_orders", "o_orderkey", 4))
-    def parquetFiles(table: String): Int = {
-      val loc = new java.io.File(new java.net.URI(
-        spark.sql(s"DESCRIBE TABLE EXTENDED `$table`")
-          .where(col("col_name") === "Location").first().getString(1)))
-      loc.listFiles().count(_.getName.endsWith(".parquet"))
-    }
     val before = parquetFiles("b_cmp_orders")
     assert(before == 16, s"setup: 4 writes × 4 buckets = 16 files, got $before")
     Layout.compactBucketed(spark, "b_cmp_orders", "o_orderkey", 4)
@@ -188,6 +189,48 @@ class LayoutSpec extends GraftSuite {
         .queryExecution.explainString(FormattedMode)
       assert(p.contains("Bucketed: true"), p)
       assert(shuffles(p) == 0, s"compacted table must keep the zero-Exchange plan:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("streaming ingest: foreachBatch appendBucketed keeps co-location; compactBucketed bounds it") {
+    // The continuous-ingest cadence the maintenance loop exists for: a
+    // bucketed fact table serves zero-Exchange joins while micro-batches
+    // land through appendBucketed (one new file per bucket per trigger),
+    // and the periodic compactBucketed pass re-bounds files-per-bucket
+    // without losing the layout. MemoryStream + foreachBatch is the same
+    // plumbing AnnIndexSpec pins for index ingest.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+    Layout.writeBucketed(orders.where(col("o_orderkey") % 4 === 0),
+      "b_stream_orders", "o_orderkey", 4)
+    val input = MemoryStream[(Long, Long)]
+    val q = input.toDF().toDF("o_orderkey", "o_custkey").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Layout.appendBucketed(batch, "b_stream_orders", "o_orderkey", 4)
+      }.start()
+    val tail = orders.where(col("o_orderkey") % 4 =!= 0)
+      .as[(Long, Long)].collect()
+    val (b1, rest) = tail.splitAt(tail.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    Seq(b1, b2, b3).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+    q.stop()
+    val t = Layout.readTable(spark, "b_stream_orders")
+    assert(t.count() == orders.count(), "every micro-batch row landed exactly once")
+    val grown = parquetFiles("b_stream_orders")
+    assert(grown >= 8, s"setup: appends must have grown files-per-bucket ($grown)")
+    Layout.compactBucketed(spark, "b_stream_orders", "o_orderkey", 4)
+    assert(parquetFiles("b_stream_orders") == 4, "compaction leaves 1 file/bucket")
+    val t2 = Layout.readTable(spark, "b_stream_orders")
+    assert(t2.count() == orders.count(), "compaction is lossless")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = t2.join(t2.groupBy("o_orderkey").count(), "o_orderkey")
+        .queryExecution.explainString(FormattedMode)
+      assert(p.contains("Bucketed: true") && shuffles(p) == 0,
+        s"streamed-then-compacted table must keep the zero-Exchange plan:\n$p")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
