@@ -162,25 +162,32 @@ object Ann {
     * The per-table dots are materialized as columns BEFORE the probe
     * fan-out references them (the Generate-inlining trap).
     */
-  def lshMultiProbeTopK(spark: SparkSession, dir: String, nQueries: Int = 20,
-      k: Int = 5, nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
-    val v = normed(spark, dir)
-    val b = lshBucketsOf(v, nPlanes, nTables) // corpus: ONE bucket per table
+  /** Per-plane dot projections for a query vector column, named
+    * `d_<table>_<plane>` — materialize these as columns BEFORE building
+    * [[multiProbeStructs]] over them (the Generate-inlining trap: an
+    * unmaterialized dot would be re-evaluated once per probe variant).
+    */
+  private[operators] def planeDotCols(e: Column, nPlanes: Int = 4,
+      nTables: Int = 8): Seq[Column] =
+    for { t <- 0 until nTables; j <- 0 until nPlanes } yield
+      VectorExpressions.dot(e,
+        typedlit((0 until 64).map(planeComponent(t * nPlanes + j, _))))
+        .as(s"d_${t}_$j")
+
+  /** Multi-probe (tbl, bucket) structs over the [[planeDotCols]]
+    * attributes: per table {base, flip b₁, flip b₂, flip b₁b₂} where
+    * b₁/b₂ are the two lowest-|margin| planes (ties to the lower index —
+    * array_sort on (|dot|, j) structs is lexicographic, the same order as
+    * the oracle's ORDER BY abs(dot), j).
+    */
+  private[operators] def multiProbeStructs(nPlanes: Int = 4,
+      nTables: Int = 8): Seq[Column] = {
     val masks = typedlit((0 until nPlanes).map(j => 1L << j))
-    val withDots = v.where(col("vec_id") < nQueries).select(
-      col("vec_id") +:
-        (for { t <- 0 until nTables; j <- 0 until nPlanes } yield
-          VectorExpressions.dot(col("e"),
-            typedlit((0 until 64).map(planeComponent(t * nPlanes + j, _))))
-            .as(s"d_${t}_$j")): _*)
-    val probeStructs: Seq[Column] = (0 until nTables).flatMap { t =>
+    (0 until nTables).flatMap { t =>
       val dots = (0 until nPlanes).map(j => col(s"d_${t}_$j"))
       val base = dots.zipWithIndex
         .map { case (d, j) => when(d > 0, lit(1L << j)).otherwise(lit(0L)) }
         .reduce(_ + _)
-      // two lowest-margin planes, ties to the lower index (array_sort on
-      // (|dot|, j) structs is lexicographic — same order as the oracle's
-      // ORDER BY abs(dot), j)
       val sortedM = array_sort(array(dots.zipWithIndex.map { case (d, j) =>
         struct(abs(d).as("m"), lit(j).as("j"))
       }: _*))
@@ -190,8 +197,17 @@ object Ann {
         base.bitwiseXOR(m1).bitwiseXOR(m2))
         .map(bk => struct(lit(t).as("tbl"), bk.as("bucket")))
     }
+  }
+
+  def lshMultiProbeTopK(spark: SparkSession, dir: String, nQueries: Int = 20,
+      k: Int = 5, nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
+    val v = normed(spark, dir)
+    val b = lshBucketsOf(v, nPlanes, nTables) // corpus: ONE bucket per table
+    val withDots = v.where(col("vec_id") < nQueries).select(
+      col("vec_id") +: planeDotCols(col("e"), nPlanes, nTables): _*)
     val qb = broadcast(withDots
-      .select(col("vec_id").as("query_id"), explode(array(probeStructs: _*)).as("tb"))
+      .select(col("vec_id").as("query_id"),
+        explode(array(multiProbeStructs(nPlanes, nTables): _*)).as("tb"))
       .select(col("query_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket")))
     val cand = qb.join(b, Seq("tbl", "bucket"))
       .where(col("vec_id") =!= col("query_id"))

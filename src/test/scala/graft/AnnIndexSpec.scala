@@ -23,6 +23,16 @@ class AnnIndexSpec extends GraftSuite {
       == rows(SparkEntry.queries("q_ann_lsh")(spark, sf)))
   }
 
+  test("lsh search(multiProbe) == q_ann_multiprobe; stored layout untouched") {
+    val idx = AnnIndex.build(spark, sf, "lsh")
+    assert(rows(idx.search(registeredQueries, 5, multiProbe = true))
+      == rows(SparkEntry.queries("q_ann_multiprobe")(spark, sf)))
+    // probing is query-side only: the same handle still answers
+    // single-probe searches identically
+    assert(rows(idx.search(registeredQueries, 5))
+      == rows(SparkEntry.queries("q_ann_lsh")(spark, sf)))
+  }
+
   test("ivf index search == q_ann_ivf on the registered query batch") {
     val idx = AnnIndex.build(spark, sf, "ivf", iters = 0)
     assert(rows(idx.search(registeredQueries, 5))
