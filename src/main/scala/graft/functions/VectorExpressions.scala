@@ -286,12 +286,6 @@ case class MaxTokenFreq(child: Expression) extends UnaryExpression
   }
 }
 
-/** 32-bit Morton (Z-order) code of two 16-bit values: bit i of `a` lands at
-  * position 2i+1, bit i of `b` at 2i — locality in BOTH dimensions maps to
-  * locality in the code, which is what makes sorting by it cluster a table
-  * for multi-dimensional min/max file skipping ([[graft.io.Layout
-  * .zorderWrite]]). Inputs are masked to 16 bits.
-  */
 /** Fused hashed-char-trigram NB scorer for
   * [[graft.operators.LangIdModel]]: one pass over the text, per gram a
   * positional-polynomial bucket then `langs` integer adds off the flat
@@ -314,9 +308,14 @@ case class NgramLangScores(child: Expression, weights: Array[Long],
     val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
     val n = priors.length
     val acc = priors.clone()
+    // CODE POINTS, not UTF-16 units: the oracle's substr/length/ascii are
+    // code-point-based, and a surrogate pair would otherwise change both
+    // the gram count and the hashes (cross-engine divergence on any
+    // non-BMP character)
+    val cps = s.codePoints().toArray
     var i = 0
-    while (i < s.length - 2) {
-      val off = ((s.charAt(i) * 961 + s.charAt(i + 1) * 31 + s.charAt(i + 2)) % buckets) * n
+    while (i < cps.length - 2) {
+      val off = ((cps(i) * 961 + cps(i + 1) * 31 + cps(i + 2)) % buckets) * n
       var l = 0
       while (l < n) { acc(l) += weights(off + l); l += 1 }
       i += 1
@@ -348,6 +347,12 @@ case class QuantileCode16(child: Expression, boundaries: Array[Long])
   }
 }
 
+/** 32-bit Morton (Z-order) code of two 16-bit values: bit i of `a` lands at
+  * position 2i+1, bit i of `b` at 2i — locality in BOTH dimensions maps to
+  * locality in the code, which is what makes sorting by it cluster a table
+  * for multi-dimensional min/max file skipping ([[graft.io.Layout
+  * .zorderWrite]]). Inputs are masked to 16 bits.
+  */
 case class Interleave16(left: Expression, right: Expression)
     extends BinaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {

@@ -68,16 +68,21 @@ object Layout {
     */
   def sourceFingerprint(spark: SparkSession, paths: String*): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
+    // full path + sorted order: FS listing order is not guaranteed (raw
+    // readdir), and basenames alone can't tell same-named part files in
+    // different subdirs apart — either would let an unchanged dir produce
+    // a different tag and silently re-materialize the layout
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     paths.foreach { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
       val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val it = fs.listFiles(hp, true)
       while (it.hasNext) {
         val f = it.next()
-        md.update(s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime};"
-          .getBytes("UTF-8"))
+        entries += s"${f.getPath}:${f.getLen}:${f.getModificationTime};"
       }
     }
+    entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
     md.digest().take(8).map("%02x".format(_)).mkString
   }
 
@@ -192,12 +197,21 @@ object Layout {
     import org.apache.spark.sql.functions._
     val nFiles = if (files > 0) files else {
       val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-        .min(BigInt(Long.MaxValue)).toLong
-      math.max(16, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      // RDD-backed frames report defaultSizeInBytes (≈Long.MaxValue) —
+      // unknown stats must fall back to the floor, not saturate into
+      // Int.MaxValue range partitions; the 2²⁰ cap (~128 TB of 128 MB
+      // files) bounds the scheduler against any other wild estimate
+      if (bytes >= BigInt(Long.MaxValue) / 4) 16
+      else math.min(1 << 20,
+        math.max(16, math.ceil(bytes.toDouble / targetFileBytes).toInt))
     }
-    // 255 interior cut points → 256 equal-mass cells per dimension; one
-    // shared sketch pass computes both columns' boundaries.
-    val probs = (1 to 255).map(_ / 256.0).toArray
+    // Interior cut points scale with the file count so the z-grid always
+    // has comfortably more cells than files — a fixed 255 would cap the
+    // layout at 256² distinct codes and stall file granularity past ~8 TB.
+    // k cut points → (k+1)² cells; the 4095 ceiling (16.7M cells ≥ 16×
+    // the max file count) keeps the one-pass sketch query cheap.
+    val k = math.min(4095, math.max(255, 4 * nFiles - 1))
+    val probs = (1 to k).map(_.toDouble / (k + 1)).toArray
     val casted = df.select(col(colA).cast("double").as("__qa"),
       col(colB).cast("double").as("__qb"))
     val bs = casted.stat.approxQuantile(Array("__qa", "__qb"), probs, 0.001)
@@ -214,13 +228,24 @@ object Layout {
   }
 
   /** Rewrite a bucketed table in place: read → one file per bucket through
-    * the SAME [[bucketWriter]] recipe → atomic-ish swap (staging table,
-    * drop, rename). This is the maintenance pass that bounds
+    * the SAME [[bucketWriter]] recipe → staged swap (staging table, drop,
+    * rename). This is the maintenance pass that bounds
     * [[appendBucketed]]'s files-per-bucket growth — plain [[compact]]
     * round-robins rows and would DESTROY the bucket hash. Passing a new
     * (power-of-two) `buckets` is the re-bucketing path for a grown corpus;
     * passing the current count is pure compaction. Zero-Exchange plans and
     * row content are preserved either way (LayoutSpec pins both).
+    *
+    * SINGLE-WRITER contract: pause the append stream across the swap — a
+    * micro-batch landing between the staging write's scan and the DROP
+    * would be lost (the same no-ACID caveat as OPTIMIZE on any
+    * metastore table without a transaction log; LayoutSpec's streaming
+    * test compacts with the stream quiesced, the real cadence). Crash
+    * safety: the data is never in fewer than one place — a crash before
+    * DROP leaves the original intact (plus a `_compacting` leftover that
+    * the next run's writeBucketed preamble clears), a crash between DROP
+    * and RENAME leaves the FULL table under `<table>_compacting`;
+    * recovery is one `ALTER TABLE … RENAME TO …`.
     */
   def compactBucketed(spark: SparkSession, table: String, key: String,
       buckets: Int): Unit = {

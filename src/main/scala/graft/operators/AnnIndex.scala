@@ -57,6 +57,11 @@ object AnnIndex {
       */
     def search(queries: DataFrame, k: Int = 5, excludeSelf: Boolean = true,
         multiProbe: Boolean = false): DataFrame = {
+      // loud, not silent: a caller asking for the multi-probe recall lift
+      // on a layout that can't probe would otherwise get the baseline
+      require(!multiProbe || method == "lsh",
+        s"multiProbe is an lsh-layout feature (this index is '$method'); " +
+          "ivf probing is the nprobe parameter at build time")
       if (method == "pq")
         return Pq.searchCodes(corpus, pqCen,
           queries.select(col("query_id"), col("qe")), k, excludeSelf)

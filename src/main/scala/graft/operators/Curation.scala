@@ -344,23 +344,33 @@ object Curation {
     * the epoch through one task. Offsets are a pure function of the
     * (skey, doc_id) TOTAL order, so the result is partitioning-independent.
     */
-  def trainingBatches(spark: SparkSession, dir: String, seed: String = "epoch0",
-      maxLen: Int = 512): DataFrame = {
+  /** The declarative stage chain of [[trainingBatches]] UP TO the
+    * checkpoint boundary — exposed so specs can pin the executed plan
+    * (after the localCheckpoint the composition is a LogicalRDD and any
+    * plan assertion would be vacuously inspecting an empty lineage; the
+    * stamping passes that follow are windowless RDD maps by construction).
+    */
+  private[graft] def trainingBatchesSorted(spark: SparkSession, dir: String,
+      seed: String = "epoch0"): DataFrame = {
     val curated = curatePipeline(spark, dir).where(col("keep")).select("doc_id")
     val train = hashSplit(spark, dir).where(col("split") === "train").select("doc_id")
     val skey = conv(substring(md5(
         concat(lit(s"shuffle:$seed:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
       .cast("long")
-    val keyed = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .join(curated, Seq("doc_id"), "left_semi")
       .join(train, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), skey.as("skey"),
         size(graft.functions.TextHash.tokens(col("text"))).cast("long").as("n_tokens"))
       .where(col("n_tokens") > 0)
-    val sorted = keyed
       .repartitionByRange(col("skey"), col("doc_id"))
       .sortWithinPartitions("skey", "doc_id")
-      .localCheckpoint(true)
+  }
+
+  def trainingBatches(spark: SparkSession, dir: String, seed: String = "epoch0",
+      maxLen: Int = 512): DataFrame = {
+    val sorted = trainingBatchesSorted(spark, dir, seed)
+      .localCheckpoint(false) // lazy: the count pass below materializes it
     val rdd = sorted.rdd
     // pass 1: per-partition (row count, token total) — #partitions pairs
     // to the driver, bounded by cluster size not data size
@@ -395,7 +405,7 @@ object Curation {
     val sorted = keyed
       .repartitionByRange(col("skey"), col("doc_id"))
       .sortWithinPartitions("skey", "doc_id")
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: the count pass below materializes it
     val stamped = sorted.rdd.zipWithIndex.map { case (r, i) => (r.getLong(0), i) }
     spark.createDataFrame(stamped).toDF("doc_id", "pos")
   }

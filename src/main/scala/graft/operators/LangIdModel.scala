@@ -101,14 +101,17 @@ object LangIdModel {
       "火车八点从第一站台出发",
       "这家餐厅的菜真的很好吃而且便宜"))
 
-  /** Trigram → bucket: a tiny positional polynomial over the UTF-16 char
-    * codes, chosen because BOTH engines can evaluate it — the oracle's
-    * `ascii(substr(text,i,1))` is the Unicode code point, identical to
-    * `charAt` on the ASCII documents it scores. (zh exemplars sit above
-    * ASCII but are hashed only HERE, at model-build time.)
+  /** Trigram → bucket: a tiny positional polynomial over Unicode CODE
+    * POINTS — the exact semantics of the oracle's `ascii(substr(text,i,1))`
+    * / `length(text)`, so gram counts and hashes agree on ANY text, not
+    * just BMP (a UTF-16-unit formulation would split astral characters
+    * into surrogates and silently diverge cross-engine).
     */
-  def gramBucket(s: String, i: Int): Int =
-    (s.charAt(i) * 961 + s.charAt(i + 1) * 31 + s.charAt(i + 2)) % B
+  def gramBucket(cps: Array[Int], i: Int): Int =
+    (cps(i) * 961 + cps(i + 1) * 31 + cps(i + 2)) % B
+
+  /** Code-point view of a string — the unit every gram position counts. */
+  def codePoints(s: String): Array[Int] = s.codePoints().toArray
 
   /** Flat [bucket × lang] weight table in micro-log units:
     * w(b,l) = round(1e6 · ln((cnt(b,l)+1) / (tot_l + B))) — add-1-smoothed
@@ -120,9 +123,10 @@ object LangIdModel {
     val totals = new Array[Long](Langs.length)
     Langs.zipWithIndex.foreach { case (lang, l) =>
       Exemplars(lang).foreach { s =>
+        val cps = codePoints(s)
         var i = 0
-        while (i < s.length - 2) {
-          counts(gramBucket(s, i) * Langs.length + l) += 1
+        while (i < cps.length - 2) {
+          counts(gramBucket(cps, i) * Langs.length + l) += 1
           totals(l) += 1
           i += 1
         }
@@ -151,9 +155,10 @@ object LangIdModel {
     */
   def scoresOf(text: String): Array[Long] = {
     val s = priors.clone()
+    val cps = codePoints(text)
     var i = 0
-    while (i < text.length - 2) {
-      val off = gramBucket(text, i) * Langs.length
+    while (i < cps.length - 2) {
+      val off = gramBucket(cps, i) * Langs.length
       var l = 0
       while (l < Langs.length) { s(l) += weights(off + l); l += 1 }
       i += 1

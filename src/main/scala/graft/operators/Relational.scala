@@ -180,6 +180,15 @@ object Relational {
     // saveAsTable into a corrupt table
     layoutLock.synchronized {
       if (!spark.catalog.tableExists(ot) || !spark.catalog.tableExists(lt)) {
+        // drop layouts built for PREVIOUS fingerprints of this dir — each
+        // in-place regeneration would otherwise leak a full bucketed copy
+        // of both tables in the warehouse forever
+        val dt = graft.io.Layout.dirTag(dir)
+        spark.catalog.listTables().collect()
+          .map(_.name)
+          .filter(n => (n.startsWith(s"g_b_orders_${dt}_") && n != ot) ||
+            (n.startsWith(s"g_b_lineitem_${dt}_") && n != lt))
+          .foreach(n => spark.sql(s"DROP TABLE IF EXISTS `$n`"))
         // ONE corpus-derived count for both tables (zero-Exchange needs
         // equal bucket counts); sized from the joint input bytes so the
         // same code is 8 buckets at sf0.01 and thousands at 100 TB
@@ -226,6 +235,20 @@ object Relational {
     val marker = s"g_z_events_done_$tag"
     layoutLock.synchronized {
       if (!spark.catalog.tableExists(marker)) {
+        // clear rewrites (and session markers) of PREVIOUS fingerprints of
+        // this dir — in-place regeneration must not leak full clustered
+        // copies of events under the warehouse
+        val dt = graft.io.Layout.dirTag(dir)
+        val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+        val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith(s"g_z_events_${dt}_") && n != s"g_z_events_$tag")
+            fs.delete(st.getPath, true)
+        }
+        spark.catalog.listTables().collect().map(_.name)
+          .filter(n => n.startsWith(s"g_z_events_done_${dt}_") && n != marker)
+          .foreach(spark.catalog.dropTempView(_))
         graft.io.Layout.zorderWrite(
           Tables.events(spark, dir).select(col("event_id"), col("user_id"), col("event_type")),
           out, "user_id", "event_id")

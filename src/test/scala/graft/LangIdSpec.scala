@@ -75,10 +75,24 @@ class LangIdSpec extends GraftSuite {
     assert(h1 == h2, "re-run must be bit-identical")
   }
 
-  test("gramBucket matches the oracle's ascii-polynomial for ASCII text") {
-    assert(LangIdModel.gramBucket("abc", 0)
+  test("gramBucket matches the oracle's ascii-polynomial, by CODE POINT") {
+    assert(LangIdModel.gramBucket(LangIdModel.codePoints("abc"), 0)
       == ('a' * 961 + 'b' * 31 + 'c') % LangIdModel.B)
-    assert(LangIdModel.gramBucket("xabc", 1) == LangIdModel.gramBucket("abc", 0))
+    assert(LangIdModel.gramBucket(LangIdModel.codePoints("xabc"), 1)
+      == LangIdModel.gramBucket(LangIdModel.codePoints("abc"), 0))
+    // an astral character is ONE gram position (what DuckDB's substr /
+    // length see), not two UTF-16 surrogates
+    val astral = "a😀b" // a 😀 b
+    assert(LangIdModel.codePoints(astral).length == 3)
+    assert(LangIdModel.gramBucket(LangIdModel.codePoints(astral), 0)
+      == (97 * 961 + 128512 * 31 + 98) % LangIdModel.B)
+    // the Spark expression agrees with the reference scorer on it
+    import spark.implicits._
+    val got = Seq(astral).toDF("text").select(
+      graft.functions.VectorExpressions.ngramLangScores(
+        col("text"), LangIdModel.weights, LangIdModel.priors, LangIdModel.B))
+      .collect().head.getSeq[Long](0)
+    assert(got == LangIdModel.scoresOf(astral).toSeq)
   }
 
   test("the model is bounded serving state: B×langs weights, one prior per lang") {

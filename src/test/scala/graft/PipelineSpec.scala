@@ -132,12 +132,21 @@ class PipelineSpec extends GraftSuite {
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2)
       .map(_._1).filter(out.map(_._1).toSet)
     assert(byPos.map(_._1).toSeq == order.toSeq, "pack order == shuffle order")
-    // scale pin: no global single-partition window anywhere — the only
-    // Window is curate's cluster-keyed keep-best
-    val plan = Curation.trainingBatches(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert("Window".r.findAllIn(plan.split("== Initial Plan ==")(0)).size <= 1,
-      s"composition must not add a window:\n$plan")
+    // scale pin: the composition adds ZERO Window nodes beyond the curate
+    // stage's own (all partition-keyed) — in particular no global
+    // row_number over the epoch order. Pinned on the PRE-checkpoint
+    // chain: the composed frame itself is a LogicalRDD behind the
+    // localCheckpoint boundary (vacuously window-free), and the stamping
+    // passes after the boundary are plain RDD maps by construction.
+    def windows(df: org.apache.spark.sql.DataFrame) = {
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      (p, "(?m)^\\s*\\+?-? ?Window ".r.findAllIn(p).size)
+    }
+    val (sortedPlan, sortedW) = windows(Curation.trainingBatchesSorted(spark, sf))
+    val (_, curateW) = windows(Curation.curatePipeline(spark, sf))
+    assert(sortedW == curateW,
+      s"composition must not add windows (curate=$curateW, composed=$sortedW):\n$sortedPlan")
+    assert(sortedPlan.contains("Exchange"), "sanity: the pin sees the real chain")
   }
 
   test("domainMix membership is the exact per-doc hash rule") {
