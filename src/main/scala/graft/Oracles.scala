@@ -678,37 +678,46 @@ object Oracles {
        |SELECT doc_id, CAST(list_sum([CASE WHEN list_sum([CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0
        |       THEN (1::BIGINT << b) ELSE 0 END FOR b IN range(60)]) AS BIGINT) AS simhash FROM t""".stripMargin
 
-  val ngramJaccard: String =
-    s"""WITH g AS MATERIALIZED (SELECT doc_id, (n_chars // 25) AS bucket,
+  /** The shared pair derivation of [[ngramJaccard]]/[[ngramTopK]], ending
+    * in CTE `f` (d1 < d2, jac ≥ 0.35). The per-pair formulation
+    * (`list_intersect` inside a bucket self-join of the 50k-row gram
+    * table) ran in ONE DuckDB pipeline task — the gram table fits a
+    * single row group, so ~57M list intersections went single-threaded
+    * (measured ~50 min at sf1). This unnest + gram-equality join +
+    * group-count form computes the same |A∩B| (grams are list_distinct'd
+    * before unnest) with a parallel vectorized hash join; pairs with zero
+    * shared grams drop out of the join, but their jac = 0 < 0.35 anyway.
+    * jac = sh / (|A| + |B| − sh) ≡ len(list_distinct(concat)) exactly.
+    */
+  private val ngramPairCtes: String =
+    s"""g AS MATERIALIZED (SELECT doc_id, (n_chars // 25) AS bucket,
        |            list_distinct([ CAST((((least(ord(substr(text, i, 1)), 255) * 256
        |                + least(ord(substr(text, i + 1, 1)), 255)) * 256
        |                + least(ord(substr(text, i + 2, 1)), 255)) * 256
        |                + least(ord(substr(text, i + 3, 1)), 255)) AS BIGINT)
        |              FOR i IN range(1, len(text) - 2) ]) AS grams
        |           FROM documents),
-       |p AS MATERIALIZED (SELECT x.doc_id AS d1, y.doc_id AS d2,
-       |        round(len(list_intersect(x.grams, y.grams))::DOUBLE
-       |              / len(list_distinct(list_concat(x.grams, y.grams))), 6) AS jac
-       |      FROM g x JOIN g y ON x.bucket = y.bucket AND x.doc_id < y.doc_id)
-       |SELECT d1, d2, jac FROM p WHERE jac >= 0.35""".stripMargin
+       |sz AS MATERIALIZED (SELECT doc_id, len(grams)::BIGINT AS n FROM g),
+       |e AS MATERIALIZED (SELECT doc_id, bucket, unnest(grams) AS gram FROM g),
+       |shared AS MATERIALIZED (SELECT x.doc_id AS d1, y.doc_id AS d2, count(*)::BIGINT AS sh
+       |        FROM e x JOIN e y ON x.gram = y.gram AND x.bucket = y.bucket
+       |          AND x.doc_id < y.doc_id
+       |        GROUP BY 1, 2),
+       |f AS MATERIALIZED (SELECT d1, d2, jac FROM (
+       |        SELECT d1, d2, round(sh::DOUBLE / (a.n + b.n - sh), 6) AS jac
+       |        FROM shared JOIN sz a ON d1 = a.doc_id JOIN sz b ON d2 = b.doc_id) j
+       |      WHERE jac >= 0.35)""".stripMargin
+
+  val ngramJaccard: String =
+    s"""WITH $ngramPairCtes
+       |SELECT d1, d2, jac FROM f""".stripMargin
 
   /** [[ngramJaccard]]'s pair derivation, mirrored to both directions and
     * capped to each doc's top-3 by (jac DESC, nbr) — the output-bounded
     * variant.
     */
   val ngramTopK: String =
-    s"""WITH g AS MATERIALIZED (SELECT doc_id, (n_chars // 25) AS bucket,
-       |            list_distinct([ CAST((((least(ord(substr(text, i, 1)), 255) * 256
-       |                + least(ord(substr(text, i + 1, 1)), 255)) * 256
-       |                + least(ord(substr(text, i + 2, 1)), 255)) * 256
-       |                + least(ord(substr(text, i + 3, 1)), 255)) AS BIGINT)
-       |              FOR i IN range(1, len(text) - 2) ]) AS grams
-       |           FROM documents),
-       |p AS MATERIALIZED (SELECT x.doc_id AS d1, y.doc_id AS d2,
-       |        round(len(list_intersect(x.grams, y.grams))::DOUBLE
-       |              / len(list_distinct(list_concat(x.grams, y.grams))), 6) AS jac
-       |      FROM g x JOIN g y ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
-       |f AS MATERIALIZED (SELECT d1, d2, jac FROM p WHERE jac >= 0.35),
+    s"""WITH $ngramPairCtes,
        |sym AS MATERIALIZED (SELECT d1 AS doc_id, d2 AS nbr, jac FROM f
        |        UNION ALL
        |        SELECT d2 AS doc_id, d1 AS nbr, jac FROM f),

@@ -6,7 +6,7 @@ Registers each parquet table by name, runs oracle_sql.json queries,
 and compares against the Spark-written parquet (column-name-sorted,
 row-sorted, stringified values).
 """
-import sys, os, json, glob
+import sys, os, json, glob, time
 import duckdb
 
 def canon(rel):
@@ -44,6 +44,7 @@ def main(sf_dir, out_dir):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
+        t0 = time.time()
         got_rel = con.sql(f"SELECT * FROM '{d}/*.parquet'")
         got_cols, got = canon(got_rel)
         if name not in oracle:
@@ -68,7 +69,7 @@ def main(sf_dir, out_dir):
                 print(f"  (length mismatch only; spark[0]={got[0] if got else None})")
         else:
             n_ok += 1
-            print(f"[ok] {name}: {len(got)} rows")
+            print(f"[ok] {name}: {len(got)} rows ({time.time()-t0:.0f}s)", flush=True)
     print(f"== {n_ok} matched")
 
 if __name__ == "__main__":
