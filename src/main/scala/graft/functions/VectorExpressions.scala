@@ -326,12 +326,15 @@ case class NgramLangScores(child: Expression, weights: Array[Long],
 
 /** Equal-mass 16-bit rank code for [[graft.io.Layout.zorderWrite]]:
   * binary-search the value into the sorted distinct approx-quantile
-  * boundary array (≤255 longs, baked in as literals) and spread the bucket
+  * boundary array (≤4095 longs — zorderWrite derives
+  * k = min(4095, max(255, 4·nFiles−1)) cut points, so at the ceiling the
+  * literal is ~32 KB per column, a rounding error against the ANN
+  * codebook literals that already ride plans here) and spread the bucket
   * index across 0..65535. Quantile ranks — not linear (min,max) scaling —
   * keep the Morton curve's z-property on skewed columns, where linear
   * scaling collapses most of a power-law distribution into a handful of
   * codes and the dimension's file-skip dies. CodegenFallback like
-  * [[Interleave16]]: the write pass runs once per layout, a ~log₂(255)
+  * [[Interleave16]]: the write pass runs once per layout, a ~log₂(4096)
   * branch per row is nowhere near the profile.
   */
 case class QuantileCode16(child: Expression, boundaries: Array[Long])

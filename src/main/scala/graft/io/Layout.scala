@@ -59,14 +59,48 @@ object Layout {
     java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
 
-  /** Cheap driver-side fingerprint of the SOURCE data under `paths` (file
-    * names + lengths + mtimes, one FS listing, no Spark job). Folded into
-    * the memo tag of the session-scoped layout queries so a dir whose data
-    * is regenerated IN PLACE mid-session gets a fresh materialization
-    * instead of silently serving the stale bucketed/z-ordered copy while
-    * the oracle reads the new source.
+  /** Serializes every layout check-then-write/swap critical section —
+    * the session-scoped layout queries' materialization
+    * ([[graft.operators.Relational]]) AND [[compactBucketed]]'s
+    * drop+rename swap. One shared monitor: a reader resolving a table
+    * name between another thread's DROP and RENAME would get
+    * table-not-found if the two sides locked different objects.
+    */
+  private[graft] val layoutLock = new Object
+
+  // memoized fingerprints: paths-key -> (expiry millis, fp). The listing +
+  // per-file tail sample is driver-side O(#files); without a memo every
+  // layout query pays it on every call.
+  private val fpCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
+
+  /** Drop all memoized source fingerprints — for callers that just rewrote
+    * a source dir and need the next layout query to see it before the TTL
+    * lapses (and for specs exercising in-place regeneration).
+    */
+  def invalidateFingerprints(): Unit = fpCache.clear()
+
+  /** Cheap driver-side fingerprint of the SOURCE data under `paths`: file
+    * names + lengths + mtimes + an md5 of each file's LAST ≤256 bytes (for
+    * parquet that's inside the footer — column min/max stats, so it is
+    * content-dependent). Folded into the memo tag of the session-scoped
+    * layout queries so a dir whose data is regenerated IN PLACE
+    * mid-session gets a fresh materialization instead of silently serving
+    * the stale bucketed/z-ordered copy while the oracle reads the new
+    * source. The tail sample is what catches the object-store corner
+    * mtimes can't: a store reporting coarse or zero mtimes serving a
+    * same-size regeneration (ADVICE r14). Results are memoized for
+    * `spark.graft.layout.fingerprintTtlMs` (default 10 s, ≤0 disables) so
+    * repeated layout queries don't re-pay the listing; staleness is
+    * bounded by the TTL, and [[invalidateFingerprints]] is the immediate
+    * override.
     */
   def sourceFingerprint(spark: SparkSession, paths: String*): String = {
+    val key = paths.sorted.mkString("")
+    val ttl = spark.conf.get("spark.graft.layout.fingerprintTtlMs", "10000").toLong
+    val now = System.currentTimeMillis()
+    val hit = fpCache.get(key)
+    if (hit != null && ttl > 0 && now < hit._1) return hit._2
     val md = java.security.MessageDigest.getInstance("MD5")
     // full path + sorted order: FS listing order is not guaranteed (raw
     // readdir), and basenames alone can't tell same-named part files in
@@ -79,11 +113,21 @@ object Layout {
       val it = fs.listFiles(hp, true)
       while (it.hasNext) {
         val f = it.next()
-        entries += s"${f.getPath}:${f.getLen}:${f.getModificationTime};"
+        val sample = new Array[Byte](math.min(256L, f.getLen).toInt)
+        if (sample.length > 0) {
+          val in = fs.open(f.getPath)
+          try { in.seek(f.getLen - sample.length); in.readFully(sample) }
+          finally in.close()
+        }
+        val sh = java.security.MessageDigest.getInstance("MD5")
+          .digest(sample).take(4).map("%02x".format(_)).mkString
+        entries += s"${f.getPath}:${f.getLen}:${f.getModificationTime}:$sh;"
       }
     }
     entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
-    md.digest().take(8).map("%02x".format(_)).mkString
+    val fp = md.digest().take(8).map("%02x".format(_)).mkString
+    if (ttl > 0) fpCache.put(key, (now + ttl, fp))
+    fp
   }
 
   /** Total on-disk bytes under `paths` — one content-summary call per
@@ -182,7 +226,9 @@ object Layout {
     * other column, silently killing the skewed dimension's file-skip
     * (LayoutSpec's power-law fixture pins the difference). Equal-mass rank
     * codes keep the z-property under ANY distribution. The boundary array
-    * is ≤255 longs — model-as-literals, same footing as the ANN codebooks.
+    * is ≤4095 longs (k scales with the derived file count below — ~32 KB
+    * of literals at the ceiling, the same model-as-literals footing as
+    * the ANN codebooks, far below any plan-size concern).
     * Values beyond ±2^53 lose low bits crossing the quantile sketch's
     * double — harmless here: codes only place rows, the rewrite stays
     * lossless by construction.
@@ -244,14 +290,21 @@ object Layout {
     * safety: the data is never in fewer than one place — a crash before
     * DROP leaves the original intact (plus a `_compacting` leftover that
     * the next run's writeBucketed preamble clears), a crash between DROP
-    * and RENAME leaves the FULL table under `<table>_compacting`;
-    * recovery is one `ALTER TABLE … RENAME TO …`.
+    * and RENAME leaves the FULL table under `<table>_compacting` — and a
+    * later call AUTO-RECOVERS it (one RENAME back) before compacting. The
+    * whole pass holds [[layoutLock]], the same monitor the session-scoped
+    * layout queries take, so a concurrent reader never resolves the name
+    * inside the DROP→RENAME window (ADVICE r14).
     */
   def compactBucketed(spark: SparkSession, table: String, key: String,
-      buckets: Int): Unit = {
+      buckets: Int): Unit = layoutLock.synchronized {
+    val staging = s"${table}_compacting"
+    // auto-recover a crash between a previous run's DROP and RENAME: the
+    // full table is sitting under the staging name
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(staging))
+      spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
     require(spark.catalog.tableExists(table),
       s"compactBucketed target '$table' does not exist")
-    val staging = s"${table}_compacting"
     // Read the table's FILES, not the catalog table: when the source scan
     // is the bucketed table itself the planner elides bucketWriter's
     // aligning repartition as redundant — and then auto-disables the

@@ -182,12 +182,16 @@ object Relational {
       if (!spark.catalog.tableExists(ot) || !spark.catalog.tableExists(lt)) {
         // drop layouts built for PREVIOUS fingerprints of this dir — each
         // in-place regeneration would otherwise leak a full bucketed copy
-        // of both tables in the warehouse forever
+        // of both tables in the warehouse forever. The prefix match has NO
+        // trailing underscore so it also catches the pre-fingerprint
+        // naming g_b_*_<dirtag> (a one-time permanent leak after upgrade
+        // otherwise — ADVICE r14); dirtags are fixed-width hex, so one can
+        // never prefix another
         val dt = graft.io.Layout.dirTag(dir)
         spark.catalog.listTables().collect()
           .map(_.name)
-          .filter(n => (n.startsWith(s"g_b_orders_${dt}_") && n != ot) ||
-            (n.startsWith(s"g_b_lineitem_${dt}_") && n != lt))
+          .filter(n => (n.startsWith(s"g_b_orders_$dt") && n != ot) ||
+            (n.startsWith(s"g_b_lineitem_$dt") && n != lt))
           .foreach(n => spark.sql(s"DROP TABLE IF EXISTS `$n`"))
         // ONE corpus-derived count for both tables (zero-Exchange needs
         // equal bucket counts); sized from the joint input bytes so the
@@ -237,17 +241,20 @@ object Relational {
       if (!spark.catalog.tableExists(marker)) {
         // clear rewrites (and session markers) of PREVIOUS fingerprints of
         // this dir — in-place regeneration must not leak full clustered
-        // copies of events under the warehouse
+        // copies of events under the warehouse. No trailing underscore in
+        // the prefix: the pre-fingerprint naming g_z_events_<dirtag> must
+        // be swept too (ADVICE r14); fixed-width hex dirtags can't prefix
+        // each other
         val dt = graft.io.Layout.dirTag(dir)
         val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
         val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
           val n = st.getPath.getName
-          if (n.startsWith(s"g_z_events_${dt}_") && n != s"g_z_events_$tag")
+          if (n.startsWith(s"g_z_events_$dt") && n != s"g_z_events_$tag")
             fs.delete(st.getPath, true)
         }
         spark.catalog.listTables().collect().map(_.name)
-          .filter(n => n.startsWith(s"g_z_events_done_${dt}_") && n != marker)
+          .filter(n => n.startsWith(s"g_z_events_done_$dt") && n != marker)
           .foreach(spark.catalog.dropTempView(_))
         graft.io.Layout.zorderWrite(
           Tables.events(spark, dir).select(col("event_id"), col("user_id"), col("event_type")),
@@ -264,8 +271,10 @@ object Relational {
   }
   // serializes both layout queries' check-then-write: two concurrent
   // first calls would otherwise race a drop/delete into a half-written
-  // table or double-write the z-ordered copy
-  private val layoutLock = new Object
+  // table or double-write the z-ordered copy. The SHARED Layout monitor —
+  // compactBucketed's drop+rename swap takes the same one, so a layout
+  // query never resolves a table name inside that window
+  private def layoutLock: Object = graft.io.Layout.layoutLock
 
   /** A11 — co-group (reference: multi-schema TupleMRBuilder co-grouping,
     * MultipleInputsInterface.java): orders and lineitem grouped on orderkey.

@@ -280,9 +280,60 @@ class LayoutSpec extends GraftSuite {
     (0 until 100).toDF("x").write.mode("overwrite").parquet(dir)
     val fp1 = Layout.sourceFingerprint(spark, dir)
     (0 until 250).toDF("x").write.mode("overwrite").parquet(dir)
+    Layout.invalidateFingerprints() // bypass the TTL memo for the immediate re-read
     val fp2 = Layout.sourceFingerprint(spark, dir)
     assert(fp1 != fp2, "regenerated data must produce a different fingerprint")
     assert(Layout.sourceFingerprint(spark, dir) == fp2, "fingerprint is stable")
+  }
+
+  test("sourceFingerprint tail sample catches a same-size same-mtime regeneration") {
+    // the object-store corner (ADVICE r14): coarse/zero mtimes + an
+    // in-place regeneration to identical file sizes — names, lengths and
+    // mtimes all collide, only the content tail differs
+    val dir = java.nio.file.Files.createTempDirectory("fp-tail")
+    val f = dir.resolve("part-0.bin").toFile
+    def writePinned(fill: Byte): Unit = {
+      val out = new java.io.FileOutputStream(f)
+      try out.write(Array.fill(1024)(fill)) finally out.close()
+      assert(f.setLastModified(1700000000000L), "must pin mtime")
+    }
+    writePinned(1)
+    Layout.invalidateFingerprints()
+    val fp1 = Layout.sourceFingerprint(spark, dir.toString)
+    writePinned(2)
+    Layout.invalidateFingerprints()
+    val fp2 = Layout.sourceFingerprint(spark, dir.toString)
+    assert(fp1 != fp2,
+      "identical (name, length, mtime) but different bytes must fingerprint differently")
+  }
+
+  test("sourceFingerprint memoizes within the TTL and invalidate drops the memo") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fp-memo").toString + "/t.parquet"
+    (0 until 50).toDF("x").write.mode("overwrite").parquet(dir)
+    Layout.invalidateFingerprints()
+    val fp1 = Layout.sourceFingerprint(spark, dir)
+    (0 until 99).toDF("x").write.mode("overwrite").parquet(dir)
+    assert(Layout.sourceFingerprint(spark, dir) == fp1,
+      "within the TTL the memoized fingerprint is served (bounded staleness by design)")
+    Layout.invalidateFingerprints()
+    assert(Layout.sourceFingerprint(spark, dir) != fp1,
+      "after invalidation the fresh listing must see the regeneration")
+  }
+
+  test("compactBucketed auto-recovers a swap crashed between DROP and RENAME") {
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+    Layout.writeBucketed(orders, "b_rec_orders", "o_orderkey", 4)
+    val n = orders.count()
+    // simulate the crash window: the table is gone, the full copy sits
+    // under the staging name
+    spark.sql("ALTER TABLE `b_rec_orders` RENAME TO `b_rec_orders_compacting`")
+    assert(!spark.catalog.tableExists("b_rec_orders"))
+    Layout.compactBucketed(spark, "b_rec_orders", "o_orderkey", 4)
+    assert(spark.catalog.tableExists("b_rec_orders"), "recovery must restore the table")
+    assert(!spark.catalog.tableExists("b_rec_orders_compacting"))
+    assert(Layout.readTable(spark, "b_rec_orders").count() == n,
+      "recovered + compacted table must be lossless")
   }
 
   test("zorderWrite accepts non-long integral columns") {
