@@ -1312,6 +1312,72 @@ object Oracles {
       |       END AS code
       |FROM v, mm""".stripMargin
 
+  /** Canonical normalization: lower+trim, whitespace-run collapse (the
+    * tokenizer's empty-drop), adjacent-duplicate-token collapse via an
+    * INDEXED list comprehension — the form both engines express (Java
+    * regex backreferences would do it, RE2 has none).
+    */
+  val textNormalize: String =
+    """WITH tok AS MATERIALIZED (
+      |  SELECT doc_id,
+      |         list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS w
+      |  FROM documents),
+      |k AS MATERIALIZED (
+      |  SELECT doc_id, w,
+      |         [w[i] FOR i IN range(1, len(w) + 1) IF i = 1 OR w[i] <> w[i - 1]] AS kept
+      |  FROM tok)
+      |SELECT doc_id, array_to_string(kept, ' ') AS norm,
+      |       CAST(len(kept) AS BIGINT) AS n_toks,
+      |       CAST(len(w) - len(kept) AS BIGINT) AS n_dropped
+      |FROM k""".stripMargin
+
+  /** JSONL round-trip: the oracle reads the PARQUET table directly — a
+    * hash-match against the Spark side (which digests the JSONL copy it
+    * just wrote) is the losslessness proof.
+    */
+  val jsonlRoundtrip: String =
+    "SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars FROM documents"
+
+  /** Integer Lloyd k-means, 2 unrolled iterations over the int8-quantized
+    * corpus ([[scalarQuant]]'s proven bit-stable codes): assignment =
+    * min(d2·K + cid) (d2 exact integer, ties → lowest cid — the fused
+    * kernel's strict-< rule), update = HUGEINT floor-division (↔ the
+    * Spark driver's positive Long division), empty cluster keeps its
+    * previous centroid (COALESCE ↔ getOrElse). Every CTE MATERIALIZED —
+    * the [[bfs]] lesson: each level references the previous chain twice.
+    */
+  val kmeans: String = {
+    val iter = (k: Int) =>
+      s"""a$k AS MATERIALIZED (
+         |  SELECT vec_id, m % 8 AS cid FROM (
+         |    SELECT vec_id, min(d2 * 8 + cid) AS m FROM (
+         |      SELECT q.vec_id, cc.cid, sum((q.c - cc.c) * (q.c - cc.c)) AS d2
+         |      FROM q JOIN c${k - 1} cc ON q.dim = cc.dim GROUP BY 1, 2) t
+         |    GROUP BY 1) t2),
+         |u$k AS MATERIALIZED (
+         |  SELECT a$k.cid, q.dim, CAST(sum(q.c) // count(*) AS BIGINT) AS c
+         |  FROM q JOIN a$k ON q.vec_id = a$k.vec_id GROUP BY 1, 2),
+         |c$k AS MATERIALIZED (
+         |  SELECT p.cid, p.dim, COALESCE(u$k.c, p.c) AS c
+         |  FROM c${k - 1} p LEFT JOIN u$k ON p.cid = u$k.cid AND p.dim = u$k.dim)""".stripMargin
+    s"""WITH v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |dims AS MATERIALIZED (SELECT unnest(range(64)) AS dim),
+       |mm AS MATERIALIZED (SELECT dim, min(e[dim + 1]) AS mn, max(e[dim + 1]) AS mx
+       |       FROM v, dims GROUP BY 1),
+       |q AS MATERIALIZED (SELECT vec_id, dim,
+       |       CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+       |            ELSE CAST(least(floor((e[dim + 1] - mn) * (255.0 / (mx - mn))), 255) AS BIGINT)
+       |       END AS c
+       |       FROM v, mm),
+       |c0 AS MATERIALIZED (SELECT vec_id AS cid, dim, c FROM q WHERE vec_id < 8),
+       |${(1 to 2).map(iter).mkString(",\n")}
+       |SELECT vec_id, CAST(m % 8 AS BIGINT) AS cid, CAST(m // 8 AS BIGINT) AS d2 FROM (
+       |  SELECT vec_id, min(d2 * 8 + cid) AS m FROM (
+       |    SELECT q.vec_id, cc.cid, sum((q.c - cc.c) * (q.c - cc.c)) AS d2
+       |    FROM q JOIN c2 cc ON q.dim = cc.dim GROUP BY 1, 2) t
+       |  GROUP BY 1) t3""".stripMargin
+  }
+
   /** Distribution windows per source; (n_chars, doc_id) total order. */
   val windowStats: String =
     """SELECT doc_id, source, n_chars,

@@ -280,6 +280,15 @@ object SparkEntry {
     // q_rolling_median: trailing-7 exact lower-median per user (robust
     // twin of q_moving_avg; one user-keyed exchange, O(window) state)
     "q_rolling_median"     -> ((s, d) => Analytics.rollingMedian(s, d)),
+    // q_kmeans: integer Lloyd over the int8-quantized corpus — one narrow
+    // fused-argmin scan per iteration, K*64-int model collect, exact
+    "q_kmeans"             -> ((s, d) => Kmeans.kmeans(s, d)),
+    // q_text_normalize: pre-dedup canonicalization (lower/trim/ws-collapse
+    // + adjacent-duplicate-token collapse) — zero-shuffle narrow scan
+    "q_text_normalize"     -> ((s, d) => TextAnalysis.textNormalize(s, d)),
+    // q_jsonl_roundtrip: documents -> JSON Lines -> schema-strict read
+    // back; per-doc digests prove the round-trip lossless vs the oracle
+    "q_jsonl_roundtrip"    -> ((s, d) => graft.io.JsonLines.roundtripDocs(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same column aliases — the driver
@@ -576,5 +585,8 @@ object SparkEntry {
     "q_events_sliding"  -> Oracles.slidingWindow,
     "q_equidepth"       -> Oracles.equidepth,
     "q_rolling_median"  -> Oracles.rollingMedian,
+    "q_kmeans"          -> Oracles.kmeans,
+    "q_text_normalize"  -> Oracles.textNormalize,
+    "q_jsonl_roundtrip" -> Oracles.jsonlRoundtrip,
   )
 }

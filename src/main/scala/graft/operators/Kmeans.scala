@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lloyd k-means over the embedding corpus, EXACT-integer and therefore
+  * oracle-checkable end to end (SURVEY.md §2 E19) — the clustering stage
+  * of curation recipes (topic balancing, cluster-stratified sampling)
+  * that until now existed only as the IVF coarse quantizer's iters=0
+  * seed codebook (Ivf.trainOn's refined centroids depend on FP partial-
+  * aggregation order, so they could never be cross-engine-verified).
+  *
+  * The trick: cluster the int8-QUANTIZED corpus ([[Quantize]]'s proven
+  * bit-stable codes) instead of the raw doubles. Every Lloyd quantity is
+  * then a small integer — squared distances ≤ 64·255², centroid updates
+  * are integer floor-divisions — so assignment and update are
+  * bit-identical on any engine, and the DuckDB oracle re-derives the
+  * full two-iteration training loop (unrolled MATERIALIZED CTE chain)
+  * plus the final assignment independently. Codes ride as integer-valued
+  * doubles so the fused [[Ivf.nearestCell]] kernel applies unchanged:
+  * IEEE doubles are exact on integers this small, hence the "double"
+  * arithmetic is still integer arithmetic.
+  *
+  * Scale shape (the part that matters at 100 TB): per iteration ONE
+  * corpus scan — assignment is the narrow fused argmin (no join, no
+  * explode), the update is a single partial-aggregated groupBy whose
+  * shuffle carries ≤ K·tasks rows of 64 sums, and the model (K×64 ints)
+  * is the only thing collected (the IVF/PQ codebook economics). The
+  * codes frame is cached across the Iters+1 scans and unpersisted on
+  * return (the [[Ivf.trainOn]] discipline).
+  *
+  * Seeds are code vectors of vec_id 0..K−1 (the deterministic
+  * [[Ivf.trainOn]] convention — k-means++ would add RNG the oracle
+  * can't replay). Empty clusters keep their previous centroid, the same
+  * rule both engines apply (COALESCE in the oracle, getOrElse here).
+  */
+object Kmeans {
+  val K = 8
+  val Iters = 2
+  val Dim = 64
+
+  /** Integer code vectors as integer-valued doubles: the [[Quantize]]
+    * formula per dimension, assembled into one array column (codegen'd
+    * — 64 plain expressions, no HOF, no explode).
+    */
+  private[graft] def codes(spark: SparkSession, dir: String): DataFrame = {
+    val (mins, maxs) = Quantize.ranges(spark, dir, Dim)
+    val qc = array((0 until Dim).map { d =>
+      if (maxs(d) == mins(d)) lit(0.0)
+      else least(floor((col("e")(d) - lit(mins(d))) * lit(255.0 / (maxs(d) - mins(d)))),
+        lit(255.0))
+    }: _*)
+    Ann.normed(spark, dir).select(col("vec_id"), qc.as("q"))
+  }
+
+  /** The unrolled Lloyd loop; returns dense-cid centroids (integer-valued
+    * doubles). All arithmetic that crosses engines is integer: sums are
+    * exact (≤255·n ≪ 2⁵³), updates use Long floor-division on the driver.
+    */
+  private[graft] def trainCentroids(q: DataFrame): Seq[(Int, Seq[Double])] = {
+    val cached = q.cache()
+    try {
+      var cen: Seq[(Int, Seq[Double])] = cached.where(col("vec_id") < K)
+        .orderBy("vec_id").collect()
+        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
+      require(cen.length == K,
+        s"k-means seeding needs vec_ids 0..${K - 1} in the corpus; found ${cen.length} of $K")
+      for (_ <- 1 to Iters) {
+        val assigned = cached.withColumn("cid", Ivf.nearestCid(col("q"), cen))
+        val aggs = count(lit(1)).as("n") +:
+          (0 until Dim).map(d => sum(col("q")(d)).cast("long").as(s"s$d"))
+        val rows = assigned.groupBy(col("cid")).agg(aggs.head, aggs.tail: _*).collect()
+        val updated = rows.map { r =>
+          val n = r.getLong(1)
+          r.getInt(0) -> (0 until Dim).map(d => (r.getLong(2 + d) / n).toDouble)
+        }.toMap
+        cen = (0 until K).map(c => c -> updated.getOrElse(c, cen(c)._2))
+      }
+      cen
+    } finally cached.unpersist(blocking = false)
+  }
+
+  /** E19 — the registered query: final (vec_id, cid, d2) assignment after
+    * [[Iters]] trained iterations; d2 is the exact integer squared
+    * distance to the winning centroid (ties → lowest cid, the
+    * [[Ivf.nearestCell]] rule, mirrored by the oracle's min(d2·K + cid)).
+    */
+  def kmeans(spark: SparkSession, dir: String): DataFrame = {
+    val q = codes(spark, dir)
+    val cen = trainCentroids(q)
+    q.select(col("vec_id"), Ivf.nearestCell(col("q"), cen).as("a"))
+      .select(col("vec_id"),
+        col("a.cid").cast("long").as("cid"),
+        col("a.dist").cast("long").as("d2"))
+  }
+}

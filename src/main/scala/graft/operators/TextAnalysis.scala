@@ -506,4 +506,33 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
         expr("sum(p_ppm) div count(1)").as("lm_ppm"))
   }
+
+  /** C49 — canonical text normalization, the pre-dedup cleanup pass every
+    * pipeline runs BEFORE hashing/shingling (CCNet/C4 convention: without
+    * it, trivially-different copies — case, whitespace runs, stuttered
+    * tokens — defeat exact and near dedup alike): lowercase, trim,
+    * collapse whitespace runs (the tokenizer's empty-drop), and collapse
+    * IMMEDIATE duplicate tokens ("a a the" → "a the" — the adjacent-
+    * repeat artifact class; cross-doc repeats are C20/C33's job).
+    *
+    * ZERO-shuffle narrow scan: one split + one indexed array filter per
+    * row, no explode, no regex backreference (Java regex has them, RE2
+    * doesn't — the index-comprehension form is the one both engines
+    * express; the oracle mirrors it as a DuckDB list comprehension).
+    * Emits the normalized text plus kept/dropped token counts so the
+    * reduction is auditable per document.
+    */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val w = tokens(lower(trim(col("text"))))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"), col("w"),
+        // 2-arg filter index is 0-based; element_at is 1-based, so
+        // element_at(w, i) IS the previous token of the i-th element
+        filter(col("w"), (t, i) => i === lit(0) || t =!= element_at(col("w"), i)).as("kept"))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("norm"),
+        size(col("kept")).cast("long").as("n_toks"),
+        (size(col("w")) - size(col("kept"))).cast("long").as("n_dropped"))
+  }
 }

@@ -105,6 +105,50 @@ class IoSpec extends GraftSuite {
       sField.getTypes.toString.contains("string"))
   }
 
+  test("jsonl round-trip preserves quotes, newlines, unicode, nulls and ints") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "plain text", Some(42)),
+      (2L, "quo\"tes and \\back\\slashes", Some(-7)),
+      (3L, "embedded\nnewline\tand tab", None),
+      (4L, "unicode: café 中文 😀", Some(0)),
+      (5L, null.asInstanceOf[String], Some(9)))
+    val df = rows.toDF("id", "text", "n")
+    val dir = tmp("jsonl") + "/t"
+    graft.io.JsonLines.write(df, dir)
+    val back = graft.io.JsonLines.read(spark, dir, df.schema, strict = true)
+    assert(back.count() == rows.length,
+      "escaped newlines must keep one JSON object per line")
+    val a = df.collect().map(_.toString).sorted
+    val b = back.collect().map(_.toString).sorted
+    assert(a.sameElements(b), s"round-trip must be lossless:\n${a.mkString("\n")}\nvs\n${b.mkString("\n")}")
+  }
+
+  test("jsonl corrupt line: PERMISSIVE quarantines to nulls, strict FAILFAST dies") {
+    import spark.implicits._
+    val dir = tmp("jsonl-bad")
+    val df = Seq((1L, "ok")).toDF("id", "text")
+    graft.io.JsonLines.write(df, dir + "/t")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "t", "part-bad.json"), "{not json at all\n")
+    val permissive = graft.io.JsonLines.read(spark, dir + "/t", df.schema)
+    assert(permissive.count() == 2 && permissive.where(col("id").isNull).count() == 1,
+      "PERMISSIVE must surface the corrupt record as a null row, not drop it")
+    intercept[Exception] {
+      graft.io.JsonLines.read(spark, dir + "/t", df.schema, strict = true).count()
+    }
+  }
+
+  test("roundtripDocs digests match the parquet source (losslessness, the oracle's check)") {
+    val got = graft.io.JsonLines.roundtripDocs(spark, sf)
+      .orderBy("doc_id").collect().map(_.toString)
+    val want = graft.io.Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text")).as("text_md5"),
+        col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(got.sameElements(want))
+  }
+
   test("multi-sink writes one partition dir per label in a single pass") {
     val base = tmp("msink") + "/out"
     val df = io.Tables.events(spark, sf).select("event_id", "event_type", "user_id")

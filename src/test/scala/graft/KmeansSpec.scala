@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Kmeans
+
+class KmeansSpec extends GraftSuite {
+
+  test("q_kmeans: one row per vector, dense cids, d2 is the true argmin distance") {
+    val out = Kmeans.kmeans(spark, sf).collect()
+    val nVec = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(out.length == nVec, "one assignment per corpus vector")
+    assert(out.forall(r => r.getLong(1) >= 0 && r.getLong(1) < Kmeans.K))
+    assert(out.forall(_.getLong(2) >= 0), "squared distances are non-negative")
+    // brute-force re-check on the driver: recompute codes + the trained
+    // centroids and verify every (cid, d2) is the exact integer argmin
+    val q = Kmeans.codes(spark, sf)
+    val cen = Kmeans.trainCentroids(q)
+    val codeOf = q.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    out.foreach { r =>
+      val v = codeOf(r.getLong(0))
+      val d2s = cen.map { case (cid, c) =>
+        (cid, v.zip(c).map { case (a, b) => val d = a - b; d * d }.sum.toLong)
+      }
+      val (bestCid, bestD2) = d2s.minBy { case (cid, d2) => d2 * Kmeans.K + cid }
+      assert(r.getLong(1) == bestCid && r.getLong(2) == bestD2,
+        s"vec ${r.getLong(0)}: got (${r.getLong(1)}, ${r.getLong(2)}), want ($bestCid, $bestD2)")
+    }
+  }
+
+  test("empty cluster keeps its previous centroid (the oracle's COALESCE rule)") {
+    import spark.implicits._
+    // seeds 0 and 1 are IDENTICAL: every point ties to them and the
+    // strict-< rule sends all of cluster 1's would-be members to cid 0,
+    // so cluster 1 is empty after the first assignment
+    val vecs = (0L until 8L).map { i =>
+      val base = if (i == 1L) 0L else i
+      (i, Seq.tabulate(Kmeans.Dim)(d => (base * 10 + d % 3).toDouble))
+    } ++ Seq((8L, Seq.tabulate(Kmeans.Dim)(d => (d % 3).toDouble)))
+    val q = vecs.toDF("vec_id", "q")
+    val cen = Kmeans.trainCentroids(q)
+    val seed1 = vecs(1)._2
+    assert(cen(1)._2 == seed1,
+      "an empty cluster must keep its seed centroid, not NaN/zero out")
+  }
+
+  test("training is deterministic across runs") {
+    val a = Kmeans.trainCentroids(Kmeans.codes(spark, sf))
+    val b = Kmeans.trainCentroids(Kmeans.codes(spark, sf))
+    assert(a == b)
+  }
+
+  test("assignment plan is a narrow fused scan: no shuffle, no join, no explode") {
+    val p = Kmeans.kmeans(spark, sf).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"assignment must not shuffle:\n$p")
+    assert(!p.contains("Generate"), s"assignment must not explode:\n$p")
+  }
+}

@@ -160,4 +160,31 @@ class QualitySpec extends GraftSuite {
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(s(0L) > s(99L), s"common text must outscore rare continuations: $s")
   }
+
+  test("textNormalize: case, whitespace runs and adjacent duplicates collapse (closed form)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The  the THE fox", "en", "web", 16L),
+      (2L, "  spaced   out  ", "en", "web", 16L),
+      (3L, "a a the", "en", "web", 7L),
+      (4L, "solo", "en", "web", 4L),
+      (5L, "a b a b", "en", "web", 7L)) // NON-adjacent repeats survive
+    val dir = java.nio.file.Files.createTempDirectory("graft-norm").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextAnalysis.textNormalize(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("the fox", 2L, 2L)))
+    assert(got(2L) == (("spaced out", 2L, 0L)))
+    assert(got(3L) == (("a the", 2L, 1L)))
+    assert(got(4L) == (("solo", 1L, 0L)))
+    assert(got(5L) == (("a b a b", 4L, 0L)))
+  }
+
+  test("textNormalize plan is a zero-shuffle narrow scan (no Exchange, no Generate)") {
+    val p = graft.operators.TextAnalysis.textNormalize(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"normalize must not shuffle:\n$p")
+    assert(!p.contains("Generate"), s"normalize must not explode:\n$p")
+  }
 }
