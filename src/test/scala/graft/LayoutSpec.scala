@@ -234,6 +234,43 @@ class LayoutSpec extends GraftSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("jsonl landing zone -> file-source stream -> bucketed table (the raw-ingest path)") {
+    // The full production front door at 100 TB/day: raw JSONL drops land
+    // in a directory, a file-source stream (schema DECLARED — inference
+    // would re-scan every drop) picks up exactly the new files per
+    // trigger, and foreachBatch appendBucketed lands them co-located so
+    // every downstream join is zero-Exchange. This is the file-source
+    // twin of the MemoryStream cadence above — it additionally pins that
+    // Spark's json streaming source + JsonLines' schema contract compose.
+    import org.apache.spark.sql.streaming.Trigger
+    val landing = java.nio.file.Files.createTempDirectory("jsonl-landing").toString
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+    val schema = orders.schema
+    Layout.writeBucketed(orders.where(col("o_orderkey") % 3 === 0),
+      "b_jsonl_orders", "o_orderkey", 4)
+    // two JSONL drops (distinct subdirs = distinct files for the source)
+    graft.io.JsonLines.write(orders.where(col("o_orderkey") % 3 === 1), s"$landing/drop1")
+    graft.io.JsonLines.write(orders.where(col("o_orderkey") % 3 === 2), s"$landing/drop2")
+    val q = spark.readStream.schema(schema).json(s"$landing/drop*")
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("jsonl-ck").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Layout.appendBucketed(batch, "b_jsonl_orders", "o_orderkey", 4)
+      }.start()
+    q.awaitTermination()
+    val t = Layout.readTable(spark, "b_jsonl_orders")
+    assert(t.count() == orders.count(), "every JSONL row landed exactly once")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = t.join(t.groupBy("o_orderkey").count(), "o_orderkey")
+        .queryExecution.explainString(FormattedMode)
+      assert(p.contains("Bucketed: true") && shuffles(p) == 0,
+        s"JSONL-ingested table must keep the zero-Exchange plan:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("quantile z-codes keep file-skipping on a power-law column where linear dies") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{input_file_name, max => fmax, min => fmin}
