@@ -1905,4 +1905,72 @@ object Oracles {
       |        epoch_ms(lead(ts, 1) OVER w) AS valid_to_ms
       |      FROM events
       |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t""".stripMargin
+
+  /** D14 q_event_transitions — lag window per user + pair counts; p_ppm is
+    * the same floor division both engines compute on BIGINT.
+    */
+  val eventTransitions: String =
+    """WITH t AS MATERIALIZED (
+      |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+      |         event_type AS to_type
+      |  FROM events),
+      |g AS MATERIALIZED (
+      |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_trans
+      |  FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n_trans,
+      |       (1000000 * n_trans) // CAST(sum(n_trans) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
+      |FROM g""".stripMargin
+
+  /** E20 q_drift_ks — exact two-sample KS per event type between the time
+    * halves; cross products in HUGEINT mirror Spark's DECIMAL(38,0)
+    * widening, floor division on non-negative operands agrees (`//` ↔
+    * `div`).
+    */
+  val driftKs: String =
+    """WITH bnd AS MATERIALIZED (
+      |  SELECT (min(epoch_ms(ts)) + max(epoch_ms(ts))) // 2 AS mid FROM events),
+      |e AS MATERIALIZED (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents, epoch_ms(ts) AS ms FROM events),
+      |g AS MATERIALIZED (
+      |  SELECT event_type, cents,
+      |         sum(CASE WHEN ms < (SELECT mid FROM bnd) THEN 1 ELSE 0 END) AS c1,
+      |         sum(CASE WHEN ms >= (SELECT mid FROM bnd) THEN 1 ELSE 0 END) AS c2
+      |  FROM e GROUP BY 1, 2),
+      |w AS MATERIALIZED (
+      |  SELECT event_type,
+      |         sum(c1) OVER (PARTITION BY event_type ORDER BY cents) AS cum1,
+      |         sum(c2) OVER (PARTITION BY event_type ORDER BY cents) AS cum2,
+      |         sum(c1) OVER (PARTITION BY event_type) AS n1,
+      |         sum(c2) OVER (PARTITION BY event_type) AS n2
+      |  FROM g),
+      |a AS MATERIALIZED (
+      |  SELECT event_type, CAST(any_value(n1) AS BIGINT) AS n1, CAST(any_value(n2) AS BIGINT) AS n2,
+      |         max(abs(CAST(cum1 AS HUGEINT) * CAST(n2 AS HUGEINT)
+      |               - CAST(cum2 AS HUGEINT) * CAST(n1 AS HUGEINT))) AS dmax
+      |  FROM w GROUP BY 1)
+      |SELECT event_type, n1, n2,
+      |       CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN 1000000
+      |            ELSE (CAST(1000000 AS HUGEINT) * dmax) // (CAST(n1 AS HUGEINT) * CAST(n2 AS HUGEINT))
+      |            END AS BIGINT) AS ks_ppm
+      |FROM a""".stripMargin
+
+  /** E21 q_copurchase — the basket-size cap applies per order BEFORE pair
+    * generation (mirrors the Spark plan's maxBasket guard; never binds on
+    * this corpus), then a distinct-pair self-join stands in for the in-row
+    * comprehension. Deterministic LIMIT: (n desc, p1, p2) is a total order
+    * on unique pair rows.
+    */
+  val copurchase: String =
+    """WITH sz AS MATERIALIZED (
+      |  SELECT l_orderkey AS k, count(DISTINCT l_partkey) AS b FROM lineitem GROUP BY 1),
+      |dp AS MATERIALIZED (
+      |  SELECT DISTINCT l.l_orderkey AS k, l.l_partkey AS p
+      |  FROM lineitem l JOIN sz ON sz.k = l.l_orderkey
+      |  WHERE sz.b BETWEEN 2 AND 1024),
+      |pc AS MATERIALIZED (
+      |  SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS n_orders
+      |  FROM dp a JOIN dp b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2)
+      |SELECT p1, p2, n_orders FROM pc
+      |WHERE n_orders >= 2
+      |ORDER BY n_orders DESC, p1, p2 LIMIT 50""".stripMargin
 }

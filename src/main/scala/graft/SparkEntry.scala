@@ -289,6 +289,15 @@ object SparkEntry {
     // q_jsonl_roundtrip: documents -> JSON Lines -> schema-strict read
     // back; per-doc digests prove the round-trip lossless vs the oracle
     "q_jsonl_roundtrip"    -> ((s, d) => graft.io.JsonLines.roundtripDocs(s, d)),
+    // q_event_transitions: per-user Markov transition matrix — one user_id
+    // window exchange, then ppm shares over the |types|^2-row model table
+    "q_event_transitions"  -> ((s, d) => Events.transitions(s, d)),
+    // q_drift_ks: exact two-sample KS drift per event type (first vs
+    // second time half) — histogram-domain windows, DECIMAL cross products
+    "q_drift_ks"           -> ((s, d) => Analytics.driftKs(s, d)),
+    // q_copurchase: market-basket frequent part pairs — in-row pair
+    // comprehension (never a fact self-join), TakeOrdered top-50
+    "q_copurchase"         -> ((s, d) => Analytics.copurchase(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same column aliases — the driver
@@ -588,5 +597,8 @@ object SparkEntry {
     "q_kmeans"          -> Oracles.kmeans,
     "q_text_normalize"  -> Oracles.textNormalize,
     "q_jsonl_roundtrip" -> Oracles.jsonlRoundtrip,
+    "q_event_transitions" -> Oracles.eventTransitions,
+    "q_drift_ks"        -> Oracles.driftKs,
+    "q_copurchase"      -> Oracles.copurchase,
   )
 }

@@ -298,4 +298,87 @@ object Analytics {
       .select(col("user_id"), col("event_id"), col("ts_ms"),
         expr("element_at(win, CAST((size(win) + 1) div 2 AS INT))").as("med_cents"))
   }
+
+  /** E20 — q_drift_ks: EXACT two-sample Kolmogorov–Smirnov drift statistic
+    * per event type between the first and second half of the time range —
+    * the distribution-drift monitor every long-running ingest pipeline
+    * needs (a mean/σ gate like E14 misses shape changes that keep the
+    * moments; KS is the standard nonparametric answer). Values become
+    * integer cents, so D = max |cdf₁ − cdf₂| is computed EXACTLY by
+    * cross-multiplication — max |cum1·n2 − cum2·n1| over the merged value
+    * domain — with no FP cdf arithmetic to diverge engines; reported as
+    * ks_ppm = floor(10⁶·D_num / (n1·n2)). A half with no data (n=0) is
+    * total drift by definition → 10⁶.
+    *
+    * Scale shape: the (min,max) midpoint is a 1-row agg broadcast back
+    * onto one narrow scan (the SQ8/E14 two-pass device — the only BNLJ,
+    * 1 row); per-(type, cents) conditional counts are ONE map-side-partial
+    * agg; the cumulative/total windows ride a single event_type exchange
+    * over the HISTOGRAM table (|types|·|distinct cents| rows — value-domain
+    * sized, not event-sized). Cross products run in DECIMAL(38,0)
+    * (DuckDB HUGEINT) per the E14 widening rule — cum·n overflows BIGINT
+    * past ~3·10⁹ rows per type — but only BIGINTs reach the output.
+    */
+  def driftKs(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        unix_millis(col("ts")).as("ms"))
+    val mid = ev.agg(expr("(min(ms) + max(ms)) div 2").as("mid"))
+    val cum = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col("event_type"))
+    ev.crossJoin(broadcast(mid))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(sum(when(col("ms") < col("mid"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("ms") >= col("mid"), 1L).otherwise(0L)).as("c2"))
+      .withColumn("cum1", sum(col("c1")).over(cum))
+      .withColumn("cum2", sum(col("c2")).over(cum))
+      .withColumn("n1", sum(col("c1")).over(whole))
+      .withColumn("n2", sum(col("c2")).over(whole))
+      .withColumn("d", abs(col("cum1").cast("decimal(38,0)") * col("n2")
+        - col("cum2").cast("decimal(38,0)") * col("n1")))
+      .groupBy(col("event_type"))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(col("d")).as("dmax"))
+      .select(col("event_type"), col("n1"), col("n2"),
+        when(col("n1") === 0L || col("n2") === 0L, lit(1000000L))
+          .otherwise(expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * dmax) div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"))
+          .as("ks_ppm"))
+  }
+
+  /** E21 — q_copurchase: market-basket frequent pairs — the top-50 part
+    * pairs most often bought together (same order), support ≥ 2; the
+    * a-priori/FP-growth first pass every retail/recommendation pipeline
+    * runs, and the classic MapReduce pair-counting exercise re-expressed
+    * as one declarative plan.
+    *
+    * Scale shape: pair generation is IN-ROW — each order collapses to a
+    * sorted distinct part array (one orderkey exchange, set bounded by the
+    * order's line count) and pairs explode from an indexed comprehension,
+    * never a lineitem self-join (a self-join would re-shuffle the fact and
+    * blow up on hot orders before the optimizer could bound it). Fan-out
+    * per order is |basket|²/2 with |basket| bounded by maxBasket
+    * (pathological mega-orders at 100 TB would otherwise emit 10¹¹ pairs
+    * from one row; the cap is semantic — documented — and never binds on
+    * TPC-H-shaped baskets). The pair agg is the only other exchange;
+    * top-50 plans as TakeOrderedAndProject on the (n desc, p1, p2) total
+    * order, so the cutoff is deterministic.
+    */
+  def copurchase(spark: SparkSession, dir: String, minSupport: Int = 2,
+      topN: Int = 50, maxBasket: Int = 1024): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .where(size(col("ps")).between(2, maxBasket))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))"))
+        .as("pr"))
+      .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .where(col("n_orders") >= minSupport)
+      .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+      .limit(topN)
 }

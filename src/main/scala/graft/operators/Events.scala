@@ -175,6 +175,37 @@ object Events {
         when(col("valid_to_raw").isNull, 1L).otherwise(0L).as("is_current"))
   }
 
+  /** q_event_transitions — per-user event-type transition matrix (the
+    * first-order Markov model of user behavior): for every ordered pair of
+    * consecutive events by the same user, count (from_type → to_type) and
+    * the per-from transition probability in exact integer ppm — the
+    * behavioral-analytics staple next to [[funnel]] (the funnel asks "did
+    * the canonical path happen"; this measures which paths actually do).
+    *
+    * Scale shape: ONE user_id exchange — the lag window rides the same
+    * single-window budget as q_lag_delta/q_scd2 — then a tiny agg keyed by
+    * the (from, to) pair (≤ |types|² rows at any corpus size), so the
+    * per-from total window runs over the model-sized table, never events
+    * (the D9 rule). Exact integers throughout: p_ppm = (10⁶·n) div total
+    * (BIGINT-safe to ~9·10¹² transitions per from_type; beyond that the
+    * numerator needs the E14 decimal widening). Ties in the event order
+    * break by event_id on both engines, so the transition multiset is
+    * deterministic.
+    */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val byFrom = Window.partitionBy(col("from_type"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .where(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+      .withColumn("total", sum(col("n_trans")).over(byFrom))
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+        expr("(1000000 * n_trans) div total").as("p_ppm"))
+  }
+
   /** q_retention — cohort retention matrix: cohort = each user's first
     * active date; for every (cohort, day-offset) cell, the count of
     * distinct users from that cohort active that day. The growth-analytics

@@ -157,4 +157,49 @@ class AnalyticsSpec extends GraftSuite {
     // an actual observed value inside its window
     assert(got.nonEmpty)
   }
+
+  test("driftKs equals a plain-Scala exact KS reference on the corpus") {
+    val got = Analytics.driftKs(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val ev = graft.io.Tables.events(spark, sf)
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        unix_millis(col("ts")).as("ms"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val mid = (ev.map(_._3).min + ev.map(_._3).max) / 2
+    val want = ev.groupBy(_._1).map { case (t, rows) =>
+      val h1 = rows.filter(_._3 < mid).groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val h2 = rows.filter(_._3 >= mid).groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val n1 = h1.values.sum; val n2 = h2.values.sum
+      val dom = (h1.keySet ++ h2.keySet).toSeq.sorted
+      var c1 = 0L; var c2 = 0L; var d = BigInt(0)
+      dom.foreach { v =>
+        c1 += h1.getOrElse(v, 0L); c2 += h2.getOrElse(v, 0L)
+        d = d.max((BigInt(c1) * n2 - BigInt(c2) * n1).abs)
+      }
+      val ks = if (n1 == 0 || n2 == 0) 1000000L
+      else (BigInt(1000000) * d / (BigInt(n1) * n2)).toLong
+      t -> ((n1, n2, ks))
+    }
+    assert(got == want)
+    // both halves populated on this corpus and the statistic is a proper ppm
+    assert(got.values.forall { case (n1, n2, ks) => n1 > 0 && n2 > 0 && ks >= 0 && ks <= 1000000 })
+  }
+
+  test("copurchase equals brute-force pair counting with the same total order") {
+    val got = Analytics.copurchase(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val li = graft.io.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = li.groupBy(_._1).values
+      .map(_.map(_._2).distinct.sorted)
+      .filter(ps => ps.length >= 2 && ps.length <= 1024)
+      .flatMap(ps => for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .collect { case ((p1, p2), n) if n >= 2 => (p1, p2, n) }
+      .sortBy { case (p1, p2, n) => (-n, p1, p2) }
+      .take(50)
+    assert(got.toSeq == want)
+    assert(got.nonEmpty)
+  }
 }

@@ -105,4 +105,25 @@ class EventsSpec extends GraftSuite {
     assert(Events.funnel(spark, dir).select("user_id").collect().map(_.getLong(0)).toSeq
       == Seq(7L))
   }
+
+  test("transitions equals a plain-Scala consecutive-pair reference") {
+    val got = Events.transitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val ev = graft.io.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val pairs = ev.groupBy(_._1).values.flatMap { rows =>
+      val s = rows.sortBy(r => (r._3, r._4)).map(_._2)
+      s.zip(s.drop(1))
+    }.toSeq
+    val counts = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val fromTotals = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val want = counts.map { case ((f, t), n) => (f, t) -> ((n, 1000000L * n / fromTotals(f))) }
+    assert(got == want)
+    // the ppm shares of each from_type row sum to ~10^6 (floor losses only)
+    got.groupBy(_._1._1).foreach { case (f, rows) =>
+      val s = rows.values.map(_._2).sum
+      assert(s <= 1000000L && s > 1000000L - rows.size, s"$f ppm sum $s")
+    }
+  }
 }

@@ -668,4 +668,32 @@ class PlanSpec extends GraftSuite {
     val windows = p.linesIterator.count(_.matches("""^\(\d+\) Window\s*$"""))
     assert(windows == 1, s"row_number + lead must share one Window node:\n$p")
   }
+
+  test("q_event_transitions: one user window, model-table windows ride tiny aggs") {
+    val p = plan("q_event_transitions")
+    // user window exchange + pair agg exchange + from_type window on the
+    // |types|^2-row model table — never a second event-scale shuffle
+    assert(shuffles(p) <= 3, s"transitions must stay within 3 exchanges:\n$p")
+    assert(!p.contains("Join"), s"lag(), not a self-join:\n$p")
+  }
+
+  test("q_drift_ks: 1-row midpoint broadcast, windows on the histogram table only") {
+    val p = plan("q_drift_ks")
+    // the only nested-loop join is the 1-row bounds broadcast (the E14/SQ8
+    // two-pass device)
+    assert(p.contains("BroadcastNestedLoopJoin"), s"midpoint must broadcast:\n$p")
+    // (type,cents) agg + type window; the final per-type agg reuses the
+    // window's type partitioning (subset rule) and the 1-row bounds agg is
+    // a single-partition exchange
+    assert(shuffles(p) <= 3, s"drift must not shuffle events twice:\n$p")
+  }
+
+  test("q_copurchase: in-row pair comprehension, no self-join, TakeOrdered cutoff") {
+    val p = plan("q_copurchase")
+    assert(!p.contains("Join"), s"pairs come from the basket array, never a fact self-join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-50 must not global-sort:\n$p")
+    // basket agg (orderkey) + pair agg — two data exchanges
+    assert(shuffles(p) <= 2, s"copurchase is two aggs:\n$p")
+    assert(p.contains("Generate"), s"pairs explode from the comprehension:\n$p")
+  }
 }
