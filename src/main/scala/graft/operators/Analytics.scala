@@ -325,14 +325,24 @@ object Analytics {
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
         unix_millis(col("ts")).as("ms"))
     val mid = ev.agg(expr("(min(ms) + max(ms)) div 2").as("mid"))
+    ksFromCounts(ev.crossJoin(broadcast(mid))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(sum(when(col("ms") < col("mid"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("ms") >= col("mid"), 1L).otherwise(0L)).as("c2")))
+  }
+
+  /** The exact-KS core shared by [[driftKs]] and the streaming monitor
+    * ([[graft.streaming.DriftStream]]): input is a two-sample histogram
+    * (event_type, cents, c1, c2) — value-domain-sized, never event-sized —
+    * output one (event_type, n1, n2, ks_ppm) row per type. The cumulative
+    * and total windows ride ONE event_type exchange; cross products run in
+    * DECIMAL(38,0) per the E14 widening rule (BIGINTs out).
+    */
+  private[graft] def ksFromCounts(g: DataFrame): DataFrame = {
     val cum = Window.partitionBy(col("event_type")).orderBy(col("cents"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val whole = Window.partitionBy(col("event_type"))
-    ev.crossJoin(broadcast(mid))
-      .groupBy(col("event_type"), col("cents"))
-      .agg(sum(when(col("ms") < col("mid"), 1L).otherwise(0L)).as("c1"),
-        sum(when(col("ms") >= col("mid"), 1L).otherwise(0L)).as("c2"))
-      .withColumn("cum1", sum(col("c1")).over(cum))
+    g.withColumn("cum1", sum(col("c1")).over(cum))
       .withColumn("cum2", sum(col("c2")).over(cum))
       .withColumn("n1", sum(col("c1")).over(whole))
       .withColumn("n2", sum(col("c2")).over(whole))

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.operators.Analytics
+
+/** Streaming twin of [[graft.operators.Analytics.driftKs]] (E20): monitor
+  * an arriving event stream for distribution drift against a STATIC
+  * reference histogram — the production shape of the KS gate (the batch
+  * query compares two halves of a finished table; a pipeline wants every
+  * micro-batch compared against the distribution it was validated on).
+  *
+  * Scale shape: the reference collapses ONCE to a (type, cents, count)
+  * histogram — value-domain-sized, not event-sized — and each micro-batch
+  * aggregates to the same shape before a histogram-vs-histogram full-outer
+  * join feeds the shared exact-KS core ([[Analytics.ksFromCounts]] — the
+  * SAME integer cross-multiplication the oracle-checked batch query runs,
+  * so the monitor's numbers are directly comparable to the gate's). No
+  * streaming state beyond the micro-batch: drift is per-batch by design
+  * (a cumulative cdf would dilute a fresh shift with history).
+  */
+object DriftStream {
+
+  /** The static side a deployment materializes once per validated release:
+    * per-(event_type, cents) counts of the reference corpus.
+    */
+  def referenceHistogram(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** One micro-batch's KS verdict vs the reference — a PLAIN batch
+    * function (the foreachBatch body), so the exact same code is testable
+    * offline. Output: (event_type, n1=reference, n2=batch, ks_ppm). A type
+    * with no batch rows (or absent from the reference) scores 10⁶ — total
+    * drift by definition, matching the batch query's empty-half rule.
+    */
+  def batchKs(refHist: DataFrame, batch: DataFrame): DataFrame = {
+    val g = refHist.withColumnRenamed("cnt", "c1")
+      .join(referenceHistogram(batch).withColumnRenamed("cnt", "c2"),
+        Seq("event_type", "cents"), "full_outer")
+      .na.fill(0L, Seq("c1", "c2"))
+    Analytics.ksFromCounts(g)
+  }
+
+  /** Deployment wiring: every micro-batch's verdict flows to `onBatch`
+    * (alerting, a verdict table, a metrics sink). Start with a checkpoint
+    * + trigger per the caller's cadence.
+    */
+  def monitor(stream: DataFrame, refHist: DataFrame)(
+      onBatch: (Long, DataFrame) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[Row], id: Long) => onBatch(id, batchKs(refHist, batch))
+    }
+}

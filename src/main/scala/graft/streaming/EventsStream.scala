@@ -171,6 +171,38 @@ object EventsStream {
       }
   }
 
+  case class Transition(user_id: Long, from_type: String, to_type: String)
+
+  case class LastEvent(ms: Long, event_id: Long, event_type: String)
+
+  /** D14 streaming — per-user transition pairs (batch twin:
+    * [[graft.operators.Events.transitions]]): flatMapGroupsWithState keyed
+    * by user with state = the user's LAST event (3 fields), emitting one
+    * (from_type, to_type) row per consecutive pair. Within a trigger the
+    * user's new events fold in event-time order; across triggers the
+    * stream equals the batch multiset whenever each user's events arrive
+    * in order across triggers — the same contract [[funnelStages]] and
+    * [[sessionize]] document. Downstream counting/ppm is the batch
+    * aggregation over the emitted pair stream (model-sized). For an
+    * unbounded user population attach an event-time TTL like sessionize's
+    * timeout to expire inactive users.
+    */
+  def transitions(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[LastEvent]) =>
+          var last = state.getOption
+          val out = Seq.newBuilder[Transition]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            last.foreach(l => out += Transition(userId, l.event_type, e.event_type))
+            last = Some(LastEvent(e.ts.getTime, e.event_id, e.event_type))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Streaming exact dedup: drop re-delivered events by id, keeping state
     * only within the watermark (bounded — the requirement for an unbounded
     * ingest stream where at-least-once delivery duplicates records). The

@@ -337,4 +337,74 @@ class StreamingSpec extends GraftSuite {
       s"diverges: ${got.diff(ref).take(3)} vs ${ref.diff(got).take(3)}")
     assert(got.size > 1, "non-vacuous: multiple sessions exist at this SF")
   }
+
+  test("streaming transitions emit consecutive pairs across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStream.transitions(input.toDS())
+      .writeStream.format("memory").queryName("trans").outputMode("append").start()
+    try {
+      // trigger 1: user 7 has two events (one pair), user 8 one (no pair);
+      // out-of-order arrival within the trigger folds sorted
+      input.addData(Event(2, ts(5), 7, "click", 0), Event(1, ts(0), 7, "view", 0),
+        Event(3, ts(0), 8, "view", 0))
+      q.processAllAvailable()
+      // trigger 2: both users continue — the pair bridges the trigger
+      // boundary through the retained last-event state
+      input.addData(Event(4, ts(9), 7, "purchase", 0), Event(5, ts(3), 8, "click", 0))
+      q.processAllAvailable()
+      val got = spark.table("trans").as[EventsStream.Transition].collect()
+        .map(t => (t.user_id, t.from_type, t.to_type)).sorted.toSeq
+      assert(got == Seq((7L, "click", "purchase"), (7L, "view", "click"),
+        (8L, "view", "click")), got.toString)
+    } finally q.stop()
+  }
+
+  test("drift monitor: per-batch KS equals the exact reference; a shift maxes it") {
+    import spark.implicits._
+    import graft.streaming.DriftStream
+    implicit val sqlCtx = spark.sqlContext
+    // reference: two types, cents 1..100 uniform (one event per cent value)
+    val ref = (1 to 100).flatMap(c => Seq(("click", c / 100.0), ("view", c / 100.0)))
+      .map { case (t, v) => Event(0, ts(0), 0, t, v) }
+      .toDF().select(col("ts"), col("event_type"), col("value"))
+    val refHist = DriftStream.referenceHistogram(ref).localCheckpoint()
+    val verdicts = scala.collection.concurrent.TrieMap[Long, Map[String, (Long, Long, Long)]]()
+    val input = MemoryStream[Event]
+    val q = DriftStream.monitor(input.toDF(), refHist) { (id, ks) =>
+      verdicts(id) = ks.collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    }.start()
+    try {
+      // batch 0: drawn from the reference support — low drift
+      input.addData((1 to 50).map(c => Event(c, ts(c), 1, "click", (2 * c) / 100.0)): _*)
+      q.processAllAvailable()
+      // batch 1: shifted far right of the reference — total drift
+      input.addData((1 to 50).map(c => Event(c, ts(c), 1, "click", 500.0 + c)): _*)
+      q.processAllAvailable()
+      val b0 = verdicts(0L); val b1 = verdicts(1L)
+      // exact-KS reference for batch 0's click sample vs uniform 1..100:
+      // cdf gap maxes where the even-cents sample leads the uniform cdf
+      val refCounts = (1L to 100L).map(c => c -> 1L).toMap
+      val smp = (1 to 50).map(c => 2L * c).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val dom = (refCounts.keySet ++ smp.keySet).toSeq.sorted
+      var c1 = 0L; var c2 = 0L; var d = BigInt(0)
+      dom.foreach { v =>
+        c1 += refCounts.getOrElse(v, 0L); c2 += smp.getOrElse(v, 0L)
+        d = d.max((BigInt(c1) * 50 - BigInt(c2) * 100).abs)
+      }
+      assert(b0("click") == ((100L, 50L, (BigInt(1000000) * d / (100 * 50)).toLong)), b0.toString)
+      // view saw no batch rows -> total drift by the empty-half rule
+      assert(b0("view") == ((100L, 0L, 1000000L)), b0.toString)
+      // the shifted batch's support is disjoint from the reference -> max KS
+      assert(b1("click")._3 == 1000000L, b1.toString)
+      // batchKs is a plain batch function — the offline run of the same
+      // code path reproduces the streaming verdict exactly
+      val offline = DriftStream.batchKs(refHist,
+          (1 to 50).map(c => Event(c, ts(c), 1, "click", (2 * c) / 100.0)).toDF())
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(offline == b0, s"offline $offline vs streamed $b0")
+    } finally q.stop()
+  }
 }
