@@ -40,13 +40,16 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      // Between queries (outside the timed region): a GC nudge so the
-      // ContextCleaner reclaims the previous query's dropped
-      // localCheckpoint blocks promptly. A marathon suite otherwise ages
-      // the JVM — old-gen and block-manager state from dead queries taxed
-      // alphabetically-late ones (the r6/r7/r9 "suite-context noise"
-      // adjudications, and the 8g sf10 run where accumulation killed the
-      // context outright mid-suite).
+      // Between queries (outside the timed region): drop every block the
+      // previous query left behind, then a GC nudge. localCheckpoint
+      // blocks stay registered until their RDD is garbage-collected, so a
+      // marathon suite otherwise ages the JVM — storage squeezed execution
+      // memory until alphabetically-late queries paid 1.5–3× (the
+      // r6/r7/r9/r13 "suite-context noise" adjudications) and the r15 8g
+      // sf10 run OOM'd outright at q_pagerank. Explicit unpersist gives
+      // every query the isolation the fresh-JVM adjudications measure.
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       System.gc()
       name -> err.toLeft(times.min) // steady-state: best of N (JIT/cache warm)
     }
