@@ -20,6 +20,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // sf≥10 runs require the documented 64g driver protocol (q_pagerank's
+    // localCheckpoint blocks + execution memory need ~48g headroom; the r15
+    // marathon accidentally ran at 8g and OOM'd exactly there). Fail fast
+    // instead of relying on the operator remembering SPARK_DRIVER_MEM;
+    // SPARK_GRAFT_ALLOW_SMALL_HEAP=1 overrides for deliberate experiments.
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble)
+    val maxHeapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
+    if (sfNum.exists(_ >= 10) && maxHeapGb < 48 &&
+        !sys.env.get("SPARK_GRAFT_ALLOW_SMALL_HEAP").contains("1")) {
+      System.err.println(f"[bench] sf≥10 requires the 64g driver protocol " +
+        f"(heap is $maxHeapGb%.1f GiB < 48). Set -Xmx64g (e.g. JAVA_OPTS) " +
+        "or SPARK_GRAFT_ALLOW_SMALL_HEAP=1 to override.")
+      sys.exit(2)
+    }
+
     // JVM/codegen warmup so the first measured query isn't charged for it
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
 
@@ -48,8 +63,11 @@ object Bench {
       // r6/r7/r9/r13 "suite-context noise" adjudications) and the r15 8g
       // sf10 run OOM'd outright at q_pagerank. Explicit unpersist gives
       // every query the isolation the fresh-JVM adjudications measure.
+      // blocking = true: removal is outside the timed region so the wait is
+      // free, and it guarantees blocks are gone before the GC nudge and the
+      // next query's timer start (async removal could still be in flight).
       spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       System.gc()
       name -> err.toLeft(times.min) // steady-state: best of N (JIT/cache warm)
     }

@@ -25,6 +25,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Same per-query isolation as Bench: leftover cache/localCheckpoint
+      // blocks otherwise age the gate JVM across 143 queries (storage
+      // squeezing execution memory — the diagnosed suite-aging mechanism)
+      // and risk an sf10 gate OOM. Blocking so blocks are gone before the
+      // next query starts.
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -49,10 +49,19 @@ object DriftStream {
   /** Deployment wiring: every micro-batch's verdict flows to `onBatch`
     * (alerting, a verdict table, a metrics sink). Start with a checkpoint
     * + trigger per the caller's cadence.
+    *
+    * The reference histogram is persisted HERE, once: `refHist` arrives as
+    * a lazy DataFrame, and without the persist every micro-batch's
+    * [[batchKs]] join would re-evaluate the full reference aggregation —
+    * the "collapses ONCE" contract would silently depend on the caller
+    * having materialized it. The first batch pays the one evaluation; the
+    * (value-domain-sized) histogram serves every batch after from memory.
     */
   def monitor(stream: DataFrame, refHist: DataFrame)(
-      onBatch: (Long, DataFrame) => Unit): DataStreamWriter[Row] =
+      onBatch: (Long, DataFrame) => Unit): DataStreamWriter[Row] = {
+    val ref = refHist.persist()
     stream.writeStream.outputMode("append").foreachBatch {
-      (batch: Dataset[Row], id: Long) => onBatch(id, batchKs(refHist, batch))
+      (batch: Dataset[Row], id: Long) => onBatch(id, batchKs(ref, batch))
     }
+  }
 }

@@ -15,6 +15,16 @@ object EventsStream {
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 
+  /** Full-precision event-time ordering key: (epoch second, nanos within
+    * second, event_id). The batch twins and the oracle order by the full
+    * timestamp column, so a millisecond-only sort (`ts.getTime`) would let
+    * events differing only at sub-millisecond precision order differently
+    * between stream and batch, silently breaking the stream-equals-batch
+    * multiset contract. floorDiv handles pre-epoch instants.
+    */
+  private def instantKey(ts: Timestamp, eventId: Long): (Long, Int, Long) =
+    (Math.floorDiv(ts.getTime, 1000L), ts.getNanos, eventId)
+
   case class SessionAgg(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Long)
 
@@ -49,7 +59,7 @@ object EventsStream {
             state.remove()
             Iterator(SessionAgg(userId, new Timestamp(s.start), new Timestamp(s.end), s.n))
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = rows.toSeq.sortBy(e => instantKey(e.ts, e.event_id))
             var cur = state.getOption
             val closed = Seq.newBuilder[SessionAgg]
             sorted.foreach { e =>
@@ -158,7 +168,7 @@ object EventsStream {
         (userId: Long, rows: Iterator[Event], state: GroupState[FunnelStagesState]) =>
           val m = state.getOption.map(_.minima.toArray)
             .getOrElse(Array.fill(stages.length)(none))
-          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          rows.toSeq.sortBy(e => instantKey(e.ts, e.event_id)).foreach { e =>
             val i = stages.indexOf(e.event_type)
             if (i >= 0) {
               val t = e.ts.getTime
@@ -173,19 +183,25 @@ object EventsStream {
 
   case class Transition(user_id: Long, from_type: String, to_type: String)
 
-  case class LastEvent(ms: Long, event_id: Long, event_type: String)
+  case class LastEvent(sec: Long, nanos: Int, event_id: Long, event_type: String)
 
   /** D14 streaming — per-user transition pairs (batch twin:
     * [[graft.operators.Events.transitions]]): flatMapGroupsWithState keyed
-    * by user with state = the user's LAST event (3 fields), emitting one
-    * (from_type, to_type) row per consecutive pair. Within a trigger the
-    * user's new events fold in event-time order; across triggers the
-    * stream equals the batch multiset whenever each user's events arrive
-    * in order across triggers — the same contract [[funnelStages]] and
-    * [[sessionize]] document. Downstream counting/ppm is the batch
-    * aggregation over the emitted pair stream (model-sized). For an
-    * unbounded user population attach an event-time TTL like sessionize's
-    * timeout to expire inactive users.
+    * by user with state = the user's LAST event (full-precision ordering
+    * key + type), emitting one (from_type, to_type) row per consecutive
+    * pair. Within a trigger the user's new events fold in event-time
+    * order; across triggers the stream equals the batch multiset whenever
+    * each user's events arrive in order across triggers — the same
+    * contract [[funnelStages]] and [[sessionize]] document. An event that
+    * arrives in a LATER trigger with an EARLIER ordering key than the
+    * stored last event is a contract violation the state can detect — it
+    * is DROPPED (conservative: no pair the batch query would never
+    * produce) rather than emitted as-if-in-order, since the pairs batch
+    * would splice around it are unrecoverable once the neighbours have
+    * been emitted. Downstream counting/ppm is the batch aggregation over
+    * the emitted pair stream (model-sized). For an unbounded user
+    * population attach an event-time TTL like sessionize's timeout to
+    * expire inactive users.
     */
   def transitions(events: Dataset[Event]): Dataset[Transition] = {
     import events.sparkSession.implicits._
@@ -194,9 +210,14 @@ object EventsStream {
         (userId: Long, rows: Iterator[Event], state: GroupState[LastEvent]) =>
           var last = state.getOption
           val out = Seq.newBuilder[Transition]
-          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            last.foreach(l => out += Transition(userId, l.event_type, e.event_type))
-            last = Some(LastEvent(e.ts.getTime, e.event_id, e.event_type))
+          rows.toSeq.sortBy(e => instantKey(e.ts, e.event_id)).foreach { e =>
+            val k = instantKey(e.ts, e.event_id)
+            val stale = last.exists(l =>
+              Ordering[(Long, Int, Long)].lt(k, (l.sec, l.nanos, l.event_id)))
+            if (!stale) {
+              last.foreach(l => out += Transition(userId, l.event_type, e.event_type))
+              last = Some(LastEvent(k._1, k._2, k._3, e.event_type))
+            }
           }
           last.foreach(state.update)
           out.result().iterator

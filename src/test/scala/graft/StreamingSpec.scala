@@ -361,6 +361,29 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming transitions drop late cross-trigger events instead of mis-pairing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStream.transitions(input.toDS())
+      .writeStream.format("memory").queryName("trans_late").outputMode("append").start()
+    try {
+      input.addData(Event(1, ts(0), 7, "view", 0), Event(2, ts(5), 7, "click", 0))
+      q.processAllAvailable()
+      // a late arrival OLDER than the stored last event (ts(3) < ts(5)):
+      // batch would splice it between view and click; the stream can no
+      // longer do that, so it must be dropped — no (click, scroll) pair,
+      // and the retained state must still be the ts(5) click
+      input.addData(Event(3, ts(3), 7, "scroll", 0))
+      q.processAllAvailable()
+      input.addData(Event(4, ts(9), 7, "purchase", 0))
+      q.processAllAvailable()
+      val got = spark.table("trans_late").as[EventsStream.Transition].collect()
+        .map(t => (t.user_id, t.from_type, t.to_type)).sorted.toSeq
+      assert(got == Seq((7L, "click", "purchase"), (7L, "view", "click")), got.toString)
+    } finally q.stop()
+  }
+
   test("drift monitor: per-batch KS equals the exact reference; a shift maxes it") {
     import spark.implicits._
     import graft.streaming.DriftStream
