@@ -1338,29 +1338,37 @@ object Oracles {
   val jsonlRoundtrip: String =
     "SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars FROM documents"
 
-  /** Integer Lloyd k-means, 2 unrolled iterations over the int8-quantized
-    * corpus ([[scalarQuant]]'s proven bit-stable codes): assignment =
-    * min(d2·K + cid) (d2 exact integer, ties → lowest cid — the fused
-    * kernel's strict-< rule), update = HUGEINT floor-division (↔ the
-    * Spark driver's positive Long division), empty cluster keeps its
-    * previous centroid (COALESCE ↔ getOrElse). Every CTE MATERIALIZED —
-    * the [[bfs]] lesson: each level references the previous chain twice.
+  /** Integer Lloyd k-means, [[graft.operators.Kmeans.Iters]] unrolled
+    * iterations over the int8-quantized corpus ([[scalarQuant]]'s proven
+    * bit-stable codes): assignment = min(d2·K + cid) (d2 exact integer,
+    * ties → lowest cid — the fused kernel's strict-< rule), update =
+    * HUGEINT floor-division (↔ the Spark driver's positive Long
+    * division), empty cluster keeps its previous centroid (COALESCE ↔
+    * getOrElse). K is re-derived HERE from count(*) — the same
+    * clamp(n / VecsPerCluster, MinK, MaxK) the Spark side computes from
+    * parquet metadata, so one SQL text is correct at every scale rung.
+    * Every CTE MATERIALIZED — the [[bfs]] lesson: each level references
+    * the previous chain twice.
     */
   val kmeans: String = {
-    val iter = (k: Int) =>
-      s"""a$k AS MATERIALIZED (
-         |  SELECT vec_id, m % 8 AS cid FROM (
-         |    SELECT vec_id, min(d2 * 8 + cid) AS m FROM (
+    import graft.operators.Kmeans.{MinK, MaxK, VecsPerCluster, Iters}
+    val K = "(SELECT k FROM kk)" // scalar; DuckDB folds it once
+    val iter = (j: Int) =>
+      s"""a$j AS MATERIALIZED (
+         |  SELECT vec_id, m % $K AS cid FROM (
+         |    SELECT vec_id, min(d2 * $K + cid) AS m FROM (
          |      SELECT q.vec_id, cc.cid, sum((q.c - cc.c) * (q.c - cc.c)) AS d2
-         |      FROM q JOIN c${k - 1} cc ON q.dim = cc.dim GROUP BY 1, 2) t
+         |      FROM q JOIN c${j - 1} cc ON q.dim = cc.dim GROUP BY 1, 2) t
          |    GROUP BY 1) t2),
-         |u$k AS MATERIALIZED (
-         |  SELECT a$k.cid, q.dim, CAST(sum(q.c) // count(*) AS BIGINT) AS c
-         |  FROM q JOIN a$k ON q.vec_id = a$k.vec_id GROUP BY 1, 2),
-         |c$k AS MATERIALIZED (
-         |  SELECT p.cid, p.dim, COALESCE(u$k.c, p.c) AS c
-         |  FROM c${k - 1} p LEFT JOIN u$k ON p.cid = u$k.cid AND p.dim = u$k.dim)""".stripMargin
+         |u$j AS MATERIALIZED (
+         |  SELECT a$j.cid, q.dim, CAST(sum(q.c) // count(*) AS BIGINT) AS c
+         |  FROM q JOIN a$j ON q.vec_id = a$j.vec_id GROUP BY 1, 2),
+         |c$j AS MATERIALIZED (
+         |  SELECT p.cid, p.dim, COALESCE(u$j.c, p.c) AS c
+         |  FROM c${j - 1} p LEFT JOIN u$j ON p.cid = u$j.cid AND p.dim = u$j.dim)""".stripMargin
     s"""WITH v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |kk AS MATERIALIZED (SELECT least($MaxK, greatest($MinK, count(*) // $VecsPerCluster)) AS k
+       |       FROM embeddings),
        |dims AS MATERIALIZED (SELECT unnest(range(64)) AS dim),
        |mm AS MATERIALIZED (SELECT dim, min(e[dim + 1]) AS mn, max(e[dim + 1]) AS mx
        |       FROM v, dims GROUP BY 1),
@@ -1369,12 +1377,12 @@ object Oracles {
        |            ELSE CAST(least(floor((e[dim + 1] - mn) * (255.0 / (mx - mn))), 255) AS BIGINT)
        |       END AS c
        |       FROM v, mm),
-       |c0 AS MATERIALIZED (SELECT vec_id AS cid, dim, c FROM q WHERE vec_id < 8),
-       |${(1 to 2).map(iter).mkString(",\n")}
-       |SELECT vec_id, CAST(m % 8 AS BIGINT) AS cid, CAST(m // 8 AS BIGINT) AS d2 FROM (
-       |  SELECT vec_id, min(d2 * 8 + cid) AS m FROM (
+       |c0 AS MATERIALIZED (SELECT vec_id AS cid, dim, c FROM q WHERE vec_id < $K),
+       |${(1 to Iters).map(iter).mkString(",\n")}
+       |SELECT vec_id, CAST(m % $K AS BIGINT) AS cid, CAST(m // $K AS BIGINT) AS d2 FROM (
+       |  SELECT vec_id, min(d2 * $K + cid) AS m FROM (
        |    SELECT q.vec_id, cc.cid, sum((q.c - cc.c) * (q.c - cc.c)) AS d2
-       |    FROM q JOIN c2 cc ON q.dim = cc.dim GROUP BY 1, 2) t
+       |    FROM q JOIN c$Iters cc ON q.dim = cc.dim GROUP BY 1, 2) t
        |  GROUP BY 1) t3""".stripMargin
   }
 

@@ -33,11 +33,29 @@ import org.apache.spark.sql.functions._
   * [[Ivf.trainOn]] convention — k-means++ would add RNG the oracle
   * can't replay). Empty clusters keep their previous centroid, the same
   * rule both engines apply (COALESCE in the oracle, getOrElse here).
+  *
+  * K is CORPUS-DERIVED, not pinned: `clamp(n / 250, 8, 4096)` from the
+  * embeddings count (a parquet-metadata read; the [[Dedup.semDedup]]
+  * device — the oracle re-derives the same K from its own `count(*)`,
+  * so the two engines agree at every scale rung without sharing state).
+  * A fixed K=8 under-partitions any real clustering corpus; ~250
+  * vectors per cluster keeps cluster granularity tracking corpus size
+  * while the 4096 cap bounds the collected model (≤ 4096·64 ints) and
+  * the per-vector argmin work. At this SF ladder: sf0.01 → 8, sf1 → 80,
+  * sf10 → 800.
   */
 object Kmeans {
-  val K = 8
+  val MinK = 8
+  val MaxK = 4096
+  val VecsPerCluster = 250L
   val Iters = 2
   val Dim = 64
+
+  /** clamp(n / [[VecsPerCluster]], [[MinK]], [[MaxK]]) — mirrored verbatim
+    * by the oracle's `least(…, greatest(…, count(*) // …))`.
+    */
+  def deriveK(n: Long): Int =
+    math.min(MaxK.toLong, math.max(MinK.toLong, n / VecsPerCluster)).toInt
 
   /** Integer code vectors as integer-valued doubles: the [[Quantize]]
     * formula per dimension, assembled into one array column (codegen'd
@@ -57,15 +75,16 @@ object Kmeans {
     * doubles). All arithmetic that crosses engines is integer: sums are
     * exact (≤255·n ≪ 2⁵³), updates use Long floor-division on the driver.
     */
-  private[graft] def trainCentroids(q: DataFrame): Seq[(Int, Seq[Double])] = {
+  private[graft] def trainCentroids(q: DataFrame, k: Int = MinK,
+      iters: Int = Iters): Seq[(Int, Seq[Double])] = {
     val cached = q.cache()
     try {
-      var cen: Seq[(Int, Seq[Double])] = cached.where(col("vec_id") < K)
+      var cen: Seq[(Int, Seq[Double])] = cached.where(col("vec_id") < k)
         .orderBy("vec_id").collect()
         .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
-      require(cen.length == K,
-        s"k-means seeding needs vec_ids 0..${K - 1} in the corpus; found ${cen.length} of $K")
-      for (_ <- 1 to Iters) {
+      require(cen.length == k,
+        s"k-means seeding needs vec_ids 0..${k - 1} in the corpus; found ${cen.length} of $k")
+      for (_ <- 1 to iters) {
         val assigned = cached.withColumn("cid", Ivf.nearestCid(col("q"), cen))
         val aggs = count(lit(1)).as("n") +:
           (0 until Dim).map(d => sum(col("q")(d)).cast("long").as(s"s$d"))
@@ -74,20 +93,24 @@ object Kmeans {
           val n = r.getLong(1)
           r.getInt(0) -> (0 until Dim).map(d => (r.getLong(2 + d) / n).toDouble)
         }.toMap
-        cen = (0 until K).map(c => c -> updated.getOrElse(c, cen(c)._2))
+        cen = (0 until k).map(c => c -> updated.getOrElse(c, cen(c)._2))
       }
       cen
     } finally cached.unpersist(blocking = false)
   }
 
   /** E19 — the registered query: final (vec_id, cid, d2) assignment after
-    * [[Iters]] trained iterations; d2 is the exact integer squared
-    * distance to the winning centroid (ties → lowest cid, the
-    * [[Ivf.nearestCell]] rule, mirrored by the oracle's min(d2·K + cid)).
+    * `iters` trained iterations over [[deriveK]] clusters; d2 is the exact
+    * integer squared distance to the winning centroid (ties → lowest cid,
+    * the [[Ivf.nearestCell]] rule, mirrored by the oracle's
+    * min(d2·K + cid)). `iters` callers must regenerate the unrolled
+    * oracle to match ([[graft.Oracles.kmeans]] is generated from the same
+    * [[Iters]] constant).
     */
-  def kmeans(spark: SparkSession, dir: String): DataFrame = {
+  def kmeans(spark: SparkSession, dir: String, iters: Int = Iters): DataFrame = {
+    val k = deriveK(graft.io.Tables.embeddings(spark, dir).count())
     val q = codes(spark, dir)
-    val cen = trainCentroids(q)
+    val cen = trainCentroids(q, k, iters)
     q.select(col("vec_id"), Ivf.nearestCell(col("q"), cen).as("a"))
       .select(col("vec_id"),
         col("a.cid").cast("long").as("cid"),

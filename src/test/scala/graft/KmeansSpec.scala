@@ -9,23 +9,32 @@ class KmeansSpec extends GraftSuite {
   test("q_kmeans: one row per vector, dense cids, d2 is the true argmin distance") {
     val out = Kmeans.kmeans(spark, sf).collect()
     val nVec = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val k = Kmeans.deriveK(nVec)
     assert(out.length == nVec, "one assignment per corpus vector")
-    assert(out.forall(r => r.getLong(1) >= 0 && r.getLong(1) < Kmeans.K))
+    assert(out.forall(r => r.getLong(1) >= 0 && r.getLong(1) < k))
     assert(out.forall(_.getLong(2) >= 0), "squared distances are non-negative")
     // brute-force re-check on the driver: recompute codes + the trained
     // centroids and verify every (cid, d2) is the exact integer argmin
     val q = Kmeans.codes(spark, sf)
-    val cen = Kmeans.trainCentroids(q)
+    val cen = Kmeans.trainCentroids(q, k)
     val codeOf = q.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     out.foreach { r =>
       val v = codeOf(r.getLong(0))
       val d2s = cen.map { case (cid, c) =>
         (cid, v.zip(c).map { case (a, b) => val d = a - b; d * d }.sum.toLong)
       }
-      val (bestCid, bestD2) = d2s.minBy { case (cid, d2) => d2 * Kmeans.K + cid }
+      val (bestCid, bestD2) = d2s.minBy { case (cid, d2) => d2 * k + cid }
       assert(r.getLong(1) == bestCid && r.getLong(2) == bestD2,
         s"vec ${r.getLong(0)}: got (${r.getLong(1)}, ${r.getLong(2)}), want ($bestCid, $bestD2)")
     }
+  }
+
+  test("deriveK tracks corpus size across the SF ladder and clamps at both ends") {
+    assert(Kmeans.deriveK(500) == 8, "sf0.01: below the floor -> MinK")
+    assert(Kmeans.deriveK(20000) == 80, "sf1")
+    assert(Kmeans.deriveK(200000) == 800, "sf10")
+    assert(Kmeans.deriveK(1) == Kmeans.MinK)
+    assert(Kmeans.deriveK(Long.MaxValue) == Kmeans.MaxK)
   }
 
   test("empty cluster keeps its previous centroid (the oracle's COALESCE rule)") {
