@@ -1642,6 +1642,9 @@ object Oracles {
 
   /** Containment verification over the MinHash-LSH candidates: |∩| and set
     * sizes are integers; the division is the only FP op, mirrored exactly.
+    * (The Spark side verifies band pairs INLINE in the band join — a pure
+    * execution-shape change; candidates and output are identical to this
+    * declarative form.)
     */
   val dedupContainment: String =
     s"""WITH $minhashVerCtes,
@@ -1934,6 +1937,69 @@ object Oracles {
     * widening, floor division on non-negative operands agrees (`//` ↔
     * `div`).
     */
+  /** E22 q_validate_release — the release gate's seven checks, one row
+    * each. Every value is exact-integer ppm/count arithmetic; the policy
+    * bands are Validate's named constants interpolated verbatim; the
+    * drift check embeds the [[driftKs]] CTE chain and takes the worst
+    * type. Quartiles are rank-based off the n_chars value-domain
+    * histogram (q1 = min v with 4·cdf ≥ n), same rule as the Spark plan.
+    */
+  val validateRelease: String = {
+    import graft.operators.Validate._
+    s"""WITH a AS MATERIALIZED (
+       |  SELECT count(*) AS n,
+       |         sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS nulls,
+       |         count(DISTINCT md5(text)) AS dhash,
+       |         sum(CASE WHEN lang IS NULL OR lang = '' THEN 1 ELSE 0 END) AS nolang,
+       |         sum(len($toksSql)) AS toks
+       |  FROM documents),
+       |h AS MATERIALIZED (SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY 1),
+       |cum AS MATERIALIZED (
+       |  SELECT v, c, sum(c) OVER (ORDER BY v) AS cdf, sum(c) OVER () AS nn FROM h),
+       |q AS MATERIALIZED (
+       |  SELECT min(CASE WHEN cdf * 4 >= nn THEN v END) AS q1,
+       |         min(CASE WHEN cdf * 4 >= nn * 3 THEN v END) AS q3 FROM cum),
+       |outl AS MATERIALIZED (
+       |  SELECT coalesce(sum(c), 0) AS nout FROM h, q
+       |  WHERE v < q1 - (q3 - q1) * 3 OR v > q3 + (q3 - q1) * 3),
+       |bnd AS MATERIALIZED (
+       |  SELECT (min(epoch_ms(ts)) + max(epoch_ms(ts))) // 2 AS mid FROM events),
+       |e AS MATERIALIZED (
+       |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents, epoch_ms(ts) AS ms FROM events),
+       |g AS MATERIALIZED (
+       |  SELECT event_type, cents,
+       |         sum(CASE WHEN ms < (SELECT mid FROM bnd) THEN 1 ELSE 0 END) AS c1,
+       |         sum(CASE WHEN ms >= (SELECT mid FROM bnd) THEN 1 ELSE 0 END) AS c2
+       |  FROM e GROUP BY 1, 2),
+       |w AS MATERIALIZED (
+       |  SELECT event_type,
+       |         sum(c1) OVER (PARTITION BY event_type ORDER BY cents) AS cum1,
+       |         sum(c2) OVER (PARTITION BY event_type ORDER BY cents) AS cum2,
+       |         sum(c1) OVER (PARTITION BY event_type) AS n1,
+       |         sum(c2) OVER (PARTITION BY event_type) AS n2
+       |  FROM g),
+       |ks AS MATERIALIZED (
+       |  SELECT event_type, CAST(any_value(n1) AS BIGINT) AS n1, CAST(any_value(n2) AS BIGINT) AS n2,
+       |         max(abs(CAST(cum1 AS HUGEINT) * CAST(n2 AS HUGEINT)
+       |               - CAST(cum2 AS HUGEINT) * CAST(n1 AS HUGEINT))) AS dmax
+       |  FROM w GROUP BY 1),
+       |drift AS MATERIALIZED (
+       |  SELECT max(CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN 1000000
+       |             ELSE (CAST(1000000 AS HUGEINT) * dmax) // (CAST(n1 AS HUGEINT) * CAST(n2 AS HUGEINT))
+       |             END AS BIGINT)) AS d FROM ks),
+       |rows_(chk, value, lo, hi) AS MATERIALIZED (
+       |  SELECT 'doc_count', n, $MinDocs, ${Long.MaxValue} FROM a
+       |  UNION ALL SELECT 'null_text_ppm', (nulls * 1000000) // n, 0, $MaxNullTextPpm FROM a
+       |  UNION ALL SELECT 'exact_dup_ppm', ((n - dhash) * 1000000) // n, 0, $MaxExactDupPpm FROM a
+       |  UNION ALL SELECT 'lang_missing_ppm', (nolang * 1000000) // n, 0, $MaxLangMissingPpm FROM a
+       |  UNION ALL SELECT 'mean_tokens_x100', (toks * 100) // n, $MinMeanTokensX100, $MaxMeanTokensX100 FROM a
+       |  UNION ALL SELECT 'nchars_outlier_ppm', (nout * 1000000) // (SELECT n FROM a), 0, $MaxNcharsOutlierPpm FROM outl
+       |  UNION ALL SELECT 'events_drift_ppm', d, 0, $MaxDriftPpm FROM drift)
+       |SELECT chk, CAST(value AS BIGINT) AS value, CAST(lo AS BIGINT) AS lo,
+       |       CAST(hi AS BIGINT) AS hi, value BETWEEN lo AND hi AS pass
+       |FROM rows_""".stripMargin
+  }
+
   val driftKs: String =
     """WITH bnd AS MATERIALIZED (
       |  SELECT (min(epoch_ms(ts)) + max(epoch_ms(ts))) // 2 AS mid FROM events),

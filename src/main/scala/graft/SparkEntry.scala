@@ -235,6 +235,9 @@ object SparkEntry {
     // q_compression_ratio: deflate-ratio boilerplate signal — rows-only
     // (codec output is JVM-specific; spec pins ordering + determinism)
     "q_compression_ratio"  -> ((s, d) => Quality.compressionRatio(s, d)),
+    // q_image_dedup: perceptual dHash near-dup pairs over DECODED image
+    // payloads — lossless (maxHamming+1)-band blocking, bit_count verify
+    "q_image_dedup"        -> ((s, d) => Multimodal.imageDedup(s, d)),
     // q_multimodal_features: per-kind media summary over the deterministic
     // PNG/WAV corpus — real codec decode, integer checksums — rows-only
     // (DuckDB has no media decoder; spec pins pixel/sample values)
@@ -295,6 +298,10 @@ object SparkEntry {
     // q_drift_ks: exact two-sample KS drift per event type (first vs
     // second time half) — histogram-domain windows, DECIMAL cross products
     "q_drift_ks"           -> ((s, d) => Analytics.driftKs(s, d)),
+    // q_validate_release: the composed data-validation gate — one verdict
+    // row per check (profile, dup rate, outlier mass, drift KS), all
+    // exact-integer, five checks on one documents scan
+    "q_validate_release"   -> ((s, d) => Validate.validateRelease(s, d)),
     // q_copurchase: market-basket frequent part pairs — in-row pair
     // comprehension (never a fact self-join), TakeOrdered top-50
     "q_copurchase"         -> ((s, d) => Analytics.copurchase(s, d)),
@@ -599,6 +606,7 @@ object SparkEntry {
     "q_jsonl_roundtrip" -> Oracles.jsonlRoundtrip,
     "q_event_transitions" -> Oracles.eventTransitions,
     "q_drift_ks"        -> Oracles.driftKs,
+    "q_validate_release" -> Oracles.validateRelease,
     "q_copurchase"      -> Oracles.copurchase,
   )
 }

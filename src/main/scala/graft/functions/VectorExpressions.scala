@@ -84,6 +84,9 @@ object VectorExpressions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  def positionalMatchCount(a: Column, b: Column): Column =
+    ColumnBridge.column(PositionalMatchCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   def maxTokenFreq(toks: Column): Column =
     ColumnBridge.column(MaxTokenFreq(ColumnBridge.expression(toks)))
 
@@ -1009,6 +1012,43 @@ case class SortedJaccard(left: Expression, right: Expression) extends BinaryExpr
          |}
          |int $un = $n1 + $n2 - $c;
          |${ev.value} = ($un == 0) ? 0.0 : ((double) $c) / $un;
+       """.stripMargin
+    })
+}
+
+/** Count of POSITIONS where two equal-length array<long> columns agree —
+  * the MinHash J estimator's match count over two K-position signatures
+  * (matches/K → Ĵ). One fused loop, no per-row allocation; the HOF form
+  * (`aggregate(zip_with(...))`) is interpreted and allocates the zipped
+  * array per row — this sits inside a band self-join's projection, where
+  * tens of millions of pairs flow through.
+  */
+case class PositionalMatchCount(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0; var c = 0L
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val c = ctx.freshName("c"); val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $c = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $c++;
+         |}
+         |${ev.value} = $c;
        """.stripMargin
     })
 }

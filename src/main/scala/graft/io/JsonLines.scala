@@ -21,9 +21,45 @@ import org.apache.spark.sql.types.StructType
   */
 object JsonLines {
 
-  def write(df: DataFrame, dir: String): Unit =
-    df.write.mode("overwrite").json(dir)
+  /** Codecs a JSONL landing zone actually arrives in, by splittability —
+    * the property that decides whether 100 TB reads with cluster
+    * parallelism or serializes per-file:
+    *
+    *  - SPLITTABLE: none, bzip2 — any byte range can start a task.
+    *  - NOT splittable: gzip, zstd, lz4, snappy (as whole-file codecs) —
+    *    each FILE is one task, however large. A 100 TB gzip landing zone
+    *    of 1 GB files silently caps parallelism at #files and makes every
+    *    task decompress a full gigabyte; a single big gzip file reads on
+    *    ONE core. Prefer writing zstd in SMALL files (≤ ~128 MB) so the
+    *    per-file task granularity matches a split anyway — that's the
+    *    standard crawl-delivery contract (WET ships as many ~150 MB .gz
+    *    members for exactly this reason).
+    *
+    * `write(codec = …)` takes these names; `read` needs nothing — Hadoop
+    * picks the codec from the file extension (.gz/.zst/.bz2).
+    */
+  val SplittableCodecs = Set("none", "bzip2")
+  val WholeFileCodecs = Set("gzip", "zstd", "lz4", "snappy")
 
+  /** `codec`: "none" (default), or any of [[WholeFileCodecs]]/bzip2 —
+    * validated here so a typo fails loudly instead of writing an
+    * unreadable extension.
+    */
+  def write(df: DataFrame, dir: String, codec: String = "none"): Unit = {
+    require(SplittableCodecs.contains(codec) || WholeFileCodecs.contains(codec),
+      s"unknown jsonl codec '$codec' (know: ${(SplittableCodecs ++ WholeFileCodecs).mkString(", ")})")
+    val w = df.write.mode("overwrite")
+    (if (codec == "none") w else w.option("compression", codec)).json(dir)
+  }
+
+  /** Compressed files are transparent to the reader: Hadoop resolves the
+    * codec per file from its extension, so one directory can mix plain,
+    * .gz and .zst members (a real landing zone does). The quarantine /
+    * FAILFAST semantics are byte-identical to the uncompressed path —
+    * corruption INSIDE a line quarantines the line; a truncated gzip
+    * member fails the task (codec-level corruption is not a row-level
+    * event and must not be silently dropped).
+    */
   def read(spark: SparkSession, dir: String, schema: StructType,
       strict: Boolean = false): DataFrame =
     spark.read

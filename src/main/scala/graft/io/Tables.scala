@@ -14,6 +14,26 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Fan a CPU-bound derivation's input out to one partition per core —
+    * IF the scan can't already feed that many tasks. Scan parallelism is
+    * bounded by parquet row groups, and the driver's documents.parquet /
+    * embeddings.parquet ship as a SINGLE row group at every SF (sf10:
+    * 500k docs, 62 MB, one group), so tokenize/shingle/hash/quantize —
+    * the dominant cost of the text and vector families — otherwise runs
+    * in ONE task while the other 31 cores idle (measured: 16 s of
+    * q_dedup_containment's 48 s at sf10; the fix took the query to
+    * 12.4 s). The condition makes the device self-disabling at real
+    * scale: a 100 TB corpus scans as thousands of splits, so the check
+    * sees enough partitions and adds NOTHING — narrow queries stay
+    * narrow. The explicit partition count matters: a bare repartition()
+    * is an AQE-advisory shuffle that would coalesce ~60 MB right back to
+    * one partition.
+    */
+  def cpuFanOut(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= cores) df else df.repartition(cores)
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
@@ -82,6 +102,17 @@ object Tables {
         }
       } finally reader.close()
     }.getOrElse(false)
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** documents and embeddings ship as single-row-group artifacts at every
+    * SF, so they load through [[cpuFanOut]]: every downstream tokenize/
+    * hash/quantize/decode stage gets core-count parallelism instead of one
+    * task. Catalyst still prunes columns and pushes filters below the
+    * fan-out exchange, so cheap aggregate queries shuffle only the columns
+    * they read (~60 MB of text at sf10 worst-case). The TPC-H tables and
+    * events are left alone — at bench SFs they carry enough row groups,
+    * and their queries are shuffle-dominated, not scan-CPU-bound.
+    */
+  def documents(s: SparkSession, d: String): DataFrame =
+    cpuFanOut(load(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    cpuFanOut(load(s, d, "embeddings"))
 }

@@ -164,40 +164,114 @@ object Dedup {
       sampleMod: Int = 8, maxDf: Int = 64): DataFrame = {
     // same localCheckpoint-not-cache (and lazy) rationale as [[minhashLsh]]
     val sh = shingleHashed(spark, dir).localCheckpoint(false)
+    // IN-BUCKET band-arm verification: band rows carry the sorted-distinct
+    // shingle set, group by (bid, bkey), and each bucket runs its all-pairs
+    // exact merge-walk in a tight per-group loop — candidate pairs are
+    // NEVER materialized as rows; only threshold survivors are emitted.
+    // Rationale, measured at sf10 (500k docs): the corpus is
+    // template-heavy — the band join emits 72M pair occurrences (41M
+    // distinct) of which ~25k survive, so every pair-shaped intermediate
+    // is ~1600× wasted work: the former shape (slim pairs → distinct →
+    // two array-carrying verify joins) moved ~40 GB of arrays to verify
+    // 0.06% survivors (86.5 s); a self-join verifying inline still
+    // materialized both arrays into 72M joined rows (58.7 s); and a
+    // MinHash-estimate prefilter cannot prune the junk (this corpus
+    // produces pairs with 16+/32 matching signature positions at true
+    // J ≈ 0 — linear mod-P permutations are not min-wise independent
+    // enough on template-shared shingles — measured in
+    // ContainmentDistProbe). Here each doc's set crosses the shuffle 16×
+    // (once per band, independent of pair count) and the walk reads
+    // group-local arrays in place. Skew-safe: bucket population is
+    // bounded (sf10 max 945 docs → ≤ 450k walks ≈ 50 ms in one task);
+    // the df-capped sampled arm keeps its join form (tiny by
+    // construction). Same candidates, same verification, same output as
+    // the declarative oracle form — a pure execution-shape change.
+    import spark.implicits._
+    // Slim pre-pass: only buckets holding ≥ 2 docs can pair, and they are
+    // rare (sf10: ~100k of 6.1M buckets — 5.97M are singletons that would
+    // otherwise each pay group overhead for zero pairs AND drag their
+    // doc's set through the shuffle). The hot-key list is bucket-count-
+    // sized → broadcast; the payload side joins it map-side, so sets
+    // cross the wire only for buckets that can produce a pair (sf10:
+    // 8M → 2M band rows). The sig recompute in the slim pass is a narrow
+    // scan over the checkpointed shingles — cheaper than checkpointing
+    // the 16×-exploded payload rows. At 100 TB the hot-key list grows
+    // with corpus templates; if it outgrows broadcast, drop the hint and
+    // AQE plans the same filter as a shuffle join.
+    val slimBands = sh
+      .select(minhashSignature(col("h0")).as("sig"))
+      .select(explode(bandKeys(col("sig"))).as("b"))
+      .select(col("b.bid").as("bid"), col("b.bkey").as("bkey"))
+    val hot = slimBands.groupBy("bid", "bkey")
+      .agg(count(lit(1)).as("pop")).where(col("pop") >= 2)
+      .select(col("bid"), col("bkey"))
     val bands = sh
-      .select(col("doc_id"), minhashSignature(col("h0")).as("sig"))
-      .select(col("doc_id"), explode(bandKeys(col("sig"))).as("b"))
-      .select(col("doc_id"), col("b.bid"), col("b.bkey"))
-    val candBands = bands.as("x")
-      .join(bands.as("y"),
-        col("x.bid") === col("y.bid") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-    // sampled-shingle inverted index (h mod sampleMod = 0, df ≤ maxDf);
-    // all three joins key on h, so one hash partitioning serves the chain
+      .select(col("doc_id"), minhashSignature(col("h0")).as("sig"),
+        array_sort(array_distinct(col("h0"))).as("hh"))
+      .select(col("doc_id"), col("hh"), explode(bandKeys(col("sig"))).as("b"))
+      .select(col("b.bid").as("bid"), col("b.bkey").as("bkey"),
+        col("doc_id"), col("hh"))
+      .join(broadcast(hot), Seq("bid", "bkey"))
+      .select(col("bid"), col("bkey"), col("doc_id"), col("hh"))
+      .as[(Int, String, Long, Array[Long])]
+    val candBands = bands
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (_: (Int, String), it: Iterator[(Int, String, Long, Array[Long])]) =>
+        val ds = it.toArray.sortBy(_._3)
+        val out = Seq.newBuilder[(Long, Long, Long, Long, Long)]
+        var j = 1
+        while (j < ds.length) {
+          val h2 = ds(j)._4
+          var i = 0
+          while (i < j) {
+            val h1 = ds(i)._4
+            var a = 0; var b = 0; var c = 0L
+            while (a < h1.length && b < h2.length) {
+              if (h1(a) == h2(b)) { c += 1; a += 1; b += 1 }
+              else if (h1(a) < h2(b)) a += 1 else b += 1
+            }
+            if (math.max(c.toDouble / h1.length, c.toDouble / h2.length) >= threshold)
+              out += ((ds(i)._3, ds(j)._3, c, h1.length.toLong, h2.length.toLong))
+            i += 1
+          }
+          j += 1
+        }
+        out.result().iterator
+      }
+      .toDF("d1", "d2", "ix", "n1", "n2")
+    // sampled-shingle inverted index (h mod sampleMod = 0, df ≤ maxDf):
+    // the asymmetric-recall arm. Its pair volume is tiny (df-capped), so
+    // it keeps the verify-JOIN form; both arms emit the same verified
+    // (d1, d2, ix, n1, n2) shape.
     val smp = sh.select(col("doc_id"), explode(col("h0")).as("h"))
       .where(pmod(col("h"), lit(sampleMod.toLong)) === 0)
     val dfok = smp.groupBy("h").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf).select("h")
     val smpf = smp.join(dfok, "h")
+    val sets = sh.select(col("doc_id"),
+      array_sort(array_distinct(col("h0"))).as("hh"))
     val candSampled = smpf.as("x")
       .join(smpf.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-    val cand = candBands.union(candSampled).distinct()
-    val sets = sh.select(col("doc_id"),
-      array_sort(array_distinct(col("h0"))).as("hh"))
-    cand
+      .distinct()
       .join(sets.select(col("doc_id").as("d1"), col("hh").as("h1")), "d1")
       .join(sets.select(col("doc_id").as("d2"), col("hh").as("h2")), "d2")
       .select(col("d1"), col("d2"),
         graft.functions.VectorExpressions.sortedIntersectCount(col("h1"), col("h2")).as("ix"),
         size(col("h1")).cast("long").as("n1"), size(col("h2")).cast("long").as("n2"))
+    // Verified pairs carry identical (ix, n1, n2) from either arm, so the
+    // threshold filter runs pre-union and the final distinct collapses
+    // both band multiplicity (a pair verifies once per colliding band)
+    // and band∪sampled overlap — it only ever sees SURVIVORS (~25k at
+    // sf10), never the 41M-pair candidate set the old shape distinct-ed.
+    candBands.union(candSampled)
       .where(greatest(col("ix").cast("double") / col("n1"),
         col("ix").cast("double") / col("n2")) >= threshold)
       .select(col("d1"), col("d2"),
         round(col("ix").cast("double") / col("n1"), 6).as("cont1"),
         round(col("ix").cast("double") / col("n2"), 6).as("cont2"))
+      .distinct()
   }
 
   /** C3 — 60-bit SimHash signatures (narrow, no shuffle at all).

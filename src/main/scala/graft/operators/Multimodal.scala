@@ -317,6 +317,113 @@ object Multimodal {
     }
   }
 
+  /** 64-bit perceptual dHash of a decoded image (C50): grayscale the
+    * pixels, area-average onto a 9×8 grid with EXACT integer arithmetic
+    * (per-cell luminance sum / pixel count — no FP resampler, so the hash
+    * is bit-stable across platforms, the C25 discipline; Graphics2D
+    * bilinear is FP and rendering-hint-dependent), then bit(j·8+i) = 1
+    * iff cell(i+1, j) > cell(i, j). Row-difference hashing is invariant
+    * to uniform brightness/contrast shifts — the property that makes
+    * dHash the standard crawl-pipeline near-dup stage (re-encoded,
+    * slightly filtered copies keep their hash). None for undecodable
+    * payloads or images smaller than the grid.
+    */
+  private[graft] def dhash64(bytes: Array[Byte]): Option[Long] = {
+    val img = try ImageIO.read(new ByteArrayInputStream(bytes))
+    catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null || img.getWidth < 9 || img.getHeight < 8) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val sums = Array.ofDim[Long](8, 9)
+      val cnts = Array.ofDim[Long](8, 9)
+      var y = 0
+      while (y < h) {
+        val gy = (y * 8) / h
+        var x = 0
+        while (x < w) {
+          val gx = (x * 9) / w
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          sums(gy)(gx) += lum
+          cnts(gy)(gx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var hash = 0L
+      var j = 0
+      while (j < 8) {
+        var i = 0
+        while (i < 8) {
+          val a = sums(j)(i) / cnts(j)(i)
+          val b = sums(j)(i + 1) / cnts(j)(i + 1)
+          if (b > a) hash |= 1L << (j * 8 + i)
+          i += 1
+        }
+        j += 1
+      }
+      Some(hash)
+    }
+  }
+
+  /** C50 — q_image_dedup: perceptual near-dup pairs over the DECODED
+    * image payloads — the modality-level stage the text/embedding dedup
+    * family (C1–C5, C24) can't see (two crops/re-encodes of one image
+    * share no bytes, no text, and need no embedding model). Output: one
+    * row per image pair with Hamming(dhash) ≤ maxHamming, plus the
+    * distance.
+    *
+    * Scale shape — banded, never all-pairs (the C3 simhash device): the
+    * 64-bit hash splits into maxHamming+1 disjoint bands; by pigeonhole,
+    * any pair within the distance budget agrees EXACTLY on ≥1 band, so
+    * the band self-join is lossless for the declared threshold (recall
+    * 1.0 — not probabilistic like MinHash banding). Hashing is one
+    * batched narrow pass over the media ([[extractFeatures]]'s contract);
+    * the join shuffles (band, 16-bit key, doc_id, hash) rows only —
+    * payload bytes never cross the wire; verification is one codegen'd
+    * bit_count on the pair. Bucket skew = images sharing a band value;
+    * a pathological constant-image corpus collapses into one bucket,
+    * which is real duplication — the pairs ARE the answer there.
+    *
+    * No SQL oracle by design (C12/C34 precedent: DuckDB cannot decode
+    * PNGs) → rows-only + DeadCodeGuard waiver; MultimodalSpec pins
+    * planted near-identical pairs found, distinct images unpaired, and
+    * the banding's losslessness on a brute-force slice.
+    */
+  def imageDedup(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    require(0 <= maxHamming && maxHamming <= 7,
+      s"band scheme covers hamming 0..7 losslessly; got $maxHamming")
+    val nBands = maxHamming + 1
+    val width = 64 / nBands // ≥ 8 bits per band
+    val hashes = mediaTable(spark, dir)
+      .filter(col("kind") === "image")
+      .mapPartitions { it =>
+        it.grouped(64).flatMap { batch =>
+          ImageIO.setUseCache(false)
+          batch.iterator.flatMap(m => dhash64(m.media).map(h => (m.doc_id, h)))
+        }
+      }
+      .toDF("doc_id", "dhash")
+    val bands = hashes.select(col("doc_id"), col("dhash"),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("bid"),
+          shiftrightunsigned(col("dhash"), b * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("bkey"))
+      }: _*)).as("b"))
+      .select(col("doc_id"), col("dhash"), col("b.bid"), col("b.bkey"))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.bid") === col("y.bid") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Frame sampling: emit n evenly-spaced "frames" (byte slices) per media
     * row — the video-frame-sample shape (explode with controlled fan-out).
     */

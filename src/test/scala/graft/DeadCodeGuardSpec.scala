@@ -83,11 +83,14 @@ class DeadCodeGuardSpec extends GraftSuite {
     // decoder — MultimodalSpec pins decoded pixel/sample values and
     // bit-stability); q_ann_refined (per-cell Lloyd-refined codebooks are
     // FP-accumulation-ordered — AnnIndexSpec pins equality with the
-    // served ivfpq_res_refined layout); anything else without an oracle
-    // is an unverified ship
+    // served ivfpq_res_refined layout); q_image_dedup (same DuckDB-has-no-
+    // PNG-decoder ground as q_multimodal_features — MultimodalSpec pins
+    // planted near-dup pairs found, distinct images unpaired, and band
+    // losslessness vs a brute-force slice); anything else without an
+    // oracle is an unverified ship
     val waived = Set("q_approx_stats", "q_compression_ratio",
       "q_bpe_train", "q_bpe_tokenize",
-      "q_multimodal_features", "q_ann_refined")
+      "q_multimodal_features", "q_ann_refined", "q_image_dedup")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- waived
     assert(noOracle.isEmpty, s"queries without a DuckDB oracle: $noOracle")
   }

@@ -139,6 +139,72 @@ class IoSpec extends GraftSuite {
     }
   }
 
+  test("cpuFanOut fans an under-split scan to core count and leaves parallel frames alone") {
+    val docs = graft.io.Tables.load(spark, sf, "documents") // raw, un-fanned
+    val cores = spark.sparkContext.defaultParallelism
+    assert(docs.rdd.getNumPartitions < cores,
+      "precondition: the artifact is a single-row-group file")
+    val fanned = graft.io.Tables.cpuFanOut(docs)
+    assert(fanned.rdd.getNumPartitions == cores,
+      "under-split input must fan out to one partition per core")
+    // already-parallel input: the fan-out must be a no-op (same plan)
+    val wide = docs.repartition(cores * 2)
+    assert(graft.io.Tables.cpuFanOut(wide) eq wide,
+      "an input with enough partitions must pass through untouched")
+    // values unchanged
+    assert(fanned.count() == docs.count())
+  }
+
+  test("jsonl compressed round-trip: gzip and bzip2 are lossless; a mixed dir reads transparently") {
+    import spark.implicits._
+    val rows = Seq((1L, "plain", Some(1)), (2L, "café 中文", None),
+      (3L, "quo\"te\nline", Some(-3)))
+    val df = rows.toDF("id", "text", "n")
+    val base = tmp("jsonl-codec")
+    for (codec <- Seq("gzip", "bzip2")) {
+      val dir = s"$base/$codec"
+      graft.io.JsonLines.write(df, dir, codec)
+      val ext = if (codec == "gzip") ".gz" else ".bz2"
+      assert(new java.io.File(dir).listFiles().exists(_.getName.endsWith(ext)),
+        s"$codec files must carry the extension the reader's codec sniff needs")
+      val back = graft.io.JsonLines.read(spark, dir, df.schema, strict = true)
+      assert(back.collect().map(_.toString).sorted
+        .sameElements(df.collect().map(_.toString).sorted), s"$codec round-trip lost data")
+    }
+    // a landing zone can mix plain and compressed members in one directory
+    // (the gzip write may split rows over several part files — copy all)
+    graft.io.JsonLines.write(df.where(col("id") === 1), s"$base/mixed")
+    new java.io.File(s"$base/gzip").listFiles()
+      .filter(_.getName.endsWith(".gz")).zipWithIndex.foreach { case (gz, i) =>
+        java.nio.file.Files.copy(gz.toPath,
+          java.nio.file.Paths.get(s"$base/mixed", s"extra$i.json.gz"))
+      }
+    val mixed = graft.io.JsonLines.read(spark, s"$base/mixed", df.schema)
+    assert(mixed.count() == 1 + rows.length, "plain + .gz members must both parse")
+    intercept[IllegalArgumentException] {
+      graft.io.JsonLines.write(df, s"$base/typo", "gzp")
+    }
+  }
+
+  test("jsonl compressed corrupt line quarantines exactly like the plain path") {
+    import spark.implicits._
+    val dir = tmp("jsonl-codec-bad")
+    val df = Seq((1L, "ok")).toDF("id", "text")
+    graft.io.JsonLines.write(df, dir + "/t", "gzip")
+    // a corrupt LINE inside a valid gzip member: row-level quarantine
+    val bad = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bad)
+    gz.write("{broken json line\n".getBytes("UTF-8")); gz.close()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "t", "part-bad.json.gz"), bad.toByteArray)
+    val permissive = graft.io.JsonLines.read(spark, dir + "/t", df.schema)
+    assert(permissive.count() == 2 && permissive.where(col("id").isNull).count() == 1,
+      "PERMISSIVE must quarantine the in-line corruption inside the gzip member")
+    intercept[Exception] {
+      graft.io.JsonLines.read(spark, dir + "/t", df.schema, strict = true).count()
+    }
+  }
+
   test("roundtripDocs digests match the parquet source (losslessness, the oracle's check)") {
     val got = graft.io.JsonLines.roundtripDocs(spark, sf)
       .orderBy("doc_id").collect().map(_.toString)

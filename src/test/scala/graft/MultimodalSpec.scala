@@ -130,6 +130,47 @@ class MultimodalSpec extends GraftSuite {
       .forall { case (a, b) => a.media.sameElements(b.media) })
   }
 
+  test("dhash64: deterministic, brightness-shift-invariant, distinct for distinct images") {
+    val a = Multimodal.dhash64(Multimodal.pngBytes(7, 40, 30))
+    assert(a.isDefined && a == Multimodal.dhash64(Multimodal.pngBytes(7, 40, 30)),
+      "same image -> same hash")
+    // +256 wraps the base gradient offset exactly: the pixel grid is
+    // IDENTICAL, so the hash must be too (the planted exact near-dup)
+    assert(a == Multimodal.dhash64(Multimodal.pngBytes(7 + 256, 40, 30)))
+    // a genuinely different gradient phase should move some row-difference
+    // bits (wrap boundaries shift)
+    val b = Multimodal.dhash64(Multimodal.pngBytes(100, 40, 30))
+    assert(a != b, "distinct images must not collide on the full hash")
+    // too small for the 9x8 grid -> None, not garbage
+    assert(Multimodal.dhash64(Multimodal.pngBytes(1, 8, 7)).isEmpty)
+    assert(Multimodal.dhash64(Array[Byte](1, 2, 3)).isEmpty, "non-image -> None")
+  }
+
+  test("q_image_dedup: planted near-identical pairs found; banding is lossless vs brute force") {
+    val out = Multimodal.imageDedup(spark, sf, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.forall(_._3 <= 3), "every pair within the declared budget")
+    assert(out.forall(p => p._1 < p._2), "canonical orientation")
+    assert(out.length == out.distinct.length, "no duplicate pairs")
+    // brute-force reference over ALL image hashes: banding must find
+    // exactly the pairs with hamming <= 3 (pigeonhole losslessness)
+    import spark.implicits._
+    val hashes = Multimodal.mediaTable(spark, sf)
+      .filter(_.kind == "image").collect()
+      .flatMap(m => Multimodal.dhash64(m.media).map(h => (m.doc_id, h)))
+    val brute = (for {
+      i <- hashes.indices; j <- (i + 1) until hashes.length
+      hd = java.lang.Long.bitCount(hashes(i)._2 ^ hashes(j)._2)
+      if hd <= 3
+    } yield {
+      val (a, b) = (hashes(i), hashes(j))
+      if (a._1 < b._1) (a._1, b._1, hd.toLong) else (b._1, a._1, hd.toLong)
+    }).toSet
+    assert(out.toSet == brute,
+      s"banding missed or invented pairs: got ${out.length}, brute ${brute.size}")
+    assert(brute.nonEmpty, "non-vacuous: the gradient corpus plants near-dups")
+  }
+
   test("frame sampling fans out n slices covering the payload") {
     val frames = Multimodal.sampleFrames(Multimodal.mediaTable(spark, sf), n = 4)
     val perDoc = frames.groupBy("doc_id").count().where(col("count") =!= 4).count()

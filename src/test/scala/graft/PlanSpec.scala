@@ -10,11 +10,29 @@ class PlanSpec extends GraftSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.explainString(FormattedMode)
 
-  /** count shuffle exchanges via the detail headers "(n) Exchange" only —
-    * each operator appears twice in formatted mode (tree + detail).
+  /** count DATA-DEPENDENT shuffle exchanges via the detail headers
+    * "(n) Exchange" (each operator appears twice in formatted mode —
+    * tree + detail), excluding the bounded RoundRobin input fan-outs
+    * Tables.cpuFanOut inserts when the artifact under-splits (single-
+    * row-group documents/embeddings). The fan-out is self-disabling on
+    * properly-split inputs, so the design claims these pins protect
+    * ("zero-shuffle", "one exchange") are about shuffles the OPERATOR
+    * requires — keyed repartitions for joins/aggs/windows — which the
+    * RoundRobin fan-out is not.
     */
-  private def shuffles(p: String): Int =
-    p.linesIterator.count(_.matches("""^\(\d+\) Exchange\s*$"""))
+  private def shuffles(p: String): Int = {
+    val headers = p.linesIterator.zipWithIndex.collect {
+      case (l, i) if l.matches("""^\(\d+\) Exchange\s*$""") =>
+        l.trim.takeWhile(_ != ')').drop(1)
+    }.toSeq
+    // detail section: "(n) Exchange" header followed by "Arguments: ..."
+    val lines = p.linesIterator.toVector
+    headers.count { n =>
+      val idx = lines.indexWhere(_.startsWith(s"($n) Exchange"))
+      val args = lines.drop(idx).find(_.trim.startsWith("Arguments:")).getOrElse("")
+      !args.contains("RoundRobinPartitioning")
+    }
+  }
 
   test("q_agg_groupby pushes the date filter into the parquet scan") {
     val p = plan("q_agg_groupby")
