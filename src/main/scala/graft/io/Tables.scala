@@ -34,6 +34,45 @@ object Tables {
     if (df.rdd.getNumPartitions >= cores) df else df.repartition(cores)
   }
 
+  /** Below this input size the fan-out hurts: a RoundRobin exchange costs
+    * a fixed ~100 ms (extra stage, sort-before-repartition, 32-task
+    * scheduling) while the single-task scan CPU scales with bytes — at
+    * the measured ~4 MB/s tokenize+shingle+hash throughput, 4 MB is the
+    * break-even neighbourhood (measured: un-gated fan-out added ~8 s
+    * across the 600 KB-corpus sf0.1 suite while saving hundreds of
+    * seconds at sf10's 62 MB).
+    */
+  val MinFanOutBytes: Long = 4L << 20
+
+  /** Memoized fan-out decision per (table path, core count): probing the
+    * scan's partition count (`df.rdd.getNumPartitions`) plans the physical
+    * scan — ~100 ms of driver work that, paid on EVERY Tables.documents
+    * call (most queries make 2–4), added ~0.3–0.5 s to nearly every
+    * corpus query at sf0.1 (measured: suite 70.6 → 101 s). The artifact's
+    * layout is immutable within a session, so the probe result is cached
+    * by path; the repartition itself stays lazy per plan.
+    */
+  private val fanOutNeeded = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def cpuFanOutCached(df: DataFrame, path: String): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val need = fanOutNeeded.computeIfAbsent(s"$path@$cores", _ =>
+      java.lang.Boolean.valueOf(
+        pathBytes(df.sparkSession, path) >= MinFanOutBytes &&
+          df.rdd.getNumPartitions < cores))
+    if (need) df.repartition(cores) else df
+  }
+
+  /** Total bytes under a table path (file or directory of parts) — one
+    * driver-side FS stat, no job.
+    */
+  private def pathBytes(s: SparkSession, path: String): Long =
+    scala.util.Try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(p).getLength
+    }.getOrElse(Long.MaxValue) // unknown size: err on the fan-out side
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
@@ -112,7 +151,7 @@ object Tables {
     * and their queries are shuffle-dominated, not scan-CPU-bound.
     */
   def documents(s: SparkSession, d: String): DataFrame =
-    cpuFanOut(load(s, d, "documents"))
+    cpuFanOutCached(load(s, d, "documents"), s"$d/documents.parquet")
   def embeddings(s: SparkSession, d: String): DataFrame =
-    cpuFanOut(load(s, d, "embeddings"))
+    cpuFanOutCached(load(s, d, "embeddings"), s"$d/embeddings.parquet")
 }
