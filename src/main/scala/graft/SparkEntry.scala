@@ -235,8 +235,9 @@ object SparkEntry {
     // q_compression_ratio: deflate-ratio boilerplate signal — rows-only
     // (codec output is JVM-specific; spec pins ordering + determinism)
     "q_compression_ratio"  -> ((s, d) => Quality.compressionRatio(s, d)),
-    // q_image_dedup: perceptual dHash near-dup pairs over DECODED image
-    // payloads — lossless (maxHamming+1)-band blocking, bit_count verify
+    // q_image_dedup: perceptual dHash keep/drop verdicts over DECODED
+    // image payloads — lossless (maxHamming+1)-band blocking, per-bucket
+    // short-circuit smaller-id probe; one row per image
     "q_image_dedup"        -> ((s, d) => Multimodal.imageDedup(s, d)),
     // q_multimodal_features: per-kind media summary over the deterministic
     // PNG/WAV corpus — real codec decode, integer checksums — rows-only

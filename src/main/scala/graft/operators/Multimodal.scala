@@ -367,29 +367,34 @@ object Multimodal {
     }
   }
 
-  /** C50 — q_image_dedup: perceptual near-dup pairs over the DECODED
+  /** C50 — q_image_dedup: perceptual near-dup VERDICTS over the DECODED
     * image payloads — the modality-level stage the text/embedding dedup
     * family (C1–C5, C24) can't see (two crops/re-encodes of one image
     * share no bytes, no text, and need no embedding model). Output: one
-    * row per image pair with Hamming(dhash) ≤ maxHamming, plus the
-    * distance.
+    * row per image — (doc_id, dhash, keep), keep = no image with a
+    * SMALLER doc_id within maxHamming bits (the C24 semDedup
+    * smallest-id-representative rule). A verdict, not a pair list: on a
+    * duplication-heavy corpus near-dup pairs are quadratic in cluster
+    * size (sf1: 374k pairs from 25k images) while the keep column is the
+    * thing a curation pipeline actually consumes, and it stays LINEAR in
+    * the corpus at any duplication level.
     *
     * Scale shape — banded, never all-pairs (the C3 simhash device): the
     * 64-bit hash splits into maxHamming+1 disjoint bands; by pigeonhole,
-    * any pair within the distance budget agrees EXACTLY on ≥1 band, so
-    * the band self-join is lossless for the declared threshold (recall
-    * 1.0 — not probabilistic like MinHash banding). Hashing is one
-    * batched narrow pass over the media ([[extractFeatures]]'s contract);
-    * the join shuffles (band, 16-bit key, doc_id, hash) rows only —
-    * payload bytes never cross the wire; verification is one codegen'd
-    * bit_count on the pair. Bucket skew = images sharing a band value;
-    * a pathological constant-image corpus collapses into one bucket,
-    * which is real duplication — the pairs ARE the answer there.
+    * any pair within the distance budget agrees EXACTLY on ≥1 band
+    * (recall 1.0 — not probabilistic like MinHash banding), so a kill
+    * verdict only needs in-bucket evidence. Hashing is one batched
+    * narrow pass over the media ([[extractFeatures]]'s contract); buckets
+    * shuffle (band, key, id, hash) rows only — payload bytes never cross
+    * the wire; each bucket scans its id-sorted members with a
+    * SHORT-CIRCUIT smaller-id probe (an identical-hash cluster of size n
+    * costs O(n), not O(n²) — everything but the minimum dies on its
+    * first comparison); per-bucket verdicts AND-fold per image.
     *
     * No SQL oracle by design (C12/C34 precedent: DuckDB cannot decode
-    * PNGs) → rows-only + DeadCodeGuard waiver; MultimodalSpec pins
-    * planted near-identical pairs found, distinct images unpaired, and
-    * the banding's losslessness on a brute-force slice.
+    * PNGs) → rows-only + DeadCodeGuard waiver; MultimodalSpec pins the
+    * verdict column set-equal to a driver brute-force reference and the
+    * planted-near-dup/distinct-image behavior of the hash.
     */
   def imageDedup(spark: SparkSession, dir: String,
       maxHamming: Int = 3): DataFrame = {
@@ -414,14 +419,26 @@ object Multimodal {
             .bitwiseAND(lit((1L << width) - 1)).as("bkey"))
       }: _*)).as("b"))
       .select(col("doc_id"), col("dhash"), col("b.bid"), col("b.bkey"))
-    bands.as("x")
-      .join(bands.as("y"),
-        col("x.bid") === col("y.bid") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).cast("long").as("hamming"))
-      .where(col("hamming") <= maxHamming)
-      .distinct()
+      .as[(Long, Long, Int, Long)]
+    bands
+      .groupByKey(r => (r._3, r._4))
+      .flatMapGroups { (_: (Int, Long), it: Iterator[(Long, Long, Int, Long)]) =>
+        val ms = it.toArray.sortBy(_._1)
+        ms.indices.iterator.map { j =>
+          var killed = false
+          var i = 0
+          while (!killed && i < j) {
+            if (java.lang.Long.bitCount(ms(i)._2 ^ ms(j)._2) <= maxHamming)
+              killed = true
+            i += 1
+          }
+          (ms(j)._1, ms(j)._2, !killed)
+        }
+      }
+      .toDF("doc_id", "dhash", "keepb")
+      .groupBy(col("doc_id"), col("dhash"))
+      .agg(min(when(col("keepb"), 1L).otherwise(0L)).as("k"))
+      .select(col("doc_id"), col("dhash"), (col("k") === 1L).as("keep"))
   }
 
   /** Frame sampling: emit n evenly-spaced "frames" (byte slices) per media

@@ -146,29 +146,27 @@ class MultimodalSpec extends GraftSuite {
     assert(Multimodal.dhash64(Array[Byte](1, 2, 3)).isEmpty, "non-image -> None")
   }
 
-  test("q_image_dedup: planted near-identical pairs found; banding is lossless vs brute force") {
+  test("q_image_dedup: verdicts equal the brute-force smallest-id rule; banding is lossless") {
     val out = Multimodal.imageDedup(spark, sf, maxHamming = 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(out.forall(_._3 <= 3), "every pair within the declared budget")
-    assert(out.forall(p => p._1 < p._2), "canonical orientation")
-    assert(out.length == out.distinct.length, "no duplicate pairs")
-    // brute-force reference over ALL image hashes: banding must find
-    // exactly the pairs with hamming <= 3 (pigeonhole losslessness)
-    import spark.implicits._
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // brute-force reference over ALL image hashes: keep(d) iff no image
+    // with a smaller id sits within hamming 3 (pigeonhole losslessness of
+    // the banding means the distributed verdict must agree exactly)
     val hashes = Multimodal.mediaTable(spark, sf)
       .filter(_.kind == "image").collect()
       .flatMap(m => Multimodal.dhash64(m.media).map(h => (m.doc_id, h)))
-    val brute = (for {
-      i <- hashes.indices; j <- (i + 1) until hashes.length
-      hd = java.lang.Long.bitCount(hashes(i)._2 ^ hashes(j)._2)
-      if hd <= 3
-    } yield {
-      val (a, b) = (hashes(i), hashes(j))
-      if (a._1 < b._1) (a._1, b._1, hd.toLong) else (b._1, a._1, hd.toLong)
-    }).toSet
+      .sortBy(_._1)
+    val brute = hashes.zipWithIndex.map { case ((d, h), j) =>
+      val killed = hashes.take(j).exists { case (_, h2) =>
+        java.lang.Long.bitCount(h ^ h2) <= 3
+      }
+      (d, h, !killed)
+    }.toSet
+    assert(out.length == hashes.length, "one verdict per decodable image")
     assert(out.toSet == brute,
-      s"banding missed or invented pairs: got ${out.length}, brute ${brute.size}")
-    assert(brute.nonEmpty, "non-vacuous: the gradient corpus plants near-dups")
+      s"verdicts diverge from brute force (got ${out.count(!_._3)} kills, brute ${brute.count(!_._3)})")
+    assert(out.exists(!_._3), "non-vacuous: the gradient corpus plants near-dups")
+    assert(out.exists(_._3), "non-vacuous: representatives survive")
   }
 
   test("frame sampling fans out n slices covering the payload") {
