@@ -69,36 +69,70 @@ object Dedup {
     * .Curation.curatePipeline]] runs it over the quality-gate survivors.
     */
   private[graft] def minhashLshOf(docs: DataFrame, threshold: Double): DataFrame = {
-    // localCheckpoint, NOT cache(): the shingle table feeds three subtrees
-    // (bands + both verify joins) so it must materialize once, but cache()
-    // registers the corpus-sized plan with the session CacheManager where
-    // it stays pinned until an explicit unpersist that no caller can issue
-    // (the result is a lazy DataFrame). Checkpoint blocks are GC-released
-    // with the plan — nothing outlives the query in a shared session.
-    // Lazy (eager = false) so merely CONSTRUCTING the DataFrame (explain,
-    // plan tests) costs nothing; the shingle job runs at first action.
-    // Caveat either way: checkpoint blocks are not fault-tolerant — on
-    // executor loss or dynamic-allocation downscale the query fails rather
-    // than recomputes, so run these operators with shrink-protection off.
+    // localCheckpoint, NOT cache(): the shingle table must materialize
+    // once for the band derivation, but cache() registers the corpus-sized
+    // plan with the session CacheManager where it stays pinned until an
+    // explicit unpersist that no caller can issue (the result is a lazy
+    // DataFrame). Checkpoint blocks are GC-released with the plan —
+    // nothing outlives the query in a shared session. Lazy (eager = false)
+    // so merely CONSTRUCTING the DataFrame (explain, plan tests) costs
+    // nothing; the shingle job runs at first action. Caveat either way:
+    // checkpoint blocks are not fault-tolerant — on executor loss or
+    // dynamic-allocation downscale the query fails rather than recomputes,
+    // so run these operators with shrink-protection off.
     val sh = shingleHashedOf(docs).localCheckpoint(false)
+    val spark = docs.sparkSession
+    import spark.implicits._
     // materialize the signature BEFORE fanning out band keys: inlining the
     // sig expression into the 32 element refs of the explode would evaluate
-    // it 32× per row (measured 27 s vs 2 s at sf0.1)
+    // it 32× per row (measured 27 s vs 2 s at sf0.1).
+    //
+    // IN-BUCKET verification (the C2b r16 device, same rationale): on a
+    // template-heavy corpus the band join emits tens of millions of pair
+    // occurrences with a ~0.1% survival rate, so the former shape (slim
+    // pairs → distinct → two array-carrying verify joins) moved tens of
+    // GB to verify almost nothing. Each band row carries the sorted
+    // shingle set once (16 copies per doc, independent of pair count);
+    // each (bid, bkey) bucket walks its id-sorted members in place and
+    // emits only threshold survivors; the final distinct sees survivors
+    // only (a pair verifies once per colliding band). Same candidates,
+    // same exact-jaccard verification, same output — a pure
+    // execution-shape change the oracle doesn't see.
     val bands = sh
-      .select(col("doc_id"), minhashSignature(col("h0")).as("sig"))
-      .select(col("doc_id"), explode(bandKeys(col("sig"))).as("b"))
-      .select(col("doc_id"), col("b.bid"), col("b.bkey"))
-    val cand = bands.as("x")
-      .join(bands.as("y"),
-        col("x.bid") === col("y.bid") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .select(col("doc_id"), minhashSignature(col("h0")).as("sig"),
+        array_sort(array_distinct(col("h0"))).as("hh"))
+      .select(col("doc_id"), col("hh"), explode(bandKeys(col("sig"))).as("b"))
+      .select(col("b.bid"), col("b.bkey"), col("doc_id"), col("hh"))
+      .as[(Int, String, Long, Array[Long])]
+    bands
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (_: (Int, String), it: Iterator[(Int, String, Long, Array[Long])]) =>
+        val ds = it.toArray.sortBy(_._3)
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        var j = 1
+        while (j < ds.length) {
+          val h2 = ds(j)._4
+          var i = 0
+          while (i < j) {
+            val h1 = ds(i)._4
+            var a = 0; var b = 0; var c = 0
+            while (a < h1.length && b < h2.length) {
+              if (h1(a) == h2(b)) { c += 1; a += 1; b += 1 }
+              else if (h1(a) < h2(b)) a += 1 else b += 1
+            }
+            val union = h1.length + h2.length - c
+            val jac = if (union == 0) 0.0 else c.toDouble / union
+            if (jac >= threshold)
+              out += ((ds(i)._3, ds(j)._3,
+                BigDecimal(jac).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+            i += 1
+          }
+          j += 1
+        }
+        out.result().iterator
+      }
+      .toDF("d1", "d2", "jac")
       .distinct()
-    cand
-      .join(sh.select(col("doc_id").as("d1"), col("h0").as("h1")), "d1")
-      .join(sh.select(col("doc_id").as("d2"), col("h0").as("h2")), "d2")
-      .select(col("d1"), col("d2"), round(jaccard(col("h1"), col("h2")), 6).as("jac"))
-      .where(col("jac") >= threshold)
   }
 
   /** C2c — INCREMENTAL MinHash dedup: dedup an incoming batch against the
