@@ -239,6 +239,9 @@ object SparkEntry {
     // image payloads — lossless (maxHamming+1)-band blocking, per-bucket
     // short-circuit smaller-id probe; one row per image
     "q_image_dedup"        -> ((s, d) => Multimodal.imageDedup(s, d)),
+    // q_audio_dedup: perceptual energy-envelope hash verdicts over DECODED
+    // PCM audio — imageDedup's mechanics on the other real decoder
+    "q_audio_dedup"        -> ((s, d) => Multimodal.audioDedup(s, d)),
     // q_multimodal_features: per-kind media summary over the deterministic
     // PNG/WAV corpus — real codec decode, integer checksums — rows-only
     // (DuckDB has no media decoder; spec pins pixel/sample values)

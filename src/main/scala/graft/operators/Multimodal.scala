@@ -441,6 +441,89 @@ object Multimodal {
       .select(col("doc_id"), col("dhash"), (col("k") === 1L).as("keep"))
   }
 
+  /** 64-bit perceptual hash of a PCM audio payload (C50b): the audio twin
+    * of [[dhash64]]. Samples split into 65 equal windows; per-window
+    * energy = Σ|sample| (exact integer — no FFT, no floats); bit(i) = 1
+    * iff energy(i+1)·n(i) > energy(i)·n(i+1) (cross-multiplied mean
+    * comparison — exact, no division). Difference coding over the energy
+    * ENVELOPE is loudness-scale-invariant (a re-encoded/volume-shifted
+    * copy keeps its hash) — the property that makes envelope hashing the
+    * standard audio near-dup stage. None for non-PCM payloads or clips
+    * shorter than 65 samples.
+    */
+  private[graft] def audioHash64(bytes: Array[Byte]): Option[Long] =
+    parsePcm16(bytes).filter(_.length >= 65).map { samples =>
+      val n = samples.length
+      val e = new Array[Long](65)
+      val c = new Array[Long](65)
+      var i = 0
+      while (i < n) {
+        val w = ((i.toLong * 65) / n).toInt
+        e(w) += math.abs(samples(i).toLong)
+        c(w) += 1
+        i += 1
+      }
+      var hash = 0L
+      var k = 0
+      while (k < 64) {
+        if (e(k + 1) * c(k) > e(k) * c(k + 1)) hash |= 1L << k
+        k += 1
+      }
+      hash
+    }
+
+  /** C50b — q_audio_dedup: perceptual near-dup verdicts over the DECODED
+    * audio payloads — [[imageDedup]]'s shape on the other real decoder:
+    * one (doc_id, ahash, keep) row per audio clip, keep = no smaller-id
+    * clip within maxHamming bits of the energy-envelope hash. Identical
+    * scale mechanics (lossless pigeonhole banding, in-bucket short-circuit
+    * smaller-id probe, AND-fold) — see [[imageDedup]]; same rows-only
+    * ground (DuckDB has no WAV parser) and brute-force-equality spec.
+    */
+  def audioDedup(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    require(0 <= maxHamming && maxHamming <= 7,
+      s"band scheme covers hamming 0..7 losslessly; got $maxHamming")
+    val nBands = maxHamming + 1
+    val width = 64 / nBands
+    val hashes = mediaTable(spark, dir)
+      .filter(col("kind") === "audio")
+      .mapPartitions { it =>
+        it.grouped(64).flatMap { batch =>
+          batch.iterator.flatMap(m => audioHash64(m.media).map(h => (m.doc_id, h)))
+        }
+      }
+      .toDF("doc_id", "ahash")
+    val bands = hashes.select(col("doc_id"), col("ahash"),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("bid"),
+          shiftrightunsigned(col("ahash"), b * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("bkey"))
+      }: _*)).as("b"))
+      .select(col("b.bid"), col("b.bkey"), col("doc_id"), col("ahash"))
+      .as[(Int, Long, Long, Long)]
+    bands
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (_: (Int, Long), it: Iterator[(Int, Long, Long, Long)]) =>
+        val ms = it.toArray.sortBy(_._3)
+        ms.indices.iterator.map { j =>
+          var killed = false
+          var i = 0
+          while (!killed && i < j) {
+            if (java.lang.Long.bitCount(ms(i)._4 ^ ms(j)._4) <= maxHamming)
+              killed = true
+            i += 1
+          }
+          (ms(j)._3, ms(j)._4, !killed)
+        }
+      }
+      .toDF("doc_id", "ahash", "keepb")
+      .groupBy(col("doc_id"), col("ahash"))
+      .agg(min(when(col("keepb"), 1L).otherwise(0L)).as("k"))
+      .select(col("doc_id"), col("ahash"), (col("k") === 1L).as("keep"))
+  }
+
   /** Frame sampling: emit n evenly-spaced "frames" (byte slices) per media
     * row — the video-frame-sample shape (explode with controlled fan-out).
     */

@@ -148,3 +148,25 @@ object ContainmentBucketProbe {
     spark.stop()
   }
 }
+
+/** Dev probe: audio-hash cluster structure at the test SF. */
+object AudioHashProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.Multimodal
+    val hs = Multimodal.mediaTable(spark, dir).filter(_.kind == "audio").collect()
+      .flatMap(m => Multimodal.audioHash64(m.media).map(h => (m.doc_id, h)))
+    println(s"[probe] clips=${hs.length} distinct=${hs.map(_._2).distinct.length}")
+    val kills = hs.sortBy(_._1).zipWithIndex.count { case ((d, h), j) =>
+      hs.sortBy(_._1).take(j).exists(p => java.lang.Long.bitCount(p._2 ^ h) <= 3)
+    }
+    println(s"[probe] kills(hd<=3)=$kills")
+    val out = Multimodal.audioDedup(spark, dir).collect()
+    println(s"[probe] verdict rows=${out.length} kills=${out.count(!_.getBoolean(2))}")
+    spark.stop()
+  }
+}

@@ -90,7 +90,8 @@ class DeadCodeGuardSpec extends GraftSuite {
     // oracle is an unverified ship
     val waived = Set("q_approx_stats", "q_compression_ratio",
       "q_bpe_train", "q_bpe_tokenize",
-      "q_multimodal_features", "q_ann_refined", "q_image_dedup")
+      "q_multimodal_features", "q_ann_refined", "q_image_dedup",
+      "q_audio_dedup") // same no-media-decoder ground as q_image_dedup
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- waived
     assert(noOracle.isEmpty, s"queries without a DuckDB oracle: $noOracle")
   }

@@ -169,6 +169,32 @@ class MultimodalSpec extends GraftSuite {
     assert(out.exists(_._3), "non-vacuous: representatives survive")
   }
 
+  test("audioHash64: deterministic, identical streams collide, non-PCM -> None") {
+    val a = Multimodal.audioHash64(Multimodal.wavBytes(7, 800))
+    assert(a.isDefined && a == Multimodal.audioHash64(Multimodal.wavBytes(7, 800)))
+    // +65536 wraps the sample generator exactly: identical PCM stream
+    assert(a == Multimodal.audioHash64(Multimodal.wavBytes(7 + 65536, 800)))
+    assert(Multimodal.audioHash64(Array[Byte](1, 2, 3)).isEmpty, "non-WAV -> None")
+    assert(Multimodal.audioHash64(Multimodal.wavBytes(1, 32)).isEmpty,
+      "shorter than the 65-window grid -> None")
+  }
+
+  test("q_audio_dedup: verdicts equal the brute-force smallest-id rule") {
+    val out = Multimodal.audioDedup(spark, sf, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val hashes = Multimodal.mediaTable(spark, sf)
+      .filter(_.kind == "audio").collect()
+      .flatMap(m => Multimodal.audioHash64(m.media).map(h => (m.doc_id, h)))
+      .sortBy(_._1)
+    val brute = hashes.zipWithIndex.map { case ((d, h), j) =>
+      (d, h, !hashes.take(j).exists(p => java.lang.Long.bitCount(p._2 ^ h) <= 3))
+    }.toSet
+    assert(out.length == hashes.length, "one verdict per parseable clip")
+    assert(out.toSet == brute, "verdicts diverge from brute force")
+    assert(out.exists(!_._3) && out.exists(_._3),
+      "non-vacuous: the sawtooth corpus clusters heavily but keeps representatives")
+  }
+
   test("frame sampling fans out n slices covering the payload") {
     val frames = Multimodal.sampleFrames(Multimodal.mediaTable(spark, sf), n = 4)
     val perDoc = frames.groupBy("doc_id").count().where(col("count") =!= 4).count()
