@@ -1989,11 +1989,11 @@ object Oracles {
        |             END AS BIGINT)) AS d FROM ks),
        |rows_(chk, value, lo, hi) AS MATERIALIZED (
        |  SELECT 'doc_count', n, $MinDocs, ${Long.MaxValue} FROM a
-       |  UNION ALL SELECT 'null_text_ppm', (nulls * 1000000) // n, 0, $MaxNullTextPpm FROM a
-       |  UNION ALL SELECT 'exact_dup_ppm', ((n - dhash) * 1000000) // n, 0, $MaxExactDupPpm FROM a
-       |  UNION ALL SELECT 'lang_missing_ppm', (nolang * 1000000) // n, 0, $MaxLangMissingPpm FROM a
-       |  UNION ALL SELECT 'mean_tokens_x100', (toks * 100) // n, $MinMeanTokensX100, $MaxMeanTokensX100 FROM a
-       |  UNION ALL SELECT 'nchars_outlier_ppm', (nout * 1000000) // (SELECT n FROM a), 0, $MaxNcharsOutlierPpm FROM outl
+       |  UNION ALL SELECT 'null_text_ppm', (nulls * 1000000) // greatest(n, 1), 0, $MaxNullTextPpm FROM a
+       |  UNION ALL SELECT 'exact_dup_ppm', ((n - dhash) * 1000000) // greatest(n, 1), 0, $MaxExactDupPpm FROM a
+       |  UNION ALL SELECT 'lang_missing_ppm', (nolang * 1000000) // greatest(n, 1), 0, $MaxLangMissingPpm FROM a
+       |  UNION ALL SELECT 'mean_tokens_x100', (toks * 100) // greatest(n, 1), $MinMeanTokensX100, $MaxMeanTokensX100 FROM a
+       |  UNION ALL SELECT 'nchars_outlier_ppm', (nout * 1000000) // (SELECT greatest(n, 1) FROM a), 0, $MaxNcharsOutlierPpm FROM outl
        |  UNION ALL SELECT 'events_drift_ppm', d, 0, $MaxDriftPpm FROM drift)
        |SELECT chk, CAST(value AS BIGINT) AS value, CAST(lo AS BIGINT) AS lo,
        |       CAST(hi AS BIGINT) AS hi, value BETWEEN lo AND hi AS pass

@@ -91,15 +91,15 @@ object Validate {
     one
       .select(explode(array(
         row("doc_count", col("n"), MinDocs, Long.MaxValue),
-        row("null_text_ppm", expr("(nulls * 1000000) div n"),
+        row("null_text_ppm", expr("(nulls * 1000000) div greatest(n, 1L)"),
           0L, MaxNullTextPpm),
-        row("exact_dup_ppm", expr("((n - dhash) * 1000000) div n"),
+        row("exact_dup_ppm", expr("((n - dhash) * 1000000) div greatest(n, 1L)"),
           0L, MaxExactDupPpm),
-        row("lang_missing_ppm", expr("(nolang * 1000000) div n"),
+        row("lang_missing_ppm", expr("(nolang * 1000000) div greatest(n, 1L)"),
           0L, MaxLangMissingPpm),
-        row("mean_tokens_x100", expr("(toks * 100) div n"),
+        row("mean_tokens_x100", expr("(toks * 100) div greatest(n, 1L)"),
           MinMeanTokensX100, MaxMeanTokensX100),
-        row("nchars_outlier_ppm", expr("(nout * 1000000) div n"),
+        row("nchars_outlier_ppm", expr("(nout * 1000000) div greatest(n, 1L)"),
           0L, MaxNcharsOutlierPpm),
         row("events_drift_ppm", col("drift"), 0L, MaxDriftPpm))).as("r"))
       .select(col("r.chk").as("chk"), col("r.value").as("value"),
