@@ -2047,4 +2047,24 @@ object Oracles {
       |SELECT p1, p2, n_orders FROM pc
       |WHERE n_orders >= 2
       |ORDER BY n_orders DESC, p1, p2 LIMIT 50""".stripMargin
+
+  /** C51 q_entity_resolve — the oracle states the SEMANTICS (brand-blocked
+    * quadratic ED ≤ 2 join, min smaller-id match per part); the Spark plan's
+    * PassJoin segment blocking is lossless, so the two must agree exactly.
+    * DuckDB's `levenshtein` is the same classic unit-cost edit distance as
+    * Spark's builtin and the in-bucket DP (FuzzySpec pins all three).
+    */
+  val entityResolve: String =
+    """WITH m AS MATERIALIZED (
+      |  SELECT x.p_partkey AS k, min(y.p_partkey) AS canon
+      |  FROM part x JOIN part y
+      |    ON x.p_brand = y.p_brand AND y.p_partkey < x.p_partkey
+      |  WHERE levenshtein(x.p_name, y.p_name) <= 2
+      |  GROUP BY 1)
+      |SELECT p.p_partkey AS k,
+      |       coalesce(m.canon, p.p_partkey) AS canon,
+      |       CAST(coalesce(levenshtein(p.p_name, c.p_name), -1) AS INTEGER) AS dist
+      |FROM part p
+      |LEFT JOIN m ON m.k = p.p_partkey
+      |LEFT JOIN part c ON c.p_partkey = m.canon""".stripMargin
 }

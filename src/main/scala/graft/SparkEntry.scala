@@ -309,6 +309,9 @@ object SparkEntry {
     // q_copurchase: market-basket frequent part pairs — in-row pair
     // comprehension (never a fact self-join), TakeOrdered top-50
     "q_copurchase"         -> ((s, d) => Analytics.copurchase(s, d)),
+    // q_entity_resolve: edit-distance record linkage — PassJoin segment
+    // blocking (lossless), in-bucket short-circuit min-id verify
+    "q_entity_resolve"     -> ((s, d) => Fuzzy.entityResolve(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same column aliases — the driver
@@ -612,5 +615,6 @@ object SparkEntry {
     "q_drift_ks"        -> Oracles.driftKs,
     "q_validate_release" -> Oracles.validateRelease,
     "q_copurchase"      -> Oracles.copurchase,
+    "q_entity_resolve"  -> Oracles.entityResolve,
   )
 }

@@ -20,6 +20,21 @@ class DedupSpec extends GraftSuite {
     assert(allPairs.nonEmpty)
   }
 
+  test("ngramJaccard bitset path matches the merge-walk path exactly") {
+    import spark.implicits._
+    // This corpus saturates every block's gram universe (~980 distinct
+    // grams ≪ 16× the mean gram count), so the default run takes the
+    // block-local bitset intersection; maxBitsetUniverse=0 forces the
+    // thresholded merge walk. Set equality (ids AND the 6-dp jaccard)
+    // pins that popcount(AND) reproduces the walk's intersection count.
+    val bitset = Dedup.ngramJaccard(spark, sf)
+      .as[(Long, Long, Double)].collect().toSet
+    val walk = Dedup.ngramJaccard(spark, sf, maxBitsetUniverse = 0)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(bitset == walk)
+    assert(bitset.nonEmpty)
+  }
+
   test("ngramTopK caps output at k per doc and keeps each doc's best matches") {
     import spark.implicits._
     val pairs = Dedup.ngramJaccard(spark, sf).as[(Long, Long, Double)].collect()

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Fuzzy
+
+class FuzzySpec extends GraftSuite {
+
+  test("in-bucket levenshtein DP == Spark's builtin on real name pairs") {
+    import spark.implicits._
+    // The verify step runs a JVM DP while the oracle runs DuckDB's builtin;
+    // Spark's builtin is the bridge — pin the DP against it on every
+    // same-brand pair of the sf0.001 part table (the exact pair set the
+    // operator verifies), plus the classic textbook cases.
+    val rows = spark.read.parquet(s"$sf/part.parquet")
+      .select(col("p_partkey").as("k"), col("p_name").as("n"), col("p_brand").as("b"))
+      .as[(Long, String, String)].collect()
+    val samePairs = rows.groupBy(_._3).values.toSeq.flatMap { grp =>
+      for { x <- grp.toSeq; y <- grp.toSeq } yield (x._2, y._2)
+    }
+    val builtin = samePairs.toDF("a", "b")
+      .select(col("a"), col("b"), levenshtein(col("a"), col("b")).as("d"))
+      .as[(String, String, Int)].collect()
+    builtin.foreach { case (a, bn, d) =>
+      assert(Fuzzy.levenshtein(a, bn) == d, s"'$a' vs '$bn'")
+    }
+    assert(builtin.nonEmpty)
+    assert(Fuzzy.levenshtein("kitten", "sitting") == 3)
+    assert(Fuzzy.levenshtein("", "abc") == 3)
+    assert(Fuzzy.levenshtein("flaw", "lawn") == 2)
+  }
+
+  test("segment partition is even, contiguous and total") {
+    for (len <- 0 to 20; k <- 1 to 4) {
+      val bounds = (0 until k).map(i => Fuzzy.segBounds(len, k, i))
+      assert(bounds.head._1 == 0 && bounds.last._2 == len)
+      bounds.sliding(2).foreach {
+        case Seq((_, e), (s, _)) => assert(e == s)
+        case _                   =>
+      }
+      // even split: segment lengths differ by at most 1
+      val lens = bounds.map { case (s, e) => e - s }
+      assert(lens.max - lens.min <= 1)
+    }
+  }
+
+  test("entityResolve == brute-force brand-blocked min-id match") {
+    val parts = spark.read.parquet(s"$sf/part.parquet")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expected = parts.map { case (k, n, b) =>
+      val smaller = parts.filter { case (k2, n2, b2) =>
+        b2 == b && k2 < k && Fuzzy.levenshtein(n, n2) <= 2
+      }
+      if (smaller.isEmpty) (k, k, -1)
+      else {
+        val (ck, cn, _) = smaller.minBy(_._1)
+        (k, ck, Fuzzy.levenshtein(n, cn))
+      }
+    }.toSet
+    val got = Fuzzy.entityResolve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected)
+    // the fixture is non-trivial in both directions
+    assert(expected.exists(_._3 >= 0) && expected.exists(_._3 == -1))
+    assert(expected.exists(t => t._3 > 0), "want at least one non-exact match")
+  }
+}

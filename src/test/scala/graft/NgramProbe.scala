@@ -42,6 +42,8 @@ object NgramProbe {
     // payload-vs-parallelism trade after the int-gram halving)
     val salt = sys.env.get("SPARK_GRAFT_SALT").filter(_.nonEmpty).map(_.toInt)
     time("ngram_jaccard")(Dedup.ngramJaccard(spark, dir, saltOverride = salt))
+    time("ngram_jaccard_walk")(Dedup.ngramJaccard(spark, dir,
+      saltOverride = salt, maxBitsetUniverse = 0))
     time("ngram_topk")(Dedup.ngramTopK(spark, dir))
     spark.stop()
   }
