@@ -2048,6 +2048,42 @@ object Oracles {
       |WHERE n_orders >= 2
       |ORDER BY n_orders DESC, p1, p2 LIMIT 50""".stripMargin
 
+  /** D16 q_merge_upsert — base/changelog split at the E20 midpoint; the
+    * latest changelog row per user wins via (ms, event_id) row_number
+    * (Spark reduces with max(struct(...)) — same total order, event_id is
+    * unique); tombstones (`error`) drop the row on both sides.
+    */
+  val mergeUpsert: String =
+    """WITH ev AS MATERIALIZED (
+      |  SELECT user_id, event_type, event_id, epoch_ms(ts) AS ms FROM events),
+      |mid AS MATERIALIZED (SELECT (min(ms) + max(ms)) // 2 AS mid FROM ev),
+      |b1 AS MATERIALIZED (
+      |  SELECT user_id, event_type, ms,
+      |         count(*) OVER (PARTITION BY user_id) AS n_base,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ms DESC, event_id DESC) AS rn
+      |  FROM ev, mid WHERE ms < mid),
+      |base AS MATERIALIZED (
+      |  SELECT user_id, CAST(n_base AS BIGINT) AS n_base, ms AS b_ms,
+      |         event_type AS b_type
+      |  FROM b1 WHERE rn = 1),
+      |c1 AS MATERIALIZED (
+      |  SELECT user_id, event_type, ms,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ms DESC, event_id DESC) AS rn
+      |  FROM ev, mid WHERE ms >= mid),
+      |chg AS MATERIALIZED (
+      |  SELECT user_id, ms AS c_ms, event_type AS c_type,
+      |         (event_type = 'error') AS del
+      |  FROM c1 WHERE rn = 1)
+      |SELECT coalesce(b.user_id, c.user_id) AS user_id,
+      |       CAST(coalesce(b.n_base, 0) AS BIGINT) AS n_base,
+      |       CASE WHEN c.user_id IS NULL THEN b.b_ms ELSE c.c_ms END AS last_ms,
+      |       CASE WHEN c.user_id IS NULL THEN b.b_type ELSE c.c_type END AS last_type,
+      |       CASE WHEN c.user_id IS NULL THEN 'keep'
+      |            WHEN b.user_id IS NULL THEN 'insert'
+      |            ELSE 'update' END AS action
+      |FROM base b FULL OUTER JOIN chg c ON b.user_id = c.user_id
+      |WHERE c.user_id IS NULL OR NOT c.del""".stripMargin
+
   /** C51 q_entity_resolve — the oracle states the SEMANTICS (brand-blocked
     * quadratic ED ≤ 2 join, min smaller-id match per part); the Spark plan's
     * PassJoin segment blocking is lossless, so the two must agree exactly.

@@ -312,6 +312,9 @@ object SparkEntry {
     // q_entity_resolve: edit-distance record linkage — PassJoin segment
     // blocking (lossless), in-bucket short-circuit min-id verify
     "q_entity_resolve"     -> ((s, d) => Fuzzy.entityResolve(s, d)),
+    // q_merge_upsert: CDC apply (MERGE INTO semantics) — latest-wins
+    // changelog + tombstones onto the first-half snapshot, one key join
+    "q_merge_upsert"       -> ((s, d) => Events.mergeUpsert(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same column aliases — the driver
@@ -616,5 +619,6 @@ object SparkEntry {
     "q_validate_release" -> Oracles.validateRelease,
     "q_copurchase"      -> Oracles.copurchase,
     "q_entity_resolve"  -> Oracles.entityResolve,
+    "q_merge_upsert"    -> Oracles.mergeUpsert,
   )
 }

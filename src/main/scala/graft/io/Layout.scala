@@ -296,6 +296,105 @@ object Layout {
     * layout queries take, so a concurrent reader never resolves the name
     * inside the DROP→RENAME window (ADVICE r14).
     */
+  /** Parse the bucket id Spark encodes in a bucketed file name
+    * (`part-00000-<uuid>_00003.c000.snappy.parquet` → 3); None for
+    * non-bucketed names.
+    */
+  private[graft] def bucketIdOf(name: String): Option[Int] = {
+    val m = java.util.regex.Pattern.compile("_(\\d{5})(?:\\.c\\d+)?\\.")
+      .matcher(name)
+    if (m.find()) Some(m.group(1).toInt) else None
+  }
+
+  /** Keyed upsert into a bucketed table, rewriting ONLY the buckets that
+    * contain changed keys — the CDC-apply maintenance path (Hudi upsert /
+    * Delta MERGE economics) for a 100 TB bucketed fact table: a delta
+    * touching k keys costs O(k/buckets · table) read+write, not a table
+    * rewrite, and every untouched bucket's FILES are untouched (same
+    * inode, same scan identity — LayoutSpec pins name+size+mtime).
+    *
+    * Semantics: delta rows REPLACE base rows with equal `key`; rows
+    * flagged true in `deleteCol` (when given) are tombstones — the key is
+    * removed and the flag column never lands in the table. The delta must
+    * carry ≤1 row per key (checked — a multi-row delta has no defined
+    * winner at this layer; resolve latest-wins upstream, e.g.
+    * [[graft.operators.Events.mergeUpsert]], the semantic twin).
+    *
+    * Mechanics: affected bucket ids come from the same Murmur3 hash
+    * `bucketBy` uses (`pmod(hash(key), buckets)` — LayoutSpec pins the
+    * agreement file-by-file); only those buckets' files are read, the
+    * anti-join drops replaced keys, and the merged rows rewrite through
+    * the shared [[bucketWriter]] recipe into a staging table whose files
+    * then swap in. Retired files move to a `_pre_merge` subdir
+    * (underscore-prefixed → invisible to parquet scans) rather than
+    * being deleted, so a botched merge is recoverable by hand.
+    *
+    * SINGLE-WRITER, bounded-visibility contract (the no-transaction-log
+    * price, same class as [[compactBucketed]]'s caveat): the swap moves
+    * one file at a time — new files in first, then old files out — so a
+    * concurrent READER in another process can transiently see a key
+    * twice (old + new file both present); in-session readers are
+    * serialized by [[layoutLock]]. A crash mid-swap leaves both copies
+    * visible (recover: move `_pre_merge` back or re-run the merge, which
+    * re-retires them); data is never in fewer than one place.
+    */
+  def mergeBucketed(spark: SparkSession, table: String, key: String,
+      buckets: Int, delta: DataFrame,
+      deleteCol: Option[String] = None): Unit = layoutLock.synchronized {
+    import org.apache.spark.sql.functions._
+    require(spark.catalog.tableExists(table),
+      s"mergeBucketed target '$table' does not exist — create it with writeBucketed first")
+    val dupes = delta.groupBy(col(key)).count().where(col("count") > 1).limit(1).count()
+    require(dupes == 0,
+      s"mergeBucketed delta has >1 row for some '$key' — resolve latest-wins upstream")
+    val loc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // delta is the SMALL side by contract: the distinct bucket-id collect
+    // is bounded by `buckets`, never by rows
+    val affected = delta
+      .select(pmod(hash(col(key)), lit(buckets)).as("b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val (oldAffected, untouched) = fs.listStatus(loc)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("."))
+      .partition(s => bucketIdOf(s.getPath.getName).exists(affected.contains))
+    val tableSchema = spark.table(table).schema
+    val base =
+      if (oldAffected.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          tableSchema)
+      else spark.read.schema(tableSchema)
+        .parquet(oldAffected.map(_.getPath.toString).toIndexedSeq: _*)
+    val upserts = deleteCol match {
+      case Some(c) => delta.where(!col(c)).drop(c)
+      case None    => delta
+    }
+    val merged = base
+      .join(delta.select(col(key)).distinct(), Seq(key), "left_anti")
+      .unionByName(upserts.select(tableSchema.fieldNames.map(col).toIndexedSeq: _*))
+    val staging = s"${table}_merging"
+    writeBucketed(merged, staging, key, buckets)
+    val stagingLoc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(staging))
+      .location)
+    // new files in, old files out, retire instead of delete
+    fs.listStatus(stagingLoc)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .foreach(s => fs.rename(s.getPath,
+        new org.apache.hadoop.fs.Path(loc, s.getPath.getName)))
+    val retired = new org.apache.hadoop.fs.Path(loc,
+      s"_pre_merge_${System.currentTimeMillis()}")
+    if (oldAffected.nonEmpty) {
+      fs.mkdirs(retired)
+      oldAffected.foreach(s => fs.rename(s.getPath,
+        new org.apache.hadoop.fs.Path(retired, s.getPath.getName)))
+    }
+    spark.sql(s"DROP TABLE `$staging`")
+    spark.catalog.refreshTable(table)
+  }
+
   def compactBucketed(spark: SparkSession, table: String, key: String,
       buckets: Int): Unit = layoutLock.synchronized {
     val staging = s"${table}_compacting"

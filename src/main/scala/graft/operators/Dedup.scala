@@ -350,7 +350,8 @@ object Dedup {
 
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.35,
       maxAllPairsBlock: Int = 4096, saltOverride: Option[Int] = None,
-      maxBitsetUniverse: Int = 1 << 15): DataFrame = {
+      maxBitsetUniverse: Int = 1 << 15,
+      perDocTopK: Option[Int] = None): DataFrame = {
     import spark.implicits._
     // Grams ride the shuffle as order-preserving INTs (SortedGramInts: the
     // packed 4-byte code always fits 32 bits) — half the payload bytes of
@@ -450,6 +451,11 @@ object Dedup {
         val tEmit = t - 1e-6
         def cminOf(sumLen: Int): Int =
           math.ceil(tEmit * sumLen / (1.0 + tEmit) - 1e-9).toInt
+        // Spark's round(col, 6) semantics exactly (HALF_UP on the shortest
+        // decimal representation) — the per-doc top-k prune must order by
+        // the same value the downstream window sees.
+        def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
         if (docs.length <= maxAllPairsBlock) {
           // Tight while-loops emitting ONLY ≥-threshold pairs: the old
           // form yielded every pair (sub-threshold included) out of
@@ -466,23 +472,31 @@ object Dedup {
           // steps vs 10M bit-words — the early exit can't close a 21×
           // op gap because high-overlap pairs defeat it). The bitset
           // engages only when the universe is small RELATIVE to the
-          // walk cost (≤16× the block's mean gram count) and bounded
-          // absolutely (memory: ≤ maxBitsetUniverse bits/doc); a
-          // diverse real-text block blows both budgets in the first
-          // few docs and falls back to the walk. Exact either way:
-          // grams are sorted-distinct ints, so |set| = array length
-          // and popcount(AND) = the walk's intersection count.
+          // walk cost and bounded absolutely (memory: ≤
+          // maxBitsetUniverse bits/doc); a diverse real-text block
+          // blows both budgets in the first few docs and falls back to
+          // the walk. Exact either way: grams are sorted-distinct
+          // ints, so |set| = array length and popcount(AND) = the
+          // walk's intersection count.
+          val n = docs.length
           val sumLen = {
             var s = 0L; var i0 = 0
-            while (i0 < docs.length) { s += docs(i0)._3.length; i0 += 1 }
+            while (i0 < n) { s += docs(i0)._3.length; i0 += 1 }
             s
           }
-          val avgLen = math.max(1L, sumLen / math.max(1, docs.length))
-          val uniCap = math.min(maxBitsetUniverse.toLong, 16L * avgLen).toInt
+          val avgLen = math.max(1L, sumLen / math.max(1, n))
+          // Engage budget from the measured kernels (BitsetKernelProbe,
+          // sf10-shaped block): walk ≈ 900 ns/pair at |g|≈165 (high-overlap
+          // pairs defeat the early exit), bitset ≈ 33 ns at stride 16 —
+          // ~2 ns per word. Break-even is ~stride 450 ≈ universe 28800 ≈
+          // 175× the mean gram count; 64× keeps a 3× safety margin while
+          // letting SHORT-doc blocks (small avg, same saturated universe)
+          // stay on the fast path — the 16× first cut exiled exactly those.
+          val uniCap = math.min(maxBitsetUniverse.toLong, 64L * avgLen).toInt
           val gramIdx = new java.util.HashMap[Int, Int]()
-          var overflow = uniCap <= 0 || docs.length < 2
+          var overflow = uniCap <= 0 || n < 2
           var di = 0
-          while (di < docs.length && !overflow) {
+          while (di < n && !overflow) {
             val gs = docs(di)._3; var k2 = 0
             while (k2 < gs.length && !overflow) {
               if (!gramIdx.containsKey(gs(k2))) {
@@ -493,59 +507,111 @@ object Dedup {
             }
             di += 1
           }
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-          if (!overflow) {
-            val stride = (gramIdx.size + 63) >>> 6
-            val bits = new Array[Long](docs.length * stride)
+          val useBits = !overflow && n >= 2
+          val stride = if (useBits) (gramIdx.size + 63) >>> 6 else 0
+          val bits = if (!useBits) null else {
+            val arr = new Array[Long](n * stride)
             di = 0
-            while (di < docs.length) {
+            while (di < n) {
               val gs = docs(di)._3; val off = di * stride; var k2 = 0
               while (k2 < gs.length) {
                 val idx = gramIdx.get(gs(k2))
-                bits(off + (idx >>> 6)) |= 1L << (idx & 63)
+                arr(off + (idx >>> 6)) |= 1L << (idx & 63)
                 k2 += 1
               }
               di += 1
             }
-            var i = 0
-            while (i < docs.length - 1) {
-              val ni = docs(i)._3.length; val oi = i * stride
-              var j = i + 1
-              while (j < docs.length) {
-                // within-band pairs belong to the (band, band) group only
-                if ((lo == hi) || (docs(i)._1 != docs(j)._1)) {
-                  val oj = j * stride
-                  var w = 0; var c = 0
-                  while (w < stride) {
-                    c += java.lang.Long.bitCount(bits(oi + w) & bits(oj + w))
-                    w += 1
-                  }
-                  val union = ni + docs(j)._3.length - c
-                  val jc = if (union == 0) 0.0 else c.toDouble / union
-                  if (jc >= tEmit) out += ((docs(i)._2, docs(j)._2, jc))
-                }
-                j += 1
-              }
-              i += 1
-            }
-          } else {
-            var i = 0
-            while (i < docs.length - 1) {
-              val gi = docs(i)._3
-              var j = i + 1
-              while (j < docs.length) {
-                // within-band pairs belong to the (band, band) group only
-                if ((lo == hi) || (docs(i)._1 != docs(j)._1)) {
-                  val gj = docs(j)._3
-                  val jc = jacAtLeast(gi, gj, cminOf(gi.length + gj.length))
-                  if (jc >= tEmit) out += ((docs(i)._2, docs(j)._2, jc))
-                }
-                j += 1
-              }
-              i += 1
-            }
+            arr
           }
-          out.iterator
+          // exact jaccard of pair (i, j), or −1 when below threshold
+          def pairJac(i: Int, j: Int): Double =
+            if (useBits) {
+              val oi = i * stride; val oj = j * stride
+              var w = 0; var c = 0
+              while (w < stride) {
+                c += java.lang.Long.bitCount(bits(oi + w) & bits(oj + w))
+                w += 1
+              }
+              val union = docs(i)._3.length + docs(j)._3.length - c
+              val jc = if (union == 0) 0.0 else c.toDouble / union
+              if (jc >= tEmit) jc else -1.0
+            } else {
+              val gi = docs(i)._3; val gj = docs(j)._3
+              val jc = jacAtLeast(gi, gj, cminOf(gi.length + gj.length))
+              if (jc >= tEmit) jc else -1.0
+            }
+          // within-band pairs belong to the (band, band) group only
+          def pairOk(i: Int, j: Int): Boolean =
+            (lo == hi) || (docs(i)._1 != docs(j)._1)
+          perDocTopK match {
+            case None =>
+              // LAZY pair iterator, zero buffering: on a template-heavy
+              // corpus ~21% of sf10's 6.2G candidate pairs qualify, so the
+              // old collect-into-ArrayBuffer form allocated ~130 GB of
+              // tuples per suite run and the query was GC-bound, not
+              // kernel-bound (solo sf10 read 302 s with the pair kernel
+              // itself costing ~7 s of core time).
+              new Iterator[(Long, Long, Double)] {
+                private var i = 0
+                private var j = 0
+                private var jac = -1.0
+                private def seek(): Unit = {
+                  jac = -1.0
+                  while (jac < 0 && i < n - 1) {
+                    j += 1
+                    if (j >= n) { i += 1; j = i + 1 }
+                    if (i < n - 1 && j < n && pairOk(i, j)) jac = pairJac(i, j)
+                  }
+                }
+                seek()
+                def hasNext: Boolean = jac >= 0
+                def next(): (Long, Long, Double) = {
+                  val r = (docs(i)._2, docs(j)._2, jac); seek(); r
+                }
+              }
+            case Some(k) =>
+              // Per-doc bounded top-k INSIDE the group (C4b): each group
+              // emits ≤ 2k rows per member instead of the full qualifying
+              // pair list — the group-local analogue of WindowGroupLimit,
+              // applied before anything is serialized. Ordering matches
+              // the downstream window exactly: (round(jac, 6) desc, nbr id
+              // asc) — pruning on RAW jac could keep the wrong row when
+              // two candidates round to the same 6-dp value.
+              val nbrId = Array.ofDim[Long](n, k)
+              val nbrJc = Array.ofDim[Double](n, k)
+              val used = new Array[Int](n)
+              def insert(d: Int, cand: Long, rjc: Double): Unit = {
+                var pos = used(d)
+                while (pos > 0 && (nbrJc(d)(pos - 1) < rjc ||
+                    (nbrJc(d)(pos - 1) == rjc && nbrId(d)(pos - 1) > cand))) {
+                  if (pos < k) { nbrJc(d)(pos) = nbrJc(d)(pos - 1); nbrId(d)(pos) = nbrId(d)(pos - 1) }
+                  pos -= 1
+                }
+                if (pos < k) {
+                  nbrJc(d)(pos) = rjc; nbrId(d)(pos) = cand
+                  if (used(d) < k) used(d) += 1
+                }
+              }
+              var i = 0
+              while (i < n - 1) {
+                var j = i + 1
+                while (j < n) {
+                  if (pairOk(i, j)) {
+                    val jc = pairJac(i, j)
+                    if (jc >= 0) {
+                      val rjc = round6(jc)
+                      insert(i, docs(j)._2, rjc)
+                      insert(j, docs(i)._2, rjc)
+                    }
+                  }
+                  j += 1
+                }
+                i += 1
+              }
+              (0 until n).iterator.flatMap { d =>
+                (0 until used(d)).iterator.map(s => (docs(d)._2, nbrId(d)(s), nbrJc(d)(s)))
+              }
+          }
         } else {
           // in-block document frequency → rarity order (df asc, gram asc)
           val df = new java.util.HashMap[Int, Int]()
@@ -584,7 +650,19 @@ object Dedup {
               a += 1
             }
           }
-          out.iterator
+          perDocTopK match {
+            case None => out.iterator
+            case Some(kk) =>
+              // same per-doc bound as the all-pairs branch; the prefix
+              // regime (giant diverse blocks) emits sparsely, so a plain
+              // group-and-take over the survivor buffer is fine here
+              out.iterator.flatMap { case (a, b, jc) =>
+                val rjc = round6(jc)
+                Iterator((a, b, rjc), (b, a, rjc))
+              }.toSeq.groupBy(_._1).valuesIterator.flatMap { rows =>
+                rows.sortBy(r => (-r._3, r._2)).take(kk)
+              }
+          }
         }
       }
       .toDF("d1", "d2", "jac_raw")
@@ -593,35 +671,32 @@ object Dedup {
   }
 
   /** C4b — top-k nearest neighbors per document by 4-gram Jaccard: the
-    * output-bounded form of [[ngramJaccard]] (the one declared-quadratic
-    * query in the dedup family). Candidate generation is identical — the
-    * banded length-bucket blocks, all-pairs merge walk or lossless prefix
-    * filter — but the ≥-threshold pairs then mirror to both directions and
-    * a per-doc `row_number() <= k` keeps only each document's k best
-    * matches, so the OUTPUT is ≤ k rows per document regardless of how
-    * dense the near-dup neighborhoods are (a boilerplate-heavy crawl makes
-    * the unbounded pair list itself the scale hazard). Spark compiles the
-    * rank filter to a WindowGroupLimit partial before the doc_id exchange
-    * — only ≤ k candidate rows per doc per map partition shuffle (the C41
-    * champion-postings pattern). Ties (jac is rounded to 6) break by
-    * neighbor id, so the result is deterministic and oracle-exact.
+    * output-bounded form of [[ngramJaccard]]. Candidate generation is
+    * identical — the banded length-bucket blocks, bitset/merge-walk
+    * all-pairs or lossless prefix filter — but each block emits only its
+    * members' k best matches (both directions, ordered exactly as the
+    * final window: round-6 jac desc, neighbor id asc), so ≤ 2k rows per
+    * member leave the group regardless of how dense the near-dup
+    * neighborhoods are. The prune is lossless for the global top-k: every
+    * pair is generated in exactly ONE block, and dropping a row that
+    * isn't in its block's per-doc top-k can't remove it from the union's
+    * top-k (rank only worsens as candidates accumulate). On the sf10
+    * template-heavy corpus this is the difference between shuffling
+    * ~2.6G mirrored pair rows into the window and shuffling ~75M
+    * (measured — the r16 restructure; before it the mirror explode was
+    * already the single-pass form, but the PAIR LIST itself was the
+    * hazard: a boilerplate-heavy crawl makes it quadratic in cluster
+    * size). The final `row_number() <= k` window then merges the
+    * per-block prefixes; ties (jac rounded to 6) break by neighbor id,
+    * so the result is deterministic and oracle-exact.
     */
   def ngramTopK(spark: SparkSession, dir: String, k: Int = 3,
       threshold: Double = 0.35): DataFrame = {
-    val pairs = ngramJaccard(spark, dir, threshold)
-    // Mirror via explode, not unionAll(self): a union's two branches are
-    // two full copies of the plan, and the reuse the optimizer CAN do
-    // (ReusedExchange) only shares the shuffle below flatMapGroups — the
-    // candidate pair generation itself ran twice (measured 2× at sf10).
-    // One Generate keeps it single-pass.
-    val sym = pairs.select(explode(array(
-        struct(col("d1").as("doc_id"), col("d2").as("nbr"), col("jac")),
-        struct(col("d2").as("doc_id"), col("d1").as("nbr"), col("jac")))).as("s"))
-      .select(col("s.doc_id").as("doc_id"), col("s.nbr").as("nbr"),
-        col("s.jac").as("jac"))
+    val cand = ngramJaccard(spark, dir, threshold, perDocTopK = Some(k))
+      .select(col("d1").as("doc_id"), col("d2").as("nbr"), col("jac"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("jac").desc, col("nbr"))
-    sym.withColumn("rk", row_number().over(w))
+    cand.withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .select(col("doc_id"), col("rk"), col("nbr"), col("jac"))
   }

@@ -227,4 +227,55 @@ object Events {
       .select(col("cohort").cast("string").as("cohort"),
         col("day_offset").cast("long").as("day_offset"), col("n_active"))
   }
+
+  /** D16 — q_merge_upsert: CDC apply — the MERGE INTO semantics every
+    * lakehouse runs nightly (Delta/Iceberg MERGE, Hudi upsert), expressed
+    * as one declarative plan so the oracle can check it exactly. The
+    * snapshot is the per-user state over the FIRST time half (the E20
+    * midpoint convention); the second half is the changelog: `error`
+    * events are tombstones (latest op wins, ordered by (ts, event_id) —
+    * event_id breaks millisecond ties so the winner is total-ordered),
+    * anything else upserts the user's last-seen attributes. Output is the
+    * merged snapshot: untouched rows `keep` their base state, upserts of
+    * known users `update` attributes in place, upserts of new users
+    * `insert` with n_base = 0, and tombstoned users vanish — including
+    * insert-then-delete users, who never appear.
+    *
+    * Scale shape: base agg and changelog latest-row reduce on ONE key
+    * (user_id) each — max(struct(ms, event_id, …)) is a map-side partial
+    * agg, never a window over the fact — and meet in a single full-outer
+    * SMJ on that key. On bucketed storage ([[graft.io.Layout]]) all three
+    * hops inherit the bucket partitioning and the plan is zero-Exchange;
+    * [[graft.io.Layout.mergeBucketed]] is the physical twin that applies
+    * the same semantics to the bucket FILES, rewriting only affected
+    * buckets.
+    */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_millis(col("ts")).as("ms"))
+    val mid = ev.agg(expr("(min(ms) + max(ms)) div 2").as("mid"))
+    val halves = ev.crossJoin(broadcast(mid))
+    val base = halves.where(col("ms") < col("mid"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_base"),
+        max(struct(col("ms"), col("event_id"), col("event_type"))).as("last"))
+      .select(col("user_id"), col("n_base"),
+        col("last.ms").as("b_ms"), col("last.event_type").as("b_type"))
+    val chg = halves.where(col("ms") >= col("mid"))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ms"), col("event_id"), col("event_type"))).as("last"))
+      .select(col("user_id"), col("last.ms").as("c_ms"),
+        col("last.event_type").as("c_type"),
+        (col("last.event_type") === "error").as("del"))
+    base.join(chg, Seq("user_id"), "full_outer")
+      .where(col("c_ms").isNull || !col("del"))
+      .select(col("user_id"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        when(col("c_ms").isNull, col("b_ms")).otherwise(col("c_ms")).as("last_ms"),
+        when(col("c_ms").isNull, col("b_type")).otherwise(col("c_type")).as("last_type"),
+        when(col("c_ms").isNull, lit("keep"))
+          .when(col("b_ms").isNull, lit("insert"))
+          .otherwise(lit("update")).as("action"))
+  }
 }

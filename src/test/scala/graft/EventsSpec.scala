@@ -126,4 +126,72 @@ class EventsSpec extends GraftSuite {
       assert(s <= 1000000L && s > 1000000L - rows.size, s"$f ppm sum $s")
     }
   }
+
+  test("mergeUpsert equals a plain-Scala CDC-apply reference") {
+    val ev = graft.io.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_millis(col("ts")).as("ms"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val mid = (ev.map(_._4).min + ev.map(_._4).max) / 2
+    val base = ev.filter(_._4 < mid).groupBy(_._1).map { case (u, rows) =>
+      val last = rows.maxBy(r => (r._4, r._3))
+      u -> (rows.size.toLong, last._4, last._2)
+    }
+    val chg = ev.filter(_._4 >= mid).groupBy(_._1).map { case (u, rows) =>
+      val last = rows.maxBy(r => (r._4, r._3))
+      u -> (last._4, last._2)
+    }
+    val expected = (base.keySet ++ chg.keySet).flatMap { u =>
+      (base.get(u), chg.get(u)) match {
+        case (Some((n, ms, ty)), None)    => Some((u, n, ms, ty, "keep"))
+        case (_, Some((_, "error")))      => None
+        case (Some((n, _, _)), Some((cms, cty))) => Some((u, n, cms, cty, "update"))
+        case (None, Some((cms, cty)))     => Some((u, 0L, cms, cty, "insert"))
+        case (None, None)                 => None
+      }
+    }
+    val got = graft.operators.Events.mergeUpsert(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+      .toSet
+    assert(got == expected)
+    assert(expected.exists(_._5 == "update"))
+  }
+
+  test("mergeUpsert covers all four MERGE outcomes on a planted changelog") {
+    import spark.implicits._
+    // users: 1 untouched (keep), 2 updated, 3 tombstoned, 4 new (insert),
+    // 5 insert-then-delete (never appears). Second-half order for user 2
+    // arrives out of id order so latest-wins is decided by ts, and user 3's
+    // tombstone must win over a LATER-id earlier-ts update.
+    val rows = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "view"),
+      (2L, "2024-01-01 01:00:00", 2L, "view"),
+      (2L, "2024-01-01 02:00:00", 3L, "click"),
+      (3L, "2024-01-01 03:00:00", 4L, "view"),
+      // ---- mid falls here (min 0h, max 20h -> 10h) ----
+      (2L, "2024-01-01 12:00:00", 6L, "purchase"),
+      (2L, "2024-01-01 13:00:00", 5L, "signup"),
+      (3L, "2024-01-01 14:00:00", 8L, "click"),
+      (3L, "2024-01-01 15:00:00", 7L, "error"),
+      (4L, "2024-01-01 16:00:00", 9L, "signup"),
+      (5L, "2024-01-01 17:00:00", 10L, "view"),
+      (5L, "2024-01-01 20:00:00", 11L, "error"))
+    val dir = java.nio.file.Files.createTempDirectory("merge-ev").toString
+    // match the driver data's physical type (MICROS) — the default INT96
+    // is the one form Tables.events' footer sniff doesn't serve
+    val prevTsType = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try rows.toDF("user_id", "ts_s", "event_id", "event_type")
+      .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+        col("user_id"), col("event_type"), lit(1.0).as("value"),
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    finally spark.conf.set("spark.sql.parquet.outputTimestampType", prevTsType)
+    val got = graft.operators.Events.mergeUpsert(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3), r.getString(4))).toSet
+    assert(got == Set(
+      (1L, 1L, "view", "keep"),
+      (2L, 2L, "signup", "update"),
+      (4L, 0L, "signup", "insert")))
+  }
 }

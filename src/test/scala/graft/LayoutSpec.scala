@@ -380,4 +380,93 @@ class LayoutSpec extends GraftSuite {
     Layout.zorderWrite(df, dir, "a", "b", files = 4)
     assert(spark.read.parquet(dir).count() == 256)
   }
+
+  private def tableLoc(table: String): java.io.File =
+    new java.io.File(new java.net.URI(
+      spark.sql(s"DESCRIBE TABLE EXTENDED `$table`")
+        .where(col("col_name") === "Location").first().getString(1)))
+
+  private def fileInventory(table: String): Map[String, (Long, Long)] =
+    tableLoc(table).listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+
+  test("mergeBucketed rewrites only affected buckets; semantics + zero-exchange hold") {
+    import spark.implicits._
+    val buckets = 8
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    Layout.writeBucketed(orders, "b_cdc_orders", "o_orderkey", buckets)
+    val before = fileInventory("b_cdc_orders")
+    val keys = orders.select("o_orderkey").as[Long].collect().sorted
+    val (u1, u2, gone) = (keys(0), keys(1), keys(2))
+    val newKey = keys.max + 1001
+    val delta = Seq(
+      (u1, 7001L, 1.25, false), (u2, 7002L, 2.5, false),
+      (newKey, 7003L, 3.75, false), (gone, 0L, 0.0, true))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "is_delete")
+    Layout.mergeBucketed(spark, "b_cdc_orders", "o_orderkey", buckets,
+      delta, deleteCol = Some("is_delete"))
+    // semantics: replaced keys carry delta values, tombstone gone, rest intact
+    val expected = orders.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      .filterNot(t => Set(u1, u2, gone, newKey)(t._1)) ++
+      Set((u1, 7001L, 1.25), (u2, 7002L, 2.5), (newKey, 7003L, 3.75))
+    val got = Layout.readTable(spark, "b_cdc_orders").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected)
+    // physical: untouched buckets keep their exact files (name, size, mtime);
+    // affected buckets are fully replaced
+    val affected = delta
+      .select(pmod(hash(col("o_orderkey")), lit(buckets)).as("b"))
+      .distinct().as[Int].collect().toSet
+    assert(affected.size < buckets, "fixture must leave some bucket untouched")
+    val after = fileInventory("b_cdc_orders")
+    before.foreach { case (name, meta) =>
+      val b = Layout.bucketIdOf(name).get
+      if (affected(b)) assert(!after.contains(name), s"affected $name must be replaced")
+      else assert(after.get(name).contains(meta), s"untouched $name must be byte-identical")
+    }
+    after.keys.foreach { name =>
+      val b = Layout.bucketIdOf(name).get
+      assert(affected(b) || before.contains(name))
+    }
+    // retired originals are preserved under the invisible _pre_merge dir
+    val retired = tableLoc("b_cdc_orders").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("_pre_merge"))
+    assert(retired.nonEmpty && retired.flatMap(_.listFiles()).nonEmpty)
+    // the zero-Exchange contract survives the partial rewrite
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val t = Layout.readTable(spark, "b_cdc_orders")
+      val p = t.join(t.groupBy("o_orderkey").count(), "o_orderkey")
+        .queryExecution.explainString(FormattedMode)
+      assert(p.contains("Bucketed: true"), p)
+      assert(shuffles(p) == 0, s"merged bucketed table must keep co-location:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("mergeBucketed bucket-id arithmetic matches bucketBy file placement row-by-row") {
+    import spark.implicits._
+    // the partial rewrite is only sound if pmod(hash(key), n) IS the bucket
+    // id bucketBy encodes in file names — pin it on every row of every file
+    val loc = tableLoc("b_cdc_orders")
+    loc.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      val fromName = Layout.bucketIdOf(f.getName).get
+      val ids = spark.read.parquet(f.getAbsolutePath)
+        .select(pmod(hash(col("o_orderkey")), lit(8)).as("b"))
+        .distinct().as[Int].collect().toSet
+      assert(ids.subsetOf(Set(fromName)), s"${f.getName}: rows hash to $ids")
+    }
+  }
+
+  test("mergeBucketed rejects a delta with duplicate keys") {
+    import spark.implicits._
+    val dup = Seq((1L, 1L, 1.0), (1L, 2L, 2.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val e = intercept[IllegalArgumentException] {
+      Layout.mergeBucketed(spark, "b_cdc_orders", "o_orderkey", 8, dup)
+    }
+    assert(e.getMessage.contains("latest-wins"))
+  }
 }

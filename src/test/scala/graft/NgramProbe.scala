@@ -41,8 +41,14 @@ object NgramProbe {
     // SPARK_GRAFT_SALT=s overrides the adaptive band count (A/B the
     // payload-vs-parallelism trade after the int-gram halving)
     val salt = sys.env.get("SPARK_GRAFT_SALT").filter(_.nonEmpty).map(_.toInt)
-    time("ngram_jaccard")(Dedup.ngramJaccard(spark, dir, saltOverride = salt))
-    time("ngram_jaccard_walk")(Dedup.ngramJaccard(spark, dir,
+    // SPARK_GRAFT_T: threshold override — t≈0.99 collapses the walk's
+    // per-pair cost to ~one step (early exit at the first mismatch), so
+    // (t=0.35) − (t=0.99) isolates the pair-verify phase from the
+    // scan/shuffle/group infrastructure.
+    val t = sys.env.getOrElse("SPARK_GRAFT_T", "0.35").toDouble
+    time("ngram_jaccard")(Dedup.ngramJaccard(spark, dir, threshold = t,
+      saltOverride = salt))
+    time("ngram_jaccard_walk")(Dedup.ngramJaccard(spark, dir, threshold = t,
       saltOverride = salt, maxBitsetUniverse = 0))
     time("ngram_topk")(Dedup.ngramTopK(spark, dir))
     spark.stop()
