@@ -460,6 +460,46 @@ class LayoutSpec extends GraftSuite {
     }
   }
 
+  test("streaming CDC: foreachBatch latest-wins reduce + mergeBucketed converges to the final state") {
+    // The production CDC cadence: a changelog stream lands in micro-
+    // batches; each trigger reduces its batch to one latest row per key
+    // (max_by on the version — the in-batch half of D16's latest-wins)
+    // and mergeBucketed applies it. Cross-batch latest-wins holds because
+    // a later trigger's merge REPLACES the key — so the table converges
+    // to "latest version per key, tombstones gone" no matter how the
+    // changelog splits across triggers.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = (0L until 40L).map(k => (k, 0L, 0.0)).toDF(
+      "o_orderkey", "o_custkey", "o_totalprice")
+    Layout.writeBucketed(base, "b_cdc_stream", "o_orderkey", 4)
+    // changelog: (key, version, value, delete) — interleaved re-updates
+    // and deletes of the same keys across batches
+    val log = Seq(
+      Seq((1L, 1L, 10.0, false), (2L, 1L, 20.0, false), (1L, 2L, 11.0, false)),
+      Seq((2L, 2L, 0.0, true), (3L, 1L, 30.0, false), (50L, 1L, 500.0, false)),
+      Seq((2L, 3L, 22.0, false), (50L, 2L, 0.0, true), (1L, 3L, 12.0, false)))
+    val input = MemoryStream[(Long, Long, Double, Boolean)]
+    val q = input.toDF().toDF("o_orderkey", "version", "o_totalprice", "is_delete")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val latest = batch
+          .groupBy(col("o_orderkey"))
+          .agg(max(struct(col("version"), col("o_totalprice"), col("is_delete"))).as("v"))
+          .select(col("o_orderkey"), col("v.version").as("o_custkey"),
+            col("v.o_totalprice").as("o_totalprice"), col("v.is_delete").as("is_delete"))
+        Layout.mergeBucketed(spark, "b_cdc_stream", "o_orderkey", 4,
+          latest, deleteCol = Some("is_delete"))
+      }.start()
+    log.foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = Layout.readTable(spark, "b_cdc_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val untouched = (0L until 40L).filterNot(Set(1L, 2L, 3L)).map((_, 0L, 0.0)).toSet
+    assert(got == untouched ++ Set((1L, 3L, 12.0), (2L, 3L, 22.0), (3L, 1L, 30.0)),
+      "final state = latest version per key, tombstone-resurrected key kept, deleted insert gone")
+  }
+
   test("mergeBucketed rejects a delta with duplicate keys") {
     import spark.implicits._
     val dup = Seq((1L, 1L, 1.0), (1L, 2L, 2.0))
