@@ -2048,6 +2048,47 @@ object Oracles {
       |WHERE n_orders >= 2
       |ORDER BY n_orders DESC, p1, p2 LIMIT 50""".stripMargin
 
+  /** C52 q_k_anonymize — the generalization ladder computed over
+    * progressive residues; bands on SHIFTED cents (+10⁸) because `div`
+    * (truncate) and `//` (floor) only agree on non-negative operands and
+    * balances go negative; k = 5 matches the Spark default.
+    */
+  val kAnonymize: String =
+    """WITH c AS MATERIALIZED (
+      |  SELECT c_custkey, CAST(c_nationkey AS INTEGER) AS nation,
+      |         c_mktsegment AS segment,
+      |         (CAST(round(c_acctbal * 100) AS BIGINT) + 100000000) AS sc
+      |  FROM customer),
+      |cb AS MATERIALIZED (
+      |  SELECT *, sc // 100000 AS b1, sc // 500000 AS b2 FROM c),
+      |g1 AS MATERIALIZED (
+      |  SELECT nation, segment, b1, count(*) AS cnt1 FROM cb GROUP BY 1, 2, 3),
+      |j1 AS MATERIALIZED (
+      |  SELECT cb.*, g1.cnt1 FROM cb
+      |  JOIN g1 USING (nation, segment, b1)),
+      |r1 AS MATERIALIZED (SELECT * FROM j1 WHERE cnt1 < 5),
+      |g2 AS MATERIALIZED (
+      |  SELECT nation, segment, b2, count(*) AS cnt2 FROM r1 GROUP BY 1, 2, 3),
+      |j2 AS MATERIALIZED (
+      |  SELECT r1.*, g2.cnt2 FROM r1
+      |  JOIN g2 USING (nation, segment, b2))
+      |SELECT c_custkey, nation, segment,
+      |       b1 * 100000 - 100000000 AS lo_cents,
+      |       (b1 + 1) * 100000 - 100000000 AS hi_cents,
+      |       0 AS level
+      |FROM j1 WHERE cnt1 >= 5
+      |UNION ALL
+      |SELECT c_custkey, nation, segment,
+      |       b2 * 500000 - 100000000 AS lo_cents,
+      |       (b2 + 1) * 500000 - 100000000 AS hi_cents,
+      |       1 AS level
+      |FROM j2 WHERE cnt2 >= 5
+      |UNION ALL
+      |SELECT c_custkey, -1 AS nation, '*' AS segment,
+      |       CAST(-1 AS BIGINT) AS lo_cents, CAST(-1 AS BIGINT) AS hi_cents,
+      |       2 AS level
+      |FROM j2 WHERE cnt2 < 5""".stripMargin
+
   /** D16 q_merge_upsert — base/changelog split at the E20 midpoint; the
     * latest changelog row per user wins via (ms, event_id) row_number
     * (Spark reduces with max(struct(...)) — same total order, event_id is

@@ -315,6 +315,9 @@ object SparkEntry {
     // q_merge_upsert: CDC apply (MERGE INTO semantics) — latest-wins
     // changelog + tombstones onto the first-half snapshot, one key join
     "q_merge_upsert"       -> ((s, d) => Events.mergeUpsert(s, d)),
+    // q_k_anonymize: k-anonymity generalization ladder over QI groups —
+    // two bounded-cardinality aggs broadcast back, no fact self-join
+    "q_k_anonymize"        -> ((s, d) => Privacy.kAnonymize(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same column aliases — the driver
@@ -620,5 +623,6 @@ object SparkEntry {
     "q_copurchase"      -> Oracles.copurchase,
     "q_entity_resolve"  -> Oracles.entityResolve,
     "q_merge_upsert"    -> Oracles.mergeUpsert,
+    "q_k_anonymize"     -> Oracles.kAnonymize,
   )
 }

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Privacy
+
+class PrivacySpec extends GraftSuite {
+
+  test("kAnonymize: every released group covers >= k records; rows partition exactly") {
+    val k = 5
+    val out = Privacy.kAnonymize(spark, sf, k).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getInt(5)))
+    val in = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0)).sorted
+    // exactly-once release of every record
+    assert(out.map(_._1).sorted.sameElements(in))
+    // the k-anonymity property itself: released (non-suppressed) QI
+    // combinations cover >= k records each
+    out.filter(_._6 < 2).groupBy(t => (t._2, t._3, t._4, t._5)).foreach {
+      case (g, rows) => assert(rows.length >= k, s"group $g has ${rows.length} < $k")
+    }
+    // suppressed rows mask every QI
+    out.filter(_._6 == 2).foreach { t =>
+      assert(t._2 == -1 && t._3 == "*" && t._4 == -1L && t._5 == -1L)
+    }
+    // k=1 degenerates to full release at the finest band
+    val all0 = Privacy.kAnonymize(spark, sf, k = 1).collect()
+    assert(all0.forall(_.getInt(5) == 0))
+  }
+
+  test("kAnonymize ladder on a planted corpus: all three levels, exact bounds, negative bands") {
+    import spark.implicits._
+    val rows =
+      (1L to 6L).map(i => (i, 0, "AUTOMOBILE", 1100.0 + i)) ++ // level 0
+      Seq(7L -> 2100.0, 8L -> 3100.0, 9L -> 4100.0, 10L -> 2600.0,
+        11L -> 3600.0).map { case (i, b) => (i, 0, "AUTOMOBILE", b) } ++ // level 1
+      Seq((12L, 0, "AUTOMOBILE", 9100.0), (13L, 0, "AUTOMOBILE", 9900.0)) ++ // level 2
+      (14L to 18L).map(i => (i, 0, "AUTOMOBILE", -400.0 - i)) // level 0, negative band
+    val dir = java.nio.file.Files.createTempDirectory("kanon").toString
+    rows.toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .select(col("c_custkey"), col("c_custkey").cast("string").as("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = Privacy.kAnonymize(spark, dir, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getInt(5))).toSet
+    val expected =
+      (1L to 6L).map(i => (i, 0, "AUTOMOBILE", 100000L, 200000L, 0)).toSet ++
+      (7L to 11L).map(i => (i, 0, "AUTOMOBILE", 0L, 500000L, 1)).toSet ++
+      Set((12L, -1, "*", -1L, -1L, 2), (13L, -1, "*", -1L, -1L, 2)) ++
+      (14L to 18L).map(i => (i, 0, "AUTOMOBILE", -100000L, 0L, 0)).toSet
+    assert(got == expected)
+  }
+}
