@@ -27,18 +27,21 @@ import org.apache.spark.sql.functions._
   *   still lossless.
   *
   * Scale shape (the 100 TB story):
-  *  - index side emits maxDist+1 tiny rows per record; probe side ≤
-  *    (2·maxDist+1)² · (maxDist+1) substring rows per record — both
-  *    LINEAR in the corpus, no self-join of the full table ever plans.
-  *  - candidates meet in (brand, len, segIdx, segText) buckets; within a
-  *    bucket each probe walks INDEX members in ascending-id order and
-  *    SHORT-CIRCUITS at its first verified hit (the C50 device): a
-  *    duplicate-heavy cluster of n identical names costs O(n) verify
-  *    calls, not O(n²) — the verdict (one row per record) is what keeps
-  *    the output linear too, where the pair list is quadratic in cluster
-  *    size (the C50 lesson: 374k pairs from 25k images).
-  *  - cross-bucket verdicts min-fold per record (one keyed aggregation),
-  *    then a left join back to the full table marks non-duplicates.
+  *  - the expensive work runs at ENTITY granularity: records collapse to
+  *    one row per distinct (brand, name) first (only a cluster's minimum
+  *    id can ever win a min-smaller-id verdict — every other same-name id
+  *    is dominated), so blocking/verify cost tracks entity diversity, not
+  *    record count; a mostly-unique corpus degrades gracefully to
+  *    record-level asymptotics.
+  *  - index side emits maxDist+1 tiny rows per entity; probe side ≤
+  *    (2·maxDist+1)² · (maxDist+1) substring rows per entity — both
+  *    LINEAR, no self-join of the full table ever plans. Candidates meet
+  *    in (brand, len, segIdx, segText) buckets; verification is one DP
+  *    per distinct name pair per bucket.
+  *  - verified cluster-minimum candidate lists broadcast back to the
+  *    records, and each record's verdict is an in-row array reduction
+  *    (smallest candidate below its own id) — zero record-scale shuffles
+  *    beyond the entity collapse itself.
   *
   * Verification is the classic unit-cost Levenshtein DP — exactly the
   * semantics of Spark's `levenshtein()` and DuckDB's `levenshtein()`, so
@@ -88,56 +91,82 @@ object Fuzzy {
     val parts = spark.read.parquet(s"$dir/part.parquet")
       .select(col("p_partkey").as("id"), col("p_name").as("nm"),
         col("p_brand").as("b"))
-    val typed = parts.as[(Long, String, String)]
+    // Resolve at CLUSTER granularity, not record granularity (the C49
+    // lesson applied to ER): a duplication-heavy corpus has few distinct
+    // (brand, name) entities behind many records, and only a cluster's
+    // MINIMUM id can ever win any record's min-smaller-id verdict (every
+    // other same-name id is dominated by it everywhere). So: collapse to
+    // one row per distinct entity, run the expensive blocking+verify over
+    // THAT table, and broadcast the verdict lists back — at sf10 this is
+    // ~2.5k cluster rows doing the PassJoin work instead of 2M records
+    // (measured 193 s → the record-level probes/shuffles dominated), and
+    // on a mostly-unique corpus it degrades gracefully to the same
+    // asymptotics as record-level resolution.
+    val clusters = parts.groupBy(col("b"), col("nm")).agg(min(col("id")).as("m"))
+    val typed = clusters.select(col("b"), col("nm"), col("m"))
+      .as[(String, String, Long)]
     // role 0 = indexed segments (key carries the INDEXED length), role 1 =
     // probe substrings of every candidate indexed length in the ±k window.
-    val indexRows = typed.flatMap { case (id, nm, b) =>
+    val indexRows = typed.flatMap { case (b, nm, m) =>
       val l = nm.length
       (0 to k).map { i =>
         val (s, e) = segBounds(l, k + 1, i)
-        (b, l, i, nm.substring(s, e), 0: Byte, id, nm)
+        (b, l, i, nm.substring(s, e), 0: Byte, m, nm)
       }
     }
-    val probeRows = typed.flatMap { case (id, nm, b) =>
-      val m = nm.length
+    val probeRows = typed.flatMap { case (b, nm, m) =>
+      val ml = nm.length
       for {
-        l <- math.max(1, m - k) to (m + k)
+        l <- math.max(1, ml - k) to (ml + k)
         i <- 0 to k
         (s, e) = segBounds(l, k + 1, i)
         li = e - s
-        p <- math.max(0, s - k) to math.min(m - li, s + k)
-      } yield (b, l, i, nm.substring(p, p + li), 1: Byte, id, nm)
-    }.distinct() // several positions p can cut the same substring
-    indexRows.union(probeRows)
+        p <- math.max(0, s - k) to math.min(ml - li, s + k)
+      } yield (b, l, i, nm.substring(p, p + li), 1: Byte, m, nm)
+    }
+    // Per (bucket, probe cluster): emit EVERY verified index cluster (no
+    // min-id short-circuit here — which candidate wins depends on each
+    // record's own id, decided in-row after the broadcast). DP verdicts
+    // run once per distinct name pair per bucket; cross-bucket repeats of
+    // the same cluster pair collapse in the distinct() below (tiny data).
+    val clusterPairs = indexRows.union(probeRows)
       .groupByKey { case (b, l, i, txt, _, _, _) => (b, l, i, txt) }
       .flatMapGroups { (_, it: Iterator[(String, Int, Int, String, Byte, Long, String)]) =>
-        val members = it.map { case (_, _, _, _, role, id, nm) => (role, id, nm) }.toArray
-        val idx = members.collect { case (r, id, nm) if r == 0 => (id, nm) }.sortBy(_._1)
-        val probes = members.collect { case (r, id, nm) if r == 1 => (id, nm) }
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
-        var pi = 0
-        while (pi < probes.length) {
-          val (pid, pnm) = probes(pi)
-          // ascending-id walk, stop at the first verified hit: the bucket's
-          // smallest verified candidate IS the bucket's contribution, and an
-          // identical-name cluster resolves each member in one probe.
-          var xi = 0
-          var done = false
-          while (xi < idx.length && !done && idx(xi)._1 < pid) {
-            val d = levenshtein(pnm, idx(xi)._2)
-            if (d <= k) { out += ((pid, idx(xi)._1, d)); done = true }
-            xi += 1
+        val members = it.map { case (bb, _, _, _, role, m, nm) => (role, bb, m, nm) }.toArray
+        val idx = members.collect { case (r, _, m, nm) if r == 0 => (nm, m) }.distinct
+        val probes = members.collect { case (r, bb, m, nm) if r == 1 => (bb, nm, m) }.distinct
+        probes.iterator.flatMap { case (bb, pnm, pm) =>
+          idx.iterator.flatMap { case (inm, im) =>
+            if (im == pm) None
+            else {
+              val d = levenshtein(pnm, inm)
+              if (d <= k) Some((bb, pnm, pm, im, d)) else None
+            }
           }
-          pi += 1
         }
-        out.iterator
       }
-      .toDF("id", "cand", "dist")
-      .groupBy(col("id"))
-      .agg(min(struct(col("cand"), col("dist"))).as("best"))
-      .join(parts, Seq("id"), "right")
+      .toDF("b", "nm", "m", "cand_m", "dist")
+      .distinct()
+    // Candidate list per entity: verified foreign cluster minima + the own
+    // cluster's minimum at distance 0 (a same-name smaller id is always a
+    // valid match). Lists are bounded by the entity's match degree; the
+    // whole table is entity-sized → broadcast.
+    val cands = clusters
+      .join(clusterPairs.select(col("b"), col("nm"),
+        struct(col("cand_m").as("m"), col("dist")).as("c")),
+        Seq("b", "nm"), "left")
+      .groupBy(col("b"), col("nm"), col("m"))
+      .agg(collect_list(col("c")).as("foreign"))
+      .select(col("b"), col("nm"),
+        array_union(array(struct(col("m"), lit(0).as("dist"))),
+          col("foreign")).as("cands"))
+    // Record-level verdict is a narrow in-row reduction after one
+    // broadcast join: the winner is the smallest candidate minimum below
+    // the record's own id (struct ordering — minima are unique ids).
+    parts.join(broadcast(cands), Seq("b", "nm"))
+      .withColumn("best", array_min(expr("filter(cands, c -> c.m < id)")))
       .select(col("id").as("k"),
-        coalesce(col("best.cand"), col("id")).as("canon"),
+        coalesce(col("best.m"), col("id")).as("canon"),
         coalesce(col("best.dist"), lit(-1)).cast("int").as("dist"))
   }
 }
