@@ -35,13 +35,15 @@ object Privacy {
     * every input row exactly once, custkey kept as the re-join handle
     * for the non-QI payload columns.
     *
-    * Scale shape: two narrow groupBy aggregations on QI keys (map-side
-    * partial — group cardinality is |nations|·|segments|·|bands|,
-    * corpus-independent) with their counts BROADCAST-joined back to the
-    * fact (the model-table rule: a count table this small never
-    * warrants a fact shuffle), no windows, no self-join of the fact.
-    * The residue chain reuses the first join's columns, so the whole
-    * ladder is one fact scan plus two bounded joins.
+    * Scale shape: ONE fact scan. The $1000-band census g1 is a QI-sized
+    * map-side-partial aggregation; the coarser census derives FROM g1
+    * (b2 = b1 div 5 exactly, non-negative floor division composes), so
+    * the residue never re-scans the fact; the two merge into one policy
+    * table (|nations|·|segments|·|bands| rows, corpus-independent) that
+    * BROADCAST-joins back, and the ladder decision is a per-row CASE in
+    * a single projection — no windows, no fact shuffle, no union of
+    * re-planned branches (the 3-branch union form re-ran the census per
+    * branch: 7 exchanges; this is 2 QI-sized ones).
     */
   def kAnonymize(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val cust = spark.read.parquet(s"$dir/customer.parquet")
@@ -50,27 +52,33 @@ object Privacy {
         col("c_mktsegment").as("segment"),
         (expr("CAST(round(c_acctbal * 100) AS BIGINT)") + 100000000L).as("sc"))
       .withColumn("b1", expr("sc div 100000"))
-      .withColumn("b2", expr("sc div 500000"))
     val g1 = cust.groupBy(col("nation"), col("segment"), col("b1"))
       .agg(count(lit(1)).as("cnt1"))
-    val withG1 = cust.join(broadcast(g1), Seq("nation", "segment", "b1"))
-    val level0 = withG1.where(col("cnt1") >= k)
-      .select(col("c_custkey"), col("nation"), col("segment"),
-        (col("b1") * 100000L - 100000000L).as("lo_cents"),
-        ((col("b1") + 1L) * 100000L - 100000000L).as("hi_cents"),
-        lit(0).as("level"))
-    val residue1 = withG1.where(col("cnt1") < k)
-    val g2 = residue1.groupBy(col("nation"), col("segment"), col("b2"))
-      .agg(count(lit(1)).as("cnt2"))
-    val withG2 = residue1.join(broadcast(g2), Seq("nation", "segment", "b2"))
-    val level1 = withG2.where(col("cnt2") >= k)
-      .select(col("c_custkey"), col("nation"), col("segment"),
-        (col("b2") * 500000L - 100000000L).as("lo_cents"),
-        ((col("b2") + 1L) * 500000L - 100000000L).as("hi_cents"),
-        lit(1).as("level"))
-    val level2 = withG2.where(col("cnt2") < k)
-      .select(col("c_custkey"), lit(-1).as("nation"), lit("*").as("segment"),
-        lit(-1L).as("lo_cents"), lit(-1L).as("hi_cents"), lit(2).as("level"))
-    level0.unionByName(level1).unionByName(level2)
+    // renamed keys: g2 derives FROM g1, and a self-lineage join on same-
+    // named columns is ambiguous to the analyzer
+    val g2 = g1.where(col("cnt1") < k)
+      .select(col("nation").as("n2"), col("segment").as("s2"),
+        expr("b1 div 5").as("b2"), col("cnt1"))
+      .groupBy(col("n2"), col("s2"), col("b2"))
+      .agg(sum(col("cnt1")).as("cnt2"))
+    val policy = g1.join(g2,
+      col("nation") === col("n2") && col("segment") === col("s2")
+        && expr("b1 div 5") === col("b2"), "left")
+      .select(col("nation"), col("segment"), col("b1"), col("cnt1"), col("cnt2"))
+    cust.join(broadcast(policy), Seq("nation", "segment", "b1"))
+      .select(col("c_custkey"),
+        when(col("cnt1") >= k || col("cnt2") >= k, col("nation"))
+          .otherwise(lit(-1)).as("nation"),
+        when(col("cnt1") >= k || col("cnt2") >= k, col("segment"))
+          .otherwise(lit("*")).as("segment"),
+        when(col("cnt1") >= k, col("b1") * 100000L - 100000000L)
+          .when(col("cnt2") >= k, expr("b1 div 5") * 500000L - 100000000L)
+          .otherwise(lit(-1L)).as("lo_cents"),
+        when(col("cnt1") >= k, (col("b1") + 1L) * 100000L - 100000000L)
+          .when(col("cnt2") >= k, (expr("b1 div 5") + 1L) * 500000L - 100000000L)
+          .otherwise(lit(-1L)).as("hi_cents"),
+        when(col("cnt1") >= k, lit(0))
+          .when(col("cnt2") >= k, lit(1))
+          .otherwise(lit(2)).as("level"))
   }
 }

@@ -714,4 +714,33 @@ class PlanSpec extends GraftSuite {
     assert(shuffles(p) <= 2, s"copurchase is two aggs:\n$p")
     assert(p.contains("Generate"), s"pairs explode from the comprehension:\n$p")
   }
+
+  test("q_merge_upsert: latest-wins is an aggregation, never a window over the fact") {
+    val p = plan("q_merge_upsert")
+    assert(!p.contains("Window"), s"max(struct) partials replace row_number:\n$p")
+    assert(p.contains("FullOuter"), s"snapshot and changelog meet full-outer:\n$p")
+    // two half aggs + the key join; the 1-row midpoint is a broadcast
+    assert(p.contains("BroadcastNestedLoopJoin"), s"midpoint must broadcast:\n$p")
+    assert(shuffles(p) <= 4, s"merge is two aggs + one key join:\n$p")
+  }
+
+  test("q_k_anonymize: QI count tables broadcast back — the fact never shuffles") {
+    val p = plan("q_k_anonymize")
+    assert(p.contains("BroadcastHashJoin"), s"count tables are broadcast-scale:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no fact-side shuffle join:\n$p")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Union"), s"one projection decides the ladder, not re-planned branches:\n$p")
+    // the only data exchanges are the QI census + the (tiny) policy join
+    assert(shuffles(p) <= 3, s"ladder must not shuffle the fact:\n$p")
+  }
+
+  test("q_entity_resolve: entity-granularity resolve, verdicts broadcast to records") {
+    val p = plan("q_entity_resolve")
+    // the record-scale side joins the candidate lists by broadcast and
+    // reduces in-row; no record-scale SMJ anywhere
+    assert(p.contains("BroadcastHashJoin"), s"candidate lists must broadcast:\n$p")
+    // entity collapse + blocking groupByKey + pair distinct + list agg —
+    // all ENTITY-sized exchanges; the record side contributes none
+    assert(shuffles(p) <= 6, s"unexpected record-scale shuffles:\n$p")
+  }
 }
