@@ -2089,6 +2089,30 @@ object Oracles {
       |       2 AS level
       |FROM j2 WHERE cnt2 < 5""".stripMargin
 
+  /** D17 q_gap_fill — per-user daily grid (generate_series returns
+    * TIMESTAMP → cast back to DATE) with IGNORE NULLS forward fill; sums
+    * cast out of HUGEINT.
+    */
+  val gapFill: String =
+    """WITH daily AS MATERIALIZED (
+      |  SELECT user_id, ts::DATE AS day, CAST(count(*) AS BIGINT) AS n_events,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |spans AS MATERIALIZED (
+      |  SELECT user_id,
+      |         unnest(generate_series(min(day), max(day), INTERVAL 1 DAY))::DATE AS day
+      |  FROM daily GROUP BY user_id),
+      |j AS MATERIALIZED (
+      |  SELECT s.user_id, s.day, d.n_events, d.cents
+      |  FROM spans s LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day)
+      |SELECT user_id, CAST(day AS VARCHAR) AS day,
+      |       CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+      |       CAST(coalesce(cents, 0) AS BIGINT) AS cents,
+      |       last_value(cents IGNORE NULLS) OVER
+      |         (PARTITION BY user_id ORDER BY day
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+      |FROM j""".stripMargin
+
   /** D16 q_merge_upsert — base/changelog split at the E20 midpoint; the
     * latest changelog row per user wins via (ms, event_id) row_number
     * (Spark reduces with max(struct(...)) — same total order, event_id is

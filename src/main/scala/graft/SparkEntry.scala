@@ -318,6 +318,9 @@ object SparkEntry {
     // q_k_anonymize: k-anonymity generalization ladder over QI groups —
     // two bounded-cardinality aggs broadcast back, no fact self-join
     "q_k_anonymize"        -> ((s, d) => Privacy.kAnonymize(s, d)),
+    // q_gap_fill: per-user daily resample + forward fill — span-bounded
+    // sequence explode, one user window, all integer/date
+    "q_gap_fill"           -> ((s, d) => Events.gapFill(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same column aliases — the driver
@@ -624,5 +627,6 @@ object SparkEntry {
     "q_entity_resolve"  -> Oracles.entityResolve,
     "q_merge_upsert"    -> Oracles.mergeUpsert,
     "q_k_anonymize"     -> Oracles.kAnonymize,
+    "q_gap_fill"        -> Oracles.gapFill,
   )
 }

@@ -228,6 +228,39 @@ object Events {
         col("day_offset").cast("long").as("day_offset"), col("n_active"))
   }
 
+  /** D17 — q_gap_fill: per-user daily resample with forward fill — the
+    * time-series regularization every metrics/feature pipeline runs before
+    * models that assume an unbroken grid (as-freq + ffill). For each user,
+    * every calendar day between their first and last activity gets a row:
+    * active days carry that day's exact counts/cents, gap days carry
+    * n_events = 0 and the LAST ACTIVE day's cents as `filled_cents`
+    * (day-level forward fill; the as-of join E2 is the row-level analogue).
+    *
+    * Scale shape: one (user, day) aggregation (map-side partial), one
+    * user-keyed min/max agg, a `sequence()` explode bounded by the date
+    * span (never event-sized — 30 days here, and a pipeline would bound it
+    * by policy), a broadcast-friendly join of the two user-keyed sides, and
+    * ONE user window for the fill (`last(_, ignoreNulls)` — both engines
+    * implement IGNORE NULLS exactly). Everything integer/date; no FP.
+    */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    val spans = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spans.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day").cast("string").as("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("cents"), lit(0L)).as("cents"),
+        last(col("cents"), ignoreNulls = true).over(w).as("filled_cents"))
+  }
+
   /** D16 — q_merge_upsert: CDC apply — the MERGE INTO semantics every
     * lakehouse runs nightly (Delta/Iceberg MERGE, Hudi upsert), expressed
     * as one declarative plan so the oracle can check it exactly. The

@@ -127,6 +127,42 @@ class EventsSpec extends GraftSuite {
     }
   }
 
+  test("gapFill: complete span grid, zeros on gaps, exact forward fill") {
+    val daily = graft.io.Tables.events(spark, sf)
+      .groupBy(col("user_id"), to_date(col("ts")).cast("string").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val got = graft.operators.Events.gapFill(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // one row per user per calendar day of the user's span, no more
+    val byUser = got.groupBy(_._1)
+    byUser.foreach { case (u, rows) =>
+      val days = rows.map(_._2).sorted
+      val span = java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse(days.head), java.time.LocalDate.parse(days.last)) + 1
+      assert(rows.length == span && days.distinct.length == days.length, s"user $u grid")
+    }
+    // active days carry their own aggregates; gap days carry zeros and the
+    // last active day's cents
+    var sawGap = false
+    byUser.values.foreach { rows =>
+      var lastActive = Long.MinValue
+      rows.sortBy(_._2).foreach { case (u, day, n, cents, filled) =>
+        daily.get((u, day)) match {
+          case Some((dn, dc)) =>
+            assert(n == dn && cents == dc && filled == dc, s"$u $day active")
+            lastActive = dc
+          case None =>
+            sawGap = true
+            assert(n == 0L && cents == 0L && filled == lastActive, s"$u $day gap")
+        }
+      }
+    }
+    assert(sawGap, "fixture must contain at least one gap day")
+  }
+
   test("mergeUpsert equals a plain-Scala CDC-apply reference") {
     val ev = graft.io.Tables.events(spark, sf)
       .select(col("user_id"), col("event_type"), col("event_id"),
