@@ -761,6 +761,22 @@ object Oracles {
       |      FROM p)
       |SELECT query_id, rk, neighbor_id, cos4 FROM r WHERE rk <= 5""".stripMargin
 
+  /** C6b q_ann_filtered — the metadata-constrained exact search: same
+    * device as [[annBruteForce]] with the label predicate INSIDE the
+    * candidate join (pre-filter).
+    */
+  val annFiltered: String =
+    """WITH v AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |n AS MATERIALIZED (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+      |q AS MATERIALIZED (SELECT * FROM n WHERE vec_id < 20),
+      |p AS MATERIALIZED (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, n.label,
+      |        round(list_dot_product(q.e, n.e) / (q.nrm * n.nrm), 4) AS cos4
+      |      FROM q JOIN n ON n.label = q.label AND n.vec_id <> q.vec_id),
+      |r AS MATERIALIZED (SELECT query_id, neighbor_id, label, cos4,
+      |        row_number() OVER (PARTITION BY query_id ORDER BY cos4 DESC, neighbor_id) AS rk
+      |      FROM p)
+      |SELECT query_id, rk, neighbor_id, label, cos4 FROM r WHERE rk <= 5""".stripMargin
+
   /** Full LSH pipeline re-derived in SQL: the hyperplanes are integer
     * arithmetic ((p*64+d)*2654435761 mod 1000003, scaled), so DuckDB
     * reconstructs bit-identical buckets, candidates and re-ranking.

@@ -83,6 +83,9 @@ object SparkEntry {
     "q_ngram_topk"         -> ((s, d) => Dedup.ngramTopK(s, d)),
     "q_dedup_embedding"    -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "q_ann_bruteforce"     -> ((s, d) => Ann.bruteForceTopK(s, d)),
+    // q_ann_filtered: metadata-constrained exact search — the label
+    // predicate pre-filters INSIDE a broadcast hash join (never post-ANN)
+    "q_ann_filtered"       -> ((s, d) => Ann.filteredTopK(s, d)),
     "q_ann_lsh"            -> ((s, d) => Ann.lshTopK(s, d)),
     "q_ann_multiprobe"     -> ((s, d) => Ann.lshMultiProbeTopK(s, d)),
     "q_token_count"        -> ((s, d) => TextAnalysis.tokenCount(s, d)),
@@ -516,6 +519,7 @@ object SparkEntry {
     "q_ngram_topk"      -> Oracles.ngramTopK,
     "q_dedup_embedding" -> Oracles.dedupEmbedding,
     "q_ann_bruteforce"  -> Oracles.annBruteForce,
+    "q_ann_filtered"    -> Oracles.annFiltered,
     "q_ann_lsh"         -> Oracles.annLsh,
     "q_ann_multiprobe"  -> Oracles.annMultiprobe,
     "q_token_count"     -> Oracles.tokenCount,

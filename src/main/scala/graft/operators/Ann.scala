@@ -65,6 +65,40 @@ object Ann {
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos4"))
   }
 
+  /** C6b — FILTERED exact top-k cosine: the metadata-constrained search
+    * every production vector store serves (tenant / category / license
+    * restriction — here `label`, the one metadata column the embeddings
+    * table carries). The predicate is applied BEFORE scoring (pre-filter:
+    * exact within the allowed subset) rather than after an unfiltered ANN
+    * pass (post-filter: k shrinks unpredictably when the filter is
+    * selective — the classic vector-DB recall trap; documented here as the
+    * design decision, and the reason this operator exists next to C6).
+    *
+    * Plan shape: the label equality turns C6's theta join (broadcast
+    * nested loop — every query × every vector) into a broadcast HASH join
+    * on `label`, so each corpus vector is scored against only its label's
+    * queries — the relational analogue of routing the search to one
+    * tenant's partition. The corpus never shuffles; ranking stays the
+    * 4dp-rounded deterministic order.
+    */
+  def filteredTopK(spark: SparkSession, dir: String, nQueries: Int = 20,
+      k: Int = 5): DataFrame = {
+    val v = normed(spark, dir)
+    val q = broadcast(v.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("e").as("qe"), col("nrm").as("qn")))
+    val scored = q.join(v, col("qlabel") === col("label")
+        && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("label"),
+        round(cosine(col("qe"), col("e"), col("qn"), col("nrm")), 4).as("cos4"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos4").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("label"),
+        col("cos4"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for plane p, dim d.
     * Value in [-0.5, 0.5); pure integer arithmetic so it is reproducible
     * anywhere.

@@ -734,6 +734,15 @@ class PlanSpec extends GraftSuite {
     assert(shuffles(p) <= 3, s"ladder must not shuffle the fact:\n$p")
   }
 
+  test("q_ann_filtered: the label predicate makes the search a broadcast HASH join") {
+    val p = plan("q_ann_filtered")
+    // C6's unfiltered form is a broadcast nested loop (every query × every
+    // vector); the pre-filter turns it into an equi-join on label — each
+    // corpus vector is scored against only its label's queries
+    assert(p.contains("BroadcastHashJoin"), s"label must be the join key:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"no theta join:\n$p")
+  }
+
   test("q_entity_resolve: entity-granularity resolve, verdicts broadcast to records") {
     val p = plan("q_entity_resolve")
     // the record-scale side joins the candidate lists by broadcast and
