@@ -379,16 +379,20 @@ object Layout {
     val stagingLoc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(staging))
       .location)
-    // new files in, old files out, retire instead of delete
+    // new files in, old files out, retire instead of delete. rename()
+    // reports failure as `false`, not an exception — an unchecked false on
+    // the move-in would silently drop the delta from the table
+    def mv(from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
+      require(fs.rename(from, to), s"mergeBucketed: rename $from -> $to failed")
     fs.listStatus(stagingLoc)
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
-      .foreach(s => fs.rename(s.getPath,
+      .foreach(s => mv(s.getPath,
         new org.apache.hadoop.fs.Path(loc, s.getPath.getName)))
     val retired = new org.apache.hadoop.fs.Path(loc,
       s"_pre_merge_${System.currentTimeMillis()}")
     if (oldAffected.nonEmpty) {
       fs.mkdirs(retired)
-      oldAffected.foreach(s => fs.rename(s.getPath,
+      oldAffected.foreach(s => mv(s.getPath,
         new org.apache.hadoop.fs.Path(retired, s.getPath.getName)))
     }
     spark.sql(s"DROP TABLE `$staging`")
