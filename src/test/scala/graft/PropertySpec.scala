@@ -428,4 +428,57 @@ class PropertySpec extends GraftSuite {
       assert(got == dsirRef(docs, 4096L), s"dsirWeight diverges on $docs")
     }
   }
+
+  test("entityResolve at maxDist=0 degenerates to exact-name min-id resolution") {
+    val got = operators.Fuzzy.entityResolve(spark, sf, maxDist = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val parts = spark.read.parquet(s"$sf/part.parquet")
+      .select("p_partkey", "p_name", "p_brand").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val minByName = parts.groupBy(t => (t._2, t._3))
+      .map { case (key, rows) => key -> rows.map(_._1).min }
+    got.foreach { case (k, canon, dist) =>
+      val (_, nm, b) = parts.find(_._1 == k).get
+      val m = minByName((nm, b))
+      if (k > m) assert(canon == m && dist == 0, s"$k should resolve to $m")
+      else assert(canon == k && dist == -1, s"cluster min $k resolves to itself")
+    }
+  }
+
+  test("kAnonymize: level-0 membership shrinks as k grows; the >=k property holds at every k") {
+    // NOTE the full ladder position is NOT monotone in k — a suppressed
+    // record can resurface at level 1 under a larger k because the coarse
+    // census counts RESIDUE rows and the residue grows with k. What is
+    // invariant: fine-band release (cnt1 >= k) is monotone, the row
+    // partition is exact, and every released group covers >= k records.
+    def run(k: Int) = operators.Privacy.kAnonymize(spark, sf, k).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getInt(5)))
+    val byK = Seq(2, 5, 20).map(k => k -> run(k)).toMap
+    val keySets = byK.view.mapValues(_.map(_._1).toSet).toMap
+    assert(keySets(2) == keySets(5) && keySets(5) == keySets(20))
+    def level0(k: Int) = byK(k).filter(_._6 == 0).map(_._1).toSet
+    assert(level0(20).subsetOf(level0(5)) && level0(5).subsetOf(level0(2)))
+    byK.foreach { case (k, rows) =>
+      rows.filter(_._6 < 2).groupBy(t => (t._2, t._3, t._4, t._5)).foreach {
+        case (g, rs) => assert(rs.length >= k, s"k=$k group $g has ${rs.length}")
+      }
+    }
+  }
+
+  test("mergeUpsert partitions users exactly: output ∪ tombstoned = all active users") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.io.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_millis(col("ts")).as("ms"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val mid = (ev.map(_._4).min + ev.map(_._4).max) / 2
+    val tombstoned = ev.filter(_._4 >= mid).groupBy(_._1)
+      .filter { case (_, rows) => rows.maxBy(r => (r._4, r._3))._2 == "error" }
+      .keySet
+    val out = operators.Events.mergeUpsert(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(out.intersect(tombstoned).isEmpty, "tombstoned users must vanish")
+    assert(out ++ tombstoned == ev.map(_._1).toSet, "every user accounted for")
+  }
 }
