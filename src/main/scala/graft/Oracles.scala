@@ -1204,6 +1204,40 @@ object Oracles {
       |       epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms
       |FROM s GROUP BY 1, 2""".stripMargin
 
+  /** D18 q_peak_concurrency — the sweep re-derived with a global window
+    * (fine for the oracle's scale): sessions → ±1 deltas → running sum
+    * ordered (ms, delta DESC) → per-day max with previous-day carry. Tie
+    * groups share one delta sign, so intermediate sums are a deterministic
+    * set despite the non-total order (see the operator scaladoc).
+    */
+  val peakConcurrency: String =
+    """WITH e AS MATERIALIZED (SELECT user_id, event_id, ts,
+      |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |           FROM events),
+      |b AS MATERIALIZED (SELECT user_id, event_id, ts,
+      |        CASE WHEN prev_ts IS NULL OR (epoch_ms(ts) - epoch_ms(prev_ts)) > 1800000
+      |             THEN 1 ELSE 0 END AS brk FROM e),
+      |s AS MATERIALIZED (SELECT user_id, ts,
+      |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      |      FROM b),
+      |sess AS MATERIALIZED (
+      |  SELECT epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms
+      |  FROM s GROUP BY user_id, session_id),
+      |d AS MATERIALIZED (
+      |  SELECT start_ms AS ms, 1 AS dd FROM sess
+      |  UNION ALL SELECT end_ms + 1 AS ms, -1 AS dd FROM sess),
+      |r AS MATERIALIZED (
+      |  SELECT make_timestamp(ms * 1000)::DATE AS day,
+      |         sum(dd) OVER (ORDER BY ms, dd DESC
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
+      |         row_number() OVER (ORDER BY ms, dd DESC) AS pos
+      |  FROM d),
+      |g AS MATERIALIZED (
+      |  SELECT day, max(run) AS mx, arg_max(run, pos) AS last_run FROM r GROUP BY day)
+      |SELECT CAST(day AS VARCHAR) AS day,
+      |       CAST(greatest(mx, coalesce(lag(last_run) OVER (ORDER BY day), 0)) AS BIGINT) AS peak
+      |FROM g""".stripMargin
+
   val topUsers: String =
     """WITH c AS MATERIALIZED (SELECT event_type, user_id, count(*) AS cnt FROM events GROUP BY 1, 2),
       |r AS MATERIALIZED (SELECT event_type, user_id, cnt,

@@ -324,6 +324,9 @@ object SparkEntry {
     // q_gap_fill: per-user daily resample + forward fill — span-bounded
     // sequence explode, one user window, all integer/date
     "q_gap_fill"           -> ((s, d) => Events.gapFill(s, d)),
+    // q_peak_concurrency: per-day peak of open sessions — sweep line +
+    // the two-pass distributed prefix scan (never a global window)
+    "q_peak_concurrency"   -> ((s, d) => Events.peakConcurrency(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same column aliases — the driver
@@ -632,5 +635,6 @@ object SparkEntry {
     "q_merge_upsert"    -> Oracles.mergeUpsert,
     "q_k_anonymize"     -> Oracles.kAnonymize,
     "q_gap_fill"        -> Oracles.gapFill,
+    "q_peak_concurrency" -> Oracles.peakConcurrency,
   )
 }

@@ -228,6 +228,61 @@ object Events {
         col("day_offset").cast("long").as("day_offset"), col("n_active"))
   }
 
+  /** D18 — q_peak_concurrency: per-day PEAK of simultaneously-open
+    * sessions — the occupancy/concurrency sweep every capacity dashboard
+    * runs (licenses in use, live connections, concurrent viewers). A
+    * session from [[sessionize]] is open on [start_ms, end_ms]; the
+    * classic sweep line turns each into (+1 at start, −1 at end+1), the
+    * running sum over the global (ms, delta DESC) order is the
+    * concurrency after each point, and a day's peak is the max of its
+    * points' values and the carry-in from the previous day (a session
+    * spanning midnight keeps the floor up even if the day's first delta
+    * is a −1).
+    *
+    * Determinism under ties: (ms, delta) is not a total order, but tied
+    * rows all carry the SAME delta (+1s sort before −1s), so the set of
+    * partial sums inside a tie group — and therefore the day max and the
+    * day-final value — is order-independent; both engines agree exactly.
+    *
+    * Scale shape: the running sum is the same TWO-PASS DISTRIBUTED SCAN
+    * as C48 (range-partition by ms, per-partition totals → driver scan of
+    * #partitions pairs → stamping pass) — a global window would serialize
+    * the sweep through one task. The day roll-up is a bounded agg and the
+    * carry window runs over one row per day (span-bounded, the D9
+    * running-total precedent).
+    */
+  def peakConcurrency(spark: SparkSession, dir: String,
+      gapMinutes: Int = 30): DataFrame = {
+    val deltas = sessionize(spark, dir, gapMinutes)
+      .select(explode(array(
+        struct(col("start_ms").as("ms"), lit(1L).as("d")),
+        struct((col("end_ms") + 1L).as("ms"), lit(-1L).as("d")))).as("x"))
+      .select(col("x.ms").as("ms"), col("x.d").as("d"))
+      .repartitionByRange(col("ms"), col("d").desc)
+      .sortWithinPartitions(col("ms"), col("d").desc)
+      .localCheckpoint(false) // lazy: the totals pass materializes it
+    val rdd = deltas.rdd
+    val totals = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L; var n = 0L
+      it.foreach { r => s += r.getLong(1); n += 1 }
+      Iterator((i, s, n))
+    }.collect().sortBy(_._1)
+    val runBase = totals.scanLeft(0L)(_ + _._2).init
+    val posBase = totals.scanLeft(0L)(_ + _._3).init
+    val stamped = rdd.mapPartitionsWithIndex { (i, it) =>
+      var run = runBase(i); var pos = posBase(i)
+      it.map { r => run += r.getLong(1); pos += 1; (r.getLong(0), run, pos) }
+    }
+    val daily = spark.createDataFrame(stamped).toDF("ms", "run", "pos")
+      .groupBy(to_date(timestamp_millis(col("ms"))).as("day"))
+      .agg(max(col("run")).as("mx"), max_by(col("run"), col("pos")).as("last_run"))
+    val byDay = Window.orderBy(col("day"))
+    daily
+      .withColumn("carry", coalesce(lag(col("last_run"), 1).over(byDay), lit(0L)))
+      .select(col("day").cast("string").as("day"),
+        greatest(col("mx"), col("carry")).as("peak"))
+  }
+
   /** D17 — q_gap_fill: per-user daily resample with forward fill — the
     * time-series regularization every metrics/feature pipeline runs before
     * models that assume an unbroken grid (as-freq + ffill). For each user,

@@ -163,6 +163,56 @@ class EventsSpec extends GraftSuite {
     assert(sawGap, "fixture must contain at least one gap day")
   }
 
+  test("peakConcurrency equals a plain-Scala sweep (with midnight carry)") {
+    def reference(sessions: Array[(Long, Long)]): Map[String, Long] = {
+      val pts = sessions.flatMap { case (s, e) => Seq((s, 1L), (e + 1, -1L)) }
+        .sortBy { case (ms, d) => (ms, -d) }
+      var run = 0L
+      val mx = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      val lastRun = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      pts.foreach { case (ms, d) =>
+        run += d
+        val day = java.time.Instant.ofEpochMilli(ms)
+          .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+        mx(day) = math.max(mx.getOrElse(day, Long.MinValue), run)
+        lastRun(day) = run
+      }
+      val days = mx.keys.toSeq
+      days.zipWithIndex.map { case (day, i) =>
+        val carry = if (i == 0) 0L else lastRun(days(i - 1))
+        day -> math.max(mx(day), carry)
+      }.toMap
+    }
+    val sessions = graft.operators.Events.sessionize(spark, sf).collect()
+      .map(r => (r.getLong(3), r.getLong(4)))
+    val got = graft.operators.Events.peakConcurrency(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == reference(sessions))
+    assert(got.values.max > 1, "fixture should overlap sessions")
+  }
+
+  test("peakConcurrency: a day whose peak is only the midnight carry") {
+    import spark.implicits._
+    // users 1 and 3 hold sessions OPEN across midnight; day 2's only
+    // delta points are their closings (-1, -1), so its sweep maxes at 1 —
+    // the true peak 2 comes from the carry.
+    val rows = Seq(
+      (2L, "2024-03-01 10:00:00", 1L), (1L, "2024-03-01 23:40:00", 2L),
+      (3L, "2024-03-01 23:45:00", 3L), (1L, "2024-03-01 23:55:00", 4L),
+      (3L, "2024-03-02 00:02:00", 5L), (1L, "2024-03-02 00:05:00", 6L))
+    val dir = java.nio.file.Files.createTempDirectory("conc-ev").toString
+    val prevTsType = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try rows.toDF("user_id", "ts_s", "event_id")
+      .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"), col("user_id"),
+        lit("view").as("event_type"), lit(1.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    finally spark.conf.set("spark.sql.parquet.outputTimestampType", prevTsType)
+    val got = graft.operators.Events.peakConcurrency(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("2024-03-01" -> 2L, "2024-03-02" -> 2L), got.toString)
+  }
+
   test("mergeUpsert equals a plain-Scala CDC-apply reference") {
     val ev = graft.io.Tables.events(spark, sf)
       .select(col("user_id"), col("event_type"), col("event_id"),
