@@ -1206,7 +1206,8 @@ object Oracles {
 
   /** D18 q_peak_concurrency — the sweep re-derived with a global window
     * (fine for the oracle's scale): sessions → ±1 deltas → running sum
-    * ordered (ms, delta DESC) → per-day max with previous-day carry. Tie
+    * ordered (ms, delta ASC — closings fold before openings at the same
+    * instant, see the operator scaladoc) → per-day max with carry. Tie
     * groups share one delta sign, so intermediate sums are a deterministic
     * set despite the non-total order (see the operator scaladoc).
     */
@@ -1228,9 +1229,9 @@ object Oracles {
       |  UNION ALL SELECT end_ms + 1 AS ms, -1 AS dd FROM sess),
       |r AS MATERIALIZED (
       |  SELECT make_timestamp(ms * 1000)::DATE AS day,
-      |         sum(dd) OVER (ORDER BY ms, dd DESC
+      |         sum(dd) OVER (ORDER BY ms, dd
       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
-      |         row_number() OVER (ORDER BY ms, dd DESC) AS pos
+      |         row_number() OVER (ORDER BY ms, dd) AS pos
       |  FROM d),
       |g AS MATERIALIZED (
       |  SELECT day, max(run) AS mx, arg_max(run, pos) AS last_run FROM r GROUP BY day)

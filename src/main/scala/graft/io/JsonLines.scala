@@ -26,20 +26,25 @@ object JsonLines {
     * parallelism or serializes per-file:
     *
     *  - SPLITTABLE: none, bzip2 — any byte range can start a task.
-    *  - NOT splittable: gzip, zstd, lz4, snappy (as whole-file codecs) —
-    *    each FILE is one task, however large. A 100 TB gzip landing zone
-    *    of 1 GB files silently caps parallelism at #files and makes every
-    *    task decompress a full gigabyte; a single big gzip file reads on
-    *    ONE core. Prefer writing zstd in SMALL files (≤ ~128 MB) so the
-    *    per-file task granularity matches a split anyway — that's the
-    *    standard crawl-delivery contract (WET ships as many ~150 MB .gz
-    *    members for exactly this reason).
+    *  - NOT splittable: gzip, deflate, lz4, snappy (and zstd, the common
+    *    crawl-delivery codec) as whole-file codecs — each FILE is one
+    *    task, however large. A 100 TB gzip landing zone of 1 GB files
+    *    silently caps parallelism at #files and makes every task
+    *    decompress a full gigabyte; a single big gzip file reads on ONE
+    *    core. Prefer writing whole-file codecs in SMALL files (≤ ~128 MB)
+    *    so the per-file task granularity matches a split anyway — that's
+    *    the standard crawl-delivery contract (WET ships as many ~150 MB
+    *    .gz members for exactly this reason).
     *
-    * `write(codec = …)` takes these names; `read` needs nothing — Hadoop
-    * picks the codec from the file extension (.gz/.zst/.bz2).
+    * `write(codec = …)` takes the WRITABLE names below — Spark's JSON
+    * writer has no zstd short codec (probed against the shipped 4.1.2
+    * jars: bzip2/deflate/gzip/lz4/snappy only), so zstd is read-side
+    * only, and only where the Hadoop native zstd codec is installed.
+    * `read` needs nothing — Hadoop picks the codec from the file
+    * extension (.gz/.bz2/.deflate/.lz4/.snappy, .zst where native).
     */
   val SplittableCodecs = Set("none", "bzip2")
-  val WholeFileCodecs = Set("gzip", "zstd", "lz4", "snappy")
+  val WholeFileCodecs = Set("gzip", "deflate", "lz4", "snappy")
 
   /** `codec`: "none" (default), or any of [[WholeFileCodecs]]/bzip2 —
     * validated here so a typo fails loudly instead of writing an

@@ -325,9 +325,11 @@ object Layout {
     * agreement file-by-file); only those buckets' files are read, the
     * anti-join drops replaced keys, and the merged rows rewrite through
     * the shared [[bucketWriter]] recipe into a staging table whose files
-    * then swap in. Retired files move to a `_pre_merge` subdir
+    * then swap in. Retired files move to the `_pre_merge` subdir
     * (underscore-prefixed → invisible to parquet scans) rather than
-    * being deleted, so a botched merge is recoverable by hand.
+    * being deleted, so the LAST merge stays recoverable by hand — one
+    * retirement generation, replaced per merge, so a continuous CDC
+    * cadence holds at most one affected-bucket set of extra bytes.
     *
     * SINGLE-WRITER, bounded-visibility contract (the no-transaction-log
     * price, same class as [[compactBucketed]]'s caveat): the swap moves
@@ -388,8 +390,14 @@ object Layout {
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
       .foreach(s => mv(s.getPath,
         new org.apache.hadoop.fs.Path(loc, s.getPath.getName)))
-    val retired = new org.apache.hadoop.fs.Path(loc,
-      s"_pre_merge_${System.currentTimeMillis()}")
+    // ONE retirement generation, replaced per merge: a per-call timestamped
+    // dir would grow the table directory without bound under the
+    // foreachBatch CDC cadence (review finding — one trigger per minute on
+    // a hot bucket accumulates that bucket's bytes forever). Keeping
+    // exactly the LAST merge's originals preserves the hand-recovery story
+    // for the swap most likely to have just gone wrong.
+    val retired = new org.apache.hadoop.fs.Path(loc, "_pre_merge")
+    if (fs.exists(retired)) fs.delete(retired, true)
     if (oldAffected.nonEmpty) {
       fs.mkdirs(retired)
       oldAffected.foreach(s => mv(s.getPath,

@@ -122,7 +122,12 @@ object Dedup {
             }
             val union = h1.length + h2.length - c
             val jac = if (union == 0) 0.0 else c.toDouble / union
-            if (jac >= threshold)
+            // emit at threshold − 1e-6 (a strict superset of the rounded
+            // filter below): the oracle filters on the 6-dp ROUNDED value,
+            // so testing raw jac here would drop a pair whose raw quotient
+            // sits in [threshold − 5e-7, threshold) while the oracle keeps
+            // it — the same boundary guard the ngram family's tEmit applies
+            if (jac >= threshold - 1e-6)
               out += ((ds(i)._3, ds(j)._3,
                 BigDecimal(jac).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
             i += 1
@@ -132,6 +137,7 @@ object Dedup {
         out.result().iterator
       }
       .toDF("d1", "d2", "jac")
+      .where(col("jac") >= threshold)
       .distinct()
   }
 

@@ -233,14 +233,18 @@ object Events {
     * runs (licenses in use, live connections, concurrent viewers). A
     * session from [[sessionize]] is open on [start_ms, end_ms]; the
     * classic sweep line turns each into (+1 at start, −1 at end+1), the
-    * running sum over the global (ms, delta DESC) order is the
-    * concurrency after each point, and a day's peak is the max of its
+    * running sum over the global (ms, delta ASC) order is the
+    * concurrency after each point — −1s fold BEFORE +1s at the same
+    * millisecond, because a session ending at T−1 (its −1 lands at T) is
+    * already closed when one starting at T opens; the opposite order
+    * would transiently count both and overstate the peak by the number
+    * of such back-to-back handoffs — and a day's peak is the max of its
     * points' values and the carry-in from the previous day (a session
     * spanning midnight keeps the floor up even if the day's first delta
     * is a −1).
     *
     * Determinism under ties: (ms, delta) is not a total order, but tied
-    * rows all carry the SAME delta (+1s sort before −1s), so the set of
+    * rows all carry the SAME delta (−1s sort before +1s), so the set of
     * partial sums inside a tie group — and therefore the day max and the
     * day-final value — is order-independent; both engines agree exactly.
     *
@@ -258,8 +262,8 @@ object Events {
         struct(col("start_ms").as("ms"), lit(1L).as("d")),
         struct((col("end_ms") + 1L).as("ms"), lit(-1L).as("d")))).as("x"))
       .select(col("x.ms").as("ms"), col("x.d").as("d"))
-      .repartitionByRange(col("ms"), col("d").desc)
-      .sortWithinPartitions(col("ms"), col("d").desc)
+      .repartitionByRange(col("ms"), col("d"))
+      .sortWithinPartitions(col("ms"), col("d"))
       .localCheckpoint(false) // lazy: the totals pass materializes it
     val rdd = deltas.rdd
     val totals = rdd.mapPartitionsWithIndex { (i, it) =>

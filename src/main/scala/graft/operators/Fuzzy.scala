@@ -117,7 +117,10 @@ object Fuzzy {
     val probeRows = typed.flatMap { case (b, nm, m) =>
       val ml = nm.length
       for {
-        l <- math.max(1, ml - k) to (ml + k)
+        // l reaches DOWN to 0: an empty indexed name only lives under l=0
+        // keys, and a probe that skipped them would never meet it (review
+        // finding — the lossless claim must include degenerate names)
+        l <- math.max(0, ml - k) to (ml + k)
         i <- 0 to k
         (s, e) = segBounds(l, k + 1, i)
         li = e - s

@@ -108,7 +108,10 @@ object Kmeans {
     * [[Iters]] constant).
     */
   def kmeans(spark: SparkSession, dir: String, iters: Int = Iters): DataFrame = {
-    val k = deriveK(graft.io.Tables.embeddings(spark, dir).count())
+    // count on the RAW scan: Tables.embeddings wraps in cpuFanOut, which
+    // would route the count through a RoundRobin exchange — a plain
+    // parquet count() is answered from footer row counts (review finding)
+    val k = deriveK(graft.io.Tables.load(spark, dir, "embeddings").count())
     val q = codes(spark, dir)
     val cen = trainCentroids(q, k, iters)
     q.select(col("vec_id"), Ivf.nearestCell(col("q"), cen).as("a"))

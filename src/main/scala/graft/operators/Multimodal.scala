@@ -399,10 +399,6 @@ object Multimodal {
   def imageDedup(spark: SparkSession, dir: String,
       maxHamming: Int = 3): DataFrame = {
     import spark.implicits._
-    require(0 <= maxHamming && maxHamming <= 7,
-      s"band scheme covers hamming 0..7 losslessly; got $maxHamming")
-    val nBands = maxHamming + 1
-    val width = 64 / nBands // ≥ 8 bits per band
     val hashes = mediaTable(spark, dir)
       .filter(col("kind") === "image")
       .mapPartitions { it =>
@@ -412,33 +408,51 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "dhash")
-    val bands = hashes.select(col("doc_id"), col("dhash"),
+    bandedVerdicts(hashes, "dhash", maxHamming)
+  }
+
+  /** The ONE banding + verdict kernel both perceptual dedup operators
+    * share (C50 image, C50b audio) — keeping it single means a banding or
+    * threshold change can never drift between the twins (r16b review):
+    * lossless (maxHamming+1)-band pigeonhole blocking over a 64-bit hash,
+    * in-bucket id-sorted SHORT-CIRCUIT smaller-id probe (an identical-hash
+    * cluster of n costs O(n), not O(n²)), per-item AND-fold of bucket
+    * verdicts. Input: (doc_id, <hashCol>); output (doc_id, <hashCol>,
+    * keep) — keep = no smaller-id item within maxHamming bits.
+    */
+  private[graft] def bandedVerdicts(hashes: DataFrame, hashCol: String,
+      maxHamming: Int): DataFrame = {
+    import hashes.sparkSession.implicits._
+    require(0 <= maxHamming && maxHamming <= 7,
+      s"band scheme covers hamming 0..7 losslessly; got $maxHamming")
+    val nBands = maxHamming + 1
+    val width = 64 / nBands // ≥ 8 bits per band
+    hashes.select(col("doc_id"), col(hashCol).as("h"),
       explode(array((0 until nBands).map { b =>
         struct(lit(b).as("bid"),
-          shiftrightunsigned(col("dhash"), b * width)
+          shiftrightunsigned(col(hashCol), b * width)
             .bitwiseAND(lit((1L << width) - 1)).as("bkey"))
       }: _*)).as("b"))
-      .select(col("doc_id"), col("dhash"), col("b.bid"), col("b.bkey"))
-      .as[(Long, Long, Int, Long)]
-    bands
-      .groupByKey(r => (r._3, r._4))
-      .flatMapGroups { (_: (Int, Long), it: Iterator[(Long, Long, Int, Long)]) =>
-        val ms = it.toArray.sortBy(_._1)
+      .select(col("b.bid"), col("b.bkey"), col("doc_id"), col("h"))
+      .as[(Int, Long, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (_: (Int, Long), it: Iterator[(Int, Long, Long, Long)]) =>
+        val ms = it.toArray.sortBy(_._3)
         ms.indices.iterator.map { j =>
           var killed = false
           var i = 0
           while (!killed && i < j) {
-            if (java.lang.Long.bitCount(ms(i)._2 ^ ms(j)._2) <= maxHamming)
+            if (java.lang.Long.bitCount(ms(i)._4 ^ ms(j)._4) <= maxHamming)
               killed = true
             i += 1
           }
-          (ms(j)._1, ms(j)._2, !killed)
+          (ms(j)._3, ms(j)._4, !killed)
         }
       }
-      .toDF("doc_id", "dhash", "keepb")
-      .groupBy(col("doc_id"), col("dhash"))
+      .toDF("doc_id", hashCol, "keepb")
+      .groupBy(col("doc_id"), col(hashCol))
       .agg(min(when(col("keepb"), 1L).otherwise(0L)).as("k"))
-      .select(col("doc_id"), col("dhash"), (col("k") === 1L).as("keep"))
+      .select(col("doc_id"), col(hashCol), (col("k") === 1L).as("keep"))
   }
 
   /** 64-bit perceptual hash of a PCM audio payload (C50b): the audio twin
@@ -483,10 +497,6 @@ object Multimodal {
   def audioDedup(spark: SparkSession, dir: String,
       maxHamming: Int = 3): DataFrame = {
     import spark.implicits._
-    require(0 <= maxHamming && maxHamming <= 7,
-      s"band scheme covers hamming 0..7 losslessly; got $maxHamming")
-    val nBands = maxHamming + 1
-    val width = 64 / nBands
     val hashes = mediaTable(spark, dir)
       .filter(col("kind") === "audio")
       .mapPartitions { it =>
@@ -495,33 +505,7 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "ahash")
-    val bands = hashes.select(col("doc_id"), col("ahash"),
-      explode(array((0 until nBands).map { b =>
-        struct(lit(b).as("bid"),
-          shiftrightunsigned(col("ahash"), b * width)
-            .bitwiseAND(lit((1L << width) - 1)).as("bkey"))
-      }: _*)).as("b"))
-      .select(col("b.bid"), col("b.bkey"), col("doc_id"), col("ahash"))
-      .as[(Int, Long, Long, Long)]
-    bands
-      .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (_: (Int, Long), it: Iterator[(Int, Long, Long, Long)]) =>
-        val ms = it.toArray.sortBy(_._3)
-        ms.indices.iterator.map { j =>
-          var killed = false
-          var i = 0
-          while (!killed && i < j) {
-            if (java.lang.Long.bitCount(ms(i)._4 ^ ms(j)._4) <= maxHamming)
-              killed = true
-            i += 1
-          }
-          (ms(j)._3, ms(j)._4, !killed)
-        }
-      }
-      .toDF("doc_id", "ahash", "keepb")
-      .groupBy(col("doc_id"), col("ahash"))
-      .agg(min(when(col("keepb"), 1L).otherwise(0L)).as("k"))
-      .select(col("doc_id"), col("ahash"), (col("k") === 1L).as("keep"))
+    bandedVerdicts(hashes, "ahash", maxHamming)
   }
 
   /** Frame sampling: emit n evenly-spaced "frames" (byte slices) per media

@@ -56,6 +56,13 @@ object DriftStream {
     * the "collapses ONCE" contract would silently depend on the caller
     * having materialized it. The first batch pays the one evaluation; the
     * (value-domain-sized) histogram serves every batch after from memory.
+    *
+    * LIFECYCLE: the persist is registered against the caller's `refHist`
+    * plan, so the caller releases it — `refHist.unpersist()` after the
+    * query stops. A long-lived session that starts/stops monitors
+    * repeatedly without releasing would pin one (small) histogram per
+    * monitor in storage memory; there is no query-termination hook here
+    * because the writer is returned unstarted.
     */
   def monitor(stream: DataFrame, refHist: DataFrame)(
       onBatch: (Long, DataFrame) => Unit): DataStreamWriter[Row] = {

@@ -166,7 +166,7 @@ class EventsSpec extends GraftSuite {
   test("peakConcurrency equals a plain-Scala sweep (with midnight carry)") {
     def reference(sessions: Array[(Long, Long)]): Map[String, Long] = {
       val pts = sessions.flatMap { case (s, e) => Seq((s, 1L), (e + 1, -1L)) }
-        .sortBy { case (ms, d) => (ms, -d) }
+        .sortBy { case (ms, d) => (ms, d) }
       var run = 0L
       val mx = scala.collection.mutable.LinkedHashMap.empty[String, Long]
       val lastRun = scala.collection.mutable.LinkedHashMap.empty[String, Long]

@@ -44,6 +44,20 @@ class FuzzySpec extends GraftSuite {
     }
   }
 
+  test("entityResolve reaches degenerate names: empty and near-empty strings resolve") {
+    import spark.implicits._
+    // "" (id 1) is within 2 edits of "ab" (id 2) and "a" (id 3); "zzzz"
+    // (id 4) matches nothing. The l=0 probe window is what finds the
+    // empty-name entity (review finding).
+    val dir = java.nio.file.Files.createTempDirectory("fuzzy-empty").toString
+    Seq((1L, "", "B#1"), (2L, "ab", "B#1"), (3L, "a", "B#1"), (4L, "zzzz", "B#1"))
+      .toDF("p_partkey", "p_name", "p_brand")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = Fuzzy.entityResolve(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 1L, -1), (2L, 1L, 2), (3L, 1L, 1), (4L, 4L, -1)))
+  }
+
   test("entityResolve == brute-force brand-blocked min-id match") {
     val parts = spark.read.parquet(s"$sf/part.parquet")
       .select(col("p_partkey"), col("p_name"), col("p_brand"))

@@ -161,15 +161,26 @@ class IoSpec extends GraftSuite {
       (3L, "quo\"te\nline", Some(-3)))
     val df = rows.toDF("id", "text", "n")
     val base = tmp("jsonl-codec")
-    for (codec <- Seq("gzip", "bzip2")) {
+    // EVERY writable codec round-trips — the r16b review found the old
+    // whitelist advertised zstd, which Spark's JSON writer can't produce
+    // (no short codec in the 4.1.2 jars): the whitelist must contain
+    // exactly what works, and this loop keeps it honest
+    val exts = Map("gzip" -> ".gz", "bzip2" -> ".bz2", "deflate" -> ".deflate",
+      "lz4" -> ".lz4", "snappy" -> ".snappy")
+    val writable = graft.io.JsonLines.SplittableCodecs ++
+      graft.io.JsonLines.WholeFileCodecs - "none"
+    assert(writable == exts.keySet, s"whitelist drifted: $writable")
+    for (codec <- writable.toSeq.sorted) {
       val dir = s"$base/$codec"
       graft.io.JsonLines.write(df, dir, codec)
-      val ext = if (codec == "gzip") ".gz" else ".bz2"
-      assert(new java.io.File(dir).listFiles().exists(_.getName.endsWith(ext)),
+      assert(new java.io.File(dir).listFiles().exists(_.getName.endsWith(exts(codec))),
         s"$codec files must carry the extension the reader's codec sniff needs")
       val back = graft.io.JsonLines.read(spark, dir, df.schema, strict = true)
       assert(back.collect().map(_.toString).sorted
         .sameElements(df.collect().map(_.toString).sorted), s"$codec round-trip lost data")
+    }
+    intercept[IllegalArgumentException] {
+      graft.io.JsonLines.write(df, s"$base/zstd", "zstd") // read-side-only codec
     }
     // a landing zone can mix plain and compressed members in one directory
     // (the gzip write may split rows over several part files — copy all)
