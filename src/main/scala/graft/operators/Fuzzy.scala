@@ -38,10 +38,13 @@ import org.apache.spark.sql.functions._
   *    LINEAR, no self-join of the full table ever plans. Candidates meet
   *    in (brand, len, segIdx, segText) buckets; verification is one DP
   *    per distinct name pair per bucket.
-  *  - verified cluster-minimum candidate lists broadcast back to the
-  *    records, and each record's verdict is an in-row array reduction
-  *    (smallest candidate below its own id) — zero record-scale shuffles
-  *    beyond the entity collapse itself.
+  *  - verified cluster-minimum candidate lists join back to the records
+  *    — BROADCAST below a measured entity-count gate, plain shuffle join
+  *    above it (an unconditional hint would OOM on a mostly-unique
+  *    corpus where "entity-sized" is record-sized) — and each record's
+  *    verdict is an in-row array reduction (smallest candidate below its
+  *    own id); below the gate, zero record-scale shuffles beyond the
+  *    entity collapse itself.
   *
   * Verification is the classic unit-cost Levenshtein DP — exactly the
   * semantics of Spark's `levenshtein()` and DuckDB's `levenshtein()`, so
@@ -85,15 +88,28 @@ object Fuzzy {
   private[graft] def segBounds(len: Int, k: Int, i: Int): (Int, Int) =
     ((i.toLong * len / k).toInt, ((i + 1).toLong * len / k).toInt)
 
-  def entityResolve(spark: SparkSession, dir: String, maxDist: Int = 2): DataFrame = {
+  /** Resolve duplicates in ANY (id, name, block) table — the reusable form
+    * of [[entityResolve]] (the same de-hardwiring qualityFilterOn /
+    * AnnIndex.buildOn / funnelStages got): for every record, `canon` = the
+    * smallest id in the same block whose name is within `maxDist` edits
+    * (own id where none), `dist` = its edit distance (−1 where none).
+    * `idCol` must be numeric-castable to long (smallest-id semantics need
+    * a total order); `nameCol`/`blockCol` cast to string for blocking —
+    * lossless for equality within one column.
+    *
+    * Output columns: (id, canon, dist).
+    */
+  def resolveOn(df: DataFrame, idCol: String, nameCol: String,
+      blockCol: String, maxDist: Int = 2,
+      broadcastMaxEntities: Long = 1000000L): DataFrame = {
+    val spark = df.sparkSession
     import spark.implicits._
     val k = maxDist
-    val parts = spark.read.parquet(s"$dir/part.parquet")
-      .select(col("p_partkey").as("id"), col("p_name").as("nm"),
-        col("p_brand").as("b"))
+    val parts = df.select(col(idCol).cast("long").as("id"),
+      col(nameCol).cast("string").as("nm"), col(blockCol).cast("string").as("b"))
     // Resolve at CLUSTER granularity, not record granularity (the C49
     // lesson applied to ER): a duplication-heavy corpus has few distinct
-    // (brand, name) entities behind many records, and only a cluster's
+    // (block, name) entities behind many records, and only a cluster's
     // MINIMUM id can ever win any record's min-smaller-id verdict (every
     // other same-name id is dominated by it everywhere). So: collapse to
     // one row per distinct entity, run the expensive blocking+verify over
@@ -102,7 +118,11 @@ object Fuzzy {
     // (measured 193 s → the record-level probes/shuffles dominated), and
     // on a mostly-unique corpus it degrades gracefully to the same
     // asymptotics as record-level resolution.
+    // localCheckpoint, not cache (the minhashLsh rationale): the entity
+    // collapse feeds three consumers (index rows, probe rows, the verdict
+    // join) plus the broadcast-gate count below — one materialization.
     val clusters = parts.groupBy(col("b"), col("nm")).agg(min(col("id")).as("m"))
+      .localCheckpoint(false)
     val typed = clusters.select(col("b"), col("nm"), col("m"))
       .as[(String, String, Long)]
     // role 0 = indexed segments (key carries the INDEXED length), role 1 =
@@ -163,13 +183,30 @@ object Fuzzy {
       .select(col("b"), col("nm"),
         array_union(array(struct(col("m"), lit(0).as("dist"))),
           col("foreign")).as("cands"))
-    // Record-level verdict is a narrow in-row reduction after one
-    // broadcast join: the winner is the smallest candidate minimum below
-    // the record's own id (struct ordering — minima are unique ids).
-    parts.join(broadcast(cands), Seq("b", "nm"))
+    // Record-level verdict is a narrow in-row reduction after one join:
+    // the winner is the smallest candidate minimum below the record's own
+    // id (struct ordering — minima are unique ids). The broadcast is
+    // GATED on a measured entity count (the C35 oov device — threshold
+    // noted next to TextAnalysis.oovRate's bloomMinRefDocs): the candidate
+    // table is entity-sized, and "entity-sized" is only small on a
+    // duplication-heavy corpus — on a mostly-unique 100 TB corpus it is
+    // record-sized and an unconditional broadcast hint is a driver OOM.
+    // Below the gate: broadcast. Above: no hint — the (b, nm)-keyed
+    // shuffle join runs and AQE still localizes any skew.
+    val nEntities = clusters.count()
+    val candSide = if (nEntities < broadcastMaxEntities) broadcast(cands) else cands
+    parts.join(candSide, Seq("b", "nm"))
       .withColumn("best", array_min(expr("filter(cands, c -> c.m < id)")))
-      .select(col("id").as("k"),
+      .select(col("id"),
         coalesce(col("best.m"), col("id")).as("canon"),
         coalesce(col("best.dist"), lit(-1)).cast("int").as("dist"))
   }
+
+  /** C51 — q_entity_resolve: [[resolveOn]] over the part table, blocked by
+    * brand — see the object scaladoc for semantics and scale shape.
+    */
+  def entityResolve(spark: SparkSession, dir: String, maxDist: Int = 2): DataFrame =
+    resolveOn(spark.read.parquet(s"$dir/part.parquet"),
+      "p_partkey", "p_name", "p_brand", maxDist)
+      .withColumnRenamed("id", "k")
 }

@@ -79,4 +79,54 @@ class FuzzySpec extends GraftSuite {
     assert(expected.exists(_._3 >= 0) && expected.exists(_._3 == -1))
     assert(expected.exists(t => t._3 > 0), "want at least one non-exact match")
   }
+
+  test("resolveOn == brute force on a non-part fixture (user handles blocked by country)") {
+    import spark.implicits._
+    // A planted frame with none of the part table's column names — the
+    // generalized surface must not care. Int ids and a non-name block
+    // column exercise the casts.
+    val users = Seq(
+      (10, "alice", "US"), (11, "alicia", "US"), (12, "alice", "US"),
+      (13, "bob", "US"), (14, "alice", "CA"), (15, "alyce", "CA"),
+      (16, "carol", "CA"), (17, "caroll", "CA"), (18, "", "CA"))
+    val got = Fuzzy.resolveOn(users.toDF("uid", "handle", "country"),
+      "uid", "handle", "country").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expected = users.map { case (k, n, b) =>
+      val smaller = users.filter { case (k2, n2, b2) =>
+        b2 == b && k2 < k && Fuzzy.levenshtein(n, n2) <= 2
+      }
+      if (smaller.isEmpty) (k.toLong, k.toLong, -1)
+      else {
+        val (ck, cn, _) = smaller.minBy(_._1)
+        (k.toLong, ck.toLong, Fuzzy.levenshtein(n, cn))
+      }
+    }.toSet
+    assert(got == expected)
+    assert(expected.exists(t => t._3 > 0) && expected.exists(_._3 == -1))
+  }
+
+  test("candidate broadcast is GATED on the measured entity count (both plan shapes)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    def broadcastHints(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case j: LJoin if j.hint.leftHint.exists(_.strategy.isDefined) ||
+          j.hint.rightHint.exists(_.strategy.isDefined) => j
+      }.size
+    import spark.implicits._
+    val df = Seq((1L, "alpha", "X"), (2L, "alphb", "X"), (3L, "beta", "Y"))
+      .toDF("id0", "nm0", "b0")
+    // Below the gate (default threshold): the record-level join carries the
+    // broadcast hint — the entity-sized candidate table ships to every task.
+    val open = Fuzzy.resolveOn(df, "id0", "nm0", "b0")
+    assert(broadcastHints(open) == 1, open.queryExecution.optimizedPlan.toString)
+    // Gate forced closed (threshold 0 — the high-entity-diversity corpus
+    // where "entity-sized" is record-sized): NO hint anywhere; the join is
+    // free to plan as a shuffle join and cannot OOM the driver.
+    val closed = Fuzzy.resolveOn(df, "id0", "nm0", "b0", broadcastMaxEntities = 0L)
+    assert(broadcastHints(closed) == 0, closed.queryExecution.optimizedPlan.toString)
+    // Same verdicts on both sides of the gate.
+    def norm(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getInt(2))
+    assert(open.collect().map(norm).toSet == closed.collect().map(norm).toSet)
+  }
 }
