@@ -45,10 +45,24 @@ object Layout {
     * future desync impossible.
     */
   private def bucketWriter(df: DataFrame, table: String, key: String,
-      buckets: Int, mode: String): Unit =
+      buckets: Int, mode: String): Unit = {
     df.repartition(buckets, org.apache.spark.sql.functions.col(key))
       .write.bucketBy(buckets, key).sortBy(key)
       .mode(mode).format("parquet").saveAsTable(table)
+    // manifest LAST (readers read it FIRST): every layout write path —
+    // fresh write, append, the merge/compact staging tables — leaves the
+    // manifest naming exactly the directory's current data files, so a
+    // manifest-aware reader can never see a landing or retiring file
+    val spark = df.sparkSession
+    val loc = tablePath(spark, table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    writeManifest(fs, loc, dataFileNames(fs, loc))
+  }
+
+  private def tablePath(spark: SparkSession, table: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .location)
 
   /** Collision-free per-dir tag for session-scoped layout table names —
     * md5-derived, NOT String.hashCode (32-bit hashCode collisions across
@@ -189,7 +203,108 @@ object Layout {
   def writePartitioned(df: DataFrame, dir: String, cols: String*): Unit =
     df.write.partitionBy(cols: _*).mode("overwrite").parquet(dir)
 
-  def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
+  /** Read a layout-managed table through its MANIFEST when one exists.
+    *
+    * The manifest (`_manifest-<gen>.json`, written LAST by every layout
+    * writer, read FIRST here) is the one-file answer to the swap windows
+    * [[mergeBucketed]]/[[compactBucketed]] document: their file moves are
+    * one-at-a-time, so a reader in another process listing the directory
+    * mid-swap can see a key TWICE (old + new file both present). The
+    * manifest names the exact valid file set; a reader that filters to it
+    * sees either the pre-swap or the post-swap table, never the union —
+    * atomic at the reader without a transaction log (generation files
+    * rename in whole; the highest gen visible at list time is always a
+    * complete, consistent set).
+    *
+    * Fast path: when the directory's data files already equal the
+    * manifest set (every quiescent moment — i.e. always, outside a
+    * concurrent swap), this is exactly `spark.table` — no per-row work,
+    * and the bucketed scan's zero-Exchange contract is untouched. Only a
+    * reader racing a swap pays the `input_file_name()` filter, and a
+    * Filter preserves the bucketed scan's output partitioning, so even
+    * that plan keeps co-location. Tables with no manifest (pre-manifest
+    * layouts, foreign tables) read as plain `spark.table`.
+    */
+  def readTable(spark: SparkSession, table: String): DataFrame = {
+    val t = spark.table(table)
+    val loc = tablePath(spark, table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readManifest(fs, loc) match {
+      case None => t
+      case Some(valid) =>
+        val present = dataFileNames(fs, loc)
+        if (present == valid) t
+        else {
+          import org.apache.spark.sql.functions._
+          t.where(element_at(split(input_file_name(), "/"), -1)
+            .isin(valid.toSeq: _*))
+        }
+    }
+  }
+
+  private def dataFileNames(fs: org.apache.hadoop.fs.FileSystem,
+      loc: org.apache.hadoop.fs.Path): Set[String] =
+    fs.listStatus(loc)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("."))
+      .map(_.getPath.getName).toSet
+
+  private val manifestRe = java.util.regex.Pattern.compile("^_manifest-(\\d+)\\.json$")
+
+  /** Replace the table's manifest with `names` at the next generation:
+    * write `_manifest-<gen+1>.json` via a hidden temp + atomic rename,
+    * THEN delete older generations — at every instant a lister sees ≥1
+    * complete manifest, and the highest gen is always whole.
+    */
+  private[graft] def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+      loc: org.apache.hadoop.fs.Path, names: Iterable[String]): Unit = {
+    val old = fs.listStatus(loc).map(_.getPath)
+      .filter(p => manifestRe.matcher(p.getName).matches())
+    val gen = old.map { p =>
+      val m = manifestRe.matcher(p.getName); m.matches(); m.group(1).toLong
+    }.foldLeft(0L)(math.max) + 1
+    val json = names.toSeq.sorted
+      .map(n => "\"" + n + "\"").mkString(s"""{"gen":$gen,"files":[""", ",", "]}")
+    val tmp = new org.apache.hadoop.fs.Path(loc, s"._manifest-$gen.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(loc, f"_manifest-$gen%d.json")),
+      s"manifest rename failed in $loc")
+    old.foreach(fs.delete(_, false))
+  }
+
+  /** Highest-generation manifest's file set; None when the table carries
+    * no manifest. A generation deleted between the listing and the read
+    * (a writer finishing its swap) is retried against a fresh listing.
+    */
+  private[graft] def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      loc: org.apache.hadoop.fs.Path): Option[Set[String]] = {
+    def attempt(): Option[Set[String]] = {
+      val gens = fs.listStatus(loc).map(_.getPath)
+        .filter(p => manifestRe.matcher(p.getName).matches())
+      if (gens.isEmpty) None
+      else {
+        val latest = gens.maxBy { p =>
+          val m = manifestRe.matcher(p.getName); m.matches(); m.group(1).toLong
+        }
+        val in = fs.open(latest)
+        val body = try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](8192)
+          var n = in.read(chunk)
+          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+          buf.toString("UTF-8")
+        } finally in.close()
+        val m = java.util.regex.Pattern.compile("\"([^\"]+\\.parquet)\"").matcher(body)
+        val names = Set.newBuilder[String]
+        while (m.find()) names += m.group(1)
+        Some(names.result())
+      }
+    }
+    try attempt()
+    catch { case _: java.io.FileNotFoundException => try attempt() catch {
+      case _: java.io.FileNotFoundException => None } }
+  }
 
   /** Compact a directory of small parquet files into ~`targetFileBytes`
     * outputs — the standard maintenance pass after streaming/incremental
@@ -346,65 +461,96 @@ object Layout {
     import org.apache.spark.sql.functions._
     require(spark.catalog.tableExists(table),
       s"mergeBucketed target '$table' does not exist — create it with writeBucketed first")
-    val dupes = delta.groupBy(col(key)).count().where(col("count") > 1).limit(1).count()
-    require(dupes == 0,
-      s"mergeBucketed delta has >1 row for some '$key' — resolve latest-wins upstream")
-    val loc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
-      .location)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // delta is the SMALL side by contract: the distinct bucket-id collect
-    // is bounded by `buckets`, never by rows
-    val affected = delta
-      .select(pmod(hash(col(key)), lit(buckets)).as("b")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    val (oldAffected, untouched) = fs.listStatus(loc)
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
-        && !s.getPath.getName.startsWith("."))
-      .partition(s => bucketIdOf(s.getPath.getName).exists(affected.contains))
+    // the delta's key must hash EXACTLY like the table's: Murmur3 hashes
+    // the physical type, so an int-typed delta key against a bigint table
+    // key computes different bucket ids and the wrong buckets rewrite —
+    // replaced keys would silently survive in buckets never read
     val tableSchema = spark.table(table).schema
-    val base =
-      if (oldAffected.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          tableSchema)
-      else spark.read.schema(tableSchema)
-        .parquet(oldAffected.map(_.getPath.toString).toIndexedSeq: _*)
-    val upserts = deleteCol match {
-      case Some(c) => delta.where(!col(c)).drop(c)
-      case None    => delta
-    }
-    val merged = base
-      .join(delta.select(col(key)).distinct(), Seq(key), "left_anti")
-      .unionByName(upserts.select(tableSchema.fieldNames.map(col).toIndexedSeq: _*))
-    val staging = s"${table}_merging"
-    writeBucketed(merged, staging, key, buckets)
-    val stagingLoc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(staging))
-      .location)
-    // new files in, old files out, retire instead of delete. rename()
-    // reports failure as `false`, not an exception — an unchecked false on
-    // the move-in would silently drop the delta from the table
-    def mv(from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
-      require(fs.rename(from, to), s"mergeBucketed: rename $from -> $to failed")
-    fs.listStatus(stagingLoc)
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
-      .foreach(s => mv(s.getPath,
-        new org.apache.hadoop.fs.Path(loc, s.getPath.getName)))
-    // ONE retirement generation, replaced per merge: a per-call timestamped
-    // dir would grow the table directory without bound under the
-    // foreachBatch CDC cadence (review finding — one trigger per minute on
-    // a hot bucket accumulates that bucket's bytes forever). Keeping
-    // exactly the LAST merge's originals preserves the hand-recovery story
-    // for the swap most likely to have just gone wrong.
-    val retired = new org.apache.hadoop.fs.Path(loc, "_pre_merge")
-    if (fs.exists(retired)) fs.delete(retired, true)
-    if (oldAffected.nonEmpty) {
-      fs.mkdirs(retired)
-      oldAffected.foreach(s => mv(s.getPath,
-        new org.apache.hadoop.fs.Path(retired, s.getPath.getName)))
-    }
-    spark.sql(s"DROP TABLE `$staging`")
-    spark.catalog.refreshTable(table)
+    require(delta.schema(key).dataType == tableSchema(key).dataType,
+      s"mergeBucketed delta '$key' is ${delta.schema(key).dataType.simpleString} but the " +
+        s"table's is ${tableSchema(key).dataType.simpleString} — cast the delta key first " +
+        "(bucket hashing is type-sensitive)")
+    // Pin the delta ONCE (localCheckpoint, loud-on-loss): four derived
+    // uses below (dupes check, affected-bucket collect, anti-join,
+    // staging write) re-evaluating a non-deterministic delta plan could
+    // disagree — the collected bucket set vs the rows actually written —
+    // leaving a replaced key alive in a bucket that was never read.
+    val deltaRdd = delta.rdd
+    deltaRdd.localCheckpoint()
+    val pinned = spark.createDataFrame(deltaRdd, delta.schema)
+    try {
+      val dupes = pinned.groupBy(col(key)).count().where(col("count") > 1).limit(1).count()
+      require(dupes == 0,
+        s"mergeBucketed delta has >1 row for some '$key' — resolve latest-wins upstream")
+      val loc = tablePath(spark, table)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // delta is the SMALL side by contract: the distinct bucket-id collect
+      // is bounded by `buckets`, never by rows
+      val affected = pinned
+        .select(pmod(hash(col(key)), lit(buckets)).as("b")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val dataFiles = fs.listStatus(loc)
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+          && !s.getPath.getName.startsWith("."))
+      // every data file must place into a bucket: a file whose name parses
+      // no bucket id (foreign write path, hand-renamed file) would be
+      // classified "untouched" and keep stale rows for replaced keys —
+      // fail loudly instead of merging around it
+      dataFiles.foreach(s => require(bucketIdOf(s.getPath.getName).isDefined,
+        s"mergeBucketed: '${s.getPath.getName}' in $loc has no parseable bucket id — " +
+          "not a bucketBy-written file; refusing to merge around it"))
+      val (oldAffected, untouched) =
+        dataFiles.partition(s => bucketIdOf(s.getPath.getName).exists(affected.contains))
+      val base =
+        if (oldAffected.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            tableSchema)
+        else spark.read.schema(tableSchema)
+          .parquet(oldAffected.map(_.getPath.toString).toIndexedSeq: _*)
+      val upserts = deleteCol match {
+        case Some(c) => pinned.where(!col(c)).drop(c)
+        case None    => pinned
+      }
+      val merged = base
+        .join(pinned.select(col(key)).distinct(), Seq(key), "left_anti")
+        .unionByName(upserts.select(tableSchema.fieldNames.map(col).toIndexedSeq: _*))
+      val staging = s"${table}_merging"
+      writeBucketed(merged, staging, key, buckets)
+      val stagingLoc = tablePath(spark, staging)
+      // new files in, manifest, old files out (retire, don't delete).
+      // rename() reports failure as `false`, not an exception — an
+      // unchecked false on the move-in would silently drop the delta from
+      // the table
+      def mv(from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
+        require(fs.rename(from, to), s"mergeBucketed: rename $from -> $to failed")
+      val movedIn = fs.listStatus(stagingLoc)
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+        .map { s =>
+          mv(s.getPath, new org.apache.hadoop.fs.Path(loc, s.getPath.getName))
+          s.getPath.getName
+        }
+      // manifest BETWEEN move-in and retirement: a reader that lists
+      // before this line resolves the old manifest → the pre-merge file
+      // set (all still present); after it → untouched + new files. At no
+      // instant does a manifest-aware reader see a replaced key twice.
+      writeManifest(fs, loc,
+        untouched.map(_.getPath.getName).toSeq ++ movedIn)
+      // ONE retirement generation, replaced per merge: a per-call timestamped
+      // dir would grow the table directory without bound under the
+      // foreachBatch CDC cadence (review finding — one trigger per minute on
+      // a hot bucket accumulates that bucket's bytes forever). Keeping
+      // exactly the LAST merge's originals preserves the hand-recovery story
+      // for the swap most likely to have just gone wrong.
+      val retired = new org.apache.hadoop.fs.Path(loc, "_pre_merge")
+      if (fs.exists(retired)) fs.delete(retired, true)
+      if (oldAffected.nonEmpty) {
+        fs.mkdirs(retired)
+        oldAffected.foreach(s => mv(s.getPath,
+          new org.apache.hadoop.fs.Path(retired, s.getPath.getName)))
+      }
+      spark.sql(s"DROP TABLE `$staging`")
+      spark.catalog.refreshTable(table)
+    } finally deltaRdd.unpersist(blocking = false)
   }
 
   def compactBucketed(spark: SparkSession, table: String, key: String,

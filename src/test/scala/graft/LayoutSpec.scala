@@ -509,4 +509,107 @@ class LayoutSpec extends GraftSuite {
     }
     assert(e.getMessage.contains("latest-wins"))
   }
+
+  test("mergeBucketed rejects a delta whose key dtype differs from the table's") {
+    import spark.implicits._
+    // an INT-typed delta key Murmur3-hashes differently from the table's
+    // BIGINT — the wrong buckets would rewrite and replaced keys survive
+    val intKey = Seq((1, 1L, 1.0)).toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val e = intercept[IllegalArgumentException] {
+      Layout.mergeBucketed(spark, "b_cdc_orders", "o_orderkey", 8, intKey)
+    }
+    assert(e.getMessage.contains("type-sensitive"), e.getMessage)
+  }
+
+  test("mergeBucketed refuses a data file with no parseable bucket id") {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    Layout.writeBucketed(orders, "b_strayfile", "o_orderkey", 4)
+    // a foreign write path drops a non-bucketBy file into the table dir —
+    // merging around it would keep its stale rows for replaced keys
+    val stray = new java.io.File(tableLoc("b_strayfile"), "foreign-upload.parquet")
+    orders.limit(1).coalesce(1).write.mode("overwrite")
+      .parquet(stray.getAbsolutePath + ".dir")
+    val part = new java.io.File(stray.getAbsolutePath + ".dir").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, stray.toPath)
+    val delta = Seq((1L, 9L, 9.0)).toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val e = intercept[IllegalArgumentException] {
+      Layout.mergeBucketed(spark, "b_strayfile", "o_orderkey", 4, delta)
+    }
+    assert(e.getMessage.contains("no parseable bucket id"), e.getMessage)
+  }
+
+  test("manifest: every layout write leaves the manifest equal to the dir's data files") {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    def manifest(table: String): Set[String] = {
+      val loc = new org.apache.hadoop.fs.Path(tableLoc(table).toURI)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Layout.readManifest(fs, loc).get
+    }
+    def dataFiles(table: String): Set[String] =
+      tableLoc(table).listFiles().map(_.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith(".")).toSet
+    Layout.writeBucketed(orders, "b_manifest", "o_orderkey", 4)
+    assert(manifest("b_manifest") == dataFiles("b_manifest"))
+    Layout.appendBucketed(orders.limit(5), "b_manifest", "o_orderkey", 4)
+    assert(manifest("b_manifest") == dataFiles("b_manifest"))
+    val delta = Seq((1L, 9L, 9.0)).toDF("o_orderkey", "o_custkey", "o_totalprice")
+    Layout.mergeBucketed(spark, "b_manifest", "o_orderkey", 4, delta)
+    assert(manifest("b_manifest") == dataFiles("b_manifest"))
+    // exactly one manifest generation survives each write
+    assert(tableLoc("b_manifest").listFiles()
+      .count(_.getName.matches("_manifest-\\d+\\.json")) == 1)
+  }
+
+  test("manifest reader never double-reads a key mid-swap (staged file set)") {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    Layout.writeBucketed(orders, "b_midswap", "o_orderkey", 4)
+    val expected = orders.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    // Simulate a reader landing MID-SWAP: an affected bucket's retiring
+    // file is still present next to its replacement (the one-at-a-time
+    // move window mergeBucketed documents). Stage it by copying a current
+    // bucket file under a fresh bucketBy-shaped name the manifest does NOT
+    // list — exactly what the old file looks like after the new one moved
+    // in and before retirement.
+    val loc = tableLoc("b_midswap")
+    val victim = loc.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val ghostName = victim.getName.replaceFirst("part-\\d{5}", "part-90000")
+    assert(ghostName != victim.getName)
+    java.nio.file.Files.copy(victim.toPath,
+      new java.io.File(loc, ghostName).toPath)
+    spark.catalog.refreshTable("b_midswap")
+    // a plain table scan double-reads the bucket's keys...
+    val naive = spark.table("b_midswap").count()
+    assert(naive > expected.size, "fixture must actually present a double-read")
+    // ...the manifest-aware reader does not: exactly the pre-swap table
+    val got = Layout.readTable(spark, "b_midswap").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    assert(got == expected)
+    // and the mid-swap plan keeps the bucketed scan (Filter preserves
+    // the scan's partitioning — no Exchange sneaks in)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val t = Layout.readTable(spark, "b_midswap")
+      val p = t.join(t.groupBy("o_orderkey").count(), "o_orderkey")
+        .queryExecution.explainString(FormattedMode)
+      assert(p.contains("Bucketed: true"), p)
+      assert(shuffles(p) == 0, s"mid-swap read must keep co-location:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    // quiescent again (ghost gone): the fast path is a plain bucketed scan
+    // with no per-row filename filter
+    new java.io.File(loc, ghostName).delete()
+    spark.catalog.refreshTable("b_midswap")
+    val quiet = Layout.readTable(spark, "b_midswap")
+    assert(!quiet.queryExecution.optimizedPlan.toString.contains("input_file_name"),
+      "quiescent read must take the filter-free fast path")
+    assert(quiet.count() == expected.size)
+  }
 }
