@@ -1207,9 +1207,12 @@ object Oracles {
   /** D18 q_peak_concurrency — the sweep re-derived with a global window
     * (fine for the oracle's scale): sessions → ±1 deltas → running sum
     * ordered (ms, delta ASC — closings fold before openings at the same
-    * instant, see the operator scaladoc) → per-day max with carry. Tie
-    * groups share one delta sign, so intermediate sums are a deterministic
-    * set despite the non-total order (see the operator scaladoc).
+    * instant, see the operator scaladoc) → per-day max from the
+    * DEFINITION's day attribution: rows at a day's exact first
+    * millisecond contribute only their post-fold value (their −1s close
+    * sessions open at no instant of the day), and the carry from the
+    * previous output day applies only when no midnight group replaces it
+    * — see the operator scaladoc for the derivation.
     */
   val peakConcurrency: String =
     """WITH e AS MATERIALIZED (SELECT user_id, event_id, ts,
@@ -1229,14 +1232,20 @@ object Oracles {
       |  UNION ALL SELECT end_ms + 1 AS ms, -1 AS dd FROM sess),
       |r AS MATERIALIZED (
       |  SELECT make_timestamp(ms * 1000)::DATE AS day,
+      |         ms = epoch_ms(date_trunc('day', make_timestamp(ms * 1000))) AS bdry,
       |         sum(dd) OVER (ORDER BY ms, dd
       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
       |         row_number() OVER (ORDER BY ms, dd) AS pos
       |  FROM d),
       |g AS MATERIALIZED (
-      |  SELECT day, max(run) AS mx, arg_max(run, pos) AS last_run FROM r GROUP BY day)
+      |  SELECT day,
+      |         max(run) FILTER (WHERE NOT bdry) AS mx_inner,
+      |         arg_max(run, pos) FILTER (WHERE bdry) AS bdry_final,
+      |         arg_max(run, pos) AS last_run
+      |  FROM r GROUP BY day)
       |SELECT CAST(day AS VARCHAR) AS day,
-      |       CAST(greatest(mx, coalesce(lag(last_run) OVER (ORDER BY day), 0)) AS BIGINT) AS peak
+      |       CAST(greatest(coalesce(mx_inner, 0),
+      |            coalesce(bdry_final, lag(last_run) OVER (ORDER BY day), 0)) AS BIGINT) AS peak
       |FROM g""".stripMargin
 
   val topUsers: String =

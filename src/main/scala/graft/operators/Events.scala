@@ -238,15 +238,26 @@ object Events {
     * millisecond, because a session ending at T−1 (its −1 lands at T) is
     * already closed when one starting at T opens; the opposite order
     * would transiently count both and overstate the peak by the number
-    * of such back-to-back handoffs — and a day's peak is the max of its
-    * points' values and the carry-in from the previous day (a session
-    * spanning midnight keeps the floor up even if the day's first delta
-    * is a −1).
+    * of such back-to-back handoffs.
     *
-    * Determinism under ties: (ms, delta) is not a total order, but tied
-    * rows all carry the SAME delta (−1s sort before +1s), so the set of
-    * partial sums inside a tie group — and therefore the day max and the
-    * day-final value — is order-independent; both engines agree exactly.
+    * Day attribution is taken from the DEFINITION — peak(D) = max over
+    * instants t ∈ D of #sessions with start ≤ t ≤ end — not from "max of
+    * the day's sweep rows" (the two differ exactly at midnight): a −1
+    * landing at D's first millisecond belongs to a session that ended at
+    * D−1's LAST millisecond and is open at no instant of D, so neither
+    * that row's pre-fold value nor the previous day's carry may count
+    * toward D. Concretely, peak(D) = max(conc(dayStart), run values at
+    * points strictly inside D), where conc(dayStart) = the midnight tie
+    * group's POST-fold value when D has deltas at its first ms, else the
+    * previous output day's final run (concurrency persists unchanged
+    * through delta-less spans). Within a day, intermediate tie values
+    * lie between two attained concurrencies of the same day, so the max
+    * over rows is exact; only the midnight group needed the special case
+    * (its pre-fold values are attained in D−1, not D).
+    *
+    * Determinism under ties: the set of partial sums inside a tie group
+    * depends only on the (ms, delta ASC) order both engines pin, so day
+    * max, boundary-fold value and day-final value agree exactly.
     *
     * Scale shape: the running sum is the same TWO-PASS DISTRIBUTED SCAN
     * as C48 (range-partition by ms, per-partition totals → driver scan of
@@ -278,13 +289,24 @@ object Events {
       it.map { r => run += r.getLong(1); pos += 1; (r.getLong(0), run, pos) }
     }
     val daily = spark.createDataFrame(stamped).toDF("ms", "run", "pos")
+      // boundary rows = deltas at the day's exact first millisecond: their
+      // −1s close sessions that were open at no instant of this day, so
+      // only the group's post-fold value (max pos) is a concurrency OF
+      // this day; rows strictly inside the day feed the max directly
+      .withColumn("bdry",
+        col("ms") === unix_millis(date_trunc("DAY", timestamp_millis(col("ms")))))
       .groupBy(to_date(timestamp_millis(col("ms"))).as("day"))
-      .agg(max(col("run")).as("mx"), max_by(col("run"), col("pos")).as("last_run"))
+      .agg(max(when(!col("bdry"), col("run"))).as("mx_inner"),
+        max(when(col("bdry"), struct(col("pos"), col("run")))).as("bf"),
+        max(struct(col("pos"), col("run"))).as("lf"))
     val byDay = Window.orderBy(col("day"))
     daily
-      .withColumn("carry", coalesce(lag(col("last_run"), 1).over(byDay), lit(0L)))
+      // conc at the day's first instant: the folded midnight group if one
+      // exists, else the previous output day's final run (carry)
+      .withColumn("conc0", coalesce(col("bf.run"),
+        lag(col("lf").getField("run"), 1).over(byDay), lit(0L)))
       .select(col("day").cast("string").as("day"),
-        greatest(col("mx"), col("carry")).as("peak"))
+        greatest(coalesce(col("mx_inner"), lit(0L)), col("conc0")).as("peak"))
   }
 
   /** D17 — q_gap_fill: per-user daily resample with forward fill — the

@@ -163,33 +163,61 @@ class EventsSpec extends GraftSuite {
     assert(sawGap, "fixture must contain at least one gap day")
   }
 
-  test("peakConcurrency equals a plain-Scala sweep (with midnight carry)") {
-    def reference(sessions: Array[(Long, Long)]): Map[String, Long] = {
-      val pts = sessions.flatMap { case (s, e) => Seq((s, 1L), (e + 1, -1L)) }
-        .sortBy { case (ms, d) => (ms, d) }
-      var run = 0L
-      val mx = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-      val lastRun = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-      pts.foreach { case (ms, d) =>
-        run += d
-        val day = java.time.Instant.ofEpochMilli(ms)
-          .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
-        mx(day) = math.max(mx.getOrElse(day, Long.MinValue), run)
-        lastRun(day) = run
-      }
-      val days = mx.keys.toSeq
-      days.zipWithIndex.map { case (day, i) =>
-        val carry = if (i == 0) 0L else lastRun(days(i - 1))
-        day -> math.max(mx(day), carry)
-      }.toMap
-    }
+  /** The reference is written from the DEFINITION — "concurrency at
+    * instant t = #sessions with start ≤ t ≤ end; a day's peak = max over
+    * its instants" — NOT from the implementation's sweep order (the r16b
+    * lesson: a mirrored sweep model hid the tie-order overcount). conc is
+    * piecewise-constant, changing only at delta points, so each day's max
+    * is attained at the day's first instant or at a delta point inside
+    * the day — those are the candidates evaluated by direct counting.
+    * Output days = days holding ≥1 delta point (the operator's grouping).
+    */
+  private def peakReference(sessions: Array[(Long, Long)]): Map[String, Long] = {
+    def conc(t: Long): Long = sessions.count { case (s, e) => s <= t && t <= e }.toLong
+    val deltaMs = sessions.flatMap { case (s, e) => Seq(s, e + 1) }.distinct.sorted
+    def dayOf(ms: Long) = java.time.Instant.ofEpochMilli(ms)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate
+    deltaMs.map(dayOf).distinct.map { day =>
+      val dayStart = day.atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+      val dayEnd = dayStart + 86400000L - 1
+      val candidates = dayStart +: deltaMs.filter(m => m > dayStart && m <= dayEnd)
+      day.toString -> candidates.map(conc).max
+    }.toMap
+  }
+
+  test("peakConcurrency equals the definitional per-instant maximum") {
     val sessions = graft.operators.Events.sessionize(spark, sf).collect()
       .map(r => (r.getLong(3), r.getLong(4)))
     val got = graft.operators.Events.peakConcurrency(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(got == reference(sessions))
+    assert(got == peakReference(sessions))
     assert(got.values.max > 1, "fixture should overlap sessions")
   }
+
+  test("peakConcurrency: sessions ending at a day's last ms never count into the next day") {
+    import spark.implicits._
+    // three users' sessions all END at day 1's final millisecond; their
+    // −1 deltas land exactly at day 2's first ms, so day 2 has sweep rows
+    // but NO open session at any of its instants — its peak is 0, and
+    // neither the carry (3) nor the midnight group's pre-fold values
+    // (2, 1) may leak in.
+    val dir = eventsDir(Seq(
+      (1L, ms("2024-03-01 23:30:00.000"), 1L, "view"),
+      (2L, ms("2024-03-01 23:59:59.999"), 1L, "view"),
+      (3L, ms("2024-03-01 23:35:00.000"), 2L, "view"),
+      (4L, ms("2024-03-01 23:59:59.999"), 2L, "view"),
+      (5L, ms("2024-03-01 23:59:59.999"), 3L, "view")))
+    val got = graft.operators.Events.peakConcurrency(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("2024-03-01" -> 3L, "2024-03-02" -> 0L), got.toString)
+    val sessions = graft.operators.Events.sessionize(spark, dir).collect()
+      .map(r => (r.getLong(3), r.getLong(4)))
+    assert(got == peakReference(sessions))
+  }
+
+  private def ms(s: String): Long =
+    java.time.LocalDateTime.parse(s.replace(" ", "T"))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
 
   test("peakConcurrency: a day whose peak is only the midnight carry") {
     import spark.implicits._
