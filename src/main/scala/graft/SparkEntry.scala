@@ -245,6 +245,9 @@ object SparkEntry {
     // q_audio_dedup: perceptual energy-envelope hash verdicts over DECODED
     // PCM audio — imageDedup's mechanics on the other real decoder
     "q_audio_dedup"        -> ((s, d) => Multimodal.audioDedup(s, d)),
+    // q_video_dedup: clip-level any-frame near-dup verdicts — per-frame
+    // dHash from the parsed GVID container through the same banded kernel
+    "q_video_dedup"        -> ((s, d) => Multimodal.videoDedup(s, d)),
     // q_multimodal_features: per-kind media summary over the deterministic
     // PNG/WAV corpus — real codec decode, integer checksums — rows-only
     // (DuckDB has no media decoder; spec pins pixel/sample values)

@@ -411,14 +411,17 @@ object Multimodal {
     bandedVerdicts(hashes, "dhash", maxHamming)
   }
 
-  /** The ONE banding + verdict kernel both perceptual dedup operators
-    * share (C50 image, C50b audio) — keeping it single means a banding or
-    * threshold change can never drift between the twins (r16b review):
-    * lossless (maxHamming+1)-band pigeonhole blocking over a 64-bit hash,
-    * in-bucket id-sorted SHORT-CIRCUIT smaller-id probe (an identical-hash
-    * cluster of n costs O(n), not O(n²)), per-item AND-fold of bucket
-    * verdicts. Input: (doc_id, <hashCol>); output (doc_id, <hashCol>,
-    * keep) — keep = no smaller-id item within maxHamming bits.
+  /** The ONE banding + verdict kernel ALL perceptual dedup operators
+    * share (C50 image, C50b audio, C53 video frames) — keeping it single
+    * means a banding or threshold change can never drift between the
+    * twins (r16b review): lossless (maxHamming+1)-band pigeonhole
+    * blocking over a 64-bit hash, in-bucket id-sorted SHORT-CIRCUIT
+    * smaller-id probe (an identical-hash cluster of n costs O(n), not
+    * O(n²)), per-item AND-fold of bucket verdicts. Input: (doc_id,
+    * <hashCol>) — MULTIPLE rows per doc_id are allowed (the video-frame
+    * shape; same-id rows never compare against each other); output
+    * (doc_id, <hashCol>, keep) per input row — keep = no STRICTLY-smaller
+    * id within maxHamming bits of this row's hash.
     */
   private[graft] def bandedVerdicts(hashes: DataFrame, hashCol: String,
       maxHamming: Int): DataFrame = {
@@ -442,7 +445,8 @@ object Multimodal {
           var killed = false
           var i = 0
           while (!killed && i < j) {
-            if (java.lang.Long.bitCount(ms(i)._4 ^ ms(j)._4) <= maxHamming)
+            if (ms(i)._3 != ms(j)._3 &&
+              java.lang.Long.bitCount(ms(i)._4 ^ ms(j)._4) <= maxHamming)
               killed = true
             i += 1
           }
@@ -523,4 +527,121 @@ object Multimodal {
       }
     }.toDF("doc_id", "frame", "frame_bytes")
   }
+
+  /** A real multi-frame clip container ("GVID": magic + frame count +
+    * per-frame lengths, then concatenated REAL PNG payloads — the
+    * motion-JPEG shape: no inter-frame codec, every frame independently
+    * decodable, which is exactly what the sandbox can honestly build; a
+    * production pipeline swaps [[parseVideo]] for its codec's frame
+    * sampler and everything downstream is unchanged). Frame f's gradient
+    * is keyed on (d, f) so consecutive frames of one clip are near-equal
+    * (like real video) and clips with congruent keys plant cross-clip
+    * near-dups at any corpus size.
+    */
+  private[graft] def videoBytes(d: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val frames = (0 until nFrames).map(f => pngBytes(d * 7 + f, w, h))
+    val bos = new ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeBytes("GVID")
+    out.writeInt(nFrames)
+    frames.foreach(f => out.writeInt(f.length))
+    frames.foreach(out.write)
+    bos.toByteArray
+  }
+
+  /** Parse a GVID container into its frame payloads; None for anything
+    * that isn't one (wrong magic, truncated, implausible counts) — one
+    * foreign byte blob can't kill a 100 TB job.
+    */
+  private[graft] def parseVideo(bytes: Array[Byte]): Option[Array[Array[Byte]]] = {
+    if (bytes.length < 8 || bytes(0) != 'G' || bytes(1) != 'V' ||
+      bytes(2) != 'I' || bytes(3) != 'D') return None
+    val in = new java.io.DataInputStream(new ByteArrayInputStream(bytes))
+    try {
+      in.skipBytes(4)
+      val n = in.readInt()
+      if (n < 0 || n > 4096) return None
+      val lens = Array.fill(n)(in.readInt())
+      if (lens.exists(l => l < 0 || l > bytes.length)) return None
+      Some(lens.map { l => val b = new Array[Byte](l); in.readFully(b); b })
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Derive a deterministic video corpus from the documents table — the
+    * [[mediaTable]] convention for the third modality: every doc becomes
+    * one clip of `nFrames` real PNG frames in a GVID container, with the
+    * same n_chars-keyed dimensions the image rows use.
+    */
+  def videoTable(spark: SparkSession, dir: String, nFrames: Int = 4): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("n_chars") % 64 + 16).cast("int").as("w"),
+        (col("n_chars") % 48 + 9).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+      .mapPartitions(_.map { case (d, w, h) =>
+        MediaRow(d, "video", videoBytes(d, w, h, nFrames), w, h)
+      })
+  }
+
+  /** Extract per-frame payloads from GVID clips: (doc_id, frame,
+    * frame_bytes) — the container-parsing twin of [[sampleFrames]]'s
+    * blind byte slicing; unparseable clips emit no rows.
+    */
+  def videoFrames(clips: Dataset[MediaRow]): DataFrame = {
+    import clips.sparkSession.implicits._
+    clips.flatMap { m =>
+      parseVideo(m.media).iterator.flatMap(_.iterator.zipWithIndex.map {
+        case (bytes, f) => (m.doc_id, f, bytes)
+      })
+    }.toDF("doc_id", "frame", "frame_bytes")
+  }
+
+  /** Clip-level perceptual near-dup verdicts from ANY frame table
+    * (doc_id, …, frame_bytes) — composes with [[videoFrames]] (the GVID
+    * path) or [[sampleFrames]] output alike. Per-frame dHash over the
+    * DECODABLE frames, distinct (clip, hash) rows through the shared
+    * [[bandedVerdicts]] kernel, then the clip verdict AND-folds its frame
+    * rows — the ANY-FRAME kill rule: a clip dies iff ANY of its frame
+    * hashes sits within `maxHamming` bits of ANY frame hash of a
+    * smaller-id clip (the conservative-recall choice for a training
+    * corpus — a clip sharing even one near-identical frame with an
+    * earlier clip is re-used footage; a quorum rule would keep partial
+    * re-edits and is one `having count ≥ q` away if a deployment wants
+    * it). Output: (doc_id, n_frame_hashes, keep); clips with zero
+    * decodable frames emit no row (no evidence, no verdict — the C50
+    * undecodable-payload convention).
+    *
+    * Scale shape is C50's exactly — hashing is one narrow batched pass,
+    * buckets shuffle (band, key, id, hash) rows only (frame BYTES never
+    * cross the wire), and the verdict output is clip-linear. The frame
+    * fan-out multiplies band rows by frames/clip (bounded by the sampling
+    * policy, 4 here), not by corpus duplication.
+    */
+  def frameDedup(frames: DataFrame, maxHamming: Int = 3): DataFrame = {
+    import frames.sparkSession.implicits._
+    val hashes = frames.select(col("doc_id"), col("frame_bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(64).flatMap { batch =>
+          ImageIO.setUseCache(false)
+          batch.iterator.flatMap { case (d, b) => dhash64(b).map(h => (d, h)) }
+        }
+      }
+      .toDF("doc_id", "fhash").distinct()
+    bandedVerdicts(hashes, "fhash", maxHamming)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frame_hashes"),
+        min(when(col("keep"), 1L).otherwise(0L)).as("k"))
+      .select(col("doc_id"), col("n_frame_hashes"), (col("k") === 1L).as("keep"))
+  }
+
+  /** C53 — q_video_dedup: perceptual near-dup verdicts over the video
+    * corpus — [[imageDedup]]'s shape on the third modality, completing
+    * the media trilogy: parse each clip's frames ([[videoFrames]]),
+    * then [[frameDedup]]'s any-frame rule over the shared banded kernel.
+    * Same rows-only ground as C50/C50b (DuckDB decodes neither PNG nor
+    * GVID) and the same brute-force-equality spec.
+    */
+  def videoDedup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
+    frameDedup(videoFrames(videoTable(spark, dir)), maxHamming)
 }

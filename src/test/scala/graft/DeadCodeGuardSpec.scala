@@ -91,7 +91,10 @@ class DeadCodeGuardSpec extends GraftSuite {
     val waived = Set("q_approx_stats", "q_compression_ratio",
       "q_bpe_train", "q_bpe_tokenize",
       "q_multimodal_features", "q_ann_refined", "q_image_dedup",
-      "q_audio_dedup") // same no-media-decoder ground as q_image_dedup
+      "q_audio_dedup", // same no-media-decoder ground as q_image_dedup
+      "q_video_dedup") // ditto (DuckDB decodes neither PNG nor GVID);
+    // MultimodalSpec pins frameDedup against a brute-force any-frame
+    // reference on both a planted fixture and the corpus clips
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- waived
     assert(noOracle.isEmpty, s"queries without a DuckDB oracle: $noOracle")
   }

@@ -204,4 +204,77 @@ class MultimodalSpec extends GraftSuite {
       .orderBy("frame").collect().flatMap(_.getAs[Array[Byte]]("frame_bytes"))
     assert(reassembled.sameElements(doc.media))
   }
+
+  test("GVID container round-trips real decodable PNG frames; garbage parses to None") {
+    val clip = Multimodal.videoBytes(42L, 20, 12, nFrames = 3)
+    val frames = Multimodal.parseVideo(clip).get
+    assert(frames.length == 3)
+    frames.foreach { f =>
+      assert(Multimodal.dhash64(f).isDefined, "every frame must decode as an image")
+    }
+    assert(frames(0).sameElements(Multimodal.pngBytes(42L * 7, 20, 12)))
+    assert(Multimodal.parseVideo(Array[Byte](1, 2, 3)).isEmpty, "wrong magic")
+    assert(Multimodal.parseVideo(clip.take(10)).isEmpty, "truncated header")
+    assert(Multimodal.parseVideo(clip.dropRight(5)).isEmpty, "truncated payload")
+    // the distributed extractor sees the same frames; a non-GVID payload
+    // contributes no rows instead of failing the job
+    import spark.implicits._
+    val mixed = Seq(
+      Multimodal.MediaRow(7L, "video", clip, 20, 12),
+      Multimodal.MediaRow(8L, "video", Array[Byte](9, 9, 9), 1, 1)).toDS()
+    val extracted = Multimodal.videoFrames(mixed).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]]("frame_bytes")))
+    assert(extracted.map(t => (t._1, t._2)).toSet == Set((7L, 0), (7L, 1), (7L, 2)))
+    assert(extracted.find(t => t._2 == 0).get._3.sameElements(frames(0)))
+  }
+
+  test("frameDedup: any-frame kill rule on a planted fixture (shared frame kills the later clip)") {
+    import spark.implicits._
+    // clip 1: frames A, B. clip 2: an exact COPY of frame A + a distinct
+    // frame — must die on the shared frame regardless of its other
+    // content. clip 3: frames far from everything — must survive.
+    val a = Multimodal.pngBytes(1000L, 24, 16)
+    val b = Multimodal.pngBytes(1000L + 64, 24, 16) // +64·31 shifts past the dhash tolerance
+    val c = Multimodal.pngBytes(1000L + 128, 24, 16)
+    // widen separation via distinct dimensions for clip 3 (different
+    // aspect changes the 8x9 grid content, not just brightness)
+    val d1 = Multimodal.pngBytes(5000L, 48, 9)
+    val d2 = Multimodal.pngBytes(5000L + 64, 48, 9)
+    val fixture = Seq((1L, 0, a), (1L, 1, b), (2L, 0, a), (2L, 1, c),
+      (3L, 0, d1), (3L, 1, d2)).toDF("doc_id", "frame", "frame_bytes")
+    val got = Multimodal.frameDedup(fixture, maxHamming = 3).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // brute-force reference from the any-frame DEFINITION
+    val hashes = Seq((1L, a), (1L, b), (2L, a), (2L, c), (3L, d1), (3L, d2))
+      .flatMap { case (id, bytes) => Multimodal.dhash64(bytes).map(id -> _) }
+    val brute = hashes.map(_._1).distinct.map { id =>
+      val mine = hashes.filter(_._1 == id).map(_._2)
+      val earlier = hashes.filter(_._1 < id).map(_._2)
+      id -> !mine.exists(h => earlier.exists(h2 =>
+        java.lang.Long.bitCount(h ^ h2) <= 3))
+    }.toMap
+    assert(got == brute, s"got $got vs brute $brute")
+    assert(got(1L), "first clip survives")
+    assert(!got(2L), "clip sharing one frame with an earlier clip must die")
+    assert(brute(3L) == got(3L))
+  }
+
+  test("q_video_dedup: verdicts equal the brute-force any-frame rule on the corpus clips") {
+    val out = Multimodal.videoDedup(spark, sf, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    val hashes = Multimodal.videoTable(spark, sf).collect().flatMap { m =>
+      Multimodal.parseVideo(m.media).get
+        .flatMap(Multimodal.dhash64).distinct.map(h => (m.doc_id, h))
+    }
+    val ids = hashes.map(_._1).distinct.sorted
+    val brute = ids.map { id =>
+      val mine = hashes.filter(_._1 == id).map(_._2)
+      val earlier = hashes.filter(_._1 < id).map(_._2)
+      id -> !mine.exists(h => earlier.exists(h2 =>
+        java.lang.Long.bitCount(h ^ h2) <= 3))
+    }.toMap
+    assert(out == brute, s"${out.count(!_._2)} kills vs brute ${brute.count(!_._2)}")
+    assert(out.exists(!_._2), "non-vacuous: the (d,f)-keyed gradients plant cross-clip near-dups")
+    assert(out.exists(_._2), "non-vacuous: representatives survive")
+  }
 }
