@@ -2149,6 +2149,27 @@ object Oracles {
       |       2 AS level
       |FROM j2 WHERE cnt2 < 5""".stripMargin
 
+  /** C54 q_l_diversity — the C52 release re-derived as a nested CTE, the
+    * per-customer min order priority ('NONE' for order-less customers),
+    * then the per-group exact distinct count and the ≥ l verdict.
+    */
+  val lDiversity: String =
+    s"""WITH rel AS MATERIALIZED (
+       |$kAnonymize
+       |),
+       |sens AS MATERIALIZED (
+       |  SELECT o_custkey AS c_custkey, min(o_orderpriority) AS sens
+       |  FROM orders GROUP BY 1),
+       |rs AS MATERIALIZED (
+       |  SELECT rel.nation, rel.segment, rel.lo_cents, rel.hi_cents, rel.level,
+       |         coalesce(sens.sens, 'NONE') AS sens
+       |  FROM rel LEFT JOIN sens USING (c_custkey))
+       |SELECT nation, segment, lo_cents, hi_cents, level,
+       |       CAST(count(*) AS BIGINT) AS n_records,
+       |       CAST(count(DISTINCT sens) AS BIGINT) AS n_sensitive,
+       |       count(DISTINCT sens) >= 3 AS diverse
+       |FROM rs GROUP BY 1, 2, 3, 4, 5""".stripMargin
+
   /** D17 q_gap_fill — per-user daily grid (generate_series returns
     * TIMESTAMP → cast back to DATE) with IGNORE NULLS forward fill; sums
     * cast out of HUGEINT.

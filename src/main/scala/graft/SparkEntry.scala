@@ -324,6 +324,10 @@ object SparkEntry {
     // q_k_anonymize: k-anonymity generalization ladder over QI groups —
     // two bounded-cardinality aggs broadcast back, no fact self-join
     "q_k_anonymize"        -> ((s, d) => Privacy.kAnonymize(s, d)),
+    // q_l_diversity: homogeneity-attack check on the k-anonymized release —
+    // per released QI group, exact distinct count of the sensitive
+    // attribute (customer's most urgent order priority) and the >= l verdict
+    "q_l_diversity"        -> ((s, d) => Privacy.lDiversity(s, d)),
     // q_gap_fill: per-user daily resample + forward fill — span-bounded
     // sequence explode, one user window, all integer/date
     "q_gap_fill"           -> ((s, d) => Events.gapFill(s, d)),
@@ -637,6 +641,7 @@ object SparkEntry {
     "q_entity_resolve"  -> Oracles.entityResolve,
     "q_merge_upsert"    -> Oracles.mergeUpsert,
     "q_k_anonymize"     -> Oracles.kAnonymize,
+    "q_l_diversity"     -> Oracles.lDiversity,
     "q_gap_fill"        -> Oracles.gapFill,
     "q_peak_concurrency" -> Oracles.peakConcurrency,
   )

@@ -81,4 +81,52 @@ object Privacy {
           .when(col("cnt2") >= k, lit(1))
           .otherwise(lit(2)).as("level"))
   }
+
+  /** Group-diversity diagnostics over ANY released table: for each
+    * distinct combination of `qiCols`, the record count, the distinct
+    * count of `sensitiveCol`, and whether it meets distinct-l-diversity
+    * [Machanavajjhala et al., ICDE'06 — public model]. The reusable form
+    * (the resolveOn/qualityFilterOn convention): the release pipeline
+    * composes it after any generalization step.
+    *
+    * Scale shape: one exact two-level distinct aggregation — partial
+    * (QI, sensitive) dedup map-side, then the QI-keyed count — the same
+    * plan class as q_wordcount; group cardinality is policy-bounded, so
+    * the output is release-shaped, not fact-shaped.
+    */
+  def lDiversityOn(released: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, l: Int): DataFrame =
+    released
+      .groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_records"),
+        count_distinct(col(sensitiveCol)).as("n_sensitive"))
+      .select(qiCols.map(col) ++ Seq(col("n_records"), col("n_sensitive"),
+        (col("n_sensitive") >= l).as("diverse")): _*)
+
+  /** C54 — q_l_diversity: the homogeneity-attack check on C52's release —
+    * k-anonymity alone leaks when every record in a released QI group
+    * shares the sensitive value (the classic counterexample: the
+    * 5-person group all flagged urgent). Sensitive attribute here = the
+    * customer's most urgent order priority (min over their orders —
+    * deterministic; customers with no orders carry 'NONE'), a behavioral
+    * signal the QIs are meant to hide. Output: one row per released QI
+    * group with its diversity verdict — the release gate E22 composes
+    * with.
+    *
+    * Scale shape: C52's one-scan ladder unchanged, a customer-keyed
+    * orders aggregation (map-side partial), one key-equi join (AQE
+    * broadcasts the small side at low SF, SMJ at scale), then the
+    * [[lDiversityOn]] two-level distinct agg — group-shaped output.
+    */
+  def lDiversity(spark: SparkSession, dir: String, k: Int = 5,
+      l: Int = 3): DataFrame = {
+    val released = kAnonymize(spark, dir, k)
+    val sens = spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(min(col("o_orderpriority")).as("sens"))
+    val withSens = released.join(sens, Seq("c_custkey"), "left")
+      .withColumn("sens", coalesce(col("sens"), lit("NONE")))
+    lDiversityOn(withSens,
+      Seq("nation", "segment", "lo_cents", "hi_cents", "level"), "sens", l)
+  }
 }

@@ -52,4 +52,40 @@ class PrivacySpec extends GraftSuite {
       (14L to 18L).map(i => (i, 0, "AUTOMOBILE", -100000L, 0L, 0)).toSet
     assert(got == expected)
   }
+
+  test("lDiversity: per-group counts equal a plain-Scala reference over the release") {
+    val released = Privacy.kAnonymize(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getInt(5))))
+    val sens = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy(col("o_custkey")).agg(min(col("o_orderpriority")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = released
+      .map { case (ck, g) => (g, sens.getOrElse(ck, "NONE")) }
+      .groupBy(_._1)
+      .map { case (g, rows) =>
+        g -> (rows.length.toLong, rows.map(_._2).distinct.length.toLong)
+      }
+    val got = Privacy.lDiversity(spark, sf).collect()
+      .map(r => ((r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)), (r.getLong(5), r.getLong(6), r.getBoolean(7)))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (g, (n, d, ok)) =>
+      assert((n, d) == expected(g), s"group $g")
+      assert(ok == (d >= 3), s"verdict for $g")
+    }
+  }
+
+  test("lDiversityOn flags a planted homogeneous group (k-anonymous but not diverse)") {
+    import spark.implicits._
+    // two groups, both k-anonymous at k=3; group A's sensitive values are
+    // all equal — the homogeneity attack k-anonymity cannot see
+    val release = Seq(
+      ("A", "urgent"), ("A", "urgent"), ("A", "urgent"),
+      ("B", "urgent"), ("B", "high"), ("B", "low"))
+      .toDF("qi", "sens")
+    val got = Privacy.lDiversityOn(release, Seq("qi"), "sens", l = 2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got == Map("A" -> (3L, 1L, false), "B" -> (3L, 3L, true)))
+  }
 }
