@@ -72,9 +72,10 @@ object LayoutProbe {
     // ~1% of orderkeys: one replacement row per key (replaces every line
     // of the order — the CDC replace-by-key contract), comment stamped so
     // the applied rows are identifiable
+    // marker: quantity −1 never occurs in the data → identifies applied rows
     val delta = li.where(pmod(col("l_orderkey"), lit(97)) === 0)
       .dropDuplicates("l_orderkey")
-      .withColumn("l_comment", lit("cdc-update"))
+      .withColumn("l_quantity", lit(-1.0))
     val nDeltaKeys = delta.count()
     val t1 = System.nanoTime()
     Layout.mergeBucketed(spark, table, "l_orderkey", buckets, delta)
@@ -87,7 +88,7 @@ object LayoutProbe {
       val b = Layout.bucketIdOf(name).get
       if (affected(b)) !after.contains(name) else after.get(name).contains(meta)
     }
-    val applied = spark.table(table).where(col("l_comment") === "cdc-update").count()
+    val applied = spark.table(table).where(col("l_quantity") === -1.0).count()
     val t = Layout.readTable(spark, table)
     val p = t.join(t.groupBy("l_orderkey").count(), "l_orderkey")
       .queryExecution.explainString(FormattedMode)
@@ -98,6 +99,38 @@ object LayoutProbe {
     require(untouchedOk, "untouched buckets must keep byte-identical files")
     require(applied == nDeltaKeys, "every delta key must land exactly once")
     require(ex == 0, "zero-Exchange contract must survive the merge")
+    spark.sql(s"DROP TABLE `$table`")
+    // Phase 2 — partial-rewrite ECONOMICS: a key-random delta of ≥ a few
+    // hundred keys touches every bucket (phase 1: 151k keys → 16/16), so
+    // the O(k/buckets · table) claim shows at the other corner — many
+    // buckets, few keys (the late-corrections CDC case): 256 buckets, a
+    // 30-key delta → ~30/256 buckets rewrite and the merge cost collapses
+    // vs the full build; the untouched-file identity check is NON-vacuous
+    // here.
+    val b2 = 256
+    val t2 = System.nanoTime()
+    Layout.writeBucketed(li, table, "l_orderkey", b2)
+    val built2 = (System.nanoTime() - t2) / 1e9
+    val before2 = inventory()
+    val keys30 = li.select("l_orderkey").distinct().orderBy("l_orderkey").limit(30)
+    val delta2 = li.join(keys30, "l_orderkey").dropDuplicates("l_orderkey")
+      .withColumn("l_quantity", lit(-1.0))
+    val t3 = System.nanoTime()
+    Layout.mergeBucketed(spark, table, "l_orderkey", b2, delta2)
+    val merged2 = (System.nanoTime() - t3) / 1e9
+    val after2 = inventory()
+    val affected2 = delta2
+      .select(pmod(hash(col("l_orderkey")), lit(b2)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val untouched2 = before2.count { case (name, meta) =>
+      !affected2(Layout.bucketIdOf(name).get) && after2.get(name).contains(meta)
+    }
+    println(f"[probe] merge-sparse: buckets=$b2 deltaKeys=30 " +
+      f"affectedBuckets=${affected2.size}/$b2 build=$built2%.1f s merge=$merged2%.1f s " +
+      f"untouchedFilesIdentical=$untouched2/${before2.size - affected2.size}")
+    require(untouched2 == before2.size - affected2.size,
+      "every unaffected bucket file must be byte-identical")
+    require(affected2.size <= 30, "a 30-key delta touches at most 30 buckets")
     spark.sql(s"DROP TABLE `$table`")
   }
 }
