@@ -259,6 +259,45 @@ object EventsStream {
   /** Filesystem streaming source over a directory of parquet events —
     * the deployment shape (readStream on an arriving-files landing zone).
     */
+  /** D19 — late-data monitor: cumulative rows the query's stateful
+    * operators DROPPED as too-late (event time behind the watermark) —
+    * the ops signal every watermarked pipeline plots next to throughput:
+    * a silent upward trend means the watermark is tighter than the
+    * source's real lateness distribution and the "exact" aggregates are
+    * quietly losing rows. Spark already accounts the drops per trigger
+    * (`StateOperatorProgress.numRowsDroppedByWatermark`); this surfaces
+    * them as one number per query. `recentProgress` truncates at
+    * spark.sql.streaming.numRecentProgressUpdates (default 100 triggers)
+    * — an unbounded run attaches [[LateDropListener]] instead, which
+    * accumulates across every trigger for the query's lifetime.
+    */
+  def lateDrops(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.iterator
+      .flatMap(_.stateOperators.iterator)
+      .map(_.numRowsDroppedByWatermark).sum
+
+  /** The unbounded-run form of [[lateDrops]]: a listener accumulating
+    * per-trigger watermark drops per query id — O(#queries) state,
+    * survives any progress-history truncation.
+    */
+  final class LateDropListener
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val drops =
+      new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Long]()
+    def dropsFor(id: java.util.UUID): Long = {
+      val v = drops.get(id); if (v == null) 0L else v.longValue()
+    }
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val d = e.progress.stateOperators.map(_.numRowsDroppedByWatermark).sum
+      if (d != 0L)
+        drops.merge(e.progress.id, java.lang.Long.valueOf(d),
+          (a, b) => java.lang.Long.valueOf(a.longValue() + b.longValue()))
+    }
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+  }
+
   def fromDirectory(spark: SparkSession, dir: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream.schema(schema).parquet(dir)

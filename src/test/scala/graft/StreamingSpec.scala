@@ -29,6 +29,41 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("late-data monitor counts exactly the watermark-dropped rows (both forms)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val listener = new EventsStream.LateDropListener
+    spark.streams.addListener(listener)
+    val input = MemoryStream[Event]
+    // update mode: late rows are DROPPED (complete mode would keep
+    // aggregating them and the monitor would rightly read 0)
+    val q = EventsStream.hourlyCounts(input.toDF())
+      .writeStream.format("memory").queryName("latemon").outputMode("update").start()
+    try {
+      // batch 1 establishes the watermark: max event time 180min − 2h = 60min
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0), Event(2, ts(180), 1, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: two rows whose 1h windows END at or before the 60min
+      // watermark (DROPPED), one safely inside (kept)
+      input.addData(
+        Event(3, ts(5), 2, "view", 1.0),   // window [0,60) ends at wm → dropped
+        Event(4, ts(-30), 2, "view", 1.0), // window [-60,0) long closed → dropped
+        Event(5, ts(170), 2, "view", 1.0)) // window [120,180) open → kept
+      q.processAllAvailable()
+      assert(EventsStream.lateDrops(q) == 2L, q.recentProgress.map(_.json).mkString("\n"))
+      // the listener form agrees (it saw the same triggers)
+      assert(listener.dropsFor(q.id) == 2L)
+      // and the kept row actually landed while the dropped ones did not
+      val out = spark.table("latemon").select("event_type", "n_events")
+        .as[(String, Long)].collect()
+      assert(out.toSet == Set("click" -> 1L, "view" -> 1L), out.mkString(","))
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("file-source streaming over an events landing dir matches batch counts") {
     import spark.implicits._
     // stage the events parquet as a landing directory
