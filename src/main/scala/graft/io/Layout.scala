@@ -224,14 +224,25 @@ object Layout {
     * Filter preserves the bucketed scan's output partitioning, so even
     * that plan keeps co-location. Tables with no manifest (pre-manifest
     * layouts, foreign tables) read as plain `spark.table`.
+    *
+    * A manifest-governed table is ALWAYS refreshed first (r17 review):
+    * the session catalog caches the table's file listing across
+    * `spark.table` calls, so without the refresh a reader whose session
+    * saw the table before an EXTERNAL writer's swap would plan over the
+    * stale listing — missing every moved-in file (silent row loss behind
+    * the filter) or referencing retired ones (FileNotFound at exec). The
+    * refresh makes the planned listing the CURRENT directory, which the
+    * manifest filter then constrains; cost is one metadata re-list per
+    * readTable call, nothing at scan time.
     */
   def readTable(spark: SparkSession, table: String): DataFrame = {
-    val t = spark.table(table)
     val loc = tablePath(spark, table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     readManifest(fs, loc) match {
-      case None => t
+      case None => spark.table(table)
       case Some(valid) =>
+        spark.catalog.refreshTable(table)
+        val t = spark.table(table)
         val present = dataFileNames(fs, loc)
         if (present == valid) t
         else {
@@ -263,6 +274,12 @@ object Layout {
     val gen = old.map { p =>
       val m = manifestRe.matcher(p.getName); m.matches(); m.group(1).toLong
     }.foldLeft(0L)(math.max) + 1
+    // the parse below is a symmetric quoted-string scan, not a JSON
+    // parser — a name that would need escaping must fail loudly rather
+    // than round-trip corrupted (no Spark-written file ever contains
+    // these characters)
+    names.foreach(n => require(!n.contains("\"") && !n.contains("\\"),
+      s"manifest cannot serialize file name '$n'"))
     val json = names.toSeq.sorted
       .map(n => "\"" + n + "\"").mkString(s"""{"gen":$gen,"files":[""", ",", "]}")
     val tmp = new org.apache.hadoop.fs.Path(loc, s"._manifest-$gen.tmp")
@@ -295,7 +312,15 @@ object Layout {
           while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
           buf.toString("UTF-8")
         } finally in.close()
-        val m = java.util.regex.Pattern.compile("\"([^\"]+\\.parquet)\"").matcher(body)
+        // symmetric with writeManifest: every quoted string inside the
+        // files array, whatever its suffix — a .parquet-only pattern
+        // would silently drop any differently-named data file from every
+        // read (r17 review)
+        val arr = java.util.regex.Pattern
+          .compile("\"files\":\\[(.*)\\]", java.util.regex.Pattern.DOTALL)
+          .matcher(body)
+        require(arr.find(), s"malformed manifest ${latest.getName}")
+        val m = java.util.regex.Pattern.compile("\"([^\"]*)\"").matcher(arr.group(1))
         val names = Set.newBuilder[String]
         while (m.find()) names += m.group(1)
         Some(names.result())
@@ -569,10 +594,25 @@ object Layout {
     // bucket ids and the rewrite lands >1 file per bucket (observed: 10
     // files for 4 buckets). A plain parquet scan has UnknownPartitioning,
     // the shuffle survives, and each bucket compacts to exactly one file.
-    val loc = spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
-      .location.toString
-    writeBucketed(spark.read.parquet(loc), staging, key, buckets)
+    //
+    // ...but the MANIFEST's files, not the raw directory (r17 review): a
+    // merge that crashed between move-in and retirement leaves old+new
+    // copies of replaced keys in the dir with the manifest naming only
+    // the new set. A raw-dir compact would bake the duplicates into the
+    // rewrite and bless them with a fresh manifest — permanent silent
+    // corruption; the manifest-filtered read compacts the CONSISTENT view
+    // (and the rewrite itself then retires the orphans).
+    val locPath = tablePath(spark, table)
+    val fs = locPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = readManifest(fs, locPath) match {
+      case Some(valid) =>
+        val present = dataFileNames(fs, locPath)
+        val files = (if (present == valid) present else valid)
+          .map(n => new org.apache.hadoop.fs.Path(locPath, n).toString)
+        spark.read.parquet(files.toSeq.sorted: _*)
+      case None => spark.read.parquet(locPath.toString)
+    }
+    writeBucketed(src, staging, key, buckets)
     spark.sql(s"DROP TABLE `$table`")
     spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
   }

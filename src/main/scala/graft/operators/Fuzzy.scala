@@ -105,6 +105,16 @@ object Fuzzy {
     val spark = df.sparkSession
     import spark.implicits._
     val k = maxDist
+    // integral ids only, checked loudly (r17 review — the mergeBucketed
+    // dtype discipline): a silent cast("long") over a string/UUID id
+    // column nulls every row and the min-id verdicts come out garbage
+    // with no error
+    require(Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType)
+      .contains(df.schema(idCol).dataType),
+      s"resolveOn id column '$idCol' is ${df.schema(idCol).dataType.simpleString} — " +
+        "smallest-id semantics need an integral id (map your key to one first)")
     val parts = df.select(col(idCol).cast("long").as("id"),
       col(nameCol).cast("string").as("nm"), col(blockCol).cast("string").as("b"))
     // Resolve at CLUSTER granularity, not record granularity (the C49

@@ -256,9 +256,6 @@ object EventsStream {
         col("purchase_ts"), col("click_ts"))
   }
 
-  /** Filesystem streaming source over a directory of parquet events —
-    * the deployment shape (readStream on an arriving-files landing zone).
-    */
   /** D19 — late-data monitor: cumulative rows the query's stateful
     * operators DROPPED as too-late (event time behind the watermark) —
     * the ops signal every watermarked pipeline plots next to throughput:
@@ -298,6 +295,9 @@ object EventsStream {
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
   }
 
+  /** Filesystem streaming source over a directory of parquet events —
+    * the deployment shape (readStream on an arriving-files landing zone).
+    */
   def fromDirectory(spark: SparkSession, dir: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream.schema(schema).parquet(dir)

@@ -584,14 +584,17 @@ class LayoutSpec extends GraftSuite {
     assert(ghostName != victim.getName)
     java.nio.file.Files.copy(victim.toPath,
       new java.io.File(loc, ghostName).toPath)
-    spark.catalog.refreshTable("b_midswap")
-    // a plain table scan double-reads the bucket's keys...
-    val naive = spark.table("b_midswap").count()
-    assert(naive > expected.size, "fixture must actually present a double-read")
-    // ...the manifest-aware reader does not: exactly the pre-swap table
+    // NO manual refreshTable here: the ghost landed EXTERNALLY (another
+    // process's swap) and readTable must self-refresh the session's
+    // cached listing to even see it (r17 review — a stale cached listing
+    // would silently miss moved-in files behind the filter)
     val got = Layout.readTable(spark, "b_midswap").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
     assert(got == expected)
+    // whereas the plain table scan (now over the refreshed listing)
+    // double-reads the bucket's keys — the fixture really is a mid-swap
+    val naive = spark.table("b_midswap").count()
+    assert(naive > expected.size, "fixture must actually present a double-read")
     // and the mid-swap plan keeps the bucketed scan (Filter preserves
     // the scan's partitioning — no Exchange sneaks in)
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -606,10 +609,61 @@ class LayoutSpec extends GraftSuite {
     // quiescent again (ghost gone): the fast path is a plain bucketed scan
     // with no per-row filename filter
     new java.io.File(loc, ghostName).delete()
-    spark.catalog.refreshTable("b_midswap")
     val quiet = Layout.readTable(spark, "b_midswap")
     assert(!quiet.queryExecution.optimizedPlan.toString.contains("input_file_name"),
       "quiescent read must take the filter-free fast path")
     assert(quiet.count() == expected.size)
+  }
+
+  test("manifest round-trips any data file name, not just .parquet; bad names fail loudly") {
+    val loc = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("manifest-rt").toUri)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = Set("part-00000-aa_00000.c000.snappy.parquet",
+      "part-00001-bb_00001.c000.zstd.orc", "oddly.named.data")
+    Layout.writeManifest(fs, loc, names)
+    assert(Layout.readManifest(fs, loc).contains(names))
+    // generation replacement still holds for the generic parse
+    Layout.writeManifest(fs, loc, Set("only.parquet"))
+    assert(Layout.readManifest(fs, loc).contains(Set("only.parquet")))
+    // a name the quoted-string scan cannot round-trip is rejected at write
+    intercept[IllegalArgumentException] {
+      Layout.writeManifest(fs, loc, Set("evil\"name.parquet"))
+    }
+  }
+
+  test("compactBucketed reads the manifest view: a crashed-merge orphan never bakes in") {
+    import spark.implicits._
+    val base = (0L until 40L).map(k => (k, k * 10, k * 1.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    Layout.writeBucketed(base, "b_crashcompact", "o_orderkey", 4)
+    val expected = base.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    // simulate the documented crash window: an affected bucket's OLD file
+    // is still in the dir (retirement never ran) while the manifest names
+    // only the current set
+    val loc = tableLoc("b_crashcompact")
+    val victim = loc.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val orphan = victim.getName.replaceFirst("part-\\d{5}", "part-91000")
+    java.nio.file.Files.copy(victim.toPath, new java.io.File(loc, orphan).toPath)
+    Layout.compactBucketed(spark, "b_crashcompact", "o_orderkey", 4)
+    val got = Layout.readTable(spark, "b_crashcompact").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    assert(got == expected, "compact must not duplicate the orphan's keys")
+    // and the compacted dir carries no orphan: manifest == files again
+    val after = tableLoc("b_crashcompact").listFiles()
+      .map(_.getName).filter(n => !n.startsWith("_") && !n.startsWith(".")).toSet
+    val fsLoc = new org.apache.hadoop.fs.Path(tableLoc("b_crashcompact").toURI)
+    val fs2 = fsLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(Layout.readManifest(fs2, fsLoc).contains(after))
+  }
+
+  test("resolveOn rejects a non-integral id column loudly") {
+    import spark.implicits._
+    val df = Seq(("u-1", "alice", "US")).toDF("uid", "nm", "b")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Fuzzy.resolveOn(df, "uid", "nm", "b")
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
   }
 }
