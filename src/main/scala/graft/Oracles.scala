@@ -749,6 +749,25 @@ object Oracles {
       |      FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id)
       |SELECT id1, id2, cos4 FROM p WHERE cos4 >= 0.4""".stripMargin
 
+  /** C55 q_decontaminate_semantic — the embedding-level benchmark leak
+    * check: per corpus vector, the rk=1 closest benchmark vector (cosine
+    * 4dp, ties to the smallest bench id — the window here selects exactly
+    * the row Spark's max(struct(cos4, −bench_id)) reduction picks).
+    */
+  val decontaminateSemantic: String =
+    """WITH v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |n AS MATERIALIZED (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+      |b AS MATERIALIZED (SELECT vec_id AS bench_id, e AS be, nrm AS bn FROM n WHERE vec_id % 50 = 0 AND vec_id < 5000),
+      |c AS MATERIALIZED (SELECT vec_id, e, nrm FROM n WHERE vec_id % 50 <> 0),
+      |p AS MATERIALIZED (SELECT c.vec_id, b.bench_id,
+      |        round(list_dot_product(c.e, b.be) / (c.nrm * b.bn), 4) AS cos4
+      |      FROM c, b),
+      |r AS MATERIALIZED (SELECT vec_id, bench_id, cos4,
+      |        row_number() OVER (PARTITION BY vec_id ORDER BY cos4 DESC, bench_id) AS rk
+      |      FROM p)
+      |SELECT vec_id, bench_id, cos4, cos4 >= 0.25 AS contaminated
+      |FROM r WHERE rk = 1""".stripMargin
+
   val annBruteForce: String =
     """WITH v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       |n AS MATERIALIZED (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),

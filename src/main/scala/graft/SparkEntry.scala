@@ -136,6 +136,10 @@ object SparkEntry {
     // repeated-span detection, sequence packing, mixture resampling, PII
     // redaction, SemDeDup
     "q_decontaminate"      -> ((s, d) => Contamination.decontaminate(s, d)),
+    // q_decontaminate_semantic: embedding-level benchmark-leak check —
+    // closest benchmark vector per corpus vector, broadcast benchmark,
+    // map-side struct-max reduction (one row per corpus vector shuffles)
+    "q_decontaminate_semantic" -> ((s, d) => Contamination.decontaminateSemantic(s, d)),
     "q_repeated_spans"     -> ((s, d) => Contamination.repeatedSpans(s, d)),
     "q_pack_sequences"     -> ((s, d) => Curation.packSequences(s, d)),
     "q_domain_mix"         -> ((s, d) => Curation.domainMix(s, d)),
@@ -545,6 +549,7 @@ object SparkEntry {
     "q_ann_ivfpq"       -> Oracles.annIvfPq,
     "q_ann_ivfpq_res"   -> Oracles.annIvfPqRes,
     "q_decontaminate"   -> Oracles.decontaminate,
+    "q_decontaminate_semantic" -> Oracles.decontaminateSemantic,
     "q_repeated_spans"  -> Oracles.repeatedSpans,
     "q_pack_sequences"  -> Oracles.packSequences,
     "q_domain_mix"      -> Oracles.domainMix,

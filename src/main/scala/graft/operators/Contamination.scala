@@ -86,4 +86,50 @@ object Contamination {
         min(col("doc_id")).as("first_doc"))
       .where(col("n_docs") >= minDocs)
   }
+
+  /** C55 — q_decontaminate_semantic: EMBEDDING-level benchmark
+    * decontamination — the leak the 8-gram check ([[decontaminate]])
+    * structurally misses: a paraphrased/translated/reformatted benchmark
+    * item shares no 8-gram with its source but sits next to it in
+    * embedding space (the published practice pairs both checks; n-grams
+    * catch verbatim leaks, embeddings catch semantic ones). For every
+    * corpus vector (vec_id % every ≠ 0), the closest benchmark vector
+    * (vec_id % every == 0, the C19 benchmark-subset convention), its
+    * 4dp-rounded cosine, and the contaminated verdict at `threshold`.
+    *
+    * Scale shape: benchmark suites are SMALL by nature → the benchmark
+    * side broadcasts (the C19 economics with vectors for grams); the
+    * corpus never shuffles for scoring, and the best-match reduction is a
+    * map-side-partial `max(struct(cos4, −bench_id))` — the shuffle
+    * carries ONE tiny row per corpus vector, never the |corpus|×|bench|
+    * fan-out (a window over the fanned rows would shuffle all of it; the
+    * struct-max is the same rk=1 row the oracle's window selects, ties
+    * broken to the smallest benchmark id). The exact |corpus|×|bench|
+    * dot-product compute is inherent to the exact check; a benchmark too
+    * large for it routes through the C7 LSH / C7b IVF candidate path
+    * first, same as any other vector search.
+    */
+  def decontaminateSemantic(spark: SparkSession, dir: String,
+      every: Int = 50, threshold: Double = 0.25,
+      benchCap: Int = 100): DataFrame = {
+    val v = Ann.normed(spark, dir)
+    // benchCap bounds the benchmark at `benchCap` vectors (ids 0, every,
+    // 2*every, …) — real eval suites are FIXED-size, so the exact check's
+    // |corpus|x|bench| compute must stay corpus-LINEAR as the corpus
+    // grows; an uncapped %-subset would quietly turn quadratic at 100 TB
+    val bench = broadcast(v.where(pmod(col("vec_id"), lit(every)) === 0
+        && col("vec_id") < every.toLong * benchCap)
+      .select(col("vec_id").as("bench_id"), col("e").as("be"), col("nrm").as("bn")))
+    v.where(pmod(col("vec_id"), lit(every)) =!= 0)
+      .join(bench)
+      .select(col("vec_id"),
+        round(Ann.cosine(col("e"), col("be"), col("nrm"), col("bn")), 4).as("cos4"),
+        col("bench_id"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos4"), (-col("bench_id")).as("nb"))).as("m"))
+      .select(col("vec_id"),
+        (-col("m.nb")).as("bench_id"),
+        col("m.cos4").as("cos4"),
+        (col("m.cos4") >= threshold).as("contaminated"))
+  }
 }

@@ -67,6 +67,34 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("decontaminateSemantic matches a brute-force nearest-benchmark scan") {
+    import graft.operators.Contamination
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray))
+    def nrm(e: Array[Double]) = math.sqrt(e.map(x => x * x).sum)
+    val bench = vecs.filter(v => v._1 % 50 == 0 && v._1 < 5000)
+    val corpus = vecs.filter(_._1 % 50 != 0)
+    val expected = corpus.map { case (id, e) =>
+      val n1 = nrm(e)
+      // best = max 4dp cosine, ties to the smallest bench id (the
+      // operator's struct-max and the oracle's rk=1 window)
+      val scored = bench.map { case (bid, be) =>
+        val dot = e.zip(be).map { case (a, b) => a * b }.sum
+        val c4 = BigDecimal(dot / (n1 * nrm(be)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (c4, bid)
+      }
+      val best = scored.maxBy { case (c, bid) => (c, -bid) }
+      id -> ((best._2, best._1, best._1 >= 0.25))
+    }.toMap
+    val got = Contamination.decontaminateSemantic(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got == expected)
+    assert(got.values.exists(_._3) && got.values.exists(!_._3),
+      "threshold must split the corpus (non-vacuous both ways)")
+  }
+
   test("repeatedSpans matches brute-force span counting (per-position, cross-doc)") {
     val texts = docTexts()
     val occ = scala.collection.mutable.Map.empty[Long, (Set[Long], Long)]

@@ -136,6 +136,18 @@ class PlanSpec extends GraftSuite {
     assert(shuffles(p) <= 2, s"corpus side must stay narrow:\n$p")
   }
 
+  test("q_decontaminate_semantic broadcasts the benchmark; one per-vector exchange") {
+    val p = plan("q_decontaminate_semantic")
+    // the benchmark side ships to every task (cross product is the exact
+    // check's compute, not a planning accident)...
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // ...and the best-match reduction is a partial-aggregated struct-max:
+    // the only keyed exchange carries one row per corpus vector, never
+    // the |corpus|x|bench| fan-out (a window here would shuffle it all)
+    assert(shuffles(p) == 1, s"one keyed exchange (the per-vector max):\n$p")
+    assert(!p.contains("Window"), "no window over the fanned rows")
+  }
+
   test("q_repeated_spans is scan + one aggregation keyed by the span hash") {
     val p = plan("q_repeated_spans")
     // distinct-count rewrites to a two-phase agg: (span) then (span,doc)
