@@ -758,7 +758,7 @@ object Oracles {
     """WITH v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       |n AS MATERIALIZED (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
       |b AS MATERIALIZED (SELECT vec_id AS bench_id, e AS be, nrm AS bn FROM n WHERE vec_id % 50 = 0 AND vec_id < 5000),
-      |c AS MATERIALIZED (SELECT vec_id, e, nrm FROM n WHERE vec_id % 50 <> 0),
+      |c AS MATERIALIZED (SELECT vec_id, e, nrm FROM n WHERE vec_id % 50 <> 0 OR vec_id >= 5000),
       |p AS MATERIALIZED (SELECT c.vec_id, b.bench_id,
       |        round(list_dot_product(c.e, b.be) / (c.nrm * b.bn), 4) AS cos4
       |      FROM c, b),

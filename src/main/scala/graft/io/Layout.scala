@@ -230,27 +230,43 @@ object Layout {
     * `spark.table` calls, so without the refresh a reader whose session
     * saw the table before an EXTERNAL writer's swap would plan over the
     * stale listing — missing every moved-in file (silent row loss behind
-    * the filter) or referencing retired ones (FileNotFound at exec). The
-    * refresh makes the planned listing the CURRENT directory, which the
-    * manifest filter then constrains; cost is one metadata re-list per
-    * readTable call, nothing at scan time.
+    * the filter) or referencing retired ones (FileNotFound at exec).
+    * And the manifest is re-read AFTER the refresh+listing with a
+    * generation-stability retry (r17 review, second pass): a swap
+    * completing between the manifest read and the listing would
+    * otherwise filter post-swap files down to retired pre-swap names —
+    * affected buckets reading EMPTY, neither of the two legal views.
+    * Cost is a handful of directory metadata ops per readTable call,
+    * nothing at scan time. Residual window, documented: the guarantee
+    * covers swaps that complete before the query's scan lists the
+    * directory; a swap racing the EXECUTION of an already-planned query
+    * is the same hazard any non-transactional file reader has (retired
+    * files stay recoverable under `_pre_merge` either way).
     */
   def readTable(spark: SparkSession, table: String): DataFrame = {
     val loc = tablePath(spark, table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    readManifest(fs, loc) match {
-      case None => spark.table(table)
-      case Some(valid) =>
-        spark.catalog.refreshTable(table)
-        val t = spark.table(table)
-        val present = dataFileNames(fs, loc)
-        if (present == valid) t
-        else {
-          import org.apache.spark.sql.functions._
-          t.where(element_at(split(input_file_name(), "/"), -1)
-            .isin(valid.toSeq: _*))
-        }
-    }
+    def attempt(retries: Int): DataFrame =
+      readManifest(fs, loc) match {
+        case None => spark.table(table)
+        case Some((gen0, valid0)) =>
+          spark.catalog.refreshTable(table)
+          val t = spark.table(table)
+          val present = dataFileNames(fs, loc)
+          // the POST-listing manifest is the authority; a generation that
+          // moved during the listing retries, and on exhaustion (sustained
+          // thrash — excluded by the single-writer contract) the newest
+          // manifest still wins, never the known-stale first read
+          val (gen, valid) = readManifest(fs, loc).getOrElse((gen0, valid0))
+          if (gen != gen0 && retries > 0) attempt(retries - 1)
+          else if (present == valid) t
+          else {
+            import org.apache.spark.sql.functions._
+            t.where(element_at(split(input_file_name(), "/"), -1)
+              .isin(valid.toSeq: _*))
+          }
+      }
+    attempt(retries = 3)
   }
 
   private def dataFileNames(fs: org.apache.hadoop.fs.FileSystem,
@@ -290,19 +306,23 @@ object Layout {
     old.foreach(fs.delete(_, false))
   }
 
-  /** Highest-generation manifest's file set; None when the table carries
-    * no manifest. A generation deleted between the listing and the read
-    * (a writer finishing its swap) is retried against a fresh listing.
+  /** Highest-generation manifest as (gen, file set); None when the table
+    * carries no manifest. A generation deleted between the listing and
+    * the read (a writer finishing its swap) is retried against a fresh
+    * listing.
     */
   private[graft] def readManifest(fs: org.apache.hadoop.fs.FileSystem,
-      loc: org.apache.hadoop.fs.Path): Option[Set[String]] = {
-    def attempt(): Option[Set[String]] = {
+      loc: org.apache.hadoop.fs.Path): Option[(Long, Set[String])] = {
+    def attempt(): Option[(Long, Set[String])] = {
       val gens = fs.listStatus(loc).map(_.getPath)
         .filter(p => manifestRe.matcher(p.getName).matches())
       if (gens.isEmpty) None
       else {
         val latest = gens.maxBy { p =>
           val m = manifestRe.matcher(p.getName); m.matches(); m.group(1).toLong
+        }
+        val latestGen = {
+          val m = manifestRe.matcher(latest.getName); m.matches(); m.group(1).toLong
         }
         val in = fs.open(latest)
         val body = try {
@@ -323,7 +343,7 @@ object Layout {
         val m = java.util.regex.Pattern.compile("\"([^\"]*)\"").matcher(arr.group(1))
         val names = Set.newBuilder[String]
         while (m.find()) names += m.group(1)
-        Some(names.result())
+        Some((latestGen, names.result()))
       }
     }
     try attempt()
@@ -514,16 +534,28 @@ object Layout {
       val affected = pinned
         .select(pmod(hash(col(key)), lit(buckets)).as("b")).distinct()
         .collect().map(_.getInt(0)).toSet
-      val dataFiles = fs.listStatus(loc)
+      val listed = fs.listStatus(loc)
         .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
           && !s.getPath.getName.startsWith("."))
       // every data file must place into a bucket: a file whose name parses
       // no bucket id (foreign write path, hand-renamed file) would be
       // classified "untouched" and keep stale rows for replaced keys —
       // fail loudly instead of merging around it
-      dataFiles.foreach(s => require(bucketIdOf(s.getPath.getName).isDefined,
+      listed.foreach(s => require(bucketIdOf(s.getPath.getName).isDefined,
         s"mergeBucketed: '${s.getPath.getName}' in $loc has no parseable bucket id — " +
           "not a bucketBy-written file; refusing to merge around it"))
+      // the MANIFEST, not the raw listing, defines the live file set (r17
+      // review — the compactBucketed fix's sibling): a merge that crashed
+      // between move-in and retirement leaves dead old copies next to the
+      // manifest that excludes them; reading them here would duplicate
+      // every key the crashed merge replaced, and re-manifesting an
+      // unaffected-bucket orphan would bless it forever. Orphans are
+      // retired with this merge's old files instead — never read, never
+      // re-manifested.
+      val (dataFiles, orphans) = readManifest(fs, loc) match {
+        case Some((_, valid)) => listed.partition(s => valid.contains(s.getPath.getName))
+        case None             => (listed, Array.empty[org.apache.hadoop.fs.FileStatus])
+      }
       val (oldAffected, untouched) =
         dataFiles.partition(s => bucketIdOf(s.getPath.getName).exists(affected.contains))
       val base =
@@ -568,9 +600,9 @@ object Layout {
       // for the swap most likely to have just gone wrong.
       val retired = new org.apache.hadoop.fs.Path(loc, "_pre_merge")
       if (fs.exists(retired)) fs.delete(retired, true)
-      if (oldAffected.nonEmpty) {
+      if (oldAffected.nonEmpty || orphans.nonEmpty) {
         fs.mkdirs(retired)
-        oldAffected.foreach(s => mv(s.getPath,
+        (oldAffected ++ orphans).foreach(s => mv(s.getPath,
           new org.apache.hadoop.fs.Path(retired, s.getPath.getName)))
       }
       spark.sql(s"DROP TABLE `$staging`")
@@ -605,11 +637,9 @@ object Layout {
     val locPath = tablePath(spark, table)
     val fs = locPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val src = readManifest(fs, locPath) match {
-      case Some(valid) =>
-        val present = dataFileNames(fs, locPath)
-        val files = (if (present == valid) present else valid)
-          .map(n => new org.apache.hadoop.fs.Path(locPath, n).toString)
-        spark.read.parquet(files.toSeq.sorted: _*)
+      case Some((_, valid)) =>
+        spark.read.parquet(valid.toSeq.sorted
+          .map(n => new org.apache.hadoop.fs.Path(locPath, n).toString): _*)
       case None => spark.read.parquet(locPath.toString)
     }
     writeBucketed(src, staging, key, buckets)

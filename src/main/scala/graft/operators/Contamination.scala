@@ -120,7 +120,12 @@ object Contamination {
     val bench = broadcast(v.where(pmod(col("vec_id"), lit(every)) === 0
         && col("vec_id") < every.toLong * benchCap)
       .select(col("vec_id").as("bench_id"), col("e").as("be"), col("nrm").as("bn")))
-    v.where(pmod(col("vec_id"), lit(every)) =!= 0)
+    // corpus = everything NOT in the capped benchmark — %every vectors
+    // beyond the cap are ordinary corpus members and MUST get verdicts
+    // (r17 review: the naive %-complement left them in neither set, and
+    // the mirrored oracle filter made the gate blind to the hole)
+    v.where(pmod(col("vec_id"), lit(every)) =!= 0
+        || col("vec_id") >= every.toLong * benchCap)
       .join(bench)
       .select(col("vec_id"),
         round(Ann.cosine(col("e"), col("be"), col("nrm"), col("bn")), 4).as("cos4"),

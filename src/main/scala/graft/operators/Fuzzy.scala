@@ -93,9 +93,11 @@ object Fuzzy {
     * AnnIndex.buildOn / funnelStages got): for every record, `canon` = the
     * smallest id in the same block whose name is within `maxDist` edits
     * (own id where none), `dist` = its edit distance (−1 where none).
-    * `idCol` must be numeric-castable to long (smallest-id semantics need
-    * a total order); `nameCol`/`blockCol` cast to string for blocking —
-    * lossless for equality within one column.
+    * `idCol` must be an INTEGRAL type (byte/short/int/long — checked
+    * loudly; smallest-id semantics need an exact total order, and a
+    * silent cast from anything else would null or round ids);
+    * `nameCol`/`blockCol` cast to string for blocking — lossless for
+    * equality within one column.
     *
     * Output columns: (id, canon, dist).
     */

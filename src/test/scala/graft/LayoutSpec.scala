@@ -548,7 +548,7 @@ class LayoutSpec extends GraftSuite {
     def manifest(table: String): Set[String] = {
       val loc = new org.apache.hadoop.fs.Path(tableLoc(table).toURI)
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      Layout.readManifest(fs, loc).get
+      Layout.readManifest(fs, loc).get._2
     }
     def dataFiles(table: String): Set[String] =
       tableLoc(table).listFiles().map(_.getName)
@@ -622,10 +622,10 @@ class LayoutSpec extends GraftSuite {
     val names = Set("part-00000-aa_00000.c000.snappy.parquet",
       "part-00001-bb_00001.c000.zstd.orc", "oddly.named.data")
     Layout.writeManifest(fs, loc, names)
-    assert(Layout.readManifest(fs, loc).contains(names))
+    assert(Layout.readManifest(fs, loc).exists(_._2 == names))
     // generation replacement still holds for the generic parse
     Layout.writeManifest(fs, loc, Set("only.parquet"))
-    assert(Layout.readManifest(fs, loc).contains(Set("only.parquet")))
+    assert(Layout.readManifest(fs, loc).exists(_._2 == Set("only.parquet")))
     // a name the quoted-string scan cannot round-trip is rejected at write
     intercept[IllegalArgumentException] {
       Layout.writeManifest(fs, loc, Set("evil\"name.parquet"))
@@ -655,7 +655,36 @@ class LayoutSpec extends GraftSuite {
       .map(_.getName).filter(n => !n.startsWith("_") && !n.startsWith(".")).toSet
     val fsLoc = new org.apache.hadoop.fs.Path(tableLoc("b_crashcompact").toURI)
     val fs2 = fsLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(Layout.readManifest(fs2, fsLoc).contains(after))
+    assert(Layout.readManifest(fs2, fsLoc).exists(_._2 == after))
+  }
+
+  test("mergeBucketed retires a crashed-merge orphan instead of merging or re-manifesting it") {
+    import spark.implicits._
+    val base = (0L until 40L).map(k => (k, k * 10, k * 1.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    Layout.writeBucketed(base, "b_crashmerge", "o_orderkey", 4)
+    // the crashed-merge window: a dead old copy sits in the dir, excluded
+    // by the manifest (retirement never ran)
+    val loc = tableLoc("b_crashmerge")
+    val victim = loc.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val orphan = victim.getName.replaceFirst("part-\\d{5}", "part-92000")
+    java.nio.file.Files.copy(victim.toPath, new java.io.File(loc, orphan).toPath)
+    val delta = Seq((1L, 999L, 9.9)).toDF("o_orderkey", "o_custkey", "o_totalprice")
+    Layout.mergeBucketed(spark, "b_crashmerge", "o_orderkey", 4, delta)
+    // semantics: no duplicated keys, delta applied, everything else intact
+    val got = Layout.readTable(spark, "b_crashmerge").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    val expected = ((0L until 40L).filter(_ != 1L).map(k => (k, k * 10, k * 1.0))
+      :+ (1L, 999L, 9.9)).sorted
+    assert(got == expected, "orphan rows must not survive the merge")
+    // physical: the orphan is retired, not merged and not re-manifested
+    val names = loc.listFiles().map(_.getName).toSet
+    assert(!names.contains(orphan), "orphan must leave the data dir")
+    val retired = new java.io.File(loc, "_pre_merge").listFiles().map(_.getName).toSet
+    assert(retired.contains(orphan), "orphan parks under _pre_merge")
+    val fsLoc = new org.apache.hadoop.fs.Path(loc.toURI)
+    val fs = fsLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!Layout.readManifest(fs, fsLoc).get._2.contains(orphan))
   }
 
   test("resolveOn rejects a non-integral id column loudly") {

@@ -74,7 +74,7 @@ class PipelineSpec extends GraftSuite {
         r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray))
     def nrm(e: Array[Double]) = math.sqrt(e.map(x => x * x).sum)
     val bench = vecs.filter(v => v._1 % 50 == 0 && v._1 < 5000)
-    val corpus = vecs.filter(_._1 % 50 != 0)
+    val corpus = vecs.filter(v => v._1 % 50 != 0 || v._1 >= 5000)
     val expected = corpus.map { case (id, e) =>
       val n1 = nrm(e)
       // best = max 4dp cosine, ties to the smallest bench id (the
@@ -93,6 +93,17 @@ class PipelineSpec extends GraftSuite {
     assert(got == expected)
     assert(got.values.exists(_._3) && got.values.exists(!_._3),
       "threshold must split the corpus (non-vacuous both ways)")
+    // the benchmark cap must not open a verdict hole: with a tiny cap,
+    // %every vectors BEYOND it are ordinary corpus members and get
+    // verdicts like everyone else (r17 review — the naive %-complement
+    // left them in neither set, invisible to the mirrored oracle)
+    val capped = Contamination.decontaminateSemantic(spark, sf, benchCap = 2)
+      .collect().map(_.getLong(0)).toSet
+    val benchIds = vecs.filter(v => v._1 % 50 == 0 && v._1 < 100).map(_._1).toSet
+    assert(capped == vecs.map(_._1).toSet -- benchIds,
+      "every non-benchmark vector gets a verdict, including %every ids past the cap")
+    assert(vecs.exists(v => v._1 % 50 == 0 && v._1 >= 100),
+      "fixture must contain a beyond-cap %every vector")
   }
 
   test("repeatedSpans matches brute-force span counting (per-position, cross-doc)") {
