@@ -64,6 +64,44 @@ class StreamingSpec extends GraftSuite {
     }
   }
 
+  test("idempotent sink: re-delivered batches are no-ops; crashed staging stays invisible") {
+    import spark.implicits._
+    import graft.streaming.IdempotentSink
+    val dir = java.nio.file.Files.createTempDirectory("idem-sink").toString + "/t"
+    // streaming path: three micro-batches land through foreachBatch
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("id", "v")
+      .writeStream.foreachBatch(IdempotentSink.sink(dir)).start()
+    try {
+      input.addData((1L, "a"), (2L, "b")); q.processAllAvailable()
+      input.addData((3L, "c")); q.processAllAvailable()
+    } finally q.stop()
+    val landed = IdempotentSink.read(spark, dir)
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(landed == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // re-delivery of a committed id (the at-least-once restart case) is a
+    // no-op even with DIFFERENT payload — first commit wins
+    val redelivered = IdempotentSink.writeBatch(
+      Seq((9L, "dup")).toDF("id", "v"), dir, batchId = 0L)
+    assert(!redelivered, "a committed batch id must not commit again")
+    assert(IdempotentSink.read(spark, dir)
+      .select("id", "v").as[(Long, String)].collect().toSet == landed)
+    // a crash BEFORE publish leaves only a hidden staging dir — invisible
+    // to readers, and the id still commits cleanly on its next delivery
+    val root = new java.io.File(dir)
+    val ghost = new java.io.File(root, ".staging-7-deadbeef")
+    Seq((7L, "ghost")).toDF("id", "v").write.parquet(ghost.toString)
+    assert(IdempotentSink.read(spark, dir)
+      .select("id", "v").as[(Long, String)].collect().toSet == landed)
+    assert(IdempotentSink.writeBatch(Seq((7L, "real")).toDF("id", "v"), dir, 7L))
+    assert(IdempotentSink.read(spark, dir).where(col("batch") === 7L)
+      .select("v").as[String].collect().toSeq == Seq("real"))
+    // the audit column really is the batch id partition
+    assert(IdempotentSink.read(spark, dir).select("batch").distinct()
+      .as[Long].collect().toSet == Set(0L, 1L, 7L))
+  }
+
   test("file-source streaming over an events landing dir matches batch counts") {
     import spark.implicits._
     // stage the events parquet as a landing directory
