@@ -246,24 +246,32 @@ object Layout {
   def readTable(spark: SparkSession, table: String): DataFrame = {
     val loc = tablePath(spark, table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import org.apache.spark.sql.functions._
+    def filtered(t: DataFrame, valid: Set[String]): DataFrame =
+      t.where(element_at(split(input_file_name(), "/"), -1)
+        .isin(valid.toSeq: _*))
     def attempt(retries: Int): DataFrame =
       readManifest(fs, loc) match {
         case None => spark.table(table)
-        case Some((gen0, valid0)) =>
+        case Some((gen0, _)) =>
           spark.catalog.refreshTable(table)
           val t = spark.table(table)
           val present = dataFileNames(fs, loc)
           // the POST-listing manifest is the authority; a generation that
-          // moved during the listing retries, and on exhaustion (sustained
-          // thrash — excluded by the single-writer contract) the newest
-          // manifest still wins, never the known-stale first read
-          val (gen, valid) = readManifest(fs, loc).getOrElse((gen0, valid0))
-          if (gen != gen0 && retries > 0) attempt(retries - 1)
-          else if (present == valid) t
-          else {
-            import org.apache.spark.sql.functions._
-            t.where(element_at(split(input_file_name(), "/"), -1)
-              .isin(valid.toSeq: _*))
+          // moved during the listing retries
+          readManifest(fs, loc) match {
+            case Some((gen, valid)) if gen == gen0 =>
+              if (present == valid) t else filtered(t, valid)
+            case Some(_) if retries > 0 => attempt(retries - 1)
+            case Some((_, valid)) =>
+              // exhaustion (sustained swaps — excluded by the single-writer
+              // contract): NEVER serve the pre-swap plan — re-refresh so the
+              // new table's listing is at least as new as this manifest and
+              // filter to its names (the residual execution-time window is
+              // the documented one)
+              spark.catalog.refreshTable(table)
+              filtered(spark.table(table), valid)
+            case None => spark.table(table)
           }
       }
     attempt(retries = 3)
@@ -318,12 +326,10 @@ object Layout {
         .filter(p => manifestRe.matcher(p.getName).matches())
       if (gens.isEmpty) None
       else {
-        val latest = gens.maxBy { p =>
-          val m = manifestRe.matcher(p.getName); m.matches(); m.group(1).toLong
-        }
-        val latestGen = {
-          val m = manifestRe.matcher(latest.getName); m.matches(); m.group(1).toLong
-        }
+        val (latest, latestGen) = gens.map { p =>
+          val m = manifestRe.matcher(p.getName); m.matches()
+          (p, m.group(1).toLong)
+        }.maxBy(_._2)
         val in = fs.open(latest)
         val body = try {
           val buf = new java.io.ByteArrayOutputStream()

@@ -92,10 +92,13 @@ object Contamination {
     * structurally misses: a paraphrased/translated/reformatted benchmark
     * item shares no 8-gram with its source but sits next to it in
     * embedding space (the published practice pairs both checks; n-grams
-    * catch verbatim leaks, embeddings catch semantic ones). For every
-    * corpus vector (vec_id % every ≠ 0), the closest benchmark vector
-    * (vec_id % every == 0, the C19 benchmark-subset convention), its
-    * 4dp-rounded cosine, and the contaminated verdict at `threshold`.
+    * catch verbatim leaks, embeddings catch semantic ones). The
+    * benchmark is the FIRST `benchCap` vectors of the C19 %-subset
+    * convention (vec_id % every == 0 AND vec_id < every·benchCap — real
+    * eval suites are fixed-size); EVERY other vector is corpus —
+    * including %every ids beyond the cap — and gets a verdict: the
+    * closest benchmark vector, its 4dp-rounded cosine, and the
+    * contaminated flag at `threshold`.
     *
     * Scale shape: benchmark suites are SMALL by nature → the benchmark
     * side broadcasts (the C19 economics with vectors for grams); the

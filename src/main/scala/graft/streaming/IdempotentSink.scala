@@ -39,24 +39,40 @@ object IdempotentSink {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val committed = new org.apache.hadoop.fs.Path(root, s"batch=$batchId")
+    // sweep this id's crashed staging leftovers (a crash between the
+    // write and the publish strands one hidden micro-batch of parquet —
+    // the id's next delivery is the reclaim point). If the leftover
+    // belongs to a LIVE racer, its write or rename fails loudly and
+    // resolves to a single commit either way.
+    if (fs.exists(root))
+      fs.listStatus(root)
+        .filter(_.getPath.getName.startsWith(s".staging-$batchId-"))
+        .foreach(s => fs.delete(s.getPath, true))
     if (fs.exists(committed)) return false
     fs.mkdirs(root)
     // stage under a dot prefix: parquet scans skip hidden dirs, so a
     // crash mid-write can never surface half a batch to readers; the
     // uuid keeps two racing re-deliveries of one id from colliding on
-    // the staging path (only one of their renames can win below)
+    // the staging path
     val staging = new org.apache.hadoop.fs.Path(root,
       s".staging-$batchId-${java.util.UUID.randomUUID()}")
     batch.write.mode("overwrite").parquet(staging.toString)
-    // atomic publish: rename reports a losing race (or a concurrent
-    // commit of the same id) as `false` — then this delivery is the
-    // duplicate and its staging is swept
-    if (fs.rename(staging, committed)) true
-    else {
+    // Atomic publish — with the Hadoop-semantics trap handled: rename
+    // into an EXISTING directory does not fail, it NESTS the source
+    // inside it and returns true (HDFS moves it under, LocalFileSystem
+    // falls back to copy-under) — so "rename returned true" is NOT
+    // "this call committed". The winner's rename creates `committed`
+    // itself; a loser's rename lands as committed/.staging-<id>-<uuid>.
+    // Detect the nesting, sweep it, and report the loss.
+    if (!fs.rename(staging, committed)) {
       fs.delete(staging, true)
       require(fs.exists(committed),
         s"idempotent publish of batch=$batchId failed without a prior commit")
       false
+    } else {
+      val nested = new org.apache.hadoop.fs.Path(committed, staging.getName)
+      if (fs.exists(nested)) { fs.delete(nested, true); false }
+      else true
     }
   }
 
@@ -65,8 +81,27 @@ object IdempotentSink {
     (batch, id) => { writeBatch(batch, dir, id); () }
 
   /** Read the landed table (every committed batch, hidden staging
-    * invisible); `batch` arrives as a partition column for audit/pruning.
+    * invisible); `batch` arrives as a LONG partition column for
+    * audit/pruning (normalized — partition discovery would otherwise
+    * infer int for small ids). Before the first commit there is nothing
+    * to infer a schema from: pass `schema` (the DATA columns, without
+    * `batch`) to get an empty table instead of an error — the
+    * monitor-starts-before-the-stream case.
     */
-  def read(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir)
+  def read(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType = null): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasBatch = fs.exists(root) && fs.listStatus(root)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+    if (hasBatch)
+      spark.read.parquet(dir).withColumn("batch", col("batch").cast("long"))
+    else {
+      require(schema != null,
+        s"no committed batches under $dir yet — pass the data schema to read an empty table")
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema.add("batch", org.apache.spark.sql.types.LongType))
+    }
+  }
 }

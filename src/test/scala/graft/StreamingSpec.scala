@@ -88,7 +88,7 @@ class StreamingSpec extends GraftSuite {
     assert(IdempotentSink.read(spark, dir)
       .select("id", "v").as[(Long, String)].collect().toSet == landed)
     // a crash BEFORE publish leaves only a hidden staging dir — invisible
-    // to readers, and the id still commits cleanly on its next delivery
+    // to readers, SWEPT on the id's next delivery, which commits cleanly
     val root = new java.io.File(dir)
     val ghost = new java.io.File(root, ".staging-7-deadbeef")
     Seq((7L, "ghost")).toDF("id", "v").write.parquet(ghost.toString)
@@ -97,9 +97,17 @@ class StreamingSpec extends GraftSuite {
     assert(IdempotentSink.writeBatch(Seq((7L, "real")).toDF("id", "v"), dir, 7L))
     assert(IdempotentSink.read(spark, dir).where(col("batch") === 7L)
       .select("v").as[String].collect().toSeq == Seq("real"))
-    // the audit column really is the batch id partition
+    assert(!ghost.exists(), "crashed staging is reclaimed on the id's next delivery")
+    // the audit column really is the batch id partition (normalized long)
     assert(IdempotentSink.read(spark, dir).select("batch").distinct()
       .as[Long].collect().toSet == Set(0L, 1L, 7L))
+    // a reader starting before the first commit: empty table with the
+    // declared schema (plus the batch column), not an inference error
+    val virgin = java.nio.file.Files.createTempDirectory("idem-virgin").toString + "/t"
+    val empty = IdempotentSink.read(spark, virgin,
+      Seq.empty[(Long, String)].toDF("id", "v").schema)
+    assert(empty.columns.toSeq == Seq("id", "v", "batch") && empty.count() == 0)
+    intercept[IllegalArgumentException] { IdempotentSink.read(spark, virgin) }
   }
 
   test("file-source streaming over an events landing dir matches batch counts") {
