@@ -246,10 +246,6 @@ object Layout {
   def readTable(spark: SparkSession, table: String): DataFrame = {
     val loc = tablePath(spark, table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    import org.apache.spark.sql.functions._
-    def filtered(t: DataFrame, valid: Set[String]): DataFrame =
-      t.where(element_at(split(input_file_name(), "/"), -1)
-        .isin(valid.toSeq: _*))
     def attempt(retries: Int): DataFrame =
       readManifest(fs, loc) match {
         case None => spark.table(table)
@@ -261,20 +257,34 @@ object Layout {
           // moved during the listing retries
           readManifest(fs, loc) match {
             case Some((gen, valid)) if gen == gen0 =>
-              if (present == valid) t else filtered(t, valid)
+              if (present == valid) t else fileNameFiltered(t, valid)
             case Some(_) if retries > 0 => attempt(retries - 1)
             case Some((_, valid)) =>
               // exhaustion (sustained swaps — excluded by the single-writer
-              // contract): NEVER serve the pre-swap plan — re-refresh so the
-              // new table's listing is at least as new as this manifest and
-              // filter to its names (the residual execution-time window is
-              // the documented one)
-              spark.catalog.refreshTable(table)
-              filtered(spark.table(table), valid)
+              // contract): NEVER serve the pre-swap plan
+              manifestView(spark, table, valid)
             case None => spark.table(table)
           }
       }
     attempt(retries = 3)
+  }
+
+  private def fileNameFiltered(t: DataFrame, valid: Set[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    t.where(element_at(split(input_file_name(), "/"), -1)
+      .isin(valid.toSeq: _*))
+  }
+
+  /** The readTable exhaustion fallback, separately pinned (r17 review —
+    * the branch is unreachable without a mid-call swap, so it gets its
+    * own unit): re-plan `table` over a freshly-refreshed listing and
+    * constrain the scan to exactly `valid` — never the pre-swap plan,
+    * never rows from files outside the given manifest set.
+    */
+  private[graft] def manifestView(spark: SparkSession, table: String,
+      valid: Set[String]): DataFrame = {
+    spark.catalog.refreshTable(table)
+    fileNameFiltered(spark.table(table), valid)
   }
 
   private def dataFileNames(fs: org.apache.hadoop.fs.FileSystem,

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** D20 — exactly-once parquet landing for `foreachBatch` (SURVEY.md §2D).
@@ -12,23 +13,73 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the Spark-deployment piece that makes the landing table trustworthy).
   *
   * Mechanics — idempotence from the FILESYSTEM, no transaction log:
-  * each batch writes to a dot-prefixed staging dir (invisible to parquet
-  * scans), then RENAMES it to `dir/batch=<id>` — one atomic publish per
-  * batch id. A `batch=<id>` dir that already exists means the id
-  * committed before (this run or a previous incarnation) → the re-run is
-  * a no-op, staging is discarded. A crash before the rename leaves only
-  * a hidden staging dir (swept on the id's next delivery); a crash after
-  * it is exactly the committed state. Readers see a plain
-  * `batch=<id>`-partitioned parquet table, so partition pruning by batch
-  * id is free and the batch column doubles as the ingest audit trail.
+  * each batch writes under `dir/.staging/.s-<id>-<uuid>` (the hidden
+  * parent keeps the hot root listing free of staging entries; the
+  * dot-prefixed dir NAME stays hidden even if a losing publish nests it
+  * somewhere visible), then RENAMES it to `dir/batch=<id>` — one atomic
+  * publish per batch id. A `batch=<id>` dir that already exists means
+  * the id committed before (this run or a previous incarnation) → the
+  * re-run is a no-op. Crash leftovers are reclaimed on the id's NEXT
+  * delivery — and only on paths where no live racer can still commit the
+  * id (after our own commit, or when the id is already committed), so a
+  * sweep can never turn a concurrent writer's in-flight output into a
+  * partial commit. Readers see a plain `batch=<id>`-partitioned parquet
+  * table, so partition pruning by batch id is free and the batch column
+  * doubles as the ingest audit trail.
   *
-  * At 100 TB: one rename + one dir probe per micro-batch of metadata
-  * overhead; data is written exactly once, never rewritten. (On an
-  * object store without atomic dir rename, swap the rename for the
-  * store's conditional-put commit — the contract of this surface is the
-  * probe-stage-publish sequence, not the POSIX rename.)
+  * At 100 TB: per micro-batch, one probe of `batch=<id>`, one listing of
+  * the O(in-flight) `.staging/` dir, one rename — metadata cost
+  * independent of how many batches the table has accumulated; data is
+  * written exactly once, never rewritten. (On an object store without
+  * atomic dir rename, swap [[publish]] for the store's conditional-put
+  * commit — the contract of this surface is the probe-stage-publish
+  * sequence, not the POSIX rename.)
   */
 object IdempotentSink {
+
+  private def stagingRoot(root: Path) = new Path(root, ".staging")
+
+  /** Delete this id's staging leftovers (root `.staging/.s-<id>-*`) and
+    * any hidden copy a losing publish nested inside the committed dir
+    * before crashing (`batch=<id>/.s-<id>-*`). Callers invoke this ONLY
+    * when the id can no longer be committed by anyone else (it is
+    * already committed) — deleting a LIVE racer's staging mid-write
+    * could otherwise let its half-written job commit a partial batch.
+    */
+  private def reclaim(fs: FileSystem, root: Path, committed: Path,
+      batchId: Long): Unit = {
+    val prefix = s".s-$batchId-"
+    val sr = stagingRoot(root)
+    if (fs.exists(sr))
+      fs.listStatus(sr).filter(_.getPath.getName.startsWith(prefix))
+        .foreach(s => fs.delete(s.getPath, true))
+    if (fs.exists(committed))
+      fs.listStatus(committed).filter(_.getPath.getName.startsWith(prefix))
+        .foreach(s => fs.delete(s.getPath, true))
+  }
+
+  /** Atomic publish of a staged batch dir — with the Hadoop-semantics
+    * trap handled: `rename` into an EXISTING directory does not fail, it
+    * NESTS the source inside it and returns true (HDFS moves it under,
+    * LocalFileSystem falls back to copy-under) — so "rename returned
+    * true" is NOT "this call committed". The winner's rename creates
+    * `committed` itself; a loser's rename lands as
+    * `committed/.s-<id>-<uuid>` (hidden — readers never see it). Detect
+    * the nesting, sweep it, and report the loss. Returns true iff THIS
+    * staging became the committed batch.
+    */
+  private[graft] def publish(fs: FileSystem, staging: Path,
+      committed: Path): Boolean =
+    if (!fs.rename(staging, committed)) {
+      fs.delete(staging, true)
+      require(fs.exists(committed),
+        s"idempotent publish to $committed failed without a prior commit")
+      false
+    } else {
+      val nested = new Path(committed, staging.getName)
+      if (fs.exists(nested)) { fs.delete(nested, true); false }
+      else true
+    }
 
   /** Land `batch` as `dir/batch=<batchId>` exactly once. Returns true if
     * this call committed the batch, false if the id was already committed
@@ -36,44 +87,26 @@ object IdempotentSink {
     */
   def writeBatch(batch: DataFrame, dir: String, batchId: Long): Boolean = {
     val spark = batch.sparkSession
-    val root = new org.apache.hadoop.fs.Path(dir)
+    val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed = new org.apache.hadoop.fs.Path(root, s"batch=$batchId")
-    // sweep this id's crashed staging leftovers (a crash between the
-    // write and the publish strands one hidden micro-batch of parquet —
-    // the id's next delivery is the reclaim point). If the leftover
-    // belongs to a LIVE racer, its write or rename fails loudly and
-    // resolves to a single commit either way.
-    if (fs.exists(root))
-      fs.listStatus(root)
-        .filter(_.getPath.getName.startsWith(s".staging-$batchId-"))
-        .foreach(s => fs.delete(s.getPath, true))
-    if (fs.exists(committed)) return false
-    fs.mkdirs(root)
-    // stage under a dot prefix: parquet scans skip hidden dirs, so a
-    // crash mid-write can never surface half a batch to readers; the
-    // uuid keeps two racing re-deliveries of one id from colliding on
-    // the staging path
-    val staging = new org.apache.hadoop.fs.Path(root,
-      s".staging-$batchId-${java.util.UUID.randomUUID()}")
-    batch.write.mode("overwrite").parquet(staging.toString)
-    // Atomic publish — with the Hadoop-semantics trap handled: rename
-    // into an EXISTING directory does not fail, it NESTS the source
-    // inside it and returns true (HDFS moves it under, LocalFileSystem
-    // falls back to copy-under) — so "rename returned true" is NOT
-    // "this call committed". The winner's rename creates `committed`
-    // itself; a loser's rename lands as committed/.staging-<id>-<uuid>.
-    // Detect the nesting, sweep it, and report the loss.
-    if (!fs.rename(staging, committed)) {
-      fs.delete(staging, true)
-      require(fs.exists(committed),
-        s"idempotent publish of batch=$batchId failed without a prior commit")
-      false
-    } else {
-      val nested = new org.apache.hadoop.fs.Path(committed, staging.getName)
-      if (fs.exists(nested)) { fs.delete(nested, true); false }
-      else true
+    val committed = new Path(root, s"batch=$batchId")
+    if (fs.exists(committed)) {
+      // already committed → nobody else can commit this id again; safe
+      // point to reclaim crash leftovers (staging and nested copies)
+      reclaim(fs, root, committed, batchId)
+      return false
     }
+    // stage hidden: parquet scans skip dot dirs, so a crash mid-write can
+    // never surface half a batch to readers; the uuid keeps two racing
+    // re-deliveries of one id from colliding on the staging path
+    val staging = new Path(stagingRoot(root),
+      s".s-$batchId-${java.util.UUID.randomUUID()}")
+    batch.write.mode("overwrite").parquet(staging.toString)
+    val won = publish(fs, staging, committed)
+    // the id is committed now (by us or the racer that beat us) — reclaim
+    // any other leftovers of this id
+    reclaim(fs, root, committed, batchId)
+    won
   }
 
   /** The `foreachBatch` form: `.writeStream.foreachBatch(sink(dir))`. */
@@ -91,7 +124,7 @@ object IdempotentSink {
   def read(spark: SparkSession, dir: String,
       schema: org.apache.spark.sql.types.StructType = null): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val root = new org.apache.hadoop.fs.Path(dir)
+    val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasBatch = fs.exists(root) && fs.listStatus(root)
       .exists(s => s.isDirectory && s.getPath.getName.startsWith("batch="))

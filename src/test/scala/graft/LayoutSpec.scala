@@ -687,6 +687,26 @@ class LayoutSpec extends GraftSuite {
     assert(!Layout.readManifest(fs, fsLoc).get._2.contains(orphan))
   }
 
+  test("manifestView (the readTable exhaustion fallback) re-plans and filters to exactly the given set") {
+    import spark.implicits._
+    val base = (0L until 40L).map(k => (k, k * 1.0)).toDF("o_orderkey", "o_totalprice")
+    Layout.writeBucketed(base, "b_mview", "o_orderkey", 4)
+    val loc = tableLoc("b_mview")
+    val files = loc.listFiles().map(_.getName)
+      .filter(_.endsWith(".parquet")).sorted
+    // exclude one bucket's file: the view must contain exactly the other
+    // buckets' rows — proving both the fresh plan and the name filter
+    val kept = files.tail.toSet
+    val got = Layout.manifestView(spark, "b_mview", kept)
+      .select("o_orderkey").as[Long].collect().toSet
+    val dropped = Layout.bucketIdOf(files.head).get
+    import org.apache.spark.sql.functions.{pmod, hash, lit, col}
+    val expected = base
+      .where(pmod(hash(col("o_orderkey")), lit(4)) =!= dropped)
+      .select("o_orderkey").as[Long].collect().toSet
+    assert(got == expected && got.nonEmpty && got.size < 40)
+  }
+
   test("resolveOn rejects a non-integral id column loudly") {
     import spark.implicits._
     val df = Seq(("u-1", "alice", "US")).toDF("uid", "nm", "b")

@@ -90,7 +90,7 @@ class StreamingSpec extends GraftSuite {
     // a crash BEFORE publish leaves only a hidden staging dir — invisible
     // to readers, SWEPT on the id's next delivery, which commits cleanly
     val root = new java.io.File(dir)
-    val ghost = new java.io.File(root, ".staging-7-deadbeef")
+    val ghost = new java.io.File(new java.io.File(root, ".staging"), ".s-7-deadbeef")
     Seq((7L, "ghost")).toDF("id", "v").write.parquet(ghost.toString)
     assert(IdempotentSink.read(spark, dir)
       .select("id", "v").as[(Long, String)].collect().toSet == landed)
@@ -108,6 +108,39 @@ class StreamingSpec extends GraftSuite {
       Seq.empty[(Long, String)].toDF("id", "v").schema)
     assert(empty.columns.toSeq == Seq("id", "v", "batch") && empty.count() == 0)
     intercept[IllegalArgumentException] { IdempotentSink.read(spark, virgin) }
+  }
+
+  test("idempotent sink: a losing publish NESTS (Hadoop rename semantics) and is detected") {
+    import spark.implicits._
+    import graft.streaming.IdempotentSink
+    val dir = java.nio.file.Files.createTempDirectory("idem-race").toString + "/t"
+    // the winner committed batch 5 first
+    assert(IdempotentSink.writeBatch(Seq((1L, "win")).toDF("id", "v"), dir, 5L))
+    val before = IdempotentSink.read(spark, dir).where(col("batch") === 5L)
+      .select("id", "v").as[(Long, String)].collect().toSet
+    // the loser's publish, driven at the fs level (the exists fast path in
+    // writeBatch makes this branch unreachable sequentially — which is
+    // exactly why it gets its own pin): rename into the existing committed
+    // dir returns TRUE but nests; publish must detect it, sweep the nested
+    // copy, and report the loss
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(s"$dir/.staging/.s-5-loser")
+    Seq((9L, "lose")).toDF("id", "v").write.parquet(staging.toString)
+    val committed = new org.apache.hadoop.fs.Path(root, "batch=5")
+    assert(!IdempotentSink.publish(fs, staging, committed),
+      "a publish into an existing commit must report the loss, not success")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(committed, ".s-5-loser")),
+      "the nested copy is swept")
+    assert(IdempotentSink.read(spark, dir).where(col("batch") === 5L)
+      .select("id", "v").as[(Long, String)].collect().toSet == before,
+      "the committed batch is untouched by the losing publish")
+    // a loser that CRASHED between nesting and sweeping (plant the nested
+    // hidden copy by hand) is reclaimed by the id's next delivery
+    val orphan = new org.apache.hadoop.fs.Path(committed, ".s-5-crashed")
+    Seq((8L, "ghost")).toDF("id", "v").write.parquet(orphan.toString)
+    assert(!IdempotentSink.writeBatch(Seq((1L, "re")).toDF("id", "v"), dir, 5L))
+    assert(!fs.exists(orphan), "re-delivery reclaims the crashed loser's nested copy")
   }
 
   test("file-source streaming over an events landing dir matches batch counts") {
