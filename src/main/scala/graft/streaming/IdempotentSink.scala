@@ -37,6 +37,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object IdempotentSink {
 
+  // The staging layout (`.staging/.s-<id>-<uuid>` + the `.committer-*`
+  // marker) is the sink's ON-DISK contract: reclaim sweeps exactly these
+  // names, so the layout must never change without a migration sweep for
+  // the old names. (No earlier layout ever shipped — the pre-r17-review
+  // root-level `.staging-<id>-*` form existed only within this round.)
   private def stagingRoot(root: Path) = new Path(root, ".staging")
 
   /** Delete this id's staging leftovers (root `.staging/.s-<id>-*`) and
@@ -62,24 +67,37 @@ object IdempotentSink {
     * trap handled: `rename` into an EXISTING directory does not fail, it
     * NESTS the source inside it and returns true (HDFS moves it under,
     * LocalFileSystem falls back to copy-under) — so "rename returned
-    * true" is NOT "this call committed". The winner's rename creates
-    * `committed` itself; a loser's rename lands as
-    * `committed/.s-<id>-<uuid>` (hidden — readers never see it). Detect
-    * the nesting, sweep it, and report the loss. Returns true iff THIS
-    * staging became the committed batch.
+    * true" is NOT "this call committed". The winner's rename makes the
+    * staging dir BECOME `committed`; a loser's lands as
+    * `committed/.s-<id>-<uuid>` (hidden — readers never see it).
+    *
+    * Win/loss is decided by the COMMITTER MARKER, not by observing the
+    * nested copy (r17 pass 5): each staging carries a hidden
+    * `.committer-<uuid>` file, so "my marker sits DIRECTLY under
+    * committed" ⇔ "my dir became committed" — a deterministic fact of
+    * the rename, immune to the race where the winner's reclaim deletes
+    * the loser's nested copy before the loser looks for it (both racers
+    * would then have claimed the commit). The winner's marker stays in
+    * the committed dir as a zero-cost audit of which delivery won.
+    * Returns true iff THIS staging became the committed batch.
     */
   private[graft] def publish(fs: FileSystem, staging: Path,
-      committed: Path): Boolean =
+      committed: Path): Boolean = {
+    val marker = s".committer-${staging.getName.stripPrefix(".s-")}"
+    fs.create(new Path(staging, marker), true).close()
     if (!fs.rename(staging, committed)) {
       fs.delete(staging, true)
       require(fs.exists(committed),
         s"idempotent publish to $committed failed without a prior commit")
       false
-    } else {
-      val nested = new Path(committed, staging.getName)
-      if (fs.exists(nested)) { fs.delete(nested, true); false }
-      else true
+    } else if (fs.exists(new Path(committed, marker))) true
+    else {
+      // nested loss: best-effort sweep of our copy (a crash here is
+      // reclaimed on the id's next delivery)
+      fs.delete(new Path(committed, staging.getName), true)
+      false
     }
+  }
 
   /** Land `batch` as `dir/batch=<batchId>` exactly once. Returns true if
     * this call committed the batch, false if the id was already committed

@@ -132,6 +132,13 @@ class StreamingSpec extends GraftSuite {
       "a publish into an existing commit must report the loss, not success")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(committed, ".s-5-loser")),
       "the nested copy is swept")
+    // the marker decides win/loss: the WINNER's marker sits directly under
+    // committed; the loser's never does (even if its nested copy was
+    // already reclaimed by the winner — the double-true race)
+    val markers = fs.listStatus(committed)
+      .map(_.getPath.getName).filter(_.startsWith(".committer-5-"))
+    assert(markers.length == 1 && !markers.head.contains("loser"),
+      s"exactly the winner's marker survives: ${markers.toSeq}")
     assert(IdempotentSink.read(spark, dir).where(col("batch") === 5L)
       .select("id", "v").as[(Long, String)].collect().toSet == before,
       "the committed batch is untouched by the losing publish")
