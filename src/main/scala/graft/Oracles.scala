@@ -768,6 +768,44 @@ object Oracles {
       |SELECT vec_id, bench_id, cos4, cos4 >= 0.25 AS contaminated
       |FROM r WHERE rk = 1""".stripMargin
 
+  /** q_benchmark_exposure — the per-ITEM transpose of [[decontaminate]]
+    * and [[decontaminateSemantic]]: same gram hash (md5 60-bit), same
+    * cosine/tie convention, both modalities keyed by the benchmark id
+    * under the capped membership rule (id % 50 = 0 AND id < 5000), full
+    * outer across the two tables' item sets.
+    */
+  val benchmarkExposure: String =
+    s"""WITH tok AS MATERIALIZED (SELECT doc_id, $toksSql AS w FROM documents),
+       |d AS MATERIALIZED (SELECT doc_id,
+       |        list_distinct([ array_to_string(w[i:i+7], ' ') FOR i IN range(1, len(w) - 6) ]) AS gs
+       |      FROM tok WHERE len(w) >= 8),
+       |g AS MATERIALIZED (SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS g
+       |      FROM (SELECT doc_id, unnest(gs) AS s FROM d)),
+       |bg AS MATERIALIZED (SELECT doc_id AS item_id, g FROM g WHERE doc_id % 50 = 0 AND doc_id < 5000),
+       |cg AS MATERIALIZED (SELECT doc_id, g FROM g WHERE doc_id % 50 <> 0 OR doc_id >= 5000),
+       |ng AS MATERIALIZED (SELECT item_id, count(DISTINCT c.doc_id)::BIGINT AS n_leak_docs,
+       |        count(DISTINCT b.g)::BIGINT AS n_leak_grams
+       |      FROM bg b JOIN cg c USING (g) GROUP BY 1),
+       |items AS MATERIALIZED (SELECT i.item_id, coalesce(ng.n_leak_docs, 0)::BIGINT AS n_leak_docs,
+       |        coalesce(ng.n_leak_grams, 0)::BIGINT AS n_leak_grams
+       |      FROM (SELECT doc_id AS item_id FROM documents WHERE doc_id % 50 = 0 AND doc_id < 5000) i
+       |      LEFT JOIN ng USING (item_id)),
+       |v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |nv AS MATERIALIZED (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+       |b AS MATERIALIZED (SELECT vec_id AS item_id, e AS be, nrm AS bn FROM nv WHERE vec_id % 50 = 0 AND vec_id < 5000),
+       |c AS MATERIALIZED (SELECT vec_id, e, nrm FROM nv WHERE vec_id % 50 <> 0 OR vec_id >= 5000),
+       |p AS MATERIALIZED (SELECT b.item_id, c.vec_id,
+       |        round(list_dot_product(c.e, b.be) / (c.nrm * b.bn), 4) AS cos4
+       |      FROM b, c),
+       |sem AS MATERIALIZED (SELECT item_id, vec_id AS nearest_vec, cos4 AS nearest_cos4 FROM (
+       |        SELECT item_id, vec_id, cos4,
+       |          row_number() OVER (PARTITION BY item_id ORDER BY cos4 DESC, vec_id) AS rk
+       |        FROM p) t WHERE rk = 1)
+       |SELECT item_id, n_leak_docs, n_leak_grams, nearest_vec, nearest_cos4,
+       |       (coalesce(n_leak_docs, 0) > 0
+       |        OR coalesce(nearest_cos4 >= 0.25, false)) AS exposed
+       |FROM items FULL JOIN sem USING (item_id)""".stripMargin
+
   val annBruteForce: String =
     """WITH v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       |n AS MATERIALIZED (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),

@@ -140,6 +140,9 @@ object SparkEntry {
     // closest benchmark vector per corpus vector, broadcast benchmark,
     // map-side struct-max reduction (one row per corpus vector shuffles)
     "q_decontaminate_semantic" -> ((s, d) => Contamination.decontaminateSemantic(s, d)),
+    // q_benchmark_exposure: the per-ITEM transpose of the two checks
+    // above — leak counts + nearest corpus cosine per benchmark item
+    "q_benchmark_exposure" -> ((s, d) => Contamination.benchmarkExposure(s, d)),
     "q_repeated_spans"     -> ((s, d) => Contamination.repeatedSpans(s, d)),
     "q_pack_sequences"     -> ((s, d) => Curation.packSequences(s, d)),
     "q_domain_mix"         -> ((s, d) => Curation.domainMix(s, d)),
@@ -550,6 +553,7 @@ object SparkEntry {
     "q_ann_ivfpq_res"   -> Oracles.annIvfPqRes,
     "q_decontaminate"   -> Oracles.decontaminate,
     "q_decontaminate_semantic" -> Oracles.decontaminateSemantic,
+    "q_benchmark_exposure" -> Oracles.benchmarkExposure,
     "q_repeated_spans"  -> Oracles.repeatedSpans,
     "q_pack_sequences"  -> Oracles.packSequences,
     "q_domain_mix"      -> Oracles.domainMix,

@@ -27,7 +27,8 @@ object Layout {
     * each bucket is ONE file — predictable file sizes and the layout AQE
     * and bucket pruning reason about best.
     */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+      hwm: Long = -1L): Unit = {
     val spark = df.sparkSession
     // an orphaned location (table dir left by a session whose in-memory
     // catalog is gone) fails managed-table creation — clear both
@@ -36,7 +37,7 @@ object Layout {
       spark.conf.get("spark.sql.warehouse.dir"), table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    bucketWriter(df, table, key, buckets, "overwrite")
+    bucketWriter(df, table, key, buckets, "overwrite", hwm)
   }
 
   /** The ONE write recipe both the full write and the append share — the
@@ -45,7 +46,7 @@ object Layout {
     * future desync impossible.
     */
   private def bucketWriter(df: DataFrame, table: String, key: String,
-      buckets: Int, mode: String): Unit = {
+      buckets: Int, mode: String, hwm: Long = -1L): Unit = {
     df.repartition(buckets, org.apache.spark.sql.functions.col(key))
       .write.bucketBy(buckets, key).sortBy(key)
       .mode(mode).format("parquet").saveAsTable(table)
@@ -56,7 +57,7 @@ object Layout {
     val spark = df.sparkSession
     val loc = tablePath(spark, table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    writeManifest(fs, loc, dataFileNames(fs, loc))
+    writeManifest(fs, loc, dataFileNames(fs, loc), hwm)
   }
 
   private def tablePath(spark: SparkSession, table: String): org.apache.hadoop.fs.Path =
@@ -191,17 +192,216 @@ object Layout {
     // the contract is append into an EXISTING bucketed table; a typo'd or
     // not-yet-created name would otherwise silently fork a one-batch table
     // that later joins read as if it were the full fact table
-    require(df.sparkSession.catalog.tableExists(table),
+    val spark = df.sparkSession
+    require(spark.catalog.tableExists(table),
       s"appendBucketed target '$table' does not exist — create it with writeBucketed first")
-    bucketWriter(df, table, key, buckets, "append")
+    val loc = tablePath(spark, table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an ad-hoc append must not reset the ingest hwm — that would reopen
+    // the exactly-once window for a concurrent append stream's restarts
+    val hwm = readManifest(fs, loc).map(_._3).getOrElse(-1L)
+    bucketWriter(df, table, key, buckets, "append", hwm)
   }
+
+  /** EXACTLY-ONCE [[appendBucketed]] for a Structured Streaming
+    * `foreachBatch` cadence (the B12→B10 ingest front door): Spark
+    * re-delivers a micro-batch after a checkpoint restart, and a plain
+    * append would land it twice — the one silent-duplication path D20's
+    * [[graft.streaming.IdempotentSink]] closes for flat landings, closed
+    * here for bucketed tables. Returns true iff this call appended.
+    *
+    * Mechanics — the batch-id HIGH-WATER MARK rides the manifest
+    * ([[writeManifest]]), so "did id N land" and "which files are live"
+    * are one atomic fact: a `batchId ≤ hwm` delivery is a no-op (manifest
+    * untouched — same generation, zero writes); otherwise the batch
+    * appends through the shared [[bucketWriter]] recipe and the manifest
+    * it writes LAST records `hwm = batchId`. A delivery that crashed
+    * BETWEEN its parquet job commit and its manifest write leaves
+    * committed data files the manifest does not name — manifest-aware
+    * readers never saw them, and the id's re-delivery retires them to
+    * `_pre_merge` BEFORE re-appending (blessing the raw listing would
+    * bake the crashed delivery's rows in as duplicates). Batch ids are
+    * monotone per streaming checkpoint, which is what makes one mark
+    * sufficient — pointing a NEW checkpoint (ids restarting at 0) at a
+    * table that already ingested is rejected loudly below rather than
+    * silently dropping every batch up to the old mark.
+    *
+    * Cost per micro-batch: one manifest read + the batch's own bucket
+    * shuffle + one manifest write — independent of table history, the
+    * IdempotentSink economics on a bucketed layout. Same single-writer
+    * contract as every layout maintenance pass (one append stream per
+    * table; [[layoutLock]] serializes in-session callers).
+    */
+  def appendBucketedBatch(df: DataFrame, table: String, key: String,
+      buckets: Int, batchId: Long): Boolean = layoutLock.synchronized {
+    val spark = df.sparkSession
+    require(spark.catalog.tableExists(table),
+      s"appendBucketedBatch target '$table' does not exist — create it with writeBucketed first")
+    require(batchId >= 0, s"appendBucketedBatch needs a streaming batch id, got $batchId")
+    val loc = tablePath(spark, table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (priorFiles, hwm) = readManifest(fs, loc)
+      .map(m => (m._2, m._3))
+      .getOrElse((dataFileNames(fs, loc), -1L))
+    if (batchId <= hwm) {
+      // the re-delivery no-op — but a LONG way below the mark means a new
+      // checkpoint was pointed at an already-ingested table: its ids
+      // restart at 0 and every batch up to the mark would silently drop.
+      // One low id after a restart IS the legitimate re-delivery; id 0
+      // against a large mark is not.
+      require(batchId > 0 || hwm <= 0,
+        s"appendBucketedBatch got batch id 0 but '$table' has ingest hwm $hwm — " +
+          "a fresh checkpoint must target a fresh table (or carry the old checkpoint)")
+      false
+    } else {
+      // retire a crashed delivery's unmanifested files before appending
+      val orphans = dataFileNames(fs, loc) -- priorFiles
+      if (orphans.nonEmpty) {
+        val retired = new org.apache.hadoop.fs.Path(loc, "_pre_merge")
+        if (!fs.exists(retired)) fs.mkdirs(retired)
+        orphans.foreach { n =>
+          require(fs.rename(new org.apache.hadoop.fs.Path(loc, n),
+            new org.apache.hadoop.fs.Path(retired, n)),
+            s"appendBucketedBatch: retiring orphan $n in $loc failed")
+        }
+      }
+      bucketWriter(df, table, key, buckets, "append", hwm = batchId)
+      true
+    }
+  }
+
+  /** The `foreachBatch` form of [[appendBucketedBatch]]:
+    * `.writeStream.foreachBatch(Layout.ingestSink(table, key, buckets))`
+    * — the exactly-once streaming→bucketed front door.
+    */
+  def ingestSink(table: String, key: String, buckets: Int): (DataFrame, Long) => Unit =
+    (batch, id) => { appendBucketedBatch(batch, table, key, buckets, id); () }
 
   /** Write partitioned by low-cardinality columns: `dir/col=value/...`
     * layout; equality/IN filters on those columns prune whole directories
     * at planning time (visible as PartitionFilters in the scan).
+    *
+    * STAGED, not in-place (r17 ADVICE — the last unmanaged overwrite
+    * window): a plain `mode("overwrite")` deletes the directory first, so
+    * a reader racing the rewrite sees a partial table or nothing. Here
+    * the new layout lands whole under a hidden sibling, its files move
+    * in, the manifest flips, and the old files retire to `_pre_swap` —
+    * a [[readDir]] reader pins pre- or post-swap, never partial
+    * (the B13 contract extended to plain directories).
     */
   def writePartitioned(df: DataFrame, dir: String, cols: String*): Unit =
-    df.write.partitionBy(cols: _*).mode("overwrite").parquet(dir)
+    stagedSwap(df.sparkSession, dir,
+      tmp => df.write.partitionBy(cols: _*).mode("overwrite").parquet(tmp))
+
+  /** Recursive data-file listing under `root` as root-relative paths,
+    * skipping hidden/underscore path components (staging dirs, manifests,
+    * `_pre_swap`, `_SUCCESS`) — the partitioned-layout twin of
+    * [[dataFileNames]] (whose flat listing would miss `col=value/` files).
+    */
+  private def relDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[String] = {
+    // qualify like listStatus qualifies its results, or the prefix strip
+    // silently fails for a relative/unqualified root
+    val base = fs.makeQualified(root).toUri.getPath.stripSuffix("/") + "/"
+    def walk(p: org.apache.hadoop.fs.Path): Seq[String] =
+      fs.listStatus(p).toSeq.flatMap { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+        else if (s.isDirectory) walk(s.getPath)
+        else Seq(s.getPath.toUri.getPath.stripPrefix(base))
+      }
+    if (fs.exists(root)) walk(root) else Seq.empty
+  }
+
+  /** Atomic-at-the-reader overwrite of a plain parquet directory: `write`
+    * produces the replacement layout under a hidden staging sibling, then
+    * new files move into `dir` (part names carry the job uuid — no
+    * collisions with the old set), the manifest flips to name exactly the
+    * new files, and the old files retire WHOLE to `dir/_pre_swap`
+    * (replaced per swap — underscore-prefixed, invisible to scans, the
+    * last overwrite stays hand-recoverable; partition subdirectory
+    * structure is preserved because partitionBy strips those values from
+    * the file bytes). A [[readDir]] reader resolves the manifest first
+    * and sees the pre- or post-swap table, never a partial one; a raw
+    * `spark.read.parquet` reader can transiently see the old+new union
+    * between move-in and retirement — the same bounded-visibility
+    * contract as [[mergeBucketed]].
+    */
+  private def stagedSwap(spark: SparkSession, dir: String,
+      write: String => Unit): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dst)
+    val tmp = new org.apache.hadoop.fs.Path(dst,
+      s".swap-${java.util.UUID.randomUUID()}")
+    try {
+      write(tmp.toString)
+      val prior = relDataFiles(fs, dst)
+      val fresh = relDataFiles(fs, tmp)
+      def mv(from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit = {
+        fs.mkdirs(to.getParent)
+        require(fs.rename(from, to), s"stagedSwap: rename $from -> $to failed")
+      }
+      fresh.foreach(rel => mv(new org.apache.hadoop.fs.Path(tmp, rel),
+        new org.apache.hadoop.fs.Path(dst, rel)))
+      // manifest names BASENAMES (job-uuid part names are unique across
+      // writes, including inside partition subdirs) — flips the readDir
+      // view to the new set in one atomic rename
+      writeManifest(fs, dst,
+        fresh.map(rel => new org.apache.hadoop.fs.Path(rel).getName))
+      val retired = new org.apache.hadoop.fs.Path(dst, "_pre_swap")
+      if (fs.exists(retired)) fs.delete(retired, true)
+      if (prior.nonEmpty) {
+        fs.mkdirs(retired)
+        prior.foreach(rel => mv(new org.apache.hadoop.fs.Path(dst, rel),
+          new org.apache.hadoop.fs.Path(retired, rel)))
+        // partition dirs the swap emptied would linger as stale col=value
+        // entries; prune fully-empty ones bottom-up
+        def prune(p: org.apache.hadoop.fs.Path): Unit =
+          fs.listStatus(p).foreach { s =>
+            val n = s.getPath.getName
+            if (s.isDirectory && !n.startsWith("_") && !n.startsWith(".")) {
+              prune(s.getPath)
+              if (fs.listStatus(s.getPath).isEmpty) fs.delete(s.getPath, false)
+            }
+          }
+        prune(dst)
+      }
+    } finally if (fs.exists(tmp)) fs.delete(tmp, true)
+  }
+
+  /** Manifest-aware read of a plain parquet DIRECTORY — [[readTable]] for
+    * paths: when a [[stagedSwap]] writer (writePartitioned, zorderWrite)
+    * manages `dir`, the manifest pins the reader to the pre- or post-swap
+    * file set, never a partial or union view; a manifest-less directory
+    * reads as plain `spark.read.parquet`. Same fast path (quiescent
+    * listing == manifest → no per-row filter) and the same
+    * generation-stability retry as readTable; path-based reads plan over
+    * a fresh listing, so no catalog refresh is needed.
+    */
+  def readDir(spark: SparkSession, dir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def attempt(retries: Int): DataFrame =
+      readManifest(fs, root) match {
+        case None => spark.read.parquet(dir)
+        case Some((gen0, _, _)) =>
+          val t = spark.read.parquet(dir)
+          val present = relDataFiles(fs, root)
+            .map(rel => new org.apache.hadoop.fs.Path(rel).getName).toSet
+          readManifest(fs, root) match {
+            case Some((gen, valid, _)) if gen == gen0 =>
+              if (present == valid) t else fileNameFiltered(t, valid)
+            case Some(_) if retries > 0 => attempt(retries - 1)
+            case Some((_, valid, _)) =>
+              // exhaustion: re-plan over the freshest listing, constrained
+              // to the manifest set — never the pre-swap plan
+              fileNameFiltered(spark.read.parquet(dir), valid)
+            case None => spark.read.parquet(dir)
+          }
+      }
+    attempt(retries = 3)
+  }
 
   /** Read a layout-managed table through its MANIFEST when one exists.
     *
@@ -249,17 +449,17 @@ object Layout {
     def attempt(retries: Int): DataFrame =
       readManifest(fs, loc) match {
         case None => spark.table(table)
-        case Some((gen0, _)) =>
+        case Some((gen0, _, _)) =>
           spark.catalog.refreshTable(table)
           val t = spark.table(table)
           val present = dataFileNames(fs, loc)
           // the POST-listing manifest is the authority; a generation that
           // moved during the listing retries
           readManifest(fs, loc) match {
-            case Some((gen, valid)) if gen == gen0 =>
+            case Some((gen, valid, _)) if gen == gen0 =>
               if (present == valid) t else fileNameFiltered(t, valid)
             case Some(_) if retries > 0 => attempt(retries - 1)
-            case Some((_, valid)) =>
+            case Some((_, valid, _)) =>
               // exhaustion (sustained swaps — excluded by the single-writer
               // contract): NEVER serve the pre-swap plan
               manifestView(spark, table, valid)
@@ -300,9 +500,17 @@ object Layout {
     * write `_manifest-<gen+1>.json` via a hidden temp + atomic rename,
     * THEN delete older generations — at every instant a lister sees ≥1
     * complete manifest, and the highest gen is always whole.
+    *
+    * `hwm` is the table's INGEST high-water mark — the largest streaming
+    * batch id [[appendBucketedBatch]] has committed (−1 = none). Riding
+    * the manifest makes "which batches landed" atomic with "which files
+    * are live": the two can never disagree, and every maintenance pass
+    * that rewrites the manifest (merge, compact) carries the mark forward
+    * for free.
     */
   private[graft] def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
-      loc: org.apache.hadoop.fs.Path, names: Iterable[String]): Unit = {
+      loc: org.apache.hadoop.fs.Path, names: Iterable[String],
+      hwm: Long = -1L): Unit = {
     val old = fs.listStatus(loc).map(_.getPath)
       .filter(p => manifestRe.matcher(p.getName).matches())
     val gen = old.map { p =>
@@ -315,7 +523,8 @@ object Layout {
     names.foreach(n => require(!n.contains("\"") && !n.contains("\\"),
       s"manifest cannot serialize file name '$n'"))
     val json = names.toSeq.sorted
-      .map(n => "\"" + n + "\"").mkString(s"""{"gen":$gen,"files":[""", ",", "]}")
+      .map(n => "\"" + n + "\"")
+      .mkString(s"""{"gen":$gen,"hwm":$hwm,"files":[""", ",", "]}")
     val tmp = new org.apache.hadoop.fs.Path(loc, s"._manifest-$gen.tmp")
     val out = fs.create(tmp, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
@@ -324,14 +533,15 @@ object Layout {
     old.foreach(fs.delete(_, false))
   }
 
-  /** Highest-generation manifest as (gen, file set); None when the table
-    * carries no manifest. A generation deleted between the listing and
-    * the read (a writer finishing its swap) is retried against a fresh
-    * listing.
+  /** Highest-generation manifest as (gen, file set, ingest hwm); None when
+    * the table carries no manifest. A pre-hwm manifest (older layout
+    * version) parses as hwm −1 — "no streaming batch ever committed". A
+    * generation deleted between the listing and the read (a writer
+    * finishing its swap) is retried against a fresh listing.
     */
   private[graft] def readManifest(fs: org.apache.hadoop.fs.FileSystem,
-      loc: org.apache.hadoop.fs.Path): Option[(Long, Set[String])] = {
-    def attempt(): Option[(Long, Set[String])] = {
+      loc: org.apache.hadoop.fs.Path): Option[(Long, Set[String], Long)] = {
+    def attempt(): Option[(Long, Set[String], Long)] = {
       val gens = fs.listStatus(loc).map(_.getPath)
         .filter(p => manifestRe.matcher(p.getName).matches())
       if (gens.isEmpty) None
@@ -359,7 +569,9 @@ object Layout {
         val m = java.util.regex.Pattern.compile("\"([^\"]*)\"").matcher(arr.group(1))
         val names = Set.newBuilder[String]
         while (m.find()) names += m.group(1)
-        Some((latestGen, names.result()))
+        val hm = java.util.regex.Pattern.compile("\"hwm\":(-?\\d+)").matcher(body)
+        val hwm = if (hm.find()) hm.group(1).toLong else -1L
+        Some((latestGen, names.result(), hwm))
       }
     }
     try attempt()
@@ -442,11 +654,14 @@ object Layout {
         col(c).cast("long"), b.map(_.toLong).distinct.sorted)
     val z = graft.functions.VectorExpressions.interleave16(
       codeOf(colA, bs(0)), codeOf(colB, bs(1)))
-    df.withColumn("__z", z)
+    val clustered = df.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode("overwrite").parquet(dir)
+    // staged like writePartitioned (r17 ADVICE): the rewrite lands whole,
+    // then swaps — a readDir reader never sees a partial cluster pass
+    stagedSwap(df.sparkSession, dir,
+      tmp => clustered.write.mode("overwrite").parquet(tmp))
   }
 
   /** Rewrite a bucketed table in place: read → one file per bucket through
@@ -568,9 +783,11 @@ object Layout {
       // unaffected-bucket orphan would bless it forever. Orphans are
       // retired with this merge's old files instead — never read, never
       // re-manifested.
-      val (dataFiles, orphans) = readManifest(fs, loc) match {
-        case Some((_, valid)) => listed.partition(s => valid.contains(s.getPath.getName))
-        case None             => (listed, Array.empty[org.apache.hadoop.fs.FileStatus])
+      val (dataFiles, orphans, priorHwm) = readManifest(fs, loc) match {
+        case Some((_, valid, h)) =>
+          val (in, out) = listed.partition(s => valid.contains(s.getPath.getName))
+          (in, out, h)
+        case None => (listed, Array.empty[org.apache.hadoop.fs.FileStatus], -1L)
       }
       val (oldAffected, untouched) =
         dataFiles.partition(s => bucketIdOf(s.getPath.getName).exists(affected.contains))
@@ -606,8 +823,10 @@ object Layout {
       // before this line resolves the old manifest → the pre-merge file
       // set (all still present); after it → untouched + new files. At no
       // instant does a manifest-aware reader see a replaced key twice.
+      // The ingest hwm carries forward — a CDC merge must not reopen the
+      // exactly-once window for the append stream.
       writeManifest(fs, loc,
-        untouched.map(_.getPath.getName).toSeq ++ movedIn)
+        untouched.map(_.getPath.getName).toSeq ++ movedIn, priorHwm)
       // ONE retirement generation, replaced per merge: a per-call timestamped
       // dir would grow the table directory without bound under the
       // foreachBatch CDC cadence (review finding — one trigger per minute on
@@ -652,13 +871,16 @@ object Layout {
     // (and the rewrite itself then retires the orphans).
     val locPath = tablePath(spark, table)
     val fs = locPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val src = readManifest(fs, locPath) match {
-      case Some((_, valid)) =>
-        spark.read.parquet(valid.toSeq.sorted
-          .map(n => new org.apache.hadoop.fs.Path(locPath, n).toString): _*)
-      case None => spark.read.parquet(locPath.toString)
+    // the staging table's manifest becomes the TABLE's after the rename,
+    // so the ingest hwm must ride along — a compaction must not reopen
+    // the exactly-once window for the append stream
+    val (src, hwm) = readManifest(fs, locPath) match {
+      case Some((_, valid, h)) =>
+        (spark.read.parquet(valid.toSeq.sorted
+          .map(n => new org.apache.hadoop.fs.Path(locPath, n).toString): _*), h)
+      case None => (spark.read.parquet(locPath.toString), -1L)
     }
-    writeBucketed(src, staging, key, buckets)
+    writeBucketed(src, staging, key, buckets, hwm)
     spark.sql(s"DROP TABLE `$table`")
     spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
   }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextHash.tokens
@@ -139,5 +139,74 @@ object Contamination {
         (-col("m.nb")).as("bench_id"),
         col("m.cos4").as("cos4"),
         (col("m.cos4") >= threshold).as("contaminated"))
+  }
+
+  /** q_benchmark_exposure — the TRANSPOSE of [[decontaminate]]/C55
+    * (r17 verdict item #6): one row per benchmark ITEM with the numbers
+    * an eval owner reads to decide which items to retire — how many
+    * corpus documents collide with it verbatim (distinct docs sharing ≥1
+    * n-gram, plus how many of the item's grams leaked at all) and its
+    * nearest corpus embedding (cosine 4dp, ties to the smallest corpus
+    * vec id). The corpus-side checks flag training docs to drop; this
+    * report flags EVAL items already too exposed for the corpus to be
+    * dropped around.
+    *
+    * Benchmark membership uses C55's CAPPED convention on BOTH
+    * modalities (`id % every == 0 AND id < every·benchCap` — real eval
+    * suites are fixed-size; C19's uncapped %-subset is its documented
+    * stand-in), which is also what keeps this linear: the benchmark side
+    * of each join broadcasts, corpus text/vectors never shuffle raw, and
+    * the two reductions shuffle (item, doc) hit pairs — ≤ benchCap rows
+    * per corpus doc — and one best-match row per (item, partition)
+    * respectively. The item id spaces join FULL OUTER: the documents and
+    * embeddings tables ship row-aligned in this corpus, but the report
+    * must not silently drop an item present in only one modality.
+    */
+  def benchmarkExposure(spark: SparkSession, dir: String, n: Int = 8,
+      every: Int = 50, threshold: Double = 0.25,
+      benchCap: Int = 100): DataFrame = {
+    def isBench(id: Column) =
+      pmod(id, lit(every)) === 0 && id < every.toLong * benchCap
+    // n-gram side — the C19 gram derivation verbatim (same hash, same
+    // ≥n-token floor), split bench/corpus by the capped rule
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .where(size(col("w")) >= n)
+      .select(col("doc_id"),
+        VectorExpressions.shingleHashN(col("w"), n, 0L, distinct = true).as("grams"))
+    val benchGrams = docs.where(isBench(col("doc_id")))
+      .select(col("doc_id").as("item_id"), explode(col("grams")).as("g"))
+    val hits = docs.where(!isBench(col("doc_id")))
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .join(broadcast(benchGrams), Seq("g"))
+    val ngram = hits.groupBy(col("item_id"))
+      .agg(countDistinct(col("doc_id")).as("n_leak_docs"),
+        countDistinct(col("g")).as("n_leak_grams"))
+    // every benchmark item appears, zero-leak items included (from the
+    // RAW table — an item under the n-token floor still belongs in the
+    // report; it just cannot leak verbatim)
+    val items = Tables.documents(spark, dir)
+      .where(isBench(col("doc_id"))).select(col("doc_id").as("item_id"))
+      .join(ngram, Seq("item_id"), "left")
+      .na.fill(0L, Seq("n_leak_docs", "n_leak_grams"))
+    // semantic side — C55's capped broadcast with the reduction keyed by
+    // the BENCHMARK id instead of the corpus id
+    val v = Ann.normed(spark, dir)
+    val bench = broadcast(v.where(isBench(col("vec_id")))
+      .select(col("vec_id").as("item_id"), col("e").as("be"), col("nrm").as("bn")))
+    val sem = v.where(!isBench(col("vec_id")))
+      .join(bench)
+      .select(col("item_id"),
+        round(Ann.cosine(col("e"), col("be"), col("nrm"), col("bn")), 4).as("cos4"),
+        col("vec_id"))
+      .groupBy(col("item_id"))
+      .agg(max(struct(col("cos4"), (-col("vec_id")).as("nv"))).as("m"))
+      .select(col("item_id"), (-col("m.nv")).as("nearest_vec"),
+        col("m.cos4").as("nearest_cos4"))
+    items.join(sem, Seq("item_id"), "full_outer")
+      .select(col("item_id"), col("n_leak_docs"), col("n_leak_grams"),
+        col("nearest_vec"), col("nearest_cos4"),
+        (coalesce(col("n_leak_docs"), lit(0L)) > 0
+          || coalesce(col("nearest_cos4") >= threshold, lit(false))).as("exposed"))
   }
 }

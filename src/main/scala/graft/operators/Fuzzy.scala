@@ -99,6 +99,15 @@ object Fuzzy {
     * `nameCol`/`blockCol` cast to string for blocking — lossless for
     * equality within one column.
     *
+    * NOT construction-lazy (r17 ADVICE, documented as the accepted
+    * tradeoff): building the returned DataFrame runs two eager Spark jobs
+    * — the cluster table's localCheckpoint materialization and the
+    * broadcast-gate entity count — so the gate decides on a MEASURED
+    * count frozen at construction (the alternative, deciding inside a
+    * lazy plan, can't change a join's physical strategy after planning).
+    * Callers that construct but never execute still pay both jobs; both
+    * are cluster-sized (distinct (block, name)), never record-sized.
+    *
     * Output columns: (id, canon, dist).
     */
   def resolveOn(df: DataFrame, idCol: String, nameCol: String,

@@ -605,9 +605,11 @@ object Multimodal {
     * hashes sits within `maxHamming` bits of ANY frame hash of a
     * smaller-id clip (the conservative-recall choice for a training
     * corpus — a clip sharing even one near-identical frame with an
-    * earlier clip is re-used footage; a quorum rule would keep partial
-    * re-edits and is one `having count ≥ q` away if a deployment wants
-    * it). Output: (doc_id, n_frame_hashes, keep); clips with zero
+    * earlier clip is re-used footage). `quorum` relaxes the rule for
+    * deployments that want to KEEP partial re-edits: a clip dies only
+    * when ≥ `quorum` of its distinct frame hashes each match some
+    * earlier clip's frame; the default (1) is exactly the any-frame
+    * rule. Output: (doc_id, n_frame_hashes, keep); clips with zero
     * decodable frames emit no row (no evidence, no verdict — the C50
     * undecodable-payload convention).
     *
@@ -617,8 +619,10 @@ object Multimodal {
     * fan-out multiplies band rows by frames/clip (bounded by the sampling
     * policy, 4 here), not by corpus duplication.
     */
-  def frameDedup(frames: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def frameDedup(frames: DataFrame, maxHamming: Int = 3,
+      quorum: Int = 1): DataFrame = {
     import frames.sparkSession.implicits._
+    require(quorum >= 1, s"frameDedup quorum must be ≥ 1, got $quorum")
     val hashes = frames.select(col("doc_id"), col("frame_bytes"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -631,8 +635,9 @@ object Multimodal {
     bandedVerdicts(hashes, "fhash", maxHamming)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_frame_hashes"),
-        min(when(col("keep"), 1L).otherwise(0L)).as("k"))
-      .select(col("doc_id"), col("n_frame_hashes"), (col("k") === 1L).as("keep"))
+        sum(when(col("keep"), 0L).otherwise(1L)).as("killed"))
+      .select(col("doc_id"), col("n_frame_hashes"),
+        (col("killed") < quorum.toLong).as("keep"))
   }
 
   /** C53 — q_video_dedup: perceptual near-dup verdicts over the video

@@ -262,7 +262,9 @@ object Relational {
         spark.range(1).createOrReplaceTempView(marker)
       }
     }
-    spark.read.parquet(out)
+    // manifest-aware read: a zorderWrite racing in another process (the
+    // in-session path is serialized by layoutLock) pins pre- or post-swap
+    graft.io.Layout.readDir(spark, out)
       .where(col("user_id").between(10, 60))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),

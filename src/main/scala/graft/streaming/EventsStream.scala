@@ -276,6 +276,13 @@ object EventsStream {
   /** The unbounded-run form of [[lateDrops]]: a listener accumulating
     * per-trigger watermark drops per query id — O(#queries) state,
     * survives any progress-history truncation.
+    *
+    * Entries are NOT evicted on query termination — the post-mortem read
+    * ("how much did the stream drop before it stopped?") is the number
+    * the monitor exists for. The map grows one entry per DISTINCT query
+    * id with nonzero drops for the listener's lifetime; a session that
+    * starts many short-lived queries calls [[clear]] (or [[evict]] per
+    * id) between runs (r17 ADVICE).
     */
   final class LateDropListener
       extends org.apache.spark.sql.streaming.StreamingQueryListener {
@@ -285,6 +292,10 @@ object EventsStream {
     def dropsFor(id: java.util.UUID): Long = {
       val v = drops.get(id); if (v == null) 0L else v.longValue()
     }
+    /** Drop all accumulated counts (session-scoped hygiene). */
+    def clear(): Unit = drops.clear()
+    /** Drop one query's count after its post-mortem read. */
+    def evict(id: java.util.UUID): Unit = drops.remove(id)
     override def onQueryStarted(e: QueryStartedEvent): Unit = ()
     override def onQueryProgress(e: QueryProgressEvent): Unit = {
       val d = e.progress.stateOperators.map(_.numRowsDroppedByWatermark).sum

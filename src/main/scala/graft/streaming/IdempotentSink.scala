@@ -50,13 +50,24 @@ object IdempotentSink {
     * when the id can no longer be committed by anyone else (it is
     * already committed) — deleting a LIVE racer's staging mid-write
     * could otherwise let its half-written job commit a partial batch.
+    *
+    * `stagingGraceMs` age-gates the `.staging/` sweep (r17 ADVICE): even
+    * with the id committed, a concurrent ZOMBIE re-delivery of the same
+    * id may still be mid-write into its staging dir — its publish can
+    * never win (the commit exists), but sweeping under it turns its clean
+    * lost-race no-op into opaque missing-file write errors. Staging dirs
+    * younger than the grace are left for a later delivery's sweep; nested
+    * copies inside `committed` are always reclaimed (they only appear via
+    * a completed — lost — rename, never under a live writer).
     */
   private def reclaim(fs: FileSystem, root: Path, committed: Path,
-      batchId: Long): Unit = {
+      batchId: Long, stagingGraceMs: Long = 0L): Unit = {
     val prefix = s".s-$batchId-"
     val sr = stagingRoot(root)
+    val cutoff = System.currentTimeMillis() - stagingGraceMs
     if (fs.exists(sr))
-      fs.listStatus(sr).filter(_.getPath.getName.startsWith(prefix))
+      fs.listStatus(sr).filter(s => s.getPath.getName.startsWith(prefix)
+          && s.getModificationTime <= cutoff)
         .foreach(s => fs.delete(s.getPath, true))
     if (fs.exists(committed))
       fs.listStatus(committed).filter(_.getPath.getName.startsWith(prefix))
@@ -102,6 +113,13 @@ object IdempotentSink {
   /** Land `batch` as `dir/batch=<batchId>` exactly once. Returns true if
     * this call committed the batch, false if the id was already committed
     * (the re-delivery no-op).
+    *
+    * Zombie-racer failure mode, documented (r17 verdict): the POST-commit
+    * reclaim below sweeps other leftovers of the now-committed id without
+    * an age gate — a zombie driver still writing its own staging for this
+    * id loses its files mid-write and fails LOUDLY (its publish could
+    * never win anyway; correctness is unaffected). The already-committed
+    * fast path, which a zombie is far more likely to race, IS age-gated.
     */
   def writeBatch(batch: DataFrame, dir: String, batchId: Long): Boolean = {
     val spark = batch.sparkSession
@@ -110,8 +128,12 @@ object IdempotentSink {
     val committed = new Path(root, s"batch=$batchId")
     if (fs.exists(committed)) {
       // already committed → nobody else can commit this id again; safe
-      // point to reclaim crash leftovers (staging and nested copies)
-      reclaim(fs, root, committed, batchId)
+      // point to reclaim crash leftovers (staging and nested copies).
+      // The staging sweep is age-gated here: a fresh same-id staging may
+      // be a live zombie re-delivery mid-write (see [[reclaim]]);
+      // `spark.graft.sink.reclaimGraceMs` tunes the gate (0 sweeps all).
+      reclaim(fs, root, committed, batchId, stagingGraceMs =
+        spark.conf.get("spark.graft.sink.reclaimGraceMs", "600000").toLong)
       return false
     }
     // stage hidden: parquet scans skip dot dirs, so a crash mid-write can

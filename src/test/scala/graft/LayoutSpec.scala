@@ -715,4 +715,170 @@ class LayoutSpec extends GraftSuite {
     }
     assert(e.getMessage.contains("integral"), e.getMessage)
   }
+
+  private def manifestOf(table: String): (Long, Set[String], Long) = {
+    val loc = new org.apache.hadoop.fs.Path(tableLoc(table).toURI)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Layout.readManifest(fs, loc).get
+  }
+
+  test("exactly-once ingest: a re-delivered micro-batch is a no-op through the full cadence") {
+    // The r17 verdict's #1: the streaming→bucketed front door. Batches
+    // land through ingestSink (appendBucketedBatch); a checkpoint-restart
+    // re-delivery of a committed id must append NOTHING — same rows, same
+    // manifest generation — and the mark must survive compaction and CDC
+    // merges, or the first maintenance pass would silently reopen the
+    // duplication window.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+    Layout.writeBucketed(orders.where(col("o_orderkey") % 4 === 0),
+      "b_eo_orders", "o_orderkey", 4)
+    val input = MemoryStream[(Long, Long)]
+    val q = input.toDF().toDF("o_orderkey", "o_custkey").writeStream
+      .foreachBatch(Layout.ingestSink("b_eo_orders", "o_orderkey", 4)).start()
+    val tail = orders.where(col("o_orderkey") % 4 =!= 0).as[(Long, Long)].collect()
+    val (b0, b1) = tail.splitAt(tail.length / 2)
+    Seq(b0, b1).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+    q.stop()
+    val expected = orders.count()
+    assert(Layout.readTable(spark, "b_eo_orders").count() == expected)
+    val genBefore = manifestOf("b_eo_orders")
+    assert(genBefore._3 == 1L, s"two micro-batches → hwm 1, got ${genBefore._3}")
+    // the restart re-delivery: same id, even DIFFERENT payload — no-op
+    val redelivered = Seq((999999L, 1L)).toDF("o_orderkey", "o_custkey")
+    assert(!Layout.appendBucketedBatch(redelivered, "b_eo_orders", "o_orderkey", 4, 1L))
+    assert(Layout.readTable(spark, "b_eo_orders").count() == expected,
+      "a re-delivered batch must not append")
+    assert(manifestOf("b_eo_orders") == genBefore,
+      "a re-delivery no-op must not touch the manifest")
+    // maintenance passes carry the mark: compaction…
+    Layout.compactBucketed(spark, "b_eo_orders", "o_orderkey", 4)
+    assert(manifestOf("b_eo_orders")._3 == 1L, "compaction must carry the ingest hwm")
+    assert(!Layout.appendBucketedBatch(redelivered, "b_eo_orders", "o_orderkey", 4, 1L))
+    assert(Layout.readTable(spark, "b_eo_orders").count() == expected)
+    // …and a CDC merge
+    val delta = Seq((2L, 777L)).toDF("o_orderkey", "o_custkey")
+    Layout.mergeBucketed(spark, "b_eo_orders", "o_orderkey", 4, delta)
+    assert(manifestOf("b_eo_orders")._3 == 1L, "merge must carry the ingest hwm")
+    assert(!Layout.appendBucketedBatch(redelivered, "b_eo_orders", "o_orderkey", 4, 1L))
+    // the NEXT id still appends
+    assert(Layout.appendBucketedBatch(
+      Seq((1000001L, 5L)).toDF("o_orderkey", "o_custkey"),
+      "b_eo_orders", "o_orderkey", 4, 2L))
+    assert(manifestOf("b_eo_orders")._3 == 2L)
+    assert(Layout.readTable(spark, "b_eo_orders").count() == expected + 1)
+    // a FRESH checkpoint (ids restarting at 0) against the ingested table
+    // is the silent-row-loss foot-gun — rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      Layout.appendBucketedBatch(redelivered, "b_eo_orders", "o_orderkey", 4, 0L)
+    }
+    assert(e.getMessage.contains("fresh checkpoint"), e.getMessage)
+    // and the cadence's whole point: the table still joins zero-Exchange
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val t = Layout.readTable(spark, "b_eo_orders")
+      val p = t.join(t.groupBy("o_orderkey").count(), "o_orderkey")
+        .queryExecution.explainString(FormattedMode)
+      assert(p.contains("Bucketed: true") && shuffles(p) == 0, p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("exactly-once ingest: a crashed delivery's unmanifested files retire, never duplicate") {
+    // The window between a delivery's parquet job commit and its manifest
+    // write: data files exist that no manifest names. The id re-delivers
+    // (the mark never advanced) — re-appending must RETIRE the crashed
+    // files first, or this write's manifest (the raw listing) would bless
+    // them as duplicates.
+    import spark.implicits._
+    val base = (0L until 40L).map(k => (k, k * 10)).toDF("o_orderkey", "o_custkey")
+    Layout.writeBucketed(base, "b_eo_crash", "o_orderkey", 4)
+    val batch = (100L until 110L).map(k => (k, k)).toDF("o_orderkey", "o_custkey")
+    // simulate the crash: the batch's files land via a raw bucketed
+    // append that never updates the manifest
+    batch.repartition(4, col("o_orderkey"))
+      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .mode("append").format("parquet").saveAsTable("b_eo_crash")
+    val (_, manifested, _) = manifestOf("b_eo_crash")
+    val present = tableLoc("b_eo_crash").listFiles().map(_.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith(".")).toSet
+    assert((present -- manifested).nonEmpty, "fixture: crash left unmanifested files")
+    // the re-delivery lands the batch exactly once
+    assert(Layout.appendBucketedBatch(batch, "b_eo_crash", "o_orderkey", 4, 0L))
+    val t = Layout.readTable(spark, "b_eo_crash")
+    assert(t.count() == 50, s"40 base + 10 batch, got ${t.count()}")
+    assert(t.where(col("o_orderkey") === 100L).count() == 1,
+      "the crashed delivery's rows must not survive as duplicates")
+    // physical: manifest == dir files again; the crashed files parked
+    val after = tableLoc("b_eo_crash").listFiles().map(_.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith(".")).toSet
+    assert(manifestOf("b_eo_crash")._2 == after)
+    assert(new java.io.File(tableLoc("b_eo_crash"), "_pre_merge").exists())
+  }
+
+  test("writePartitioned swaps staged: readDir pins pre-or-post, never partial or union") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("staged-part").toString + "/t"
+    val v1 = (0L until 30L).map(k => (k, if (k % 2 == 0) "click" else "view"))
+      .toDF("id", "event_type")
+    Layout.writePartitioned(v1, dir, "event_type")
+    assert(Layout.readDir(spark, dir).count() == 30)
+    // overwrite with a DIFFERENT table: the old files must retire whole
+    val v2 = (100L until 120L).map(k => (k, "buy")).toDF("id", "event_type")
+    Layout.writePartitioned(v2, dir, "event_type")
+    val got = Layout.readDir(spark, dir).select("id").as[Long].collect().toSet
+    assert(got == (100L until 120L).toSet, s"post-swap read must be exactly v2: $got")
+    // v1 is retired (recoverable), not visible — to readDir OR a raw scan
+    assert(spark.read.parquet(dir).count() == 20, "raw quiescent read sees only v2")
+    val root = new java.io.File(new java.net.URI(
+      new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration).makeQualified(
+        new org.apache.hadoop.fs.Path(dir)).toUri.toString))
+    assert(new java.io.File(root, "_pre_swap").exists(), "old files park under _pre_swap")
+    // v1's emptied partition dirs are pruned (no stale click/view entries)
+    assert(!new java.io.File(root, "event_type=click").exists())
+    // mid-swap fixture (the LayoutSpec:568 device on a plain dir): a file
+    // the manifest does NOT name sits next to the live set — a raw reader
+    // double-counts; readDir must pin the manifest view
+    val part = new java.io.File(root, "event_type=buy")
+    val victim = part.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val ghost = new java.io.File(part,
+      victim.getName.replaceFirst("part-\\d{5}", "part-90000"))
+    java.nio.file.Files.copy(victim.toPath, ghost.toPath)
+    assert(spark.read.parquet(dir).count() > 20, "fixture really is a mid-swap union")
+    assert(Layout.readDir(spark, dir).select("id").as[Long].collect().toSet == got
+      && Layout.readDir(spark, dir).count() == 20,
+      "mid-swap readDir serves the manifest view, never the union")
+    ghost.delete()
+    // partition pruning still works through the staged layout
+    val p = Layout.readDir(spark, dir).where(col("event_type") === "buy")
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"), p)
+  }
+
+  test("zorderWrite swaps staged: a rewrite never exposes a partial directory") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("staged-z").toString + "/t"
+    val v1 = (0L until 4000L).map(k => (k, k * 7 % 4000)).toDF("a", "b")
+    Layout.zorderWrite(v1, dir, "a", "b", files = 8)
+    assert(Layout.readDir(spark, dir).count() == 4000)
+    val v2 = (0L until 2000L).map(k => (k, k * 13 % 2000)).toDF("a", "b")
+    Layout.zorderWrite(v2, dir, "a", "b", files = 8)
+    val post = Layout.readDir(spark, dir)
+    assert(post.count() == 2000, "post-swap read is exactly the rewrite")
+    val root = new java.io.File(new java.net.URI(
+      new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration).makeQualified(
+        new org.apache.hadoop.fs.Path(dir)).toUri.toString))
+    assert(new java.io.File(root, "_pre_swap").exists())
+    // manifest == live files, and no staging leftovers
+    val names = root.listFiles().map(_.getName)
+    assert(!names.exists(_.startsWith(".swap-")), "staging dir is cleaned up")
+    val loc = new org.apache.hadoop.fs.Path(root.toURI)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(Layout.readManifest(fs, loc).get._2
+      == names.filter(n => !n.startsWith("_") && !n.startsWith(".")).toSet)
+  }
 }

@@ -259,6 +259,42 @@ class MultimodalSpec extends GraftSuite {
     assert(brute(3L) == got(3L))
   }
 
+  test("frameDedup quorum: a partial re-edit keeps at q=2, a full re-post still dies") {
+    import spark.implicits._
+    // clip 1: frames A, B (the original). clip 2: the PARTIAL re-edit —
+    // one frame copied from clip 1, one new. clip 3: the full re-post —
+    // both frames copied. quorum=1 (default) is exactly the any-frame
+    // rule (both die); quorum=2 keeps the partial re-edit and still
+    // kills the re-post — the knob's advertised semantics, pinned both
+    // ways against the definition.
+    val a = Multimodal.pngBytes(1000L, 24, 16)
+    val b = Multimodal.pngBytes(1000L + 64, 24, 16)
+    val c = Multimodal.pngBytes(1000L + 128, 24, 16)
+    val fixture = Seq((1L, 0, a), (1L, 1, b), (2L, 0, a), (2L, 1, c),
+      (3L, 0, a), (3L, 1, b)).toDF("doc_id", "frame", "frame_bytes")
+    def verdicts(q: Int): Map[Long, Boolean] =
+      Multimodal.frameDedup(fixture, maxHamming = 3, quorum = q).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // reference from the DEFINITION: kill iff ≥ q of the clip's distinct
+    // frame hashes each sit within tolerance of some earlier clip's hash
+    val hashes = Seq((1L, a), (1L, b), (2L, a), (2L, c), (3L, a), (3L, b))
+      .flatMap { case (id, bytes) => Multimodal.dhash64(bytes).map(id -> _) }
+      .distinct
+    def brute(q: Int): Map[Long, Boolean] =
+      hashes.map(_._1).distinct.map { id =>
+        val mine = hashes.filter(_._1 == id).map(_._2)
+        val earlier = hashes.filter(_._1 < id).map(_._2)
+        val killed = mine.count(h => earlier.exists(h2 =>
+          java.lang.Long.bitCount(h ^ h2) <= 3))
+        id -> (killed < q)
+      }.toMap
+    Seq(1, 2).foreach(q => assert(verdicts(q) == brute(q), s"q=$q"))
+    assert(verdicts(1) == Map(1L -> true, 2L -> false, 3L -> false),
+      "default quorum IS the any-frame rule")
+    assert(verdicts(2) == Map(1L -> true, 2L -> true, 3L -> false),
+      "q=2 keeps the partial re-edit, kills the full re-post")
+  }
+
   test("q_video_dedup: verdicts equal the brute-force any-frame rule on the corpus clips") {
     val out = Multimodal.videoDedup(spark, sf, maxHamming = 3).collect()
       .map(r => (r.getLong(0), r.getBoolean(2))).toMap

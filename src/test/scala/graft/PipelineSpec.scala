@@ -106,6 +106,51 @@ class PipelineSpec extends GraftSuite {
       "fixture must contain a beyond-cap %every vector")
   }
 
+  test("benchmarkExposure matches a brute-force per-item recomputation (both modalities)") {
+    // the transpose of the two checks above: one row per benchmark ITEM
+    // with its verbatim leak counts and nearest corpus cosine
+    val texts = docTexts()
+    def grams(t: String): Set[String] =
+      toks(t).sliding(8).filter(_.length == 8).map(_.mkString(" ")).toSet
+    def isBench(id: Long) = id % 50 == 0 && id < 5000
+    val corpusGrams = texts.collect {
+      case (id, t) if !isBench(id) => id -> grams(t)
+    }.toMap
+    val ngramExp = texts.keys.filter(isBench).map { item =>
+      val g = grams(texts(item))
+      val docs = corpusGrams.count { case (_, cg) => g.exists(cg.contains) }
+      val leaked = g.count(x => corpusGrams.values.exists(_.contains(x)))
+      item -> ((docs.toLong, leaked.toLong))
+    }.toMap
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray))
+    def nrm(e: Array[Double]) = math.sqrt(e.map(x => x * x).sum)
+    val corpus = vecs.filter(v => !isBench(v._1))
+    val semExp = vecs.filter(v => isBench(v._1)).map { case (item, be) =>
+      val bn = nrm(be)
+      val best = corpus.map { case (vid, e) =>
+        val dot = e.zip(be).map { case (a, b) => a * b }.sum
+        val c4 = BigDecimal(dot / (nrm(e) * bn))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (c4, vid)
+      }.maxBy { case (c, vid) => (c, -vid) }
+      item -> ((best._2, best._1))
+    }.toMap
+    val got = Contamination.benchmarkExposure(spark, sf).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))
+    }.toMap
+    val expected = (ngramExp.keySet ++ semExp.keySet).map { item =>
+      val (d, g) = ngramExp(item) // doc/vec id spaces are row-aligned here
+      val (nv, c4) = semExp(item)
+      item -> ((d, g, nv, c4, d > 0 || c4 >= 0.25))
+    }.toMap
+    assert(got == expected)
+    assert(got.values.exists(_._5) && got.values.exists(v => v._1 > 0),
+      "non-vacuous: the synthetic corpus plants verbatim leaks")
+  }
+
   test("repeatedSpans matches brute-force span counting (per-position, cross-doc)") {
     val texts = docTexts()
     val occ = scala.collection.mutable.Map.empty[Long, (Set[Long], Long)]

@@ -54,6 +54,11 @@ class StreamingSpec extends GraftSuite {
       assert(EventsStream.lateDrops(q) == 2L, q.recentProgress.map(_.json).mkString("\n"))
       // the listener form agrees (it saw the same triggers)
       assert(listener.dropsFor(q.id) == 2L)
+      // session hygiene (r17 ADVICE): eviction is explicit, not automatic
+      // — the post-mortem read above is the point of the accumulation
+      listener.evict(q.id)
+      assert(listener.dropsFor(q.id) == 0L)
+      listener.clear()
       // and the kept row actually landed while the dropped ones did not
       val out = spark.table("latemon").select("event_type", "n_events")
         .as[(String, Long)].collect()
@@ -148,6 +153,18 @@ class StreamingSpec extends GraftSuite {
     Seq((8L, "ghost")).toDF("id", "v").write.parquet(orphan.toString)
     assert(!IdempotentSink.writeBatch(Seq((1L, "re")).toDF("id", "v"), dir, 5L))
     assert(!fs.exists(orphan), "re-delivery reclaims the crashed loser's nested copy")
+    // the fast path's STAGING sweep is age-gated (r17 ADVICE): a fresh
+    // same-id staging may be a live zombie re-delivery mid-write, so the
+    // already-committed no-op leaves it alone until it ages past the grace
+    val zombie = new org.apache.hadoop.fs.Path(s"$dir/.staging/.s-5-zombie")
+    Seq((8L, "mid-write")).toDF("id", "v").write.parquet(zombie.toString)
+    assert(!IdempotentSink.writeBatch(Seq((1L, "re")).toDF("id", "v"), dir, 5L))
+    assert(fs.exists(zombie), "a fresh staging survives the age-gated fast-path sweep")
+    spark.conf.set("spark.graft.sink.reclaimGraceMs", "0")
+    try {
+      assert(!IdempotentSink.writeBatch(Seq((1L, "re")).toDF("id", "v"), dir, 5L))
+      assert(!fs.exists(zombie), "an aged-out staging is reclaimed")
+    } finally spark.conf.unset("spark.graft.sink.reclaimGraceMs")
   }
 
   test("file-source streaming over an events landing dir matches batch counts") {

@@ -77,16 +77,19 @@ CANARY_STABLE_FROM = 9  # canary code last changed r9 — earlier cells are
                         # code deltas, not host windows
 
 def window_factors(rounds):
-    # Baseline = each canary's BEST cell across stable rounds (the
-    # canonical fast window): factors are ≥~1 "slowdown vs best-known
-    # host", which stays stable as rounds accumulate — a median baseline
-    # would drift with the mix of quiet and loaded windows.
+    # Baseline = each canary's median of its 3 FASTEST cells across stable
+    # rounds (~the canonical fast window). The absolute min was the r17
+    # ADVICE robustness gap: one anomalously fast cell would permanently
+    # inflate every round's factor; the median-of-3-fastest keeps the
+    # "best-known host" anchor (stable as rounds accumulate — a full
+    # median would drift with the quiet/loaded window mix) while a single
+    # outlier cell can no longer move it.
     base = {}
     for c in CANARIES:
         vals = [qs[c] for r, qs in rounds.items()
                 if r >= CANARY_STABLE_FROM and qs.get(c)]
         if len(vals) >= 3:
-            base[c] = min(vals)
+            base[c] = median(sorted(vals)[:3])
     factors = {}
     for r, qs in rounds.items():
         ratios = [qs[c] / base[c] for c in base if qs.get(c)]
