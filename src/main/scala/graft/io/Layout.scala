@@ -83,6 +83,20 @@ object Layout {
     */
   private[graft] val layoutLock = new Object
 
+  /** Per-table monitors for the APPEND paths' read-hwm→append→manifest
+    * sequence (r18 review): that critical section spans the batch's whole
+    * Spark write job, and holding the global [[layoutLock]] across it
+    * would stall every layout query and swap in the session for the data
+    * job's duration, on unrelated tables. Appends to one table serialize
+    * with each other; merge/compact (global lock) additionally require
+    * the table's append stream QUIESCED — the single-writer contract
+    * their scaladocs already state.
+    */
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def tableLock(table: String): Object =
+    tableLocks.computeIfAbsent(table, _ => new Object)
+
   // memoized fingerprints: paths-key -> (expiry millis, fp). The listing +
   // per-file tail sample is driver-side O(#files); without a memo every
   // layout query pays it on every call.
@@ -188,7 +202,8 @@ object Layout {
     * [[writeBucketed]] re-writes (or [[compact]]) bound the
     * files-per-bucket growth of a long append cadence.
     */
-  def appendBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+  def appendBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit = tableLock(table).synchronized {
     // the contract is append into an EXISTING bucketed table; a typo'd or
     // not-yet-created name would otherwise silently fork a one-batch table
     // that later joins read as if it were the full fact table
@@ -198,10 +213,58 @@ object Layout {
     val loc = tablePath(spark, table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // an ad-hoc append must not reset the ingest hwm — that would reopen
-    // the exactly-once window for a concurrent append stream's restarts
-    val hwm = readManifest(fs, loc).map(_._3).getOrElse(-1L)
+    // the exactly-once window for a restarting append stream — and it
+    // must not BLESS a crashed delivery's unmanifested files either (r18
+    // review): bucketWriter's manifest is the raw listing, so without the
+    // same orphan retirement appendBucketedBatch does, an ad-hoc append
+    // between a delivery's crash and the stream's restart would
+    // manifest the crashed files and the id's re-delivery would land the
+    // batch twice. The table's lock serializes this
+    // read-hwm→append→manifest sequence against a live ingestSink and
+    // against merge/compact (which take it too) — an unserialized
+    // interleave could write back a STALE hwm and reopen the window it
+    // just preserved.
+    val (priorFiles, hwm) = readManifest(fs, loc)
+      .map(m => (m._2, m._3)).getOrElse((dataFileNames(fs, loc), -1L))
+    retireOrphans(fs, loc, dataFileNames(fs, loc) -- priorFiles)
     bucketWriter(df, table, key, buckets, "append", hwm)
   }
+
+  /** Move root-relative data files into the `dirName` retirement dir
+    * under `root`, preserving any subdir structure (partition values live
+    * in dir names). `replace = true` drops the previous retirement
+    * generation first — the policy for a SUCCESSFUL swap superseding the
+    * last one; crash-recovery retirement must pass false, because the
+    * leftovers may be the un-moved HALF of the same event whose other
+    * half already sits in the dir (r18 review — a replace there would
+    * delete the only copies). The one retire recipe all three retirement
+    * sites share.
+    */
+  private def retireTo(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, dirName: String,
+      rels: Iterable[String], replace: Boolean): Unit =
+    if (rels.nonEmpty) {
+      val retired = new org.apache.hadoop.fs.Path(root, dirName)
+      if (replace && fs.exists(retired)) fs.delete(retired, true)
+      rels.foreach { rel =>
+        val to = new org.apache.hadoop.fs.Path(retired, rel)
+        fs.mkdirs(to.getParent)
+        require(fs.rename(new org.apache.hadoop.fs.Path(root, rel), to),
+          s"retiring $rel in $root failed")
+      }
+    }
+
+  /** Park data files no manifest names under `_pre_merge` (the crashed
+    * delivery/merge window) — excluded from every read, recoverable by
+    * hand, never silently re-manifested. ADDITIVE, not replacing: the
+    * orphans may be the second half of a crashed merge whose first half
+    * is already parked. Growth is bounded by the maintenance cadence — a
+    * successful [[mergeBucketed]] replaces the dir and a
+    * [[compactBucketed]] rebuild drops it with the old table dir.
+    */
+  private def retireOrphans(fs: org.apache.hadoop.fs.FileSystem,
+      loc: org.apache.hadoop.fs.Path, orphans: Set[String]): Unit =
+    retireTo(fs, loc, "_pre_merge", orphans, replace = false)
 
   /** EXACTLY-ONCE [[appendBucketed]] for a Structured Streaming
     * `foreachBatch` cadence (the B12→B10 ingest front door): Spark
@@ -226,14 +289,19 @@ object Layout {
     * table that already ingested is rejected loudly below rather than
     * silently dropping every batch up to the old mark.
     *
-    * Cost per micro-batch: one manifest read + the batch's own bucket
-    * shuffle + one manifest write — independent of table history, the
-    * IdempotentSink economics on a bucketed layout. Same single-writer
-    * contract as every layout maintenance pass (one append stream per
-    * table; [[layoutLock]] serializes in-session callers).
+    * Cost per micro-batch: the batch's own bucket shuffle (data cost —
+    * independent of table history) plus driver-side metadata work that is
+    * O(live files): two directory listings and a manifest generation
+    * naming the full live set — inherent to a manifest that must name
+    * every file, bounded in practice by the [[compactBucketed]] cadence
+    * that re-bounds files-per-bucket anyway. Same single-writer contract
+    * as every layout maintenance pass: one append stream per table, with
+    * the PER-TABLE lock serializing in-session appends against each other
+    * and against merge/compact (which take it too) — global layout work
+    * on other tables is never stalled by a micro-batch's data write.
     */
   def appendBucketedBatch(df: DataFrame, table: String, key: String,
-      buckets: Int, batchId: Long): Boolean = layoutLock.synchronized {
+      buckets: Int, batchId: Long): Boolean = tableLock(table).synchronized {
     val spark = df.sparkSession
     require(spark.catalog.tableExists(table),
       s"appendBucketedBatch target '$table' does not exist — create it with writeBucketed first")
@@ -244,27 +312,25 @@ object Layout {
       .map(m => (m._2, m._3))
       .getOrElse((dataFileNames(fs, loc), -1L))
     if (batchId <= hwm) {
-      // the re-delivery no-op — but a LONG way below the mark means a new
-      // checkpoint was pointed at an already-ingested table: its ids
-      // restart at 0 and every batch up to the mark would silently drop.
-      // One low id after a restart IS the legitimate re-delivery; id 0
-      // against a large mark is not.
+      // ids at or below the mark are no-ops: the restart re-delivery
+      // (batchId == hwm) and the backup/DR-restored checkpoint of the
+      // SAME stream replaying 0 < batchId < hwm on its way back to the
+      // mark (its WAL re-delivers byte-identical batches — a loud reject
+      // here would wedge that legitimate catch-up in a crash loop, r18
+      // review). The one id that cannot be a same-stream replay is 0
+      // against a positive mark: every FRESH checkpoint starts there, and
+      // no-opping it would silently drop the new stream's batches up to
+      // the mark — reject loudly. Irreducible blind spot: at hwm == 0 a
+      // new checkpoint's batch 0 is indistinguishable from the legitimate
+      // re-delivery of batch 0 and is treated as the latter (only
+      // reachable on a one-batch table).
       require(batchId > 0 || hwm <= 0,
         s"appendBucketedBatch got batch id 0 but '$table' has ingest hwm $hwm — " +
           "a fresh checkpoint must target a fresh table (or carry the old checkpoint)")
       false
     } else {
       // retire a crashed delivery's unmanifested files before appending
-      val orphans = dataFileNames(fs, loc) -- priorFiles
-      if (orphans.nonEmpty) {
-        val retired = new org.apache.hadoop.fs.Path(loc, "_pre_merge")
-        if (!fs.exists(retired)) fs.mkdirs(retired)
-        orphans.foreach { n =>
-          require(fs.rename(new org.apache.hadoop.fs.Path(loc, n),
-            new org.apache.hadoop.fs.Path(retired, n)),
-            s"appendBucketedBatch: retiring orphan $n in $loc failed")
-        }
-      }
+      retireOrphans(fs, loc, dataFileNames(fs, loc) -- priorFiles)
       bucketWriter(df, table, key, buckets, "append", hwm = batchId)
       true
     }
@@ -325,36 +391,55 @@ object Layout {
     * and sees the pre- or post-swap table, never a partial one; a raw
     * `spark.read.parquet` reader can transiently see the old+new union
     * between move-in and retirement — the same bounded-visibility
-    * contract as [[mergeBucketed]].
+    * contract as [[mergeBucketed]]. SINGLE-WRITER per directory: the
+    * per-dir lock serializes in-session swaps (r18 review — a concurrent
+    * swap's crash-heal preamble would otherwise delete this swap's live
+    * staging mid-write); cross-process concurrent swaps on one dir are
+    * excluded by contract, as everywhere in this layer.
     */
   private def stagedSwap(spark: SparkSession, dir: String,
-      write: String => Unit): Unit = {
+      write: String => Unit): Unit = tableLock(s"dir:$dir").synchronized {
     val dst = new org.apache.hadoop.fs.Path(dir)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dst)
+    // self-heal a CRASHED previous swap before writing (r18 review —
+    // nothing else ever would): stale `.swap-*` staging dirs (a crash
+    // mid-write skipped the finally) are deleted, and data files the
+    // manifest does not name (a crash between move-in and retirement —
+    // the window where a RAW reader sees the old+new union; readDir
+    // never does) retire to `_pre_swap` ADDITIVELY — they may be the
+    // un-retired half of the same crashed event whose other half is
+    // already parked. Until some later swap runs, that union is the
+    // documented raw-reader residual of a crashed swap.
+    fs.listStatus(dst).filter(s => s.isDirectory
+        && s.getPath.getName.startsWith(".swap-"))
+      .foreach(s => fs.delete(s.getPath, true))
+    readManifest(fs, dst).foreach { case (_, valid, _) =>
+      retireTo(fs, dst, "_pre_swap",
+        relDataFiles(fs, dst)
+          .filter(rel => !valid.contains(new org.apache.hadoop.fs.Path(rel).getName)),
+        replace = false)
+    }
     val tmp = new org.apache.hadoop.fs.Path(dst,
       s".swap-${java.util.UUID.randomUUID()}")
     try {
       write(tmp.toString)
       val prior = relDataFiles(fs, dst)
       val fresh = relDataFiles(fs, tmp)
-      def mv(from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit = {
+      fresh.foreach { rel =>
+        val to = new org.apache.hadoop.fs.Path(dst, rel)
         fs.mkdirs(to.getParent)
-        require(fs.rename(from, to), s"stagedSwap: rename $from -> $to failed")
+        require(fs.rename(new org.apache.hadoop.fs.Path(tmp, rel), to),
+          s"stagedSwap: rename $rel into $dst failed")
       }
-      fresh.foreach(rel => mv(new org.apache.hadoop.fs.Path(tmp, rel),
-        new org.apache.hadoop.fs.Path(dst, rel)))
       // manifest names BASENAMES (job-uuid part names are unique across
       // writes, including inside partition subdirs) — flips the readDir
       // view to the new set in one atomic rename
       writeManifest(fs, dst,
         fresh.map(rel => new org.apache.hadoop.fs.Path(rel).getName))
-      val retired = new org.apache.hadoop.fs.Path(dst, "_pre_swap")
-      if (fs.exists(retired)) fs.delete(retired, true)
+      // a SUCCESSFUL swap supersedes the previous retirement generation
+      retireTo(fs, dst, "_pre_swap", prior, replace = true)
       if (prior.nonEmpty) {
-        fs.mkdirs(retired)
-        prior.foreach(rel => mv(new org.apache.hadoop.fs.Path(dst, rel),
-          new org.apache.hadoop.fs.Path(retired, rel)))
         // partition dirs the swap emptied would linger as stale col=value
         // entries; prune fully-empty ones bottom-up
         def prune(p: org.apache.hadoop.fs.Path): Unit =
@@ -382,22 +467,43 @@ object Layout {
   def readDir(spark: SparkSession, dir: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    manifestRead(fs, root,
+      plan = _ => spark.read.parquet(dir),
+      list = () => relDataFiles(fs, root)
+        .map(rel => new org.apache.hadoop.fs.Path(rel).getName).toSet,
+      exhausted = valid => fileNameFiltered(spark.read.parquet(dir), valid))
+  }
+
+  /** The ONE manifest-pinned read state machine [[readTable]] and
+    * [[readDir]] share (r18 review — two hand-kept copies of the
+    * generation-stability retry would silently diverge at the next fix):
+    * read manifest (gen0) → `plan` → `list` the present data files →
+    * re-read the manifest; a stable generation serves the plan (filtered
+    * to the manifest set unless the listing already equals it), a moved
+    * generation retries, and exhaustion (sustained swaps — excluded by
+    * the single-writer contract) re-plans via `exhausted`, NEVER serving
+    * the pre-swap plan. `plan` receives whether a manifest governs the
+    * source (true everywhere except the manifest-less fallback) — the
+    * hook where readTable refreshes its cached catalog listing; path
+    * reads list fresh per plan and ignore it.
+    */
+  private def manifestRead(fs: org.apache.hadoop.fs.FileSystem,
+      loc: org.apache.hadoop.fs.Path, plan: Boolean => DataFrame,
+      list: () => Set[String], exhausted: Set[String] => DataFrame): DataFrame = {
     def attempt(retries: Int): DataFrame =
-      readManifest(fs, root) match {
-        case None => spark.read.parquet(dir)
+      readManifest(fs, loc) match {
+        case None => plan(false)
         case Some((gen0, _, _)) =>
-          val t = spark.read.parquet(dir)
-          val present = relDataFiles(fs, root)
-            .map(rel => new org.apache.hadoop.fs.Path(rel).getName).toSet
-          readManifest(fs, root) match {
+          val t = plan(true)
+          val present = list()
+          // the POST-listing manifest is the authority; a generation that
+          // moved during the listing retries
+          readManifest(fs, loc) match {
             case Some((gen, valid, _)) if gen == gen0 =>
               if (present == valid) t else fileNameFiltered(t, valid)
             case Some(_) if retries > 0 => attempt(retries - 1)
-            case Some((_, valid, _)) =>
-              // exhaustion: re-plan over the freshest listing, constrained
-              // to the manifest set — never the pre-swap plan
-              fileNameFiltered(spark.read.parquet(dir), valid)
-            case None => spark.read.parquet(dir)
+            case Some((_, valid, _)) => exhausted(valid)
+            case None => plan(false)
           }
       }
     attempt(retries = 3)
@@ -446,27 +552,19 @@ object Layout {
   def readTable(spark: SparkSession, table: String): DataFrame = {
     val loc = tablePath(spark, table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def attempt(retries: Int): DataFrame =
-      readManifest(fs, loc) match {
-        case None => spark.table(table)
-        case Some((gen0, _, _)) =>
-          spark.catalog.refreshTable(table)
-          val t = spark.table(table)
-          val present = dataFileNames(fs, loc)
-          // the POST-listing manifest is the authority; a generation that
-          // moved during the listing retries
-          readManifest(fs, loc) match {
-            case Some((gen, valid, _)) if gen == gen0 =>
-              if (present == valid) t else fileNameFiltered(t, valid)
-            case Some(_) if retries > 0 => attempt(retries - 1)
-            case Some((_, valid, _)) =>
-              // exhaustion (sustained swaps — excluded by the single-writer
-              // contract): NEVER serve the pre-swap plan
-              manifestView(spark, table, valid)
-            case None => spark.table(table)
-          }
-      }
-    attempt(retries = 3)
+    manifestRead(fs, loc,
+      plan = governed => {
+        // a manifest-governed table is ALWAYS refreshed first (r17
+        // review): the session catalog caches the file listing, so a
+        // reader whose session saw the table before an EXTERNAL writer's
+        // swap would otherwise plan over the stale listing — missing
+        // moved-in files (silent row loss behind the filter) or
+        // referencing retired ones (FileNotFound at exec)
+        if (governed) spark.catalog.refreshTable(table)
+        spark.table(table)
+      },
+      list = () => dataFileNames(fs, loc),
+      exhausted = valid => manifestView(spark, table, valid))
   }
 
   private def fileNameFiltered(t: DataFrame, valid: Set[String]): DataFrame = {
@@ -733,7 +831,8 @@ object Layout {
     */
   def mergeBucketed(spark: SparkSession, table: String, key: String,
       buckets: Int, delta: DataFrame,
-      deleteCol: Option[String] = None): Unit = layoutLock.synchronized {
+      deleteCol: Option[String] = None): Unit =
+    layoutLock.synchronized { tableLock(table).synchronized {
     import org.apache.spark.sql.functions._
     require(spark.catalog.tableExists(table),
       s"mergeBucketed target '$table' does not exist — create it with writeBucketed first")
@@ -843,10 +942,11 @@ object Layout {
       spark.sql(s"DROP TABLE `$staging`")
       spark.catalog.refreshTable(table)
     } finally deltaRdd.unpersist(blocking = false)
-  }
+  }}
 
   def compactBucketed(spark: SparkSession, table: String, key: String,
-      buckets: Int): Unit = layoutLock.synchronized {
+      buckets: Int): Unit =
+    layoutLock.synchronized { tableLock(table).synchronized {
     val staging = s"${table}_compacting"
     // auto-recover a crash between a previous run's DROP and RENAME: the
     // full table is sitting under the staging name
@@ -883,5 +983,5 @@ object Layout {
     writeBucketed(src, staging, key, buckets, hwm)
     spark.sql(s"DROP TABLE `$table`")
     spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
-  }
+  }}
 }

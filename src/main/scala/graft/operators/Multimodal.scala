@@ -607,9 +607,13 @@ object Multimodal {
     * corpus — a clip sharing even one near-identical frame with an
     * earlier clip is re-used footage). `quorum` relaxes the rule for
     * deployments that want to KEEP partial re-edits: a clip dies only
-    * when ≥ `quorum` of its distinct frame hashes each match some
-    * earlier clip's frame; the default (1) is exactly the any-frame
-    * rule. Output: (doc_id, n_frame_hashes, keep); clips with zero
+    * when ≥ min(quorum, its distinct-hash count) of its frame hashes
+    * each match some earlier clip's frame — the min term so a clip with
+    * FEWER hashes than the quorum (short/static clips) still dies when
+    * ALL of them match (r18 review: an absolute count would silently
+    * exempt full re-posts of such clips from dedup); the default (1) is
+    * exactly the any-frame rule.
+    * Output: (doc_id, n_frame_hashes, keep); clips with zero
     * decodable frames emit no row (no evidence, no verdict — the C50
     * undecodable-payload convention).
     *
@@ -637,7 +641,7 @@ object Multimodal {
       .agg(count(lit(1)).as("n_frame_hashes"),
         sum(when(col("keep"), 0L).otherwise(1L)).as("killed"))
       .select(col("doc_id"), col("n_frame_hashes"),
-        (col("killed") < quorum.toLong).as("keep"))
+        (col("killed") < least(lit(quorum.toLong), col("n_frame_hashes"))).as("keep"))
   }
 
   /** C53 — q_video_dedup: perceptual near-dup verdicts over the video

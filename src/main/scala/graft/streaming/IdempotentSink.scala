@@ -55,19 +55,36 @@ object IdempotentSink {
     * with the id committed, a concurrent ZOMBIE re-delivery of the same
     * id may still be mid-write into its staging dir — its publish can
     * never win (the commit exists), but sweeping under it turns its clean
-    * lost-race no-op into opaque missing-file write errors. Staging dirs
-    * younger than the grace are left for a later delivery's sweep; nested
-    * copies inside `committed` are always reclaimed (they only appear via
-    * a completed — lost — rename, never under a live writer).
+    * lost-race no-op into opaque missing-file write errors. Age is the
+    * NEWEST mtime in the staging subtree, not the dir's own (r18 review:
+    * task files land under `_temporary/` without bumping the dir, so a
+    * write merely LONGER than the grace would read as stale by dir
+    * mtime) — any recent write activity protects the dir; the recursive
+    * walk costs O(one in-flight batch's files), paid only when same-id
+    * leftovers exist at all. Staging younger than the grace waits for a
+    * later delivery's sweep; nested copies inside `committed` are always
+    * reclaimed (they only appear via a completed — lost — rename, never
+    * under a live writer).
     */
   private def reclaim(fs: FileSystem, root: Path, committed: Path,
       batchId: Long, stagingGraceMs: Long = 0L): Unit = {
     val prefix = s".s-$batchId-"
     val sr = stagingRoot(root)
     val cutoff = System.currentTimeMillis() - stagingGraceMs
+    // a subtree that VANISHES mid-walk (the zombie published or swept it
+    // concurrently — the very race the gate exists for) must read as
+    // "don't touch", not crash the no-op fast path (r18 review): report
+    // it as maximally fresh and let a later delivery sweep what remains.
+    // Recurses on the FileStatus already in hand — no per-dir re-stat RPC.
+    def newestMtime(st: org.apache.hadoop.fs.FileStatus): Long =
+      try {
+        val kids = if (st.isDirectory) fs.listStatus(st.getPath)
+                   else Array.empty[org.apache.hadoop.fs.FileStatus]
+        (Seq(st.getModificationTime) ++ kids.map(newestMtime)).max
+      } catch { case _: java.io.FileNotFoundException => Long.MaxValue }
     if (fs.exists(sr))
       fs.listStatus(sr).filter(s => s.getPath.getName.startsWith(prefix)
-          && s.getModificationTime <= cutoff)
+          && (stagingGraceMs <= 0L || newestMtime(s) <= cutoff))
         .foreach(s => fs.delete(s.getPath, true))
     if (fs.exists(committed))
       fs.listStatus(committed).filter(_.getPath.getName.startsWith(prefix))

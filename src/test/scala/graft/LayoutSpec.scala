@@ -818,6 +818,38 @@ class LayoutSpec extends GraftSuite {
     assert(new java.io.File(tableLoc("b_eo_crash"), "_pre_merge").exists())
   }
 
+  test("an ad-hoc appendBucketed between a crash and the restart does not bless the crashed files") {
+    // the r18 review's coexistence hole: a crashed delivery's files sit
+    // unmanifested; an operator runs a plain appendBucketed before
+    // restarting the stream. If that append manifested the RAW listing,
+    // the crashed files would be blessed and the id's re-delivery would
+    // land the batch twice. appendBucketed must retire them exactly like
+    // appendBucketedBatch does — and must carry the hwm.
+    import spark.implicits._
+    val base = (0L until 40L).map(k => (k, k * 10)).toDF("o_orderkey", "o_custkey")
+    Layout.writeBucketed(base, "b_eo_adhoc", "o_orderkey", 4)
+    val batch = (100L until 110L).map(k => (k, k)).toDF("o_orderkey", "o_custkey")
+    assert(Layout.appendBucketedBatch(batch, "b_eo_adhoc", "o_orderkey", 4, 0L))
+    // batch 1 crashes after its parquet job, before its manifest
+    val crashed = (200L until 210L).map(k => (k, k)).toDF("o_orderkey", "o_custkey")
+    crashed.repartition(4, col("o_orderkey"))
+      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .mode("append").format("parquet").saveAsTable("b_eo_adhoc")
+    // the ad-hoc append: crashed files retire, hwm survives
+    val adhoc = (300L until 305L).map(k => (k, k)).toDF("o_orderkey", "o_custkey")
+    Layout.appendBucketed(adhoc, "b_eo_adhoc", "o_orderkey", 4)
+    assert(manifestOf("b_eo_adhoc")._3 == 0L, "ad-hoc append carries the ingest hwm")
+    assert(Layout.readTable(spark, "b_eo_adhoc")
+      .where(col("o_orderkey") === 200L).count() == 0,
+      "crashed files must not be blessed by the ad-hoc append")
+    // the stream restarts and re-delivers batch 1: lands exactly once
+    assert(Layout.appendBucketedBatch(crashed, "b_eo_adhoc", "o_orderkey", 4, 1L))
+    val t = Layout.readTable(spark, "b_eo_adhoc")
+    assert(t.count() == 40 + 10 + 5 + 10, s"got ${t.count()}")
+    assert(t.where(col("o_orderkey") === 200L).count() == 1,
+      "the re-delivered batch lands exactly once")
+  }
+
   test("writePartitioned swaps staged: readDir pins pre-or-post, never partial or union") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("staged-part").toString + "/t"

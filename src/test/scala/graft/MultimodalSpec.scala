@@ -270,14 +270,18 @@ class MultimodalSpec extends GraftSuite {
     val a = Multimodal.pngBytes(1000L, 24, 16)
     val b = Multimodal.pngBytes(1000L + 64, 24, 16)
     val c = Multimodal.pngBytes(1000L + 128, 24, 16)
+    // clip 4: a SINGLE-frame re-post (one distinct hash, a copy of A) —
+    // with fewer hashes than the quorum it must still die when all of
+    // them match (the min(quorum, n) term)
     val fixture = Seq((1L, 0, a), (1L, 1, b), (2L, 0, a), (2L, 1, c),
-      (3L, 0, a), (3L, 1, b)).toDF("doc_id", "frame", "frame_bytes")
+      (3L, 0, a), (3L, 1, b), (4L, 0, a)).toDF("doc_id", "frame", "frame_bytes")
     def verdicts(q: Int): Map[Long, Boolean] =
       Multimodal.frameDedup(fixture, maxHamming = 3, quorum = q).collect()
         .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
-    // reference from the DEFINITION: kill iff ≥ q of the clip's distinct
-    // frame hashes each sit within tolerance of some earlier clip's hash
-    val hashes = Seq((1L, a), (1L, b), (2L, a), (2L, c), (3L, a), (3L, b))
+    // reference from the DEFINITION: kill iff ≥ min(q, #hashes) of the
+    // clip's distinct frame hashes each sit within tolerance of some
+    // earlier clip's hash
+    val hashes = Seq((1L, a), (1L, b), (2L, a), (2L, c), (3L, a), (3L, b), (4L, a))
       .flatMap { case (id, bytes) => Multimodal.dhash64(bytes).map(id -> _) }
       .distinct
     def brute(q: Int): Map[Long, Boolean] =
@@ -286,13 +290,13 @@ class MultimodalSpec extends GraftSuite {
         val earlier = hashes.filter(_._1 < id).map(_._2)
         val killed = mine.count(h => earlier.exists(h2 =>
           java.lang.Long.bitCount(h ^ h2) <= 3))
-        id -> (killed < q)
+        id -> (killed < math.min(q, mine.size))
       }.toMap
     Seq(1, 2).foreach(q => assert(verdicts(q) == brute(q), s"q=$q"))
-    assert(verdicts(1) == Map(1L -> true, 2L -> false, 3L -> false),
+    assert(verdicts(1) == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false),
       "default quorum IS the any-frame rule")
-    assert(verdicts(2) == Map(1L -> true, 2L -> true, 3L -> false),
-      "q=2 keeps the partial re-edit, kills the full re-post")
+    assert(verdicts(2) == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false),
+      "q=2 keeps the partial re-edit, still kills full re-posts — long or single-frame")
   }
 
   test("q_video_dedup: verdicts equal the brute-force any-frame rule on the corpus clips") {
