@@ -148,6 +148,19 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("Window"), "no window over the fanned rows")
   }
 
+  test("q_benchmark_exposure broadcasts both benchmark sides; no window, bounded exchanges") {
+    val p = plan("q_benchmark_exposure")
+    // n-gram side: corpus grams probe the broadcast benchmark grams;
+    // semantic side: the C55 BNLJ with the capped benchmark shipped
+    assert(p.contains("BroadcastHashJoin") && p.contains("BroadcastNestedLoopJoin"), p)
+    // both reductions are partial aggs — the keyed exchanges carry
+    // (item, doc) hit pairs and one best-match row per (item, partition),
+    // never raw text/vectors; the rk=1 selection is a struct-max, not a
+    // window over the |corpus|x|bench| fan-out
+    assert(!p.contains("Window"), "no window over the fanned rows")
+    assert(shuffles(p) <= 6, s"corpus text/vectors must not shuffle raw:\n$p")
+  }
+
   test("q_repeated_spans is scan + one aggregation keyed by the span hash") {
     val p = plan("q_repeated_spans")
     // distinct-count rewrites to a two-phase agg: (span) then (span,doc)
