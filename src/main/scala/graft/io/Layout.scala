@@ -684,6 +684,62 @@ object Layout {
     * sized from the actual input bytes; `repartition` (round-robin, no
     * key) rebalances evenly without assuming any distribution.
     */
+  /** Retention maintenance for layout-managed locations — the VACUUM of
+    * this layer (Delta/Iceberg's analogue, scoped to what this layer
+    * actually retires): every swap/merge/crash-heal PARKS superseded
+    * files under `_pre_merge`/`_pre_swap` (hand-recoverable, invisible to
+    * scans) and a crashed stagedSwap can leave a `.swap-<uuid>` staging
+    * dir; nothing deletes the parked bytes until the NEXT maintenance
+    * pass happens to replace them. On a 100 TB table under a continuous
+    * CDC cadence that is real disk; this op deletes retired files and
+    * stale staging dirs whose newest mtime is older than `retentionMs`
+    * and returns how many files went.
+    *
+    * Touches ONLY the retirement dirs and `.swap-*` staging — never live
+    * data, never the manifest, so readers and the zero-Exchange contract
+    * are unaffected at any retention. The retention must exceed the
+    * longest window a recovery could still want the bytes (the Delta
+    * VACUUM discipline; 0 reclaims everything now). Holds the per-dir
+    * lock so a concurrent swap's in-flight staging or mid-retirement
+    * event is never swept — the same newest-mtime age rule as the
+    * IdempotentSink reclaim gate protects cross-process writers.
+    */
+  def vacuum(spark: SparkSession, dir: String,
+      retentionMs: Long): Long = tableLock(s"dir:$dir").synchronized {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0L
+    val cutoff = System.currentTimeMillis() - retentionMs
+    def newest(st: org.apache.hadoop.fs.FileStatus): Long =
+      try {
+        val kids = if (st.isDirectory) fs.listStatus(st.getPath)
+                   else Array.empty[org.apache.hadoop.fs.FileStatus]
+        (Seq(st.getModificationTime) ++ kids.map(newest)).max
+      } catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+    def countFiles(p: org.apache.hadoop.fs.Path): Long =
+      fs.listStatus(p).map(s =>
+        if (s.isDirectory) countFiles(s.getPath) else 1L).sum
+    var reclaimed = 0L
+    fs.listStatus(root).foreach { s =>
+      val n = s.getPath.getName
+      val sweepable = (n == "_pre_merge" || n == "_pre_swap"
+        || n.startsWith(".swap-")) && s.isDirectory
+      if (sweepable && newest(s) <= cutoff) {
+        reclaimed += countFiles(s.getPath)
+        fs.delete(s.getPath, true)
+      }
+    }
+    reclaimed
+  }
+
+  /** [[vacuum]] for a bucketed catalog table (resolves the location and
+    * serializes on the table's lock like the append/merge paths).
+    */
+  def vacuumTable(spark: SparkSession, table: String,
+      retentionMs: Long): Long = tableLock(table).synchronized {
+    vacuum(spark, tablePath(spark, table).toString, retentionMs)
+  }
+
   def compact(spark: SparkSession, inDir: String, outDir: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     val in = new org.apache.hadoop.fs.Path(inDir)

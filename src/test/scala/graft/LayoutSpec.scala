@@ -850,6 +850,45 @@ class LayoutSpec extends GraftSuite {
       "the re-delivered batch lands exactly once")
   }
 
+  test("vacuum reclaims aged retirement dirs and stale staging, never live data") {
+    import spark.implicits._
+    // bucketed table: a merge retires files into _pre_merge
+    val base = (0L until 40L).map(k => (k, k * 10, k * 1.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    Layout.writeBucketed(base, "b_vac", "o_orderkey", 4)
+    Layout.mergeBucketed(spark, "b_vac", "o_orderkey", 4,
+      Seq((1L, 99L, 9.9)).toDF("o_orderkey", "o_custkey", "o_totalprice"))
+    val loc = tableLoc("b_vac")
+    assert(new java.io.File(loc, "_pre_merge").exists(), "fixture: merge retired files")
+    val before = Layout.readTable(spark, "b_vac").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // retention not yet reached → nothing reclaimed
+    assert(Layout.vacuumTable(spark, "b_vac", retentionMs = 3600_000L) == 0L)
+    assert(new java.io.File(loc, "_pre_merge").exists())
+    // aged out → retirement reclaimed, live table byte-identical
+    assert(Layout.vacuumTable(spark, "b_vac", retentionMs = 0L) > 0L)
+    assert(!new java.io.File(loc, "_pre_merge").exists())
+    assert(Layout.readTable(spark, "b_vac").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet == before)
+    assert(manifestOf("b_vac")._2 == loc.listFiles().map(_.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith(".")).toSet,
+      "manifest untouched by vacuum")
+    // staged dir: a swap's _pre_swap + a planted crashed .swap- staging
+    val dir = java.nio.file.Files.createTempDirectory("vac-dir").toString + "/t"
+    val v1 = (0L until 10L).map(k => (k, "a")).toDF("id", "p")
+    Layout.writePartitioned(v1, dir, "p")
+    Layout.writePartitioned((10L until 15L).map(k => (k, "b")).toDF("id", "p"), dir, "p")
+    val root = new java.io.File(new java.io.File(dir).getCanonicalPath)
+    assert(new java.io.File(root, "_pre_swap").exists())
+    val ghost = new java.io.File(root, ".swap-deadbeef")
+    (20L until 22L).map(k => (k, "c")).toDF("id", "p")
+      .write.parquet(new java.io.File(ghost, "stage").toString)
+    assert(Layout.vacuum(spark, dir, retentionMs = 0L) > 0L)
+    assert(!new java.io.File(root, "_pre_swap").exists() && !ghost.exists())
+    assert(Layout.readDir(spark, dir).select("id").as[Long].collect().toSet
+      == (10L until 15L).toSet, "live post-swap table untouched")
+  }
+
   test("writePartitioned swaps staged: readDir pins pre-or-post, never partial or union") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("staged-part").toString + "/t"
