@@ -740,6 +740,83 @@ object Layout {
     vacuum(spark, tablePath(spark, table).toString, retentionMs)
   }
 
+  /** Right-to-erasure on a bucketed table (GDPR Art. 17 — the DELETE +
+    * VACUUM(0) discipline): tombstone-merge every row whose `key` is in
+    * `keys` out of the table, then PURGE the retirement dirs immediately
+    * — [[mergeBucketed]] deliberately parks replaced files under
+    * `_pre_merge` for hand recovery, which is exactly what erasure must
+    * NOT leave behind; after this call the keys' bytes are gone from the
+    * location, not merely unreferenced. Returns the number of distinct
+    * keys requested (whether or not present — erasure of an absent key
+    * is vacuously done).
+    *
+    * `keys` is a DataFrame (first column = the ids; any name) because an
+    * erasure batch can be large — it is distinct'd and pinned once
+    * (localCheckpoint, the merge's own rationale: a non-deterministic
+    * keys plan re-evaluating between the count and the merge would make
+    * the return value disagree with the set actually erased), and costs
+    * one mergeBucketed: only the buckets containing requested keys
+    * rewrite. The column's dtype must EQUAL the table key's — the
+    * mergeBucketed discipline; a convenience cast here would silently
+    * truncate 7.5→7 or wrap an overflowing id and destroy the WRONG
+    * user's rows, the one failure an erasure API must never risk. The
+    * bucket count comes from the CATALOG, not a parameter — a
+    * wrong caller-supplied count would rewrite the wrong buckets,
+    * leaving the victim's rows live while reporting success.
+    * Caveat, documented: the purge drops ALL retained generations at the
+    * location (a previous merge's recovery copies included) — the price
+    * of a hard erasure guarantee; and erasure here covers THIS table's
+    * location only, not downstream copies a pipeline may hold.
+    */
+  def forgetKeys(spark: SparkSession, table: String, key: String,
+      keys: DataFrame): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val buckets = meta.bucketSpec.getOrElse(sys.error(
+      s"forgetKeys target '$table' is not bucketed")).numBuckets
+    val schema = spark.table(table).schema
+    val keyType = schema(key).dataType
+    val inType = keys.schema(keys.columns.head).dataType
+    require(inType == keyType,
+      s"forgetKeys ids are ${inType.simpleString} but the table key is " +
+        s"${keyType.simpleString} — cast the id batch EXACTLY upstream " +
+        "(a silent cast could truncate/wrap and erase the wrong key)")
+    val kRdd = keys.select(col(keys.columns.head).as(key))
+      .where(col(key).isNotNull).distinct().rdd
+    kRdd.localCheckpoint()
+    val k = spark.createDataFrame(kRdd,
+      org.apache.spark.sql.types.StructType(Seq(schema(key).copy(name = key))))
+    try {
+      val nKeys = k.count()
+      // a full-schema all-tombstone delta in ONE projection (per-column
+      // withColumn is the quadratic-analyzer anti-pattern on wide tables):
+      // non-key columns ride as typed nulls — they never land, the
+      // deleteCol path drops flagged rows
+      val delta = k.select(
+        col(key) +:
+          schema.fields.filterNot(_.name == key).toSeq
+            .map(f => lit(null).cast(f.dataType).as(f.name)) :+
+          lit(true).as("__tombstone"): _*)
+      mergeBucketed(spark, table, key, buckets, delta, Some("__tombstone"))
+      // purge DIRECTLY and verify — the retention-gated vacuum's
+      // newest-mtime comparison mixes the driver's clock with the storage
+      // system's (a storage clock 1 ms ahead would silently SKIP the
+      // sweep), and erasure cannot return success with the bytes still
+      // recoverable
+      tableLock(table).synchronized {
+        val loc = tablePath(spark, table)
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        Seq("_pre_merge", "_pre_swap").foreach { d =>
+          val p = new org.apache.hadoop.fs.Path(loc, d)
+          fs.delete(p, true)
+          require(!fs.exists(p), s"forgetKeys: purging $p failed — erasure NOT complete")
+        }
+      }
+      nKeys
+    } finally kRdd.unpersist(blocking = false)
+  }
+
   def compact(spark: SparkSession, inDir: String, outDir: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     val in = new org.apache.hadoop.fs.Path(inDir)

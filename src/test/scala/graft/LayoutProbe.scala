@@ -43,12 +43,64 @@ object LayoutProbe {
       if (ex > 0) println(p.take(3000))
     }
     if (args.length > 1 && args(1) == "merge") mergeProbe(spark, dir)
+    else if (args.length > 1 && args(1) == "ingest") ingestProbe(spark, dir)
     else {
       run("call-1")
       run("call-2")
       run("call-3")
     }
     spark.stop()
+  }
+
+  /** B14 at scale: exactly-once micro-batch append into the bucketed sf10
+    * lineitem — times the full build vs one ~1% batch append (data cost +
+    * the O(live files) manifest rewrite) vs the re-delivery no-op
+    * (metadata only), and asserts base files untouched + zero-Exchange
+    * preserved + the no-op appended nothing.
+    *
+    * Run: sbt -J-Xmx64g "Test/runMain graft.LayoutProbe testdata/sf10 ingest"
+    */
+  private def ingestProbe(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.io.Layout
+    val table = "probe_ingest_lineitem"
+    val buckets = 16
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    def inventory(): Map[String, (Long, Long)] = {
+      val loc = new java.io.File(new java.net.URI(
+        spark.sql(s"DESCRIBE TABLE EXTENDED `$table`")
+          .where(col("col_name") === "Location").first().getString(1)))
+      loc.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    }
+    val (base, batch) = (li.where(pmod(col("l_orderkey"), lit(97)) =!= 0),
+      li.where(pmod(col("l_orderkey"), lit(97)) === 0))
+    val t0 = System.nanoTime()
+    Layout.writeBucketed(base, table, "l_orderkey", buckets)
+    val built = (System.nanoTime() - t0) / 1e9
+    val before = inventory()
+    val baseRows = spark.table(table).count()
+    val batchRows = batch.count()
+    val t1 = System.nanoTime()
+    require(Layout.appendBucketedBatch(batch, table, "l_orderkey", buckets, 0L))
+    val appended = (System.nanoTime() - t1) / 1e9
+    val t2 = System.nanoTime()
+    require(!Layout.appendBucketedBatch(batch, table, "l_orderkey", buckets, 0L))
+    val noop = (System.nanoTime() - t2) / 1e9
+    val after = inventory()
+    val baseUntouched = before.forall { case (n, m) => after.get(n).contains(m) }
+    val total = Layout.readTable(spark, table).count()
+    val t = Layout.readTable(spark, table)
+    val p = t.join(t.groupBy("l_orderkey").count(), "l_orderkey")
+      .queryExecution.explainString(FormattedMode)
+    val ex = p.linesIterator.count(_.matches("""^\(\d+\) Exchange\s*$"""))
+    println(f"[probe] ingest: base=$baseRows%,d batch=$batchRows%,d " +
+      f"build=$built%.1f s append=$appended%.1f s redeliveryNoop=$noop%.3f s " +
+      f"baseFilesUntouched=$baseUntouched exchanges=$ex")
+    require(baseUntouched, "the base table's files must be byte-identical after append")
+    require(total == baseRows + batchRows, "re-delivery must not duplicate the batch")
+    require(ex == 0, "zero-Exchange contract must survive the streamed append")
+    spark.sql(s"DROP TABLE `$table`")
   }
 
   private def mergeProbe(spark: SparkSession, dir: String): Unit = {

@@ -889,6 +889,50 @@ class LayoutSpec extends GraftSuite {
       == (10L until 15L).toSet, "live post-swap table untouched")
   }
 
+  test("forgetKeys erases the keys' BYTES from the location, not just the references") {
+    import spark.implicits._
+    val base = (0L until 40L).map(k => (k, k * 10, s"user-$k"))
+      .toDF("o_orderkey", "o_custkey", "name")
+    Layout.writeBucketed(base, "b_forget", "o_orderkey", 4)
+    // a prior CDC merge parks key 5's ORIGINAL row under _pre_merge — the
+    // recovery copy an erasure must also purge
+    Layout.mergeBucketed(spark, "b_forget", "o_orderkey", 4,
+      Seq((5L, 555L, "user-5-v2")).toDF("o_orderkey", "o_custkey", "name"))
+    val loc = tableLoc("b_forget")
+    assert(new java.io.File(loc, "_pre_merge").exists(), "fixture: recovery copy parked")
+    val n = Layout.forgetKeys(spark, "b_forget", "o_orderkey",
+      Seq(5L, 7L, 7L, 999L).toDF("id"))
+    // an id batch whose dtype differs from the table key is rejected
+    // loudly — a silent cast could erase the WRONG key
+    val te = intercept[IllegalArgumentException] {
+      Layout.forgetKeys(spark, "b_forget", "o_orderkey", Seq(5.0).toDF("id"))
+    }
+    assert(te.getMessage.contains("cast the id batch"), te.getMessage)
+    assert(n == 3, "distinct requested keys (absent ones vacuously erased)")
+    val t = Layout.readTable(spark, "b_forget")
+    assert(t.where(col("o_orderkey").isin(5L, 7L)).count() == 0)
+    assert(t.count() == 38, "every other row survives")
+    // the hard guarantee: NO file anywhere under the location still holds
+    // the keys — recovery copies purged, affected buckets rewritten
+    assert(!new java.io.File(loc, "_pre_merge").exists(), "recovery copies purged")
+    val allFiles = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(loc).filter(_.getName.endsWith(".parquet"))
+    }
+    val residual = spark.read.parquet(allFiles.map(_.toString): _*)
+      .where(col("o_orderkey").isin(5L, 7L)).count()
+    assert(residual == 0, "no surviving file may hold the erased keys' bytes")
+    // layout contract intact
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = t.join(t.groupBy("o_orderkey").count(), "o_orderkey")
+        .queryExecution.explainString(FormattedMode)
+      assert(p.contains("Bucketed: true") && shuffles(p) == 0, p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("writePartitioned swaps staged: readDir pins pre-or-post, never partial or union") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("staged-part").toString + "/t"
