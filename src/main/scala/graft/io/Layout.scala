@@ -823,9 +823,21 @@ object Layout {
     val fs = in.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(in).getLength
     val parts = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    spark.read.parquet(inDir).repartition(parts)
-      .write.mode("overwrite").parquet(outDir)
+    // staged (r18): a RE-compaction to a live outDir is the normal
+    // incremental cadence, and the in-place overwrite was the same
+    // partial-table reader window writePartitioned/zorderWrite closed
+    writeStaged(spark.read.parquet(inDir).repartition(parts), outDir)
   }
+
+  /** Plain staged overwrite of an unpartitioned parquet dir — the public
+    * face of [[stagedSwap]] for outputs that are small or flat (a
+    * monitoring aggregate, a compaction target): the rewrite lands whole
+    * and swaps; a [[readDir]] reader pins pre- or post-swap, never a
+    * partial table.
+    */
+  def writeStaged(df: DataFrame, dir: String): Unit =
+    stagedSwap(df.sparkSession, dir,
+      tmp => df.write.mode("overwrite").parquet(tmp))
 
   /** Z-order (Morton-curve) clustering for TWO-dimensional min/max file
     * skipping: each column QUANTILE-scales to 16 bits, the interleaved

@@ -339,7 +339,10 @@ object EventsStream {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(s"inc_${math.abs(checkpoint.hashCode)}")
-      .write.mode("overwrite").parquet(outDir)
+    // staged (r18): each incremental invocation REPLACES outDir — the
+    // exact live-overwrite window Layout's staged writers close; a
+    // monitoring reader racing the refresh pins pre- or post-swap
+    graft.io.Layout.writeStaged(
+      spark.table(s"inc_${math.abs(checkpoint.hashCode)}"), outDir)
   }
 }
