@@ -2145,6 +2145,49 @@ object Oracles {
       |            END AS BIGINT) AS ks_ppm
       |FROM a""".stripMargin
 
+  /** E23 q_drift_psi — PSI per event type between the time halves: pure
+    * integer 16-bin assignment, add-one smoothing, and each bin's double
+    * contribution rounded to 1e-6 units BEFORE the BIGINT sum (order-free
+    * — a double Σ would diverge engines on reassociation alone).
+    * Contributions are ≥ 0, so DuckDB's half-away-from-zero round equals
+    * Spark's HALF_UP.
+    */
+  val driftPsi: String =
+    """WITH e AS MATERIALIZED (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents, epoch_ms(ts) AS ms FROM events),
+      |bnd AS MATERIALIZED (
+      |  SELECT min(cents) AS mn, max(cents) AS mx, (min(ms) + max(ms)) // 2 AS mid FROM e),
+      |b AS MATERIALIZED (
+      |  SELECT event_type,
+      |         least(15, ((cents - (SELECT mn FROM bnd)) * 16)
+      |                   // ((SELECT mx FROM bnd) - (SELECT mn FROM bnd) + 1)) AS bin,
+      |         CASE WHEN ms < (SELECT mid FROM bnd) THEN 1 ELSE 0 END AS f
+      |  FROM e),
+      |g AS MATERIALIZED (
+      |  SELECT event_type, bin, sum(f)::BIGINT AS c1, sum(1 - f)::BIGINT AS c2
+      |  FROM b GROUP BY 1, 2),
+      |grid AS MATERIALIZED (
+      |  SELECT t.event_type, bb.bin FROM (SELECT DISTINCT event_type FROM g) t
+      |  CROSS JOIN (SELECT unnest(range(16)) AS bin) bb),
+      |full_ AS MATERIALIZED (
+      |  SELECT grid.event_type, grid.bin,
+      |         coalesce(g.c1, 0) AS c1, coalesce(g.c2, 0) AS c2
+      |  FROM grid LEFT JOIN g ON grid.event_type = g.event_type AND grid.bin = g.bin),
+      |w AS MATERIALIZED (
+      |  SELECT event_type, c1, c2,
+      |         sum(c1) OVER (PARTITION BY event_type) AS n1,
+      |         sum(c2) OVER (PARTITION BY event_type) AS n2
+      |  FROM full_),
+      |c AS MATERIALIZED (
+      |  SELECT event_type, n1, n2,
+      |         CAST(round((((c1 + 1)::DOUBLE / (n1 + 16)) - ((c2 + 1)::DOUBLE / (n2 + 16)))
+      |           * ln(((c1 + 1)::DOUBLE / (n1 + 16)) / ((c2 + 1)::DOUBLE / (n2 + 16)))
+      |           * 1000000) AS BIGINT) AS contrib
+      |  FROM w)
+      |SELECT event_type, CAST(any_value(n1) AS BIGINT) AS n1,
+      |       CAST(any_value(n2) AS BIGINT) AS n2, sum(contrib)::BIGINT AS psi_x1e6
+      |FROM c GROUP BY 1""".stripMargin
+
   /** E21 q_copurchase — the basket-size cap applies per order BEFORE pair
     * generation (mirrors the Spark plan's maxBasket guard; never binds on
     * this corpus), then a distinct-pair self-join stands in for the in-row

@@ -315,6 +315,8 @@ object SparkEntry {
     // q_drift_ks: exact two-sample KS drift per event type (first vs
     // second time half) — histogram-domain windows, DECIMAL cross products
     "q_drift_ks"           -> ((s, d) => Analytics.driftKs(s, d)),
+    // q_drift_psi: PSI — the mass-of-shift companion to KS's worst-point
+    "q_drift_psi"          -> ((s, d) => Analytics.driftPsi(s, d)),
     // q_validate_release: the composed data-validation gate — one verdict
     // row per check (profile, dup rate, outlier mass, drift KS), all
     // exact-integer, five checks on one documents scan
@@ -645,6 +647,7 @@ object SparkEntry {
     "q_jsonl_roundtrip" -> Oracles.jsonlRoundtrip,
     "q_event_transitions" -> Oracles.eventTransitions,
     "q_drift_ks"        -> Oracles.driftKs,
+    "q_drift_psi"       -> Oracles.driftPsi,
     "q_validate_release" -> Oracles.validateRelease,
     "q_copurchase"      -> Oracles.copurchase,
     "q_entity_resolve"  -> Oracles.entityResolve,

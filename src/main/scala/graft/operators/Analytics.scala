@@ -331,6 +331,59 @@ object Analytics {
         sum(when(col("ms") >= col("mid"), 1L).otherwise(0L)).as("c2")))
   }
 
+  /** E23 — q_drift_psi: Population Stability Index per event type between
+    * the time halves — the monitoring industry's standard companion to
+    * E20's KS (KS reads the worst single point of cdf divergence; PSI
+    * reads the MASS of the shift across the whole distribution, the
+    * number scorecard/feature-drift dashboards threshold at 0.1/0.25):
+    * PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i), here over `bins` equal-width
+    * cents bins with add-one smoothing (empty bins are log(0) otherwise;
+    * Laplace is the standard fix and keeps every bin defined).
+    *
+    * Cross-engine determinism (the 4dp-cosine discipline applied to a
+    * log): binning is pure integer arithmetic (`(cents−mn)·bins div
+    * span`), and each bin's double contribution is ROUNDED TO 1e-6 UNITS
+    * AND SUMMED AS BIGINT — an order-free exact sum, so FP summation
+    * order can never diverge the engines (a double Σ would hash-mismatch
+    * on reassociation alone). Output: (event_type, n1, n2, psi_x1e6).
+    *
+    * Scale shape: E20's exactly — one narrow scan + a 1-row bounds
+    * broadcast, ONE map-side-partial (type, bin) agg (output is
+    * |types|·bins rows, value-domain sized), the totals window and final
+    * reduction ride one event_type exchange over that tiny table.
+    */
+  def driftPsi(spark: SparkSession, dir: String, bins: Int = 16): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        unix_millis(col("ts")).as("ms"))
+    val bounds = ev.agg(min(col("cents")).as("mn"), max(col("cents")).as("mx"),
+      expr("(min(ms) + max(ms)) div 2").as("mid"))
+    val counted = ev.crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        least(lit(bins - 1L),
+          expr(s"((cents - mn) * $bins) div (mx - mn + 1)")).as("bin"),
+        when(col("ms") < col("mid"), 1L).otherwise(0L).as("f"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(sum(col("f")).as("c1"), sum(lit(1L) - col("f")).as("c2"))
+    // every bin must exist for the add-one denominators — left-join the
+    // full (type × bin) grid (types-count × bins rows, driver-trivial)
+    val grid = counted.select(col("event_type")).distinct()
+      .crossJoin(spark.range(bins).toDF("bin"))
+    val whole = Window.partitionBy(col("event_type"))
+    grid.join(counted, Seq("event_type", "bin"), "left")
+      .na.fill(0L, Seq("c1", "c2"))
+      .withColumn("n1", sum(col("c1")).over(whole))
+      .withColumn("n2", sum(col("c2")).over(whole))
+      .withColumn("p", (col("c1") + 1).cast("double") / (col("n1") + bins))
+      .withColumn("q", (col("c2") + 1).cast("double") / (col("n2") + bins))
+      .withColumn("contrib",
+        expr("CAST(round((p - q) * ln(p / q) * 1000000) AS BIGINT)"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum(col("contrib")).as("psi_x1e6"))
+  }
+
   /** The exact-KS core shared by [[driftKs]] and the streaming monitor
     * ([[graft.streaming.DriftStream]]): input is a two-sample histogram
     * (event_type, cents, c1, c2) — value-domain-sized, never event-sized —

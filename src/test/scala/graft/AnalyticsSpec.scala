@@ -185,6 +185,34 @@ class AnalyticsSpec extends GraftSuite {
     assert(got.values.forall { case (n1, n2, ks) => n1 > 0 && n2 > 0 && ks >= 0 && ks <= 1000000 })
   }
 
+  test("driftPsi equals a plain-Scala PSI reference (binning, smoothing, per-bin rounding)") {
+    val bins = 16
+    val got = Analytics.driftPsi(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val ev = graft.io.Tables.events(spark, sf)
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        unix_millis(col("ts")).as("ms"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val mid = (ev.map(_._3).min + ev.map(_._3).max) / 2
+    val (mn, mx) = (ev.map(_._2).min, ev.map(_._2).max)
+    def binOf(c: Long) = math.min(bins - 1L, (c - mn) * bins / (mx - mn + 1))
+    val want = ev.groupBy(_._1).map { case (t, rows) =>
+      val c1 = rows.filter(_._3 < mid).groupBy(r => binOf(r._2)).view.mapValues(_.length.toLong).toMap
+      val c2 = rows.filter(_._3 >= mid).groupBy(r => binOf(r._2)).view.mapValues(_.length.toLong).toMap
+      val n1 = c1.values.sum; val n2 = c2.values.sum
+      val psi = (0L until bins).map { b =>
+        val p = (c1.getOrElse(b, 0L) + 1).toDouble / (n1 + bins)
+        val q = (c2.getOrElse(b, 0L) + 1).toDouble / (n2 + bins)
+        BigDecimal((p - q) * math.log(p / q) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.sum
+      t -> ((n1, n2, psi))
+    }
+    assert(got == want)
+    // non-vacuous: a distribution actually shifted somewhere, none maxed out
+    assert(got.values.exists(_._3 > 0))
+  }
+
   test("copurchase equals brute-force pair counting with the same total order") {
     val got = Analytics.copurchase(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
