@@ -740,6 +740,27 @@ object Layout {
     vacuum(spark, tablePath(spark, table).toString, retentionMs)
   }
 
+  /** Schema evolution on a bucketed table WITHOUT rewriting it — the
+    * add-a-feature-column migration a long-lived 100 TB fact table runs
+    * regularly. Free by parquet's read contract: files resolve columns
+    * by NAME and a missing column reads as null, so the catalog ALTER is
+    * the whole migration — existing files are untouched (same inodes,
+    * same bucket layout, zero-Exchange intact), old rows read the new
+    * column as null, and every later [[appendBucketedBatch]]/
+    * [[mergeBucketed]] carries it (the merge's schema-applied read
+    * handles pre-evolution files the same way). Columns must be added
+    * NULLABLE — there is no default-value backfill without a rewrite;
+    * a NOT NULL evolution is a [[compactBucketed]]-shaped rewrite with a
+    * coalesce, deliberately not hidden behind this one-liner.
+    */
+  def addColumn(spark: SparkSession, table: String, name: String,
+      dataType: String): Unit = tableLock(table).synchronized {
+    require(!spark.table(table).columns.contains(name),
+      s"addColumn: '$name' already exists on '$table'")
+    spark.sql(s"ALTER TABLE `$table` ADD COLUMNS (`$name` $dataType)")
+    spark.catalog.refreshTable(table)
+  }
+
   /** Right-to-erasure on a bucketed table (GDPR Art. 17 — the DELETE +
     * VACUUM(0) discipline): tombstone-merge every row whose `key` is in
     * `keys` out of the table, then PURGE the retirement dirs immediately

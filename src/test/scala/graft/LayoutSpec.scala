@@ -889,6 +889,49 @@ class LayoutSpec extends GraftSuite {
       == (10L until 15L).toSet, "live post-swap table untouched")
   }
 
+  test("addColumn evolves the bucketed schema in place: old files untouched, appends and merges carry it") {
+    import spark.implicits._
+    val base = (0L until 20L).map(k => (k, k * 10)).toDF("o_orderkey", "o_custkey")
+    Layout.writeBucketed(base, "b_evolve", "o_orderkey", 4)
+    val loc = tableLoc("b_evolve")
+    val filesBefore = loc.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    Layout.addColumn(spark, "b_evolve", "score", "double")
+    // the migration is metadata-only: byte-identical files
+    val filesAfter = loc.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    assert(filesAfter == filesBefore, "no data file may be rewritten by the ALTER")
+    // old rows read the new column as null
+    val t0 = Layout.readTable(spark, "b_evolve")
+    assert(t0.columns.toSeq == Seq("o_orderkey", "o_custkey", "score"))
+    assert(t0.where(col("score").isNotNull).count() == 0)
+    // the exactly-once append carries the evolved schema
+    val batch = (100L until 105L).map(k => (k, k, k * 0.5)).toDF("o_orderkey", "o_custkey", "score")
+    assert(Layout.appendBucketedBatch(batch, "b_evolve", "o_orderkey", 4, 0L))
+    val t1 = Layout.readTable(spark, "b_evolve")
+    assert(t1.where(col("score").isNotNull).count() == 5)
+    // a CDC merge whose affected bucket spans pre- and post-evolution
+    // files reads the old files through the evolved schema (null score)
+    Layout.mergeBucketed(spark, "b_evolve", "o_orderkey", 4,
+      Seq((1L, 999L, 9.9)).toDF("o_orderkey", "o_custkey", "score"))
+    val t2 = Layout.readTable(spark, "b_evolve")
+    assert(t2.where(col("o_orderkey") === 1L).select("o_custkey", "score")
+      .as[(Long, Double)].head() == ((999L, 9.9)))
+    assert(t2.count() == 25)
+    // layout contract intact across the evolution
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = t2.join(t2.groupBy("o_orderkey").count(), "o_orderkey")
+        .queryExecution.explainString(FormattedMode)
+      assert(p.contains("Bucketed: true") && shuffles(p) == 0, p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    // double-add is rejected loudly
+    intercept[IllegalArgumentException] {
+      Layout.addColumn(spark, "b_evolve", "score", "double")
+    }
+  }
+
   test("forgetKeys erases the keys' BYTES from the location, not just the references") {
     import spark.implicits._
     val base = (0L until 40L).map(k => (k, k * 10, s"user-$k"))
