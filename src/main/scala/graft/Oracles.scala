@@ -2145,48 +2145,56 @@ object Oracles {
       |            END AS BIGINT) AS ks_ppm
       |FROM a""".stripMargin
 
-  /** E23 q_drift_psi — PSI per event type between the time halves: pure
-    * integer 16-bin assignment, add-one smoothing, and each bin's double
-    * contribution rounded to 1e-6 units BEFORE the BIGINT sum (order-free
-    * — a double Σ would diverge engines on reassociation alone).
-    * Contributions are ≥ 0, so DuckDB's half-away-from-zero round equals
-    * Spark's HALF_UP.
+  /** E23 q_drift_psi — PSI per event type between the time halves over
+    * BASELINE-QUANTILE bins (bin(v) = min(15, 16·|first-half rows < v|
+    * div n1) — pure integer rank arithmetic off the same value-domain
+    * cdf the KS oracle walks), add-one smoothing, each bin's double
+    * contribution rounded to 1e-6 units BEFORE the BIGINT sum
+    * (order-free), bins empty in BOTH halves folded in as the per-type
+    * closed-form constant, and the KS total-drift sentinel (10⁶) for a
+    * type with an empty half. Contributions are ≥ 0, so DuckDB's
+    * half-away-from-zero round equals Spark's HALF_UP.
     */
   val driftPsi: String =
     """WITH e AS MATERIALIZED (
       |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents, epoch_ms(ts) AS ms FROM events),
-      |bnd AS MATERIALIZED (
-      |  SELECT min(cents) AS mn, max(cents) AS mx, (min(ms) + max(ms)) // 2 AS mid FROM e),
-      |b AS MATERIALIZED (
-      |  SELECT event_type,
-      |         least(15, ((cents - (SELECT mn FROM bnd)) * 16)
-      |                   // ((SELECT mx FROM bnd) - (SELECT mn FROM bnd) + 1)) AS bin,
-      |         CASE WHEN ms < (SELECT mid FROM bnd) THEN 1 ELSE 0 END AS f
-      |  FROM e),
+      |bnd AS MATERIALIZED (SELECT (min(ms) + max(ms)) // 2 AS mid FROM e),
       |g AS MATERIALIZED (
-      |  SELECT event_type, bin, sum(f)::BIGINT AS c1, sum(1 - f)::BIGINT AS c2
-      |  FROM b GROUP BY 1, 2),
-      |grid AS MATERIALIZED (
-      |  SELECT t.event_type, bb.bin FROM (SELECT DISTINCT event_type FROM g) t
-      |  CROSS JOIN (SELECT unnest(range(16)) AS bin) bb),
-      |full_ AS MATERIALIZED (
-      |  SELECT grid.event_type, grid.bin,
-      |         coalesce(g.c1, 0) AS c1, coalesce(g.c2, 0) AS c2
-      |  FROM grid LEFT JOIN g ON grid.event_type = g.event_type AND grid.bin = g.bin),
+      |  SELECT event_type, cents,
+      |         sum(CASE WHEN ms < (SELECT mid FROM bnd) THEN 1 ELSE 0 END)::BIGINT AS c1,
+      |         sum(CASE WHEN ms >= (SELECT mid FROM bnd) THEN 1 ELSE 0 END)::BIGINT AS c2
+      |  FROM e GROUP BY 1, 2),
       |w AS MATERIALIZED (
       |  SELECT event_type, c1, c2,
+      |         sum(c1) OVER (PARTITION BY event_type ORDER BY cents) AS cum1,
       |         sum(c1) OVER (PARTITION BY event_type) AS n1,
       |         sum(c2) OVER (PARTITION BY event_type) AS n2
-      |  FROM full_),
+      |  FROM g),
+      |bb AS MATERIALIZED (
+      |  SELECT event_type,
+      |         CASE WHEN n1 = 0 THEN 0
+      |              ELSE least(15, (16 * (cum1 - c1)) // n1) END AS bin,
+      |         c1, c2, n1, n2
+      |  FROM w),
+      |bins_ AS MATERIALIZED (
+      |  SELECT event_type, bin, sum(c1)::BIGINT AS b1, sum(c2)::BIGINT AS b2,
+      |         CAST(any_value(n1) AS BIGINT) AS n1, CAST(any_value(n2) AS BIGINT) AS n2
+      |  FROM bb GROUP BY 1, 2),
       |c AS MATERIALIZED (
       |  SELECT event_type, n1, n2,
-      |         CAST(round((((c1 + 1)::DOUBLE / (n1 + 16)) - ((c2 + 1)::DOUBLE / (n2 + 16)))
-      |           * ln(((c1 + 1)::DOUBLE / (n1 + 16)) / ((c2 + 1)::DOUBLE / (n2 + 16)))
-      |           * 1000000) AS BIGINT) AS contrib
-      |  FROM w)
-      |SELECT event_type, CAST(any_value(n1) AS BIGINT) AS n1,
-      |       CAST(any_value(n2) AS BIGINT) AS n2, sum(contrib)::BIGINT AS psi_x1e6
-      |FROM c GROUP BY 1""".stripMargin
+      |         CAST(round((((b1 + 1)::DOUBLE / (n1 + 16)) - ((b2 + 1)::DOUBLE / (n2 + 16)))
+      |           * ln(((b1 + 1)::DOUBLE / (n1 + 16)) / ((b2 + 1)::DOUBLE / (n2 + 16)))
+      |           * 1000000) AS BIGINT) AS contrib,
+      |         CAST(round((1.0 / (n1 + 16) - 1.0 / (n2 + 16))
+      |           * ln((n2 + 16)::DOUBLE / (n1 + 16)) * 1000000) AS BIGINT) AS ec
+      |  FROM bins_),
+      |a AS MATERIALIZED (
+      |  SELECT event_type, any_value(n1) AS n1, any_value(n2) AS n2,
+      |         sum(contrib) + (16 - count(*)) * any_value(ec) AS psi
+      |  FROM c GROUP BY 1)
+      |SELECT event_type, n1, n2,
+      |       CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN 1000000 ELSE psi END AS BIGINT) AS psi_x1e6
+      |FROM a""".stripMargin
 
   /** E21 q_copurchase — the basket-size cap applies per order BEFORE pair
     * generation (mirrors the Spark plan's maxBasket guard; never binds on

@@ -755,7 +755,10 @@ object Layout {
     */
   def addColumn(spark: SparkSession, table: String, name: String,
       dataType: String): Unit = tableLock(table).synchronized {
-    require(!spark.table(table).columns.contains(name),
+    // case-INSENSITIVE like the session resolver (default) — an
+    // exact-case check would pass 'Score' over an existing 'score' and
+    // surface as the ALTER's AnalysisException instead of this contract
+    require(!spark.table(table).columns.exists(_.equalsIgnoreCase(name)),
       s"addColumn: '$name' already exists on '$table'")
     spark.sql(s"ALTER TABLE `$table` ADD COLUMNS (`$name` $dataType)")
     spark.catalog.refreshTable(table)
@@ -842,12 +845,29 @@ object Layout {
       targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     val in = new org.apache.hadoop.fs.Path(inDir)
     val fs = in.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.getContentSummary(in).getLength
+    // a MANIFESTED input (a staged-swap-managed dir) compacts its
+    // manifest's view, read as an explicit live-file list (r18 review —
+    // the compactBucketed lesson on plain dirs): a raw dir read after a
+    // crashed swap would bake the old+new union into the output, and a
+    // post-plan heal could retire files the raw plan already indexed
+    // (FileNotFound mid-job). Sizing likewise counts LIVE bytes only —
+    // getContentSummary would inflate the partition count with
+    // _pre_swap/staging bytes.
+    val (src, bytes) = readManifest(fs, in) match {
+      case Some((_, valid, _)) =>
+        val rels = relDataFiles(fs, in).filter(rel =>
+          valid.contains(new org.apache.hadoop.fs.Path(rel).getName))
+        val paths = rels.map(rel => new org.apache.hadoop.fs.Path(in, rel))
+        (spark.read.parquet(paths.map(_.toString): _*),
+          paths.map(p => fs.getFileStatus(p).getLen).sum)
+      case None =>
+        (spark.read.parquet(inDir), fs.getContentSummary(in).getLength)
+    }
     val parts = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     // staged (r18): a RE-compaction to a live outDir is the normal
     // incremental cadence, and the in-place overwrite was the same
     // partial-table reader window writePartitioned/zorderWrite closed
-    writeStaged(spark.read.parquet(inDir).repartition(parts), outDir)
+    writeStaged(src.repartition(parts), outDir)
   }
 
   /** Plain staged overwrite of an unpartitioned parquet dir — the public

@@ -336,52 +336,77 @@ object Analytics {
     * E20's KS (KS reads the worst single point of cdf divergence; PSI
     * reads the MASS of the shift across the whole distribution, the
     * number scorecard/feature-drift dashboards threshold at 0.1/0.25):
-    * PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i), here over `bins` equal-width
-    * cents bins with add-one smoothing (empty bins are log(0) otherwise;
-    * Laplace is the standard fix and keeps every bin defined).
+    * PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i) over `bins` BASELINE-QUANTILE
+    * bins with add-one smoothing (empty bins are log(0) otherwise).
+    *
+    * Bins are equal-MASS in the first half (the published PSI practice:
+    * the baseline defines the grid), derived exactly from the value-
+    * domain cdf — bin(v) = min(bins−1, bins·|{first-half rows < v}| div
+    * n1| — NOT equal-width over the pooled (min,max): one extreme
+    * outlier would collapse all regular mass into one bin and a real
+    * shift would read PSI ≈ 0 (the r14 QuantileCode16 lesson; r18
+    * review caught the same hole here, MIRRORED into the oracle — the
+    * gate-blind class). A type with an EMPTY half is total drift by
+    * definition → the KS sentinel 10⁶ (the two companion monitors must
+    * agree on the most extreme drift there is).
     *
     * Cross-engine determinism (the 4dp-cosine discipline applied to a
-    * log): binning is pure integer arithmetic (`(cents−mn)·bins div
-    * span`), and each bin's double contribution is ROUNDED TO 1e-6 UNITS
-    * AND SUMMED AS BIGINT — an order-free exact sum, so FP summation
-    * order can never diverge the engines (a double Σ would hash-mismatch
-    * on reassociation alone). Output: (event_type, n1, n2, psi_x1e6).
+    * log): bin assignment is pure integer rank arithmetic, and each
+    * bin's double contribution is ROUNDED TO 1e-6 UNITS AND SUMMED AS
+    * BIGINT — order-free, so FP reassociation can never diverge the
+    * engines. Bins absent from BOTH halves contribute a closed-form
+    * constant (smoothed p and q are fixed), applied arithmetically —
+    * no (type × bin) grid materialization, no second events scan.
+    * Output: (event_type, n1, n2, psi_x1e6).
     *
-    * Scale shape: E20's exactly — one narrow scan + a 1-row bounds
-    * broadcast, ONE map-side-partial (type, bin) agg (output is
-    * |types|·bins rows, value-domain sized), the totals window and final
-    * reduction ride one event_type exchange over that tiny table.
+    * Scale shape: E20's exactly — one narrow scan + a 1-row midpoint
+    * broadcast, ONE map-side-partial (type, cents) histogram agg
+    * (value-domain sized), then the cumulative/total windows and the
+    * two tiny re-aggregations all ride event_type keys over that
+    * histogram table.
     */
   def driftPsi(spark: SparkSession, dir: String, bins: Int = 16): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_type"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
         unix_millis(col("ts")).as("ms"))
-    val bounds = ev.agg(min(col("cents")).as("mn"), max(col("cents")).as("mx"),
-      expr("(min(ms) + max(ms)) div 2").as("mid"))
-    val counted = ev.crossJoin(broadcast(bounds))
-      .select(col("event_type"),
-        least(lit(bins - 1L),
-          expr(s"((cents - mn) * $bins) div (mx - mn + 1)")).as("bin"),
-        when(col("ms") < col("mid"), 1L).otherwise(0L).as("f"))
-      .groupBy(col("event_type"), col("bin"))
-      .agg(sum(col("f")).as("c1"), sum(lit(1L) - col("f")).as("c2"))
-    // every bin must exist for the add-one denominators — left-join the
-    // full (type × bin) grid (types-count × bins rows, driver-trivial)
-    val grid = counted.select(col("event_type")).distinct()
-      .crossJoin(spark.range(bins).toDF("bin"))
+    val mid = ev.agg(expr("(min(ms) + max(ms)) div 2").as("mid"))
+    val g = ev.crossJoin(broadcast(mid))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(sum(when(col("ms") < col("mid"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("ms") >= col("mid"), 1L).otherwise(0L)).as("c2"))
+    val cum = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val whole = Window.partitionBy(col("event_type"))
-    grid.join(counted, Seq("event_type", "bin"), "left")
-      .na.fill(0L, Seq("c1", "c2"))
+    val binned = g
+      .withColumn("cum1", sum(col("c1")).over(cum))
       .withColumn("n1", sum(col("c1")).over(whole))
       .withColumn("n2", sum(col("c2")).over(whole))
-      .withColumn("p", (col("c1") + 1).cast("double") / (col("n1") + bins))
-      .withColumn("q", (col("c2") + 1).cast("double") / (col("n2") + bins))
+      // rank of values STRICTLY below v in the baseline = cum1 − c1
+      .withColumn("bin", when(col("n1") === 0L, lit(0L)).otherwise(
+        least(lit(bins - 1L),
+          expr(s"($bins * (cum1 - c1)) div n1"))))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(sum(col("c1")).as("b1"), sum(col("c2")).as("b2"),
+        max(col("n1")).as("n1"), max(col("n2")).as("n2"))
+    binned
+      .withColumn("p", (col("b1") + 1).cast("double") / (col("n1") + bins))
+      .withColumn("q", (col("b2") + 1).cast("double") / (col("n2") + bins))
       .withColumn("contrib",
         expr("CAST(round((p - q) * ln(p / q) * 1000000) AS BIGINT)"))
+      // bins with no mass in EITHER half contribute a per-type constant:
+      // p0 = 1/(n1+bins), q0 = 1/(n2+bins)
+      .withColumn("empty_contrib", expr(
+        s"""CAST(round((1.0d / (n1 + $bins) - 1.0d / (n2 + $bins))
+           | * ln((CAST(n2 + $bins AS DOUBLE)) / (n1 + $bins))
+           | * 1000000) AS BIGINT)""".stripMargin))
       .groupBy(col("event_type"))
       .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
-        sum(col("contrib")).as("psi_x1e6"))
+        (sum(col("contrib"))
+          + (lit(bins.toLong) - count(lit(1))) * max(col("empty_contrib"))).as("psi"))
+      .select(col("event_type"), col("n1"), col("n2"),
+        when(col("n1") === 0L || col("n2") === 0L, lit(1000000L))
+          .otherwise(col("psi")).as("psi_x1e6"))
   }
 
   /** The exact-KS core shared by [[driftKs]] and the streaming monitor

@@ -340,8 +340,11 @@ object EventsStream {
       .start()
     q.awaitTermination()
     // staged (r18): each incremental invocation REPLACES outDir — the
-    // exact live-overwrite window Layout's staged writers close; a
-    // monitoring reader racing the refresh pins pre- or post-swap
+    // exact live-overwrite window Layout's staged writers close. The
+    // pre-or-post guarantee is for Layout.readDir readers; a raw
+    // spark.read.parquet reader racing the swap can transiently see the
+    // old+new union (doubled counts) where the old in-place overwrite
+    // gave it a partial/missing table — poll this output through readDir
     graft.io.Layout.writeStaged(
       spark.table(s"inc_${math.abs(checkpoint.hashCode)}"), outDir)
   }

@@ -185,8 +185,29 @@ class AnalyticsSpec extends GraftSuite {
     assert(got.values.forall { case (n1, n2, ks) => n1 > 0 && n2 > 0 && ks >= 0 && ks <= 1000000 })
   }
 
-  test("driftPsi equals a plain-Scala PSI reference (binning, smoothing, per-bin rounding)") {
+  test("driftPsi equals a plain-Scala PSI reference (baseline-quantile bins, smoothing, rounding)") {
     val bins = 16
+    // reference from the DEFINITION: bin(v) = rank of v among the
+    // FIRST-half values (strictly below), scaled to `bins`; smoothing
+    // add-one over all bins; per-bin contribution rounded to 1e-6 units
+    // then summed exactly; empty half = the KS total-drift sentinel
+    def psiRef(rows: Seq[(Long, Boolean)]): (Long, Long, Long) = {
+      val first = rows.filter(_._2).map(_._1)
+      val second = rows.filterNot(_._2).map(_._1)
+      val (n1, n2) = (first.size.toLong, second.size.toLong)
+      if (n1 == 0 || n2 == 0) return (n1, n2, 1000000L)
+      def binOf(v: Long) =
+        math.min(bins - 1L, bins * first.count(_ < v) / n1)
+      val b1 = first.groupBy(binOf).view.mapValues(_.size.toLong).toMap
+      val b2 = second.groupBy(binOf).view.mapValues(_.size.toLong).toMap
+      val psi = (0L until bins).map { b =>
+        val p = (b1.getOrElse(b, 0L) + 1).toDouble / (n1 + bins)
+        val q = (b2.getOrElse(b, 0L) + 1).toDouble / (n2 + bins)
+        BigDecimal((p - q) * math.log(p / q) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.sum
+      (n1, n2, psi)
+    }
     val got = Analytics.driftPsi(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     val ev = graft.io.Tables.events(spark, sf)
@@ -194,23 +215,24 @@ class AnalyticsSpec extends GraftSuite {
         unix_millis(col("ts")).as("ms"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val mid = (ev.map(_._3).min + ev.map(_._3).max) / 2
-    val (mn, mx) = (ev.map(_._2).min, ev.map(_._2).max)
-    def binOf(c: Long) = math.min(bins - 1L, (c - mn) * bins / (mx - mn + 1))
     val want = ev.groupBy(_._1).map { case (t, rows) =>
-      val c1 = rows.filter(_._3 < mid).groupBy(r => binOf(r._2)).view.mapValues(_.length.toLong).toMap
-      val c2 = rows.filter(_._3 >= mid).groupBy(r => binOf(r._2)).view.mapValues(_.length.toLong).toMap
-      val n1 = c1.values.sum; val n2 = c2.values.sum
-      val psi = (0L until bins).map { b =>
-        val p = (c1.getOrElse(b, 0L) + 1).toDouble / (n1 + bins)
-        val q = (c2.getOrElse(b, 0L) + 1).toDouble / (n2 + bins)
-        BigDecimal((p - q) * math.log(p / q) * 1e6)
-          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
-      }.sum
-      t -> ((n1, n2, psi))
+      t -> psiRef(rows.toSeq.map(r => (r._2, r._3 < mid)))
     }
     assert(got == want)
-    // non-vacuous: a distribution actually shifted somewhere, none maxed out
-    assert(got.values.exists(_._3 > 0))
+    assert(got.values.exists(_._3 > 0), "non-vacuous: some distribution shifted")
+    // outlier robustness — the reason bins are BASELINE-QUANTILE, not
+    // equal-width over the pooled range (the r14 QuantileCode16 lesson):
+    // a planted second-half shift plus one extreme outlier must still
+    // read a large PSI (equal-width bins would collapse all regular mass
+    // into one bin and report ~0)
+    val shifted = (0L until 500L).map(v => (v, true)) ++
+      (0L until 500L).map(v => (v + 400, false)) :+ (1000000000L, false)
+    val (_, _, psiOut) = psiRef(shifted)
+    assert(psiOut > 250000L,
+      s"a real shift must survive an outlier under quantile bins (got $psiOut)")
+    // degenerate half — a type introduced after the midpoint is TOTAL
+    // drift, agreeing with q_drift_ks's sentinel
+    assert(psiRef(Seq((1L, false), (2L, false))) == ((0L, 2L, 1000000L)))
   }
 
   test("copurchase equals brute-force pair counting with the same total order") {

@@ -731,6 +731,20 @@ class PlanSpec extends GraftSuite {
     assert(shuffles(p) <= 3, s"drift must not shuffle events twice:\n$p")
   }
 
+  test("q_drift_psi: one events scan, 1-row midpoint broadcast, histogram-sized work after") {
+    val p = plan("q_drift_psi")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"midpoint must broadcast:\n$p")
+    // TWO scans of events: the data scan + the 1-row midpoint bounds agg
+    // (the E14/SQ8 two-pass device, same as the KS sibling). The
+    // closed-form empty-bin fill keeps it at two — a (type × bin) grid
+    // branch would re-plan a THIRD. Formatted mode prints each operator
+    // twice (tree + detail), so ≤2 scans ⇔ ≤4 occurrences.
+    assert(p.split("Scan parquet").length - 1 <= 4,
+      s"PSI must scan events at most twice (data + 1-row bounds):\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(shuffles(p) <= 3, s"PSI must not shuffle events twice:\n$p")
+  }
+
   test("q_copurchase: in-row pair comprehension, no self-join, TakeOrdered cutoff") {
     val p = plan("q_copurchase")
     assert(!p.contains("Join"), s"pairs come from the basket array, never a fact self-join:\n$p")
