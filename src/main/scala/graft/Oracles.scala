@@ -2151,8 +2151,10 @@ object Oracles {
     * cdf the KS oracle walks), add-one smoothing, each bin's double
     * contribution rounded to 1e-6 units BEFORE the BIGINT sum
     * (order-free), bins empty in BOTH halves folded in as the per-type
-    * closed-form constant, and the KS total-drift sentinel (10⁶) for a
-    * type with an empty half. Contributions are ≥ 0, so DuckDB's
+    * closed-form constant, and the total-drift sentinel 10⁹ for a type
+    * with an empty half (PSI is unbounded, but smoothing bounds every
+    * computable value by 2·ln(n+16) < 10⁸ in 1e-6 units — the sentinel
+    * strictly dominates). Contributions are ≥ 0, so DuckDB's
     * half-away-from-zero round equals Spark's HALF_UP.
     */
   val driftPsi: String =
@@ -2193,7 +2195,7 @@ object Oracles {
       |         sum(contrib) + (16 - count(*)) * any_value(ec) AS psi
       |  FROM c GROUP BY 1)
       |SELECT event_type, n1, n2,
-      |       CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN 1000000 ELSE psi END AS BIGINT) AS psi_x1e6
+      |       CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN 1000000000 ELSE psi END AS BIGINT) AS psi_x1e6
       |FROM a""".stripMargin
 
   /** E21 q_copurchase — the basket-size cap applies per order BEFORE pair

@@ -365,16 +365,25 @@ object Layout {
     * [[dataFileNames]] (whose flat listing would miss `col=value/` files).
     */
   private def relDataFiles(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Seq[String] = {
+      root: org.apache.hadoop.fs.Path): Seq[String] =
+    relDataFilesWithLen(fs, root).map(_._1)
+
+  /** [[relDataFiles]] carrying each file's length from the same listing —
+    * callers that need sizes must not re-stat every file (r18 review:
+    * compact's per-file getFileStatus was one extra RPC per live file on
+    * exactly the many-tiny-files input compact exists for).
+    */
+  private def relDataFilesWithLen(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[(String, Long)] = {
     // qualify like listStatus qualifies its results, or the prefix strip
     // silently fails for a relative/unqualified root
     val base = fs.makeQualified(root).toUri.getPath.stripSuffix("/") + "/"
-    def walk(p: org.apache.hadoop.fs.Path): Seq[String] =
+    def walk(p: org.apache.hadoop.fs.Path): Seq[(String, Long)] =
       fs.listStatus(p).toSeq.flatMap { s =>
         val n = s.getPath.getName
         if (n.startsWith("_") || n.startsWith(".")) Seq.empty
         else if (s.isDirectory) walk(s.getPath)
-        else Seq(s.getPath.toUri.getPath.stripPrefix(base))
+        else Seq((s.getPath.toUri.getPath.stripPrefix(base), s.getLen))
       }
     if (fs.exists(root)) walk(root) else Seq.empty
   }
@@ -855,11 +864,17 @@ object Layout {
     // _pre_swap/staging bytes.
     val (src, bytes) = readManifest(fs, in) match {
       case Some((_, valid, _)) =>
-        val rels = relDataFiles(fs, in).filter(rel =>
-          valid.contains(new org.apache.hadoop.fs.Path(rel).getName))
-        val paths = rels.map(rel => new org.apache.hadoop.fs.Path(in, rel))
-        (spark.read.parquet(paths.map(_.toString): _*),
-          paths.map(p => fs.getFileStatus(p).getLen).sum)
+        val live = relDataFilesWithLen(fs, in).filter { case (rel, _) =>
+          valid.contains(new org.apache.hadoop.fs.Path(rel).getName)
+        }
+        // basePath keeps col=value partition discovery alive under the
+        // explicit leaf-file list (r18 review: without it a partitioned
+        // manifested input compacts to a table silently MISSING its
+        // partition columns — partitionBy strips them from file bytes)
+        (spark.read.option("basePath", in.toString).parquet(
+          live.map { case (rel, _) =>
+            new org.apache.hadoop.fs.Path(in, rel).toString }: _*),
+          live.map(_._2).sum)
       case None =>
         (spark.read.parquet(inDir), fs.getContentSummary(in).getLength)
     }

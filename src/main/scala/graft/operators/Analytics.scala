@@ -347,8 +347,12 @@ object Analytics {
     * shift would read PSI ≈ 0 (the r14 QuantileCode16 lesson; r18
     * review caught the same hole here, MIRRORED into the oracle — the
     * gate-blind class). A type with an EMPTY half is total drift by
-    * definition → the KS sentinel 10⁶ (the two companion monitors must
-    * agree on the most extreme drift there is).
+    * definition → sentinel 10⁹. Unlike KS, PSI is unbounded, so the KS
+    * sentinel (10⁶ = the bounded metric's max) would NOT dominate — but
+    * add-one smoothing bounds every computable PSI by 2·ln(n+bins)
+    * (< 100, i.e. < 10⁸ in 1e-6 units, for any physical corpus), so 10⁹
+    * strictly sorts above every real value: a ranking dashboard always
+    * places total drift first, agreeing with the KS monitor's verdict.
     *
     * Cross-engine determinism (the 4dp-cosine discipline applied to a
     * log): bin assignment is pure integer rank arithmetic, and each
@@ -405,7 +409,7 @@ object Analytics {
         (sum(col("contrib"))
           + (lit(bins.toLong) - count(lit(1))) * max(col("empty_contrib"))).as("psi"))
       .select(col("event_type"), col("n1"), col("n2"),
-        when(col("n1") === 0L || col("n2") === 0L, lit(1000000L))
+        when(col("n1") === 0L || col("n2") === 0L, lit(1000000000L))
           .otherwise(col("psi")).as("psi_x1e6"))
   }
 

@@ -195,7 +195,7 @@ class AnalyticsSpec extends GraftSuite {
       val first = rows.filter(_._2).map(_._1)
       val second = rows.filterNot(_._2).map(_._1)
       val (n1, n2) = (first.size.toLong, second.size.toLong)
-      if (n1 == 0 || n2 == 0) return (n1, n2, 1000000L)
+      if (n1 == 0 || n2 == 0) return (n1, n2, 1000000000L)
       def binOf(v: Long) =
         math.min(bins - 1L, bins * first.count(_ < v) / n1)
       val b1 = first.groupBy(binOf).view.mapValues(_.size.toLong).toMap
@@ -231,8 +231,11 @@ class AnalyticsSpec extends GraftSuite {
     assert(psiOut > 250000L,
       s"a real shift must survive an outlier under quantile bins (got $psiOut)")
     // degenerate half — a type introduced after the midpoint is TOTAL
-    // drift, agreeing with q_drift_ks's sentinel
-    assert(psiRef(Seq((1L, false), (2L, false))) == ((0L, 2L, 1000000L)))
+    // drift; the 10^9 sentinel strictly dominates every computable PSI
+    // (smoothing bounds them by 2·ln(n+16) < 10^8 in 1e-6 units), so a
+    // ranking always places it first — agreeing with the KS verdict
+    assert(psiRef(Seq((1L, false), (2L, false))) == ((0L, 2L, 1000000000L)))
+    assert(psiOut < 100000000L, "computable PSI stays under the sentinel's floor")
   }
 
   test("copurchase equals brute-force pair counting with the same total order") {
