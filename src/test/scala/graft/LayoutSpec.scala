@@ -850,6 +850,30 @@ class LayoutSpec extends GraftSuite {
       "the re-delivered batch lands exactly once")
   }
 
+  test("compact of a partitioned manifested input keeps the partition columns and the manifest view") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cmp-part").toString + "/t"
+    val out = java.nio.file.Files.createTempDirectory("cmp-part-out").toString + "/t"
+    val v = (0L until 30L).map(k => (k, if (k % 3 == 0) "a" else "b")).toDF("id", "p")
+    Layout.writePartitioned(v, dir, "p")
+    // a crashed-swap leftover the manifest excludes: compact must read the
+    // MANIFEST view (a raw read would bake the ghost's rows in) and keep
+    // the col=value column alive through the explicit leaf-file read
+    val root = new java.io.File(new java.io.File(dir).getCanonicalPath)
+    val part = new java.io.File(root, "p=a")
+    val victim = part.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val ghost = new java.io.File(part,
+      victim.getName.replaceFirst("part-\\d{5}", "part-90000"))
+    java.nio.file.Files.copy(victim.toPath, ghost.toPath)
+    Layout.compact(spark, dir, out)
+    val got = Layout.readDir(spark, out)
+    assert(got.columns.toSet == Set("id", "p"),
+      s"partition column must survive compaction: ${got.columns.toSeq}")
+    assert(got.count() == 30, "the unmanifested ghost's rows must not bake in")
+    assert(got.where(col("p") === "a").count() == 10)
+    ghost.delete()
+  }
+
   test("vacuum reclaims aged retirement dirs and stale staging, never live data") {
     import spark.implicits._
     // bucketed table: a merge retires files into _pre_merge
