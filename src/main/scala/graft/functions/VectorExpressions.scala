@@ -73,6 +73,9 @@ object VectorExpressions {
   def interleave16(a: Column, b: Column): Column =
     ColumnBridge.column(Interleave16(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  def interleaveBits(cols: Seq[Column], bits: Int): Column =
+    ColumnBridge.column(InterleaveBits(cols.map(ColumnBridge.expression), bits))
+
   def quantileCode16(v: Column, boundaries: Array[Long]): Column =
     ColumnBridge.column(QuantileCode16(ColumnBridge.expression(v), boundaries))
 
@@ -375,6 +378,49 @@ case class Interleave16(left: Expression, right: Expression)
       z |= ((a >> i) & 1L) << (2 * i + 1)
       z |= ((b >> i) & 1L) << (2 * i)
       i += 1
+    }
+    z
+  }
+}
+
+/** k-dimensional Morton (Z-order) code — [[Interleave16]] generalized to
+  * 2–4 dimensions for [[graft.io.Layout.zorderWriteK]] (production
+  * clustering wants tenant × time × key, not just two columns): bit i of
+  * dimension j lands at position k·i + (k−1−j), so for k = 2 the layout is
+  * BIT-IDENTICAL to [[Interleave16]] (dim 0 at 2i+1, dim 1 at 2i) — the
+  * 2-dim write path delegates here with byte-identical output. Inputs are
+  * [[QuantileCode16]]'s 16-bit rank codes; each is down-shifted to the
+  * top `bits` bits (bits = min(16, 63/k), so k·bits ≤ 63 — the code never
+  * touches the sign bit, which would invert the range-partition order).
+  * CodegenFallback like the 2-dim form: one write pass per layout.
+  */
+case class InterleaveBits(children: Seq[Expression], bits: Int)
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(children.size >= 2 && children.size <= 4,
+    s"InterleaveBits supports 2-4 dimensions, got ${children.size}")
+  require(bits >= 1 && bits * children.size <= 63,
+    s"InterleaveBits: ${children.size} dims x $bits bits exceeds a sign-safe long")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val k = children.length
+    var z = 0L
+    var j = 0
+    while (j < k) {
+      val v = children(j).eval(input)
+      if (v == null) return null
+      // 16-bit rank code -> top `bits` bits (keeps the rank ORDER intact)
+      val a = (v.asInstanceOf[Long] & 0xffffL) >> (16 - bits)
+      var i = 0
+      while (i < bits) {
+        z |= ((a >> i) & 1L) << (i * k + (k - 1 - j))
+        i += 1
+      }
+      j += 1
     }
     z
   }

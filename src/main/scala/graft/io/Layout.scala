@@ -95,7 +95,23 @@ object Layout {
   private val tableLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def tableLock(table: String): Object =
-    tableLocks.computeIfAbsent(table, _ => new Object)
+    // the session catalog resolves table names case-insensitively, so two
+    // spellings of one table must take ONE monitor — same class as the
+    // dir-key normalization in [[dirLock]] (r18 ADVICE)
+    tableLocks.computeIfAbsent(
+      if (table.startsWith("dir:")) table else table.toLowerCase, _ => new Object)
+
+  /** Per-DIRECTORY monitor, keyed by the fully-qualified path (r18 ADVICE:
+    * the raw string keyed two spellings of one directory — trailing slash,
+    * relative vs absolute — to different monitors, silently voiding the
+    * in-session serialization between a swap and a concurrent swap's
+    * crash-heal preamble).
+    */
+  private def dirLock(spark: SparkSession, dir: String): Object = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val q = p.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(p)
+    tableLock("dir:" + q.toString)
+  }
 
   // memoized fingerprints: paths-key -> (expiry millis, fp). The listing +
   // per-file tail sample is driver-side O(#files); without a memo every
@@ -407,7 +423,7 @@ object Layout {
     * excluded by contract, as everywhere in this layer.
     */
   private def stagedSwap(spark: SparkSession, dir: String,
-      write: String => Unit): Unit = tableLock(s"dir:$dir").synchronized {
+      write: String => Unit): Unit = dirLock(spark, dir).synchronized {
     val dst = new org.apache.hadoop.fs.Path(dir)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dst)
@@ -604,9 +620,13 @@ object Layout {
   private val manifestRe = java.util.regex.Pattern.compile("^_manifest-(\\d+)\\.json$")
 
   /** Replace the table's manifest with `names` at the next generation:
-    * write `_manifest-<gen+1>.json` via a hidden temp + atomic rename,
-    * THEN delete older generations — at every instant a lister sees ≥1
-    * complete manifest, and the highest gen is always whole.
+    * write `_manifest-<gen+1>.json` via a hidden temp + atomic rename —
+    * at every instant a lister sees ≥1 complete manifest, and the highest
+    * gen is always whole. Older generations are RETAINED (r19): they are
+    * the version log [[readTableAt]]/[[readDirAt]] pin against — a few
+    * hundred bytes each, reclaimed by [[vacuum]] past the retention
+    * (readers of the CURRENT state always take the highest gen, so
+    * retention never changes what [[readTable]]/[[readDir]] serve).
     *
     * `hwm` is the table's INGEST high-water mark — the largest streaming
     * batch id [[appendBucketedBatch]] has committed (−1 = none). Riding
@@ -637,7 +657,6 @@ object Layout {
     try out.write(json.getBytes("UTF-8")) finally out.close()
     require(fs.rename(tmp, new org.apache.hadoop.fs.Path(loc, f"_manifest-$gen%d.json")),
       s"manifest rename failed in $loc")
-    old.foreach(fs.delete(_, false))
   }
 
   /** Highest-generation manifest as (gen, file set, ingest hwm); None when
@@ -686,6 +705,138 @@ object Layout {
       case _: java.io.FileNotFoundException => None } }
   }
 
+  /** Manifest generations retained at a layout-managed directory,
+    * ascending — the version log a caller picks a [[readDirAt]] pin from.
+    */
+  def generations(spark: SparkSession, dir: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).map(_.getPath.getName).toSeq
+      .flatMap { n => val m = manifestRe.matcher(n)
+        if (m.matches()) Some(m.group(1).toLong) else None }
+      .sorted
+  }
+
+  /** [[generations]] for a catalog table. */
+  def tableGenerations(spark: SparkSession, table: String): Seq[Long] =
+    generations(spark, tablePath(spark, table).toString)
+
+  /** Read manifest generation `gen` exactly — loud on a missing or
+    * vacuumed generation (never a silent fallback to another gen).
+    */
+  private def readManifestGen(fs: org.apache.hadoop.fs.FileSystem,
+      loc: org.apache.hadoop.fs.Path, gen: Long): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(loc, s"_manifest-$gen.json")
+    if (!fs.exists(p)) {
+      val have = fs.listStatus(loc).map(_.getPath.getName)
+        .flatMap { n => val m = manifestRe.matcher(n)
+          if (m.matches()) Some(m.group(1).toLong) else None }.sorted
+      sys.error(s"generation $gen is not retained at $loc (vacuumed or " +
+        s"never written); retained generations: ${have.mkString("[", ",", "]")}")
+    }
+    val in = fs.open(p)
+    val body = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toString("UTF-8")
+    } finally in.close()
+    val arr = java.util.regex.Pattern
+      .compile("\"files\":\\[(.*)\\]", java.util.regex.Pattern.DOTALL)
+      .matcher(body)
+    require(arr.find(), s"malformed manifest ${p.getName}")
+    val m = java.util.regex.Pattern.compile("\"([^\"]*)\"").matcher(arr.group(1))
+    val names = Set.newBuilder[String]
+    while (m.find()) names += m.group(1)
+    names.result()
+  }
+
+  /** GENERATION-PINNED read (time travel — Delta `VERSION AS OF` for this
+    * layer): the exact file set manifest generation `gen` named, wherever
+    * those files now live — the live directory, or the `_pre_merge` /
+    * `_pre_swap` retirement dirs a later maintenance pass moved them to.
+    * This is the reproducibility surface a training pipeline needs across
+    * a live CDC cadence: "epoch N+1 reads the exact rows epoch N saw"
+    * holds even after merges, compactions, and staged swaps, as long as
+    * the retention policy keeps the generation's bytes (retirement dirs
+    * hold the LAST maintenance pass's originals until the next pass or
+    * [[vacuum]] supersedes them — pin depth IS the retention policy).
+    *
+    * LOUD-OR-EXACT contract: a generation whose manifest or any named
+    * file is gone (vacuumed, superseded twice, erased by [[forgetKeys]])
+    * fails with the missing names — NEVER a partial or silently-
+    * substituted view; a partial epoch would corrupt a training run
+    * invisibly. Plans as a plain parquet scan over the resolved files
+    * (with `basePath` per residence so `col=value` partition columns
+    * survive): a pinned read is a correctness/reproducibility surface,
+    * not the serving path — the CURRENT generation keeps [[readTable]]'s
+    * zero-Exchange bucketed scan. Residual caveat, shared with every
+    * non-transactional file reader here: a maintenance pass racing the
+    * pinned read's EXECUTION can move a resolved file (FileNotFound at
+    * exec, never wrong rows); pin depth outlives it by re-running.
+    */
+  def readDirAt(spark: SparkSession, dir: String, gen: Long): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val wanted = readManifestGen(fs, root, gen)
+    // residences, in preference order: live dir, then the retirement dirs
+    // (basenames are job-uuid unique across writes, so name collisions
+    // across residences can only be the SAME file seen twice — live wins)
+    val residences = Seq(root,
+      new org.apache.hadoop.fs.Path(root, "_pre_merge"),
+      new org.apache.hadoop.fs.Path(root, "_pre_swap"))
+    val located: Seq[(org.apache.hadoop.fs.Path, Seq[String])] =
+      residences.map(r => (r, relDataFiles(fs, r)))
+    // ALL occurrences of each wanted basename, not first-wins: ONE write
+    // job reuses a part name across `col=value` partition subdirs (task 0
+    // writes `p=a/part-00000-<uuid>` AND `p=b/part-00000-<uuid>`), so a
+    // generation's basename can legitimately stand for several files —
+    // possibly split across residences after a partial maintenance pass.
+    // Cross-JOB collisions can't happen (the uuid is per job), so every
+    // occurrence belongs to the pinned generation.
+    val hits = scala.collection.mutable.ArrayBuffer.empty[(org.apache.hadoop.fs.Path, String)]
+    val found = scala.collection.mutable.Set.empty[String]
+    located.foreach { case (r, rels) =>
+      rels.foreach { rel =>
+        val n = new org.apache.hadoop.fs.Path(rel).getName
+        if (wanted.contains(n)) { hits += ((r, rel)); found += n }
+      }
+    }
+    val missing = wanted -- found
+    require(missing.isEmpty,
+      s"generation $gen of $dir is no longer fully retained — " +
+        s"${missing.size} of ${wanted.size} files are gone (vacuumed or " +
+        s"erased): ${missing.toSeq.sorted.take(5).mkString(", ")}" +
+        (if (missing.size > 5) ", …" else ""))
+    if (wanted.isEmpty)
+      return spark.emptyDataFrame
+    // one read per residence, each with ITS basePath so partition-dir
+    // columns (col=value path components, preserved by retireTo) parse
+    // identically live and retired; mergeSchema because one generation
+    // can legitimately mix pre- and post-addColumn files
+    val parts = hits.toSeq.groupBy(_._1).toSeq.map { case (r, files) =>
+      spark.read
+        .option("mergeSchema", "true")
+        .option("basePath", r.toString)
+        .parquet(files.map { case (_, rel) =>
+          new org.apache.hadoop.fs.Path(r, rel).toString }: _*)
+    }
+    parts.reduceLeft(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** [[readDirAt]] for a catalog table — the bucketed-table time-travel
+    * read. NOTE: a pinned read is a plain parquet scan (no bucketed-scan
+    * zero-Exchange contract — the catalog describes the CURRENT table,
+    * not a historical generation); and [[compactBucketed]]'s drop+rename
+    * rebuild RESETS the location's history (every pre-compact generation
+    * becomes unreachable and fails loudly here) — pin across merges and
+    * appends, not across a full rebuild.
+    */
+  def readTableAt(spark: SparkSession, table: String, gen: Long): DataFrame =
+    readDirAt(spark, tablePath(spark, table).toString, gen)
+
   /** Compact a directory of small parquet files into ~`targetFileBytes`
     * outputs — the standard maintenance pass after streaming/incremental
     * ingest (thousands of tiny files per trigger kill scan parallelism
@@ -704,21 +855,40 @@ object Layout {
     * stale staging dirs whose newest mtime is older than `retentionMs`
     * and returns how many files went.
     *
-    * Touches ONLY the retirement dirs and `.swap-*` staging — never live
-    * data, never the manifest, so readers and the zero-Exchange contract
-    * are unaffected at any retention. The retention must exceed the
-    * longest window a recovery could still want the bytes (the Delta
-    * VACUUM discipline; 0 reclaims everything now). Holds the per-dir
-    * lock so a concurrent swap's in-flight staging or mid-retirement
-    * event is never swept — the same newest-mtime age rule as the
-    * IdempotentSink reclaim gate protects cross-process writers.
+    * Touches ONLY retirement/staging dirs and SUPERSEDED manifest
+    * generations — never live data, never the CURRENT manifest, so
+    * readers and the zero-Exchange contract are unaffected at any
+    * retention. Three sweep classes:
+    *   1. `_pre_merge` / `_pre_swap` / `.swap-*` — this layer's own
+    *      retirement and staging;
+    *   2. `.spark-staging-*` / `_temporary` — a CRASHED Spark write
+    *      job's hidden task staging under an append/merge target (r18
+    *      ADVICE: nothing else ever reclaims these, so a crash-prone
+    *      continuous ingest cadence leaked disk without bound — and
+    *      their task files can hold row bytes, the forgetKeys hole);
+    *   3. `_manifest-<gen>.json` below the newest generation —
+    *      retained for [[readTableAt]]/[[readDirAt]] pinned reads, and
+    *      reclaimed here once older than the retention (a vacuumed
+    *      generation's pinned read then fails LOUDLY, never partially).
+    *
+    * The retention must exceed the longest window a recovery — or a
+    * pinned-generation training read — could still want the bytes (the
+    * Delta VACUUM discipline; 0 reclaims everything now). AGE IS
+    * STORAGE-RELATIVE (r18 verdict #7): the reference instant is the
+    * location's own newest mtime — driver-clock vs storage-clock skew
+    * can neither delay nor prematurely fire a sweep, because both sides
+    * of the comparison come from the storage system's clock (an idle
+    * location's most-recent event ages nothing, the safe direction; the
+    * driver clock is only the fallback for an empty location). Holds the
+    * per-dir lock so a concurrent swap's in-flight staging or
+    * mid-retirement event is never swept — and that event's own fresh
+    * mtime keeps it above any positive retention regardless.
     */
   def vacuum(spark: SparkSession, dir: String,
-      retentionMs: Long): Long = tableLock(s"dir:$dir").synchronized {
+      retentionMs: Long): Long = dirLock(spark, dir).synchronized {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0L
-    val cutoff = System.currentTimeMillis() - retentionMs
     def newest(st: org.apache.hadoop.fs.FileStatus): Long =
       try {
         val kids = if (st.isDirectory) fs.listStatus(st.getPath)
@@ -728,14 +898,33 @@ object Layout {
     def countFiles(p: org.apache.hadoop.fs.Path): Long =
       fs.listStatus(p).map(s =>
         if (s.isDirectory) countFiles(s.getPath) else 1L).sum
+    val entries = fs.listStatus(root)
+    // reference instant: the location's newest OBSERVED mtime (live data,
+    // manifests, retirement — one clock: the storage system's); an empty
+    // location falls back to the driver clock, where nothing can sweep
+    val refInstant = {
+      // newest() reports Long.MaxValue for a path that vanished mid-walk —
+      // the SAFE sentinel on the sweep side (never old enough to sweep),
+      // but poison as the reference instant (everything would age out)
+      val seen = entries.map(newest).filter(_ != Long.MaxValue)
+      if (seen.isEmpty) System.currentTimeMillis() else seen.max
+    }
+    val cutoff = refInstant - retentionMs
+    val latestGen = entries.map(_.getPath.getName)
+      .flatMap { n => val m = manifestRe.matcher(n)
+        if (m.matches()) Some(m.group(1).toLong) else None }
+      .foldLeft(-1L)(math.max)
     var reclaimed = 0L
-    fs.listStatus(root).foreach { s =>
+    entries.foreach { s =>
       val n = s.getPath.getName
-      val sweepable = (n == "_pre_merge" || n == "_pre_swap"
-        || n.startsWith(".swap-")) && s.isDirectory
-      if (sweepable && newest(s) <= cutoff) {
-        reclaimed += countFiles(s.getPath)
-        fs.delete(s.getPath, true)
+      val sweepableDir = s.isDirectory && (n == "_pre_merge" || n == "_pre_swap"
+        || n == "_temporary" || n.startsWith(".swap-")
+        || n.startsWith(".spark-staging-"))
+      val m = manifestRe.matcher(n)
+      val staleManifest = s.isFile && m.matches() && m.group(1).toLong < latestGen
+      if ((sweepableDir || staleManifest) && newest(s) <= cutoff) {
+        reclaimed += (if (s.isDirectory) countFiles(s.getPath) else 1L)
+        fs.delete(s.getPath, s.isDirectory)
       }
     }
     reclaimed
@@ -769,9 +958,139 @@ object Layout {
     // surface as the ALTER's AnalysisException instead of this contract
     require(!spark.table(table).columns.exists(_.equalsIgnoreCase(name)),
       s"addColumn: '$name' already exists on '$table'")
-    spark.sql(s"ALTER TABLE `$table` ADD COLUMNS (`$name` $dataType)")
+    // both operands are INTERPOLATED into DDL text (r18 ADVICE): a
+    // backtick in the name would escape the quoting and an arbitrary
+    // dataType executes as DDL — validate, don't trust
+    require(!name.contains("`"),
+      s"addColumn: column name '$name' contains a backtick")
+    val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseDataType(dataType) // throws ParseException on non-type text
+    // RESURRECTION guard: parquet resolves columns by NAME, so re-adding
+    // a name [[dropColumn]] dropped would read the old files' bytes back
+    // — the dropped data would silently return. Delta solves this with
+    // column mapping (per-column physical ids); without per-file column
+    // lineage the honest contract is: reject until a physical rewrite
+    // ([[compactBucketed]]) has actually removed the bytes — after which
+    // the re-add reads null everywhere, as a fresh column must.
+    require(!droppedColumns(spark, table).contains(name.toLowerCase),
+      s"addColumn: '$name' was previously dropped from '$table' and its " +
+        "bytes are still in the files — re-adding would RESURRECT the old " +
+        "values (parquet name-based resolution). Run compactBucketed " +
+        "first (physical rewrite), then add.")
+    spark.sql(s"ALTER TABLE `$table` ADD COLUMNS (`$name` ${parsed.sql})")
     spark.catalog.refreshTable(table)
   }
+
+  private val droppedProp = "graft.droppedColumns"
+
+  /** Lower-cased names [[dropColumn]] removed from the catalog schema but
+    * whose BYTES still sit in the table's parquet files (cleared by the
+    * next [[compactBucketed]] rewrite, whose fresh table carries no
+    * properties).
+    */
+  private[graft] def droppedColumns(spark: SparkSession, table: String): Set[String] =
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .properties.get(droppedProp)
+      .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+
+  /** Schema evolution: DROP a column WITHOUT rewriting the table — free
+    * by the same parquet contract as [[addColumn]]: readers resolve
+    * columns by name against the CATALOG schema, so narrowing the catalog
+    * schema is the whole migration (existing files untouched — same
+    * inodes, zero-Exchange intact; the extra bytes in old files are dead
+    * weight until the next [[compactBucketed]], whose schema-applied
+    * rewrite physically sheds them). The dropped name is recorded in a
+    * table property so [[addColumn]] can refuse the resurrection re-add
+    * (see there). The bucket/sort key cannot be dropped (the layout's
+    * identity), and a table must keep ≥1 column.
+    */
+  def dropColumn(spark: SparkSession, table: String, name: String): Unit =
+    tableLock(table).synchronized {
+      val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+      val catalog = spark.sessionState.catalog
+      val meta = catalog.getTableMetadata(ident)
+      val schema = spark.table(table).schema
+      require(schema.fields.exists(_.name.equalsIgnoreCase(name)),
+        s"dropColumn: '$name' does not exist on '$table'")
+      val layoutCols = meta.bucketSpec
+        .map(b => b.bucketColumnNames ++ b.sortColumnNames).getOrElse(Seq.empty)
+      require(!layoutCols.exists(_.equalsIgnoreCase(name)),
+        s"dropColumn: '$name' is a bucket/sort column of '$table' — the " +
+          "layout's identity; re-bucket via compactBucketed on a new key instead")
+      require(schema.fields.length > 1,
+        s"dropColumn: '$name' is the only column of '$table'")
+      val newSchema = org.apache.spark.sql.types.StructType(
+        schema.fields.filterNot(_.name.equalsIgnoreCase(name)))
+      // the EXTERNAL catalog, not SessionCatalog.alterTableDataSchema:
+      // the session-level wrapper hard-rejects any schema that loses a
+      // field ("we don't support dropping columns yet") — a guard for
+      // sources where narrowing loses data; parquet's name-based
+      // resolution is exactly the case where it doesn't
+      val db = meta.identifier.database
+        .getOrElse(catalog.getCurrentDatabase)
+      catalog.externalCatalog.alterTableDataSchema(db, meta.identifier.table, newSchema)
+      val dropped = (droppedColumns(spark, table) + name.toLowerCase)
+        .toSeq.sorted.mkString(",")
+      catalog.alterTable(catalog.getTableMetadata(ident).copy(
+        properties = catalog.getTableMetadata(ident).properties
+          + (droppedProp -> dropped)))
+      spark.catalog.refreshTable(table)
+    }
+
+  /** Schema evolution: RENAME a column — NOT free, and deliberately not
+    * disguised as free: parquet name-based resolution means a
+    * catalog-only rename would read NULL from every existing file (the
+    * old physical name no longer matches), silently blanking the column.
+    * So this IS a physical rewrite — [[compactBucketed]] economics: the
+    * whole table reads (under its manifest view), rewrites through the
+    * shared [[bucketWriter]] recipe with the column renamed, and swaps
+    * via the same staging-table drop+rename (crash before DROP leaves the
+    * original; between DROP and RENAME the full table sits under
+    * `<table>_renaming`, auto-recovered like compact's). Renaming the
+    * bucket key re-buckets on the new name (same hash — values unchanged
+    * — so the bucket layout is preserved file-for-file in content).
+    * History note: like compactBucketed, the rebuild resets the
+    * location's manifest generations — pinned reads don't cross it.
+    */
+  def renameColumn(spark: SparkSession, table: String, from: String,
+      to: String): Unit =
+    layoutLock.synchronized { tableLock(table).synchronized {
+      require(!to.contains("`"), s"renameColumn: '$to' contains a backtick")
+      val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+      val catalog = spark.sessionState.catalog
+      val staging = s"${table}_renaming"
+      if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(staging))
+        spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+      require(spark.catalog.tableExists(table),
+        s"renameColumn target '$table' does not exist")
+      val schema = spark.table(table).schema
+      require(schema.fields.exists(_.name.equalsIgnoreCase(from)),
+        s"renameColumn: '$from' does not exist on '$table'")
+      require(!schema.fields.exists(_.name.equalsIgnoreCase(to)),
+        s"renameColumn: '$to' already exists on '$table'")
+      require(!droppedColumns(spark, table).contains(to.toLowerCase),
+        s"renameColumn: '$to' was previously dropped and its bytes remain " +
+          "— compactBucketed first (the resurrection guard, as in addColumn)")
+      val spec = catalog.getTableMetadata(ident).bucketSpec.getOrElse(sys.error(
+        s"renameColumn target '$table' is not bucketed"))
+      require(spec.bucketColumnNames.size == 1,
+        s"renameColumn supports single-column bucket specs, '$table' has ${spec.bucketColumnNames}")
+      val oldKey = spec.bucketColumnNames.head
+      val newKey = if (oldKey.equalsIgnoreCase(from)) to else oldKey
+      val locPath = tablePath(spark, table)
+      val fs = locPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val (src, hwm) = readManifest(fs, locPath) match {
+        case Some((_, valid, h)) =>
+          (spark.read.schema(schema).parquet(valid.toSeq.sorted
+            .map(n => new org.apache.hadoop.fs.Path(locPath, n).toString): _*), h)
+        case None => (spark.read.schema(schema).parquet(locPath.toString), -1L)
+      }
+      writeBucketed(src.withColumnRenamed(from, to), staging, newKey,
+        spec.numBuckets, hwm)
+      spark.sql(s"DROP TABLE `$table`")
+      spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+    }}
 
   /** Right-to-erasure on a bucketed table (GDPR Art. 17 — the DELETE +
     * VACUUM(0) discipline): tombstone-merge every row whose `key` is in
@@ -797,9 +1116,14 @@ object Layout {
     * wrong caller-supplied count would rewrite the wrong buckets,
     * leaving the victim's rows live while reporting success.
     * Caveat, documented: the purge drops ALL retained generations at the
-    * location (a previous merge's recovery copies included) — the price
-    * of a hard erasure guarantee; and erasure here covers THIS table's
-    * location only, not downstream copies a pipeline may hold.
+    * location (a previous merge's recovery copies, crashed-job staging
+    * under `_temporary`/`.spark-staging-*` — the r18 ADVICE window — and
+    * with them every older manifest generation's readability:
+    * [[readTableAt]] of a pre-erasure generation fails loudly after this,
+    * which is exactly right — a pinned historical read must not resurrect
+    * an erased key) — the price of a hard erasure guarantee; and erasure
+    * here covers THIS table's location only, not downstream copies a
+    * pipeline may hold.
     */
   def forgetKeys(spark: SparkSession, table: String, key: String,
       keys: DataFrame): Long = {
@@ -832,22 +1156,173 @@ object Layout {
             .map(f => lit(null).cast(f.dataType).as(f.name)) :+
           lit(true).as("__tombstone"): _*)
       mergeBucketed(spark, table, key, buckets, delta, Some("__tombstone"))
-      // purge DIRECTLY and verify — the retention-gated vacuum's
-      // newest-mtime comparison mixes the driver's clock with the storage
-      // system's (a storage clock 1 ms ahead would silently SKIP the
-      // sweep), and erasure cannot return success with the bytes still
-      // recoverable
+      // purge DIRECTLY and verify — an erasure cannot hide behind a
+      // retention gate: it must return success only with the bytes gone
       tableLock(table).synchronized {
         val loc = tablePath(spark, table)
         val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        Seq("_pre_merge", "_pre_swap").foreach { d =>
-          val p = new org.apache.hadoop.fs.Path(loc, d)
-          fs.delete(p, true)
-          require(!fs.exists(p), s"forgetKeys: purging $p failed — erasure NOT complete")
-        }
+        purgeResidualDirs(fs, loc)
       }
       nKeys
     } finally kRdd.unpersist(blocking = false)
+  }
+
+  /** [[forgetKeys]] for a PARTITIONED (or plain) parquet directory — the
+    * erasure path for `writePartitioned` layouts, where event-log-style
+    * data lands (r18 verdict #3: `forgetKeys` covers bucketed catalog
+    * tables only). FILE-granular, not partition-granular: only the files
+    * that actually hold a requested key are read, anti-joined, and
+    * rewritten (their rows land back in the right `col=value` dirs via
+    * partitionBy), so an erasure batch touching k files costs O(k files),
+    * not O(affected partitions) — at 100 TB a hot partition can be
+    * thousands of files of which one holds the victim's rows.
+    *
+    * Sequence (manifest-first reader protection, then hard purge):
+    * staged rewrite of the affected files → move-in → manifest flip
+    * (readers pin pre- or post-erasure, never partial) → DIRECT DELETE of
+    * the affected originals (no retirement — erasure), then delete every
+    * data file the manifest does NOT name (a crashed earlier swap's
+    * leftovers can hold the keys' bytes; under the single-writer contract
+    * an unmanifested file is always either a retired duplicate or an
+    * incomplete staged write — never the only copy of live data) and
+    * [[purgeResidualDirs]] (retirement dirs AND crashed-job staging).
+    * A crash mid-erasure leaves the location readable and the erasure
+    * INCOMPLETE — re-run to completion; the manifest flip is the atomic
+    * point, so no interleaving shows a reader a partial view. Same
+    * dtype-equality and distinct-count contract as [[forgetKeys]].
+    */
+  def forgetKeysDir(spark: SparkSession, dir: String, key: String,
+      keys: DataFrame): Long = dirLock(spark, dir).synchronized {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"forgetKeysDir: $dir does not exist")
+    val base = readDir(spark, dir)
+    val keyType = base.schema(key).dataType
+    val inType = keys.schema(keys.columns.head).dataType
+    require(inType == keyType,
+      s"forgetKeysDir ids are ${inType.simpleString} but the key column is " +
+        s"${keyType.simpleString} — cast the id batch EXACTLY upstream " +
+        "(a silent cast could truncate/wrap and erase the wrong key)")
+    val kRdd = keys.select(col(keys.columns.head).as(key))
+      .where(col(key).isNotNull).distinct().rdd
+    kRdd.localCheckpoint()
+    val k = spark.createDataFrame(kRdd,
+      org.apache.spark.sql.types.StructType(Seq(base.schema(key).copy(name = key))))
+    try {
+      val nKeys = k.count()
+      val qualBase = fs.makeQualified(root).toUri.getPath.stripSuffix("/") + "/"
+      // the files that HOLD a requested key — input_file_name pinned at
+      // the scan (before the join, where lineage would be stage-dependent)
+      val affectedRels = base.withColumn("__f", input_file_name())
+        .join(k, Seq(key), "left_semi")
+        .select(col("__f")).distinct().collect()
+        .map(r => new org.apache.hadoop.fs.Path(r.getString(0))
+          .toUri.getPath.stripPrefix(qualBase))
+        .toSeq.sorted
+      val priorNames = readManifest(fs, root).map(_._2)
+        .getOrElse(relDataFiles(fs, root)
+          .map(r => new org.apache.hadoop.fs.Path(r).getName).toSet)
+      // manifests name BASENAMES, and one write job reuses a part name
+      // across col=value partition subdirs — so an affected basename may
+      // ALSO stand for an unaffected sibling file (p=even/part-X live,
+      // p=odd/part-X affected): its name must STAY manifested, or the
+      // sibling would vanish from every read and the orphan sweep below
+      // would destroy it (caught by LifecycleSpec's file-granular test)
+      val remainingNames = (relDataFiles(fs, root).toSet -- affectedRels)
+        .map(r => new org.apache.hadoop.fs.Path(r).getName)
+      if (affectedRels.nonEmpty) {
+        // partition columns live in the rel-path dir names (col=value)
+        val partCols = affectedRels.head.split("/").dropRight(1)
+          .filter(_.contains("=")).map(_.split("=", 2)(0)).toSeq
+        val src = spark.read
+          .option("mergeSchema", "true").option("basePath", root.toString)
+          .parquet(affectedRels.map(rel =>
+            new org.apache.hadoop.fs.Path(root, rel).toString): _*)
+        val kept = src.join(k, Seq(key), "left_anti")
+        val tmp = new org.apache.hadoop.fs.Path(root,
+          s".swap-${java.util.UUID.randomUUID()}")
+        try {
+          val w = kept.write.mode("overwrite")
+          (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+            .parquet(tmp.toString)
+          val fresh = relDataFiles(fs, tmp)
+          fresh.foreach { rel =>
+            val to = new org.apache.hadoop.fs.Path(root, rel)
+            fs.mkdirs(to.getParent)
+            require(fs.rename(new org.apache.hadoop.fs.Path(tmp, rel), to),
+              s"forgetKeysDir: rename $rel into $root failed")
+          }
+          val affectedNames = affectedRels
+            .map(r => new org.apache.hadoop.fs.Path(r).getName).toSet
+          // remove only names with NO remaining unaffected occurrence
+          writeManifest(fs, root,
+            (priorNames -- (affectedNames -- remainingNames))
+              ++ fresh.map(rel => new org.apache.hadoop.fs.Path(rel).getName))
+          affectedRels.foreach { rel =>
+            val p = new org.apache.hadoop.fs.Path(root, rel)
+            fs.delete(p, false)
+            require(!fs.exists(p),
+              s"forgetKeysDir: deleting $p failed — erasure NOT complete")
+          }
+        } finally if (fs.exists(tmp)) fs.delete(tmp, true)
+      } else if (readManifest(fs, root).isEmpty) {
+        // pin a manifest so the unmanifested-file sweep below has an
+        // authority even on a previously unmanaged dir
+        writeManifest(fs, root, priorNames)
+      }
+      // hard-purge everything outside the manifest: crashed-swap
+      // leftovers (which can hold the keys' bytes), retirement dirs,
+      // crashed-job staging
+      val live = readManifest(fs, root).map(_._2).getOrElse(Set.empty)
+      relDataFiles(fs, root).foreach { rel =>
+        if (!live.contains(new org.apache.hadoop.fs.Path(rel).getName)) {
+          val p = new org.apache.hadoop.fs.Path(root, rel)
+          fs.delete(p, false)
+          require(!fs.exists(p),
+            s"forgetKeysDir: deleting unmanifested $p failed — erasure NOT complete")
+        }
+      }
+      purgeResidualDirs(fs, root)
+      // partition dirs the erasure emptied linger as stale col=value
+      // entries; prune bottom-up (cosmetic, but a scan of an empty dir
+      // tree is wasted listing at scale)
+      def prune(p: org.apache.hadoop.fs.Path): Unit =
+        fs.listStatus(p).foreach { s =>
+          val n = s.getPath.getName
+          if (s.isDirectory && !n.startsWith("_") && !n.startsWith(".")) {
+            prune(s.getPath)
+            if (fs.listStatus(s.getPath).isEmpty) fs.delete(s.getPath, false)
+          }
+        }
+      prune(root)
+      nKeys
+    } finally kRdd.unpersist(blocking = false)
+  }
+
+  /** Delete-and-verify every dir under `loc` that can hold residual ROW
+    * BYTES outside the live file set — the erasure purge both
+    * [[forgetKeys]] and [[forgetKeysDir]] run last (under the location's
+    * lock, writers quiesced by the single-writer contract): this layer's
+    * own retirement/staging (`_pre_merge`, `_pre_swap`, `.swap-*`) AND a
+    * crashed Spark write job's hidden task staging (`_temporary`,
+    * `.spark-staging-*`) — the r18 ADVICE hole: an append/merge that
+    * crashed MID-JOB leaves committed task files under those dirs whose
+    * bytes can still hold the erased keys' rows. Old `_manifest-*.json`
+    * generations stay (they name files, they hold no row bytes) — a
+    * pinned read of a purged generation fails loudly at resolve time.
+    */
+  private def purgeResidualDirs(fs: org.apache.hadoop.fs.FileSystem,
+      loc: org.apache.hadoop.fs.Path): Unit = {
+    val fixed = Seq("_pre_merge", "_pre_swap", "_temporary")
+      .map(new org.apache.hadoop.fs.Path(loc, _))
+    val staged = fs.listStatus(loc).map(_.getPath).filter { p =>
+      p.getName.startsWith(".swap-") || p.getName.startsWith(".spark-staging-")
+    }
+    (fixed ++ staged).foreach { p =>
+      fs.delete(p, true)
+      require(!fs.exists(p), s"erasure: purging $p failed — erasure NOT complete")
+    }
   }
 
   def compact(spark: SparkSession, inDir: String, outDir: String,
@@ -926,8 +1401,35 @@ object Layout {
     * wrong at every other SF.
     */
   def zorderWrite(df: DataFrame, dir: String, colA: String, colB: String,
+      files: Int = 0, targetFileBytes: Long = 128L * 1024 * 1024): Unit =
+    // delegates to the k-dim general form — [[graft.functions
+    // .InterleaveBits]] at k = 2 is bit-identical to the original
+    // Interleave16 layout, so existing 2-dim layouts and their specs/
+    // bench cells are byte-for-byte unchanged
+    zorderWriteK(df, dir, Seq(colA, colB), files, targetFileBytes)
+
+  /** [[zorderWrite]] generalized to 2–4 clustering columns (r18 verdict
+    * #5 — production clustering is tenant × time × key, not two
+    * columns): each column quantile-scales to an equal-mass rank code,
+    * the k-way interleaved Morton code range-partitions + sorts the
+    * write, and every output file covers a small k-dim BOX in rank
+    * space — a predicate on ANY single dimension (or a box on several)
+    * skips all files whose box misses it, ~files^((k−1)/k) of them.
+    * Per-dimension bit budget is min(16, 63/k) (k·bits ≤ 63 keeps the
+    * code sign-safe for the range partition; at k = 4 that is 15 bits =
+    * 32768 ranks per dim — far above any per-file rank span). The
+    * dimension count is capped at 4 deliberately: past that, per-dim
+    * selectivity decays toward no skip at all (each extra dimension
+    * costs every other dimension half its rank resolution per code bit
+    * — the curse the lakehouse ZORDER docs warn about), and a 5-dim
+    * layout is better served by partitioning the coarsest column.
+    */
+  def zorderWriteK(df: DataFrame, dir: String, cols: Seq[String],
       files: Int = 0, targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     import org.apache.spark.sql.functions._
+    require(cols.size >= 2 && cols.size <= 4,
+      s"zorderWriteK clusters 2-4 columns, got ${cols.size}")
+    require(cols.distinct.size == cols.size, s"duplicate clustering column in $cols")
     val nFiles = if (files > 0) files else {
       val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
       // RDD-backed frames report defaultSizeInBytes (≈Long.MaxValue) —
@@ -940,19 +1442,21 @@ object Layout {
     }
     // Interior cut points scale with the file count so the z-grid always
     // has comfortably more cells than files — a fixed 255 would cap the
-    // layout at 256² distinct codes and stall file granularity past ~8 TB.
-    // k cut points → (k+1)² cells; the 4095 ceiling (16.7M cells ≥ 16×
-    // the max file count) keeps the one-pass sketch query cheap.
+    // layout at 256^k distinct codes and stall file granularity past ~8 TB.
+    // k cut points → (k+1)^dims cells; the 4095 ceiling keeps the
+    // one-pass sketch query cheap.
     val k = math.min(4095, math.max(255, 4 * nFiles - 1))
     val probs = (1 to k).map(_.toDouble / (k + 1)).toArray
-    val casted = df.select(col(colA).cast("double").as("__qa"),
-      col(colB).cast("double").as("__qb"))
-    val bs = casted.stat.approxQuantile(Array("__qa", "__qb"), probs, 0.001)
-    def codeOf(c: String, b: Array[Double]) =
+    val casted = df.select(cols.zipWithIndex.map { case (c, i) =>
+      col(c).cast("double").as(s"__q$i") }: _*)
+    val bs = casted.stat.approxQuantile(
+      cols.indices.map(i => s"__q$i").toArray, probs, 0.001)
+    val codes = cols.zipWithIndex.map { case (c, i) =>
       graft.functions.VectorExpressions.quantileCode16(
-        col(c).cast("long"), b.map(_.toLong).distinct.sorted)
-    val z = graft.functions.VectorExpressions.interleave16(
-      codeOf(colA, bs(0)), codeOf(colB, bs(1)))
+        col(c).cast("long"), bs(i).map(_.toLong).distinct.sorted)
+    }
+    val bits = math.min(16, 63 / cols.size)
+    val z = graft.functions.VectorExpressions.interleaveBits(codes, bits)
     val clustered = df.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
@@ -1174,12 +1678,23 @@ object Layout {
     val fs = locPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // the staging table's manifest becomes the TABLE's after the rename,
     // so the ingest hwm must ride along — a compaction must not reopen
-    // the exactly-once window for the append stream
+    // the exactly-once window for the append stream.
+    //
+    // Read with the CATALOG schema, not inference (r19): after a
+    // dropColumn the files still carry the dropped column's bytes — an
+    // inferred read would resurrect it into the rewrite AND the new
+    // catalog schema; after an addColumn, inference from pre-evolution
+    // files would silently DROP the new column. The schema-applied read
+    // makes compact the physical-migration pass the schema-evolution ops
+    // document: dropped bytes shed here (clearing the resurrection guard
+    // — the fresh staging table carries no droppedColumns property),
+    // added columns materialize as real null columns.
+    val tblSchema = spark.table(table).schema
     val (src, hwm) = readManifest(fs, locPath) match {
       case Some((_, valid, h)) =>
-        (spark.read.parquet(valid.toSeq.sorted
+        (spark.read.schema(tblSchema).parquet(valid.toSeq.sorted
           .map(n => new org.apache.hadoop.fs.Path(locPath, n).toString): _*), h)
-      case None => (spark.read.parquet(locPath.toString), -1L)
+      case None => (spark.read.schema(tblSchema).parquet(locPath.toString), -1L)
     }
     writeBucketed(src, staging, key, buckets, hwm)
     spark.sql(s"DROP TABLE `$table`")

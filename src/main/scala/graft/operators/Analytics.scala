@@ -375,10 +375,37 @@ object Analytics {
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
         unix_millis(col("ts")).as("ms"))
     val mid = ev.agg(expr("(min(ms) + max(ms)) div 2").as("mid"))
-    val g = ev.crossJoin(broadcast(mid))
+    psiFromCounts(ev.crossJoin(broadcast(mid))
       .groupBy(col("event_type"), col("cents"))
       .agg(sum(when(col("ms") < col("mid"), 1L).otherwise(0L)).as("c1"),
-        sum(when(col("ms") >= col("mid"), 1L).otherwise(0L)).as("c2"))
+        sum(when(col("ms") >= col("mid"), 1L).otherwise(0L)).as("c2")), bins)
+  }
+
+  /** The exact-PSI core [[driftPsi]] and the streaming monitor
+    * ([[graft.streaming.DriftStream.batchPsi]]) share — the
+    * [[ksFromCounts]] pattern applied to E23: input is a two-sample
+    * histogram (event_type, cents, c1 = baseline, c2 = current) —
+    * value-domain-sized, never event-sized — output one
+    * (event_type, n1, n2, psi_x1e6) row per type, with c1 defining the
+    * baseline-quantile bin grid. All the determinism/sentinel reasoning
+    * lives on [[driftPsi]]'s scaladoc; extracting the core is what makes
+    * the streaming monitor's numbers DIRECTLY comparable to the
+    * oracle-gated batch query's (one code path, spec-pinned equal).
+    *
+    * Residual FP risk, accepted deliberately (r18 ADVICE): the 1e-6
+    * rounding removes REASSOCIATION divergence (the sum is over exact
+    * BIGINTs in any order), but each bin's contribution still computes
+    * through the engine's own `ln` — JVM Math.log and DuckDB's libm can
+    * disagree in the last ulp, and a contribution landing EXACTLY on a
+    * 0.5e-6 boundary could round apart by 1 unit and fail the hash gate
+    * intermittently. We accept it rather than widen the gate: the
+    * boundary set has measure zero over the integer-count inputs here
+    * (18 rounds of gate runs, zero flickers — same risk class as the
+    * 4dp-cosine oracles, same standing decision recorded there), and a
+    * ±1-tolerant comparison would weaken the gate for every query to
+    * absorb a failure mode never observed.
+    */
+  private[graft] def psiFromCounts(g: DataFrame, bins: Int = 16): DataFrame = {
     val cum = Window.partitionBy(col("event_type")).orderBy(col("cents"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val whole = Window.partitionBy(col("event_type"))

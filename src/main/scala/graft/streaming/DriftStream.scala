@@ -46,6 +46,27 @@ object DriftStream {
     Analytics.ksFromCounts(g)
   }
 
+  /** One micro-batch's PSI verdict vs the reference — [[batchKs]]'s twin
+    * for E23 (r18 verdict #4: KS reads the worst single point of cdf
+    * divergence, PSI the MASS of the shift — dashboards threshold the
+    * pair together at 0.1/0.25). Same histogram-vs-histogram shape, same
+    * shared core as the oracle-gated batch query
+    * ([[Analytics.psiFromCounts]] — the reference histogram is the
+    * baseline side, so its quantiles define the bin grid exactly as the
+    * first half does in q_drift_psi; spec-pinned equal on the same
+    * histogram). Output: (event_type, n1 = reference, n2 = batch,
+    * psi_x1e6); an empty half scores the 10⁹ sentinel — total drift by
+    * definition, sorting above every computable PSI (see driftPsi's
+    * sentinel-domination note).
+    */
+  def batchPsi(refHist: DataFrame, batch: DataFrame, bins: Int = 16): DataFrame = {
+    val g = refHist.withColumnRenamed("cnt", "c1")
+      .join(referenceHistogram(batch).withColumnRenamed("cnt", "c2"),
+        Seq("event_type", "cents"), "full_outer")
+      .na.fill(0L, Seq("c1", "c2"))
+    Analytics.psiFromCounts(g, bins)
+  }
+
   /** Deployment wiring: every micro-batch's verdict flows to `onBatch`
     * (alerting, a verdict table, a metrics sink). Start with a checkpoint
     * + trigger per the caller's cadence.
@@ -69,6 +90,23 @@ object DriftStream {
     val ref = refHist.persist()
     stream.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[Row], id: Long) => onBatch(id, batchKs(ref, batch))
+    }
+  }
+
+  /** [[monitor]] scoring BOTH gates per micro-batch — the production
+    * scorecard pairing: the verdict frame is the KS and PSI outputs
+    * joined on event_type (one row per type:
+    * event_type, n1, n2, ks_ppm, psi_x1e6). Same persist lifecycle as
+    * [[monitor]] (caller unpersists `refHist` after the query stops).
+    */
+  def monitorBoth(stream: DataFrame, refHist: DataFrame, bins: Int = 16)(
+      onBatch: (Long, DataFrame) => Unit): DataStreamWriter[Row] = {
+    val ref = refHist.persist()
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[Row], id: Long) =>
+        onBatch(id, batchKs(ref, batch).join(
+          batchPsi(ref, batch, bins).select("event_type", "psi_x1e6"),
+          Seq("event_type")))
     }
   }
 }

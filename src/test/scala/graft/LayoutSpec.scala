@@ -560,9 +560,10 @@ class LayoutSpec extends GraftSuite {
     val delta = Seq((1L, 9L, 9.0)).toDF("o_orderkey", "o_custkey", "o_totalprice")
     Layout.mergeBucketed(spark, "b_manifest", "o_orderkey", 4, delta)
     assert(manifest("b_manifest") == dataFiles("b_manifest"))
-    // exactly one manifest generation survives each write
+    // r19: generations are RETAINED (the readTableAt version log) — one
+    // per write here, reclaimed by vacuum past the retention
     assert(tableLoc("b_manifest").listFiles()
-      .count(_.getName.matches("_manifest-\\d+\\.json")) == 1)
+      .count(_.getName.matches("_manifest-\\d+\\.json")) == 3)
   }
 
   test("manifest reader never double-reads a key mid-swap (staged file set)") {

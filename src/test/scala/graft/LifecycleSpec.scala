@@ -1,0 +1,333 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+
+import graft.io.Layout
+
+/** r19 lifecycle surfaces: generation-pinned reads (time travel),
+  * schema evolution beyond add (drop/rename + the resurrection guard),
+  * partitioned right-to-erasure, the storage-relative vacuum age gate,
+  * and k-dimensional z-order clustering.
+  */
+class LifecycleSpec extends GraftSuite {
+
+  private def tableLoc(table: String): java.io.File =
+    new java.io.File(new java.net.URI(
+      spark.sql(s"DESCRIBE TABLE EXTENDED `$table`")
+        .where(col("col_name") === "Location").first().getString(1)))
+
+  private def shuffles(p: String): Int =
+    p.linesIterator.count(_.matches("""^\(\d+\) Exchange\s*$"""))
+
+  test("readTableAt pins a generation: the pre-merge view survives a CDC merge byte-identically") {
+    import spark.implicits._
+    val base = (0L until 40L).map(k => (k, k * 10, s"v$k"))
+      .toDF("o_orderkey", "o_custkey", "name")
+    Layout.writeBucketed(base, "b_tt", "o_orderkey", 4)
+    val gen1 = Layout.tableGenerations(spark, "b_tt").max
+    val epoch1 = Layout.readTable(spark, "b_tt").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    Layout.mergeBucketed(spark, "b_tt", "o_orderkey", 4,
+      Seq((5L, 555L, "v5-changed"), (100L, 1L, "new")).toDF("o_orderkey", "o_custkey", "name"))
+    val gen2 = Layout.tableGenerations(spark, "b_tt").max
+    assert(gen2 > gen1)
+    // the live read serves the merged state...
+    val live = Layout.readTable(spark, "b_tt")
+    assert(live.where(col("o_orderkey") === 5L).select("name").as[String].head() == "v5-changed")
+    assert(live.count() == 41)
+    // ...and the pinned read serves EXACTLY the pre-merge epoch — the
+    // replaced rows come back from _pre_merge, the rest from live files
+    val pinned = Layout.readTableAt(spark, "b_tt", gen1)
+    assert(pinned.columns.toSeq == Seq("o_orderkey", "o_custkey", "name"))
+    assert(pinned.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet == epoch1)
+    // pinning the CURRENT generation equals the live view
+    assert(Layout.readTableAt(spark, "b_tt", gen2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      == live.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet)
+    // a generation never written fails loudly, listing what IS retained
+    val e = intercept[RuntimeException] { Layout.readTableAt(spark, "b_tt", 99L) }
+    assert(e.getMessage.contains("not retained"), e.getMessage)
+  }
+
+  test("readTableAt vacuum interplay: a reclaimed generation fails LOUDLY, never partially") {
+    import spark.implicits._
+    val base = (0L until 40L).map(k => (k, k * 10))
+      .toDF("o_orderkey", "o_custkey")
+    Layout.writeBucketed(base, "b_ttv", "o_orderkey", 4)
+    val gen1 = Layout.tableGenerations(spark, "b_ttv").max
+    Layout.mergeBucketed(spark, "b_ttv", "o_orderkey", 4,
+      Seq((5L, 555L)).toDF("o_orderkey", "o_custkey"))
+    val gen2 = Layout.tableGenerations(spark, "b_ttv").max
+    // still reachable: _pre_merge retains the replaced file
+    assert(Layout.readTableAt(spark, "b_ttv", gen1).count() == 40)
+    // a SECOND merge on the same bucket replaces the retirement
+    // generation — gen1's manifest survives but its bytes are gone:
+    // missing-files guard, loud with the missing names
+    Layout.mergeBucketed(spark, "b_ttv", "o_orderkey", 4,
+      Seq((5L, 777L)).toDF("o_orderkey", "o_custkey"))
+    val e1 = intercept[IllegalArgumentException] {
+      Layout.readTableAt(spark, "b_ttv", gen1).count()
+    }
+    assert(e1.getMessage.contains("no longer fully retained"), e1.getMessage)
+    // gen2 is one maintenance pass back — still reachable
+    assert(Layout.readTableAt(spark, "b_ttv", gen2)
+      .where(col("o_custkey") === 555L).count() == 1)
+    // vacuum(0) reclaims retirement AND superseded manifests → the pin
+    // fails loudly at the manifest (RuntimeException from the gen lookup)
+    assert(Layout.vacuumTable(spark, "b_ttv", retentionMs = 0L) > 0L)
+    val e2 = intercept[RuntimeException] {
+      Layout.readTableAt(spark, "b_ttv", gen2).count()
+    }
+    assert(e2.getMessage.contains("not retained")
+      || e2.getMessage.contains("no longer fully retained"), e2.getMessage)
+    // the CURRENT generation is untouched by the vacuum
+    assert(Layout.readTable(spark, "b_ttv").count() == 40)
+  }
+
+  test("readDirAt pins a partitioned swap generation with partition columns intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tt-dir").toString + "/t"
+    val v1 = (0L until 30L).map(k => (k, if (k % 3 == 0) "a" else "b")).toDF("id", "p")
+    Layout.writePartitioned(v1, dir, "p")
+    val v2 = (100L until 110L).map(k => (k, "c")).toDF("id", "p")
+    Layout.writePartitioned(v2, dir, "p")
+    val gens = Layout.generations(spark, dir)
+    assert(gens.size == 2 && gens == gens.sorted, gens.toString)
+    // pinned epoch 1: the v1 rows, WITH the col=value partition column —
+    // the retired files keep their subdir structure under _pre_swap
+    val pinned = Layout.readDirAt(spark, dir, gens.head)
+    assert(pinned.columns.toSet == Set("id", "p"))
+    assert(pinned.select("id", "p").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      == v1.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    assert(Layout.readDirAt(spark, dir, gens.last).select("id").as[Long].collect().toSet
+      == (100L until 110L).toSet)
+    assert(Layout.readDir(spark, dir).count() == 10)
+  }
+
+  test("dropColumn is a free catalog migration; the resurrection guard closes the re-add hole") {
+    import spark.implicits._
+    val base = (0L until 20L).map(k => (k, k * 10, s"secret-$k"))
+      .toDF("o_orderkey", "o_custkey", "name")
+    Layout.writeBucketed(base, "b_drop", "o_orderkey", 4)
+    val loc = tableLoc("b_drop")
+    val filesBefore = loc.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    Layout.dropColumn(spark, "b_drop", "name")
+    // metadata-only: byte-identical files, narrowed reads
+    val filesAfter = loc.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    assert(filesAfter == filesBefore, "no data file may be rewritten by the drop")
+    assert(Layout.readTable(spark, "b_drop").columns.toSeq == Seq("o_orderkey", "o_custkey"))
+    // a CDC merge across pre-drop files works through the narrowed schema
+    Layout.mergeBucketed(spark, "b_drop", "o_orderkey", 4,
+      Seq((1L, 999L)).toDF("o_orderkey", "o_custkey"))
+    assert(Layout.readTable(spark, "b_drop").where(col("o_orderkey") === 1L)
+      .select("o_custkey").as[Long].head() == 999L)
+    // double-drop, layout-column drop: rejected loudly
+    assert(intercept[IllegalArgumentException] {
+      Layout.dropColumn(spark, "b_drop", "name")
+    }.getMessage.contains("does not exist"))
+    assert(intercept[IllegalArgumentException] {
+      Layout.dropColumn(spark, "b_drop", "o_orderkey")
+    }.getMessage.contains("bucket/sort"))
+    // re-adding the dropped name would RESURRECT the old bytes (parquet
+    // name-based resolution) — rejected until a physical rewrite
+    assert(intercept[IllegalArgumentException] {
+      Layout.addColumn(spark, "b_drop", "name", "string")
+    }.getMessage.contains("RESURRECT"))
+    // compactBucketed is the physical migration: dropped bytes shed...
+    Layout.compactBucketed(spark, "b_drop", "o_orderkey", 4)
+    val rawCols = spark.read.parquet(tableLoc("b_drop").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString): _*).columns
+    assert(!rawCols.contains("name"), s"physical rewrite must shed the bytes: ${rawCols.toSeq}")
+    // ...after which the re-add is legal and reads null everywhere — a
+    // fresh column, NOT the resurrected secrets
+    Layout.addColumn(spark, "b_drop", "name", "string")
+    val t = Layout.readTable(spark, "b_drop")
+    assert(t.columns.contains("name"))
+    assert(t.where(col("name").isNotNull).count() == 0, "re-added column must read null")
+  }
+
+  test("renameColumn is an explicit rewrite: content preserved, bucket layout preserved") {
+    import spark.implicits._
+    val base = (0L until 24L).map(k => (k, k * 10)).toDF("o_orderkey", "o_custkey")
+    Layout.writeBucketed(base, "b_ren", "o_orderkey", 4)
+    Layout.renameColumn(spark, "b_ren", "o_custkey", "cust_id")
+    val t1 = Layout.readTable(spark, "b_ren")
+    assert(t1.columns.toSeq == Seq("o_orderkey", "cust_id"))
+    assert(t1.select("o_orderkey", "cust_id").as[(Long, Long)].collect().toSet
+      == (0L until 24L).map(k => (k, k * 10)).toSet)
+    // a catalog-only rename would read NULL from every old file — the
+    // rewrite must leave the values physically under the NEW name
+    assert(t1.where(col("cust_id").isNull).count() == 0)
+    // renaming the bucket key re-buckets on the new name: zero-Exchange
+    // self-join still plans bucketed
+    Layout.renameColumn(spark, "b_ren", "o_orderkey", "okey")
+    val t2 = Layout.readTable(spark, "b_ren")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = t2.join(t2.groupBy("okey").count(), "okey")
+        .queryExecution.explainString(FormattedMode)
+      assert(p.contains("Bucketed: true") && shuffles(p) == 0, p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // collision / absence / injection rejected loudly
+    assert(intercept[IllegalArgumentException] {
+      Layout.renameColumn(spark, "b_ren", "okey", "cust_id")
+    }.getMessage.contains("already exists"))
+    assert(intercept[IllegalArgumentException] {
+      Layout.renameColumn(spark, "b_ren", "ghost", "x")
+    }.getMessage.contains("does not exist"))
+    assert(intercept[IllegalArgumentException] {
+      Layout.renameColumn(spark, "b_ren", "okey", "x`y")
+    }.getMessage.contains("backtick"))
+  }
+
+  test("addColumn validates its operands instead of executing them as DDL") {
+    import spark.implicits._
+    Layout.writeBucketed((0L until 4L).map(k => (k, k)).toDF("o_orderkey", "v"),
+      "b_inject", "o_orderkey", 2)
+    // a backtick in the name would escape the quoting
+    assert(intercept[IllegalArgumentException] {
+      Layout.addColumn(spark, "b_inject", "x` int, `y", "int")
+    }.getMessage.contains("backtick"))
+    // non-type text in dataType must fail the PARSE, not reach DDL
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      Layout.addColumn(spark, "b_inject", "x", "int) USING parquet; DROP TABLE b_inject; --")
+    }
+    assert(spark.catalog.tableExists("b_inject"))
+    assert(Layout.readTable(spark, "b_inject").columns.toSeq == Seq("o_orderkey", "v"))
+  }
+
+  test("forgetKeysDir erases the keys' bytes from a partitioned directory, file-granularly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("forget-dir").toString + "/t"
+    val base = (0L until 40L).map(k => (k, s"user-$k", if (k % 2 == 0) "even" else "odd"))
+      .toDF("id", "name", "p")
+    Layout.writePartitioned(base, dir, "p")
+    val root = new java.io.File(new java.io.File(dir).getCanonicalPath)
+    // plant a crashed Spark job's staging copy holding a victim's row —
+    // the r18 ADVICE window an erasure must also purge
+    Seq((5L, "user-5", "odd")).toDF("id", "name", "p")
+      .write.parquet(new java.io.File(root, "_temporary/0/attempt_x").toString)
+    // file-granular: the even partition holds no requested key, so its
+    // files must be untouched (same name+len+mtime — same inodes)
+    def inventory(sub: String): Map[String, (Long, Long)] = {
+      val d = new java.io.File(root, sub)
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    }
+    val evenBefore = inventory("p=even")
+    val n = Layout.forgetKeysDir(spark, dir, "id", Seq(5L, 7L, 7L, 999L).toDF("uid"))
+    assert(n == 3, "distinct requested keys (absent ones vacuously erased)")
+    val t = Layout.readDir(spark, dir)
+    assert(t.where(col("id").isin(5L, 7L)).count() == 0)
+    assert(t.count() == 38, "every other row survives")
+    assert(t.columns.toSet == Set("id", "name", "p"), "partition column survives")
+    assert(inventory("p=even") == evenBefore, "partitions without keys keep their files")
+    // the hard guarantee: NO file anywhere under the location still holds
+    // the keys — crashed-job staging purged, affected files rewritten
+    assert(!new java.io.File(root, "_temporary").exists(), "crashed-job staging purged")
+    assert(!new java.io.File(root, "_pre_swap").exists())
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val allFiles = walk(root).filter(_.getName.endsWith(".parquet"))
+    val residual = spark.read.option("basePath", root.toString)
+      .parquet(allFiles.map(_.toString): _*)
+      .where(col("id").isin(5L, 7L)).count()
+    assert(residual == 0, "no surviving file may hold the erased keys' bytes")
+    // dtype mismatch rejected loudly — never a silent cast
+    assert(intercept[IllegalArgumentException] {
+      Layout.forgetKeysDir(spark, dir, "id", Seq(5.0).toDF("uid"))
+    }.getMessage.contains("cast the id batch"))
+  }
+
+  test("vacuum ages storage-relative: a storage clock ahead of the driver cannot stall the sweep") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vac-skew").toString + "/t"
+    Layout.writePartitioned((0L until 10L).map(k => (k, "a")).toDF("id", "p"), dir, "p")
+    Layout.writePartitioned((10L until 15L).map(k => (k, "b")).toDF("id", "p"), dir, "p")
+    val root = new org.apache.hadoop.fs.Path(new java.io.File(dir).getCanonicalPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "_pre_swap")))
+    // skewed-clock fixture: the STORAGE's timeline sits 2 h ahead of the
+    // driver's — live activity at now+2h, the retirement 1 h older
+    val now = System.currentTimeMillis()
+    def retime(p: org.apache.hadoop.fs.Path, t: Long): Unit = {
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory) fs.listStatus(p).foreach(s => retime(s.getPath, t))
+      fs.setTimes(p, t, -1)
+    }
+    fs.listStatus(root).foreach { s =>
+      val t = if (s.getPath.getName == "_pre_swap") now + 3600_000L else now + 7200_000L
+      retime(s.getPath, t)
+    }
+    // a driver-clock gate sees every mtime "in the future" and can never
+    // sweep; the storage-relative gate measures 1 h of age against the
+    // location's own newest instant and reclaims at a 30 min retention
+    assert(Layout.vacuum(spark, dir, retentionMs = 1800_000L) > 0L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_pre_swap")))
+    assert(Layout.readDir(spark, dir).select("id").as[Long].collect().toSet
+      == (10L until 15L).toSet, "live table untouched")
+  }
+
+  test("vacuum reclaims superseded manifest generations past the retention, never the newest") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vac-gens").toString + "/t"
+    Layout.writePartitioned((0L until 5L).map(k => (k, "a")).toDF("id", "p"), dir, "p")
+    Layout.writePartitioned((5L until 9L).map(k => (k, "b")).toDF("id", "p"), dir, "p")
+    assert(Layout.generations(spark, dir).size == 2)
+    assert(Layout.vacuum(spark, dir, retentionMs = 0L) > 0L)
+    val gens = Layout.generations(spark, dir)
+    assert(gens.size == 1, s"only the newest generation survives: $gens")
+    assert(Layout.readDir(spark, dir).count() == 4)
+    // the reclaimed generation now fails loudly — the vacuum guard
+    val e = intercept[RuntimeException] { Layout.readDirAt(spark, dir, gens.head - 1) }
+    assert(e.getMessage.contains("not retained"), e.getMessage)
+  }
+
+  test("zorderWriteK at k=3: a predicate on EACH dimension alone skips at least half the files") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{input_file_name, max => fmax, min => fmin}
+    // three near-independent permutations of 0..n — every dimension is
+    // adversarial to a layout that favors the others
+    // 64 files so each of the 3 dims gets ≥2 bits of per-file rank
+    // resolution (log2(64)/3) — at 16 files the third dim has ~1 bit and
+    // the skip rate sits at exactly the noise boundary
+    val n = 65536
+    val df = (0 until n).map { i =>
+      (i.toLong, ((i.toLong * 7919L) % n), ((i.toLong * 104729L) % n))
+    }.toDF("a", "b", "c")
+    val dir = java.nio.file.Files.createTempDirectory("z3").toString + "/t"
+    Layout.zorderWriteK(df, dir, Seq("a", "b", "c"), files = 64)
+    val read = spark.read.parquet(dir)
+    assert(read.count() == n, "rewrite is lossless")
+    for (dim <- Seq("a", "b", "c")) {
+      val stats = read.groupBy(input_file_name().as("f"))
+        .agg(fmin(dim).as("mn"), fmax(dim).as("mx"))
+      val all = stats.count()
+      // bottom-eighth range predicate on this dimension alone
+      val hit = stats.where(col("mn") <= n / 8).count()
+      assert(all >= 8, s"enough files to make skipping meaningful ($all)")
+      assert(hit * 2 <= all, s"dim $dim: z-order must skip at least half ($hit of $all)")
+    }
+  }
+
+  test("InterleaveBits at k=2 is bit-identical to Interleave16; nulls propagate") {
+    import spark.implicits._
+    import graft.functions.VectorExpressions
+    val df = (0 until 512).map(i => (i.toLong * 131L % 65536L, i.toLong * 31019L % 65536L))
+      .toDF("a", "b")
+    val mismatches = df.select(
+      VectorExpressions.interleaveBits(Seq(col("a"), col("b")), 16).as("zk"),
+      VectorExpressions.interleave16(col("a"), col("b")).as("z2"))
+      .where(col("zk") =!= col("z2")).count()
+    assert(mismatches == 0)
+    val withNull = Seq((Some(1L), None: Option[Long])).toDF("a", "b")
+      .select(VectorExpressions.interleaveBits(Seq(col("a"), col("b")), 16).as("z"))
+    assert(withNull.where(col("z").isNull).count() == 1)
+  }
+}

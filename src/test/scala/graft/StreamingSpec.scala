@@ -568,4 +568,88 @@ class StreamingSpec extends GraftSuite {
       assert(offline == b0, s"offline $offline vs streamed $b0")
     } finally q.stop()
   }
+
+  /** Independent brute-force PSI in plain Scala — the formula from
+    * [[graft.operators.Analytics.driftPsi]]'s scaladoc re-derived outside
+    * Spark: baseline-quantile bins (rank strictly-below over the c1 side),
+    * add-one smoothing, per-bin 1e-6 rounding summed exactly. Pins the
+    * shared core the way the DuckDB oracle pins the batch query.
+    */
+  private def psiRef(ref: Map[Long, Long], smp: Map[Long, Long], bins: Int): Long = {
+    val n1 = ref.values.sum; val n2 = smp.values.sum
+    if (n1 == 0L || n2 == 0L) return 1000000000L
+    val b1 = Array.fill(bins)(0L); val b2 = Array.fill(bins)(0L)
+    var below = 0L
+    (ref.keySet ++ smp.keySet).toSeq.sorted.foreach { v =>
+      val bin = math.min(bins - 1L, bins * below / n1).toInt
+      b1(bin) += ref.getOrElse(v, 0L); b2(bin) += smp.getOrElse(v, 0L)
+      below += ref.getOrElse(v, 0L)
+    }
+    (0 until bins).map { i =>
+      val p = (b1(i) + 1).toDouble / (n1 + bins)
+      val q = (b2(i) + 1).toDouble / (n2 + bins)
+      math.round((p - q) * math.log(p / q) * 1000000)
+    }.sum
+  }
+
+  test("drift monitor PSI twin: per-batch PSI equals the brute-force reference; shifts and empty halves verdict correctly") {
+    import spark.implicits._
+    import graft.streaming.DriftStream
+    implicit val sqlCtx = spark.sqlContext
+    val ref = (1 to 100).flatMap(c => Seq(("click", c / 100.0), ("view", c / 100.0)))
+      .map { case (t, v) => Event(0, ts(0), 0, t, v) }
+      .toDF().select(col("ts"), col("event_type"), col("value"))
+    val refHist = DriftStream.referenceHistogram(ref).localCheckpoint()
+    val verdicts = scala.collection.concurrent.TrieMap[Long, Map[String, (Long, Long, Long, Long)]]()
+    val input = MemoryStream[Event]
+    // monitorBoth: one verdict frame carrying BOTH gates per type
+    val q = DriftStream.monitorBoth(input.toDF(), refHist) { (id, v) =>
+      verdicts(id) = v.collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    }.start()
+    try {
+      // batch 0: drawn from the reference support — the in-support case
+      input.addData((1 to 50).map(c => Event(c, ts(c), 1, "click", (2 * c) / 100.0)): _*)
+      q.processAllAvailable()
+      // batch 1: support disjoint from the reference — mass shift
+      input.addData((1 to 50).map(c => Event(c, ts(c), 1, "click", 500.0 + c)): _*)
+      q.processAllAvailable()
+      val b0 = verdicts(0L); val b1 = verdicts(1L)
+      val refCounts = (1L to 100L).map(c => c -> 1L).toMap
+      val smp0 = (1 to 50).map(c => 2L * c).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val smp1 = (1 to 50).map(c => 50000L + 100L * c).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(b0("click")._4 == psiRef(refCounts, smp0, 16),
+        s"in-support PSI must equal the brute-force reference: ${b0("click")}")
+      assert(b1("click")._4 == psiRef(refCounts, smp1, 16),
+        s"disjoint-support PSI must equal the brute-force reference: ${b1("click")}")
+      assert(b1("click")._4 > b0("click")._4, "a support shift must raise PSI")
+      assert(b1("click")._4 < 1000000000L, "computable drift must stay below the sentinel")
+      // view saw no batch rows → the empty-half sentinel, dominating
+      // every computable PSI (the KS column agrees: 10⁶)
+      assert(b0("view")._4 == 1000000000L && b0("view")._3 == 1000000L, b0.toString)
+      // batchPsi is a plain batch function — the offline run of the same
+      // code path reproduces the streaming verdict exactly
+      val offline = DriftStream.batchPsi(refHist,
+          (1 to 50).map(c => Event(c, ts(c), 1, "click", (2 * c) / 100.0)).toDF())
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+      assert(offline("click") == b0("click")._4, s"offline $offline vs streamed $b0")
+    } finally q.stop()
+  }
+
+  test("batchPsi shares the oracle-gated core: reproduces q_drift_psi when fed the same halves") {
+    import graft.operators.Analytics
+    import graft.io.Tables
+    // split the events table at driftPsi's own midpoint and feed the
+    // halves through the STREAMING entry — one shared core, one answer
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("value"), unix_millis(col("ts")).as("ms"))
+    val mid = ev.agg(expr("(min(ms) + max(ms)) div 2").as("mid")).first().getLong(0)
+    val refHist = graft.streaming.DriftStream.referenceHistogram(
+      ev.where(col("ms") < mid))
+    val streamed = graft.streaming.DriftStream.batchPsi(refHist, ev.where(col("ms") >= mid))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = Analytics.driftPsi(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch, s"streamed $streamed vs batch $batch")
+  }
 }
