@@ -104,6 +104,16 @@ class LifecycleSpec extends GraftSuite {
     assert(Layout.readDirAt(spark, dir, gens.last).select("id").as[Long].collect().toSet
       == (100L until 110L).toSet)
     assert(Layout.readDir(spark, dir).count() == 10)
+    // a COMPACTION between reads: the pinned epoch survives one more
+    // maintenance pass (its files move to _pre_swap), while the epoch the
+    // compaction's retirement superseded fails loudly
+    Layout.compact(spark, dir, dir)
+    val gens2 = Layout.generations(spark, dir)
+    assert(gens2.size == 3)
+    assert(Layout.readDirAt(spark, dir, gens.last).select("id").as[Long].collect().toSet
+      == (100L until 110L).toSet, "pre-compact epoch pinned from retirement")
+    val e = intercept[RuntimeException] { Layout.readDirAt(spark, dir, gens.head).count() }
+    assert(e.getMessage.contains("retained"), e.getMessage)
   }
 
   test("dropColumn is a free catalog migration; the resurrection guard closes the re-add hole") {
