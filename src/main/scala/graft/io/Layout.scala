@@ -780,29 +780,37 @@ object Layout {
   def readDirAt(spark: SparkSession, dir: String, gen: Long): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val wanted = readManifestGen(fs, root, gen)
-    // residences, in preference order: live dir, then the retirement dirs
-    // (basenames are job-uuid unique across writes, so name collisions
-    // across residences can only be the SAME file seen twice — live wins)
-    val residences = Seq(root,
-      new org.apache.hadoop.fs.Path(root, "_pre_merge"),
-      new org.apache.hadoop.fs.Path(root, "_pre_swap"))
-    val located: Seq[(org.apache.hadoop.fs.Path, Seq[String])] =
-      residences.map(r => (r, relDataFiles(fs, r)))
-    // ALL occurrences of each wanted basename, not first-wins: ONE write
-    // job reuses a part name across `col=value` partition subdirs (task 0
-    // writes `p=a/part-00000-<uuid>` AND `p=b/part-00000-<uuid>`), so a
-    // generation's basename can legitimately stand for several files —
-    // possibly split across residences after a partial maintenance pass.
-    // Cross-JOB collisions can't happen (the uuid is per job), so every
-    // occurrence belongs to the pinned generation.
-    val hits = scala.collection.mutable.ArrayBuffer.empty[(org.apache.hadoop.fs.Path, String)]
-    val found = scala.collection.mutable.Set.empty[String]
-    located.foreach { case (r, rels) =>
-      rels.foreach { rel =>
-        val n = new org.apache.hadoop.fs.Path(rel).getName
-        if (wanted.contains(n)) { hits += ((r, rel)); found += n }
+    // resolution holds the dir lock (metadata-only, cheap): an IN-SESSION
+    // maintenance pass moving a file between the live walk and the
+    // retirement walk would otherwise list the SAME file in two
+    // residences — a duplicated row in a "byte-identical" pinned read
+    val (wanted, hits, found) = dirLock(spark, dir).synchronized {
+      val wanted = readManifestGen(fs, root, gen)
+      // residences: live dir first, then the retirement dirs a later
+      // maintenance pass may have moved the generation's files to
+      val residences = Seq(root,
+        new org.apache.hadoop.fs.Path(root, "_pre_merge"),
+        new org.apache.hadoop.fs.Path(root, "_pre_swap"))
+      // ALL occurrences of each wanted basename, not first-wins: ONE write
+      // job reuses a part name across `col=value` partition subdirs (task 0
+      // writes `p=a/part-00000-<uuid>` AND `p=b/part-00000-<uuid>`), so a
+      // generation's basename can legitimately stand for several files —
+      // possibly split across residences after a partial maintenance pass.
+      // Cross-JOB collisions can't happen (the uuid is per job), so every
+      // occurrence belongs to the pinned generation. Dedupe by REL path:
+      // the same rel in two residences is one file seen mid-move by a
+      // cross-process writer (same-rel-different-content is impossible —
+      // fresh writes carry fresh uuids) — read it once, live copy first.
+      val hits = scala.collection.mutable.ArrayBuffer.empty[(org.apache.hadoop.fs.Path, String)]
+      val found = scala.collection.mutable.Set.empty[String]
+      val seenRel = scala.collection.mutable.Set.empty[String]
+      residences.foreach { r =>
+        relDataFiles(fs, r).foreach { rel =>
+          val n = new org.apache.hadoop.fs.Path(rel).getName
+          if (wanted.contains(n) && seenRel.add(rel)) { hits += ((r, rel)); found += n }
+        }
       }
+      (wanted, hits, found)
     }
     val missing = wanted -- found
     require(missing.isEmpty,
@@ -1190,6 +1198,12 @@ object Layout {
     * INCOMPLETE — re-run to completion; the manifest flip is the atomic
     * point, so no interleaving shows a reader a partial view. Same
     * dtype-equality and distinct-count contract as [[forgetKeys]].
+    * Erasure RESETS generation history (superseded manifests deleted):
+    * file-granular deletes would otherwise let an older pin read
+    * PARTIALLY when a basename's erased occurrence is gone but a
+    * partition-sibling occurrence survives — with the manifests gone,
+    * every pre-erasure pin fails loudly instead, which is also the right
+    * privacy posture (history must not outlive an erasure).
     */
   def forgetKeysDir(spark: SparkSession, dir: String, key: String,
       keys: DataFrame): Long = dirLock(spark, dir).synchronized {
@@ -1271,10 +1285,20 @@ object Layout {
         // authority even on a previously unmanaged dir
         writeManifest(fs, root, priorNames)
       }
-      // hard-purge everything outside the manifest: crashed-swap
-      // leftovers (which can hold the keys' bytes), retirement dirs,
-      // crashed-job staging
-      val live = readManifest(fs, root).map(_._2).getOrElse(Set.empty)
+      // erasure RESETS history: delete every superseded manifest
+      // generation. File-granular deletes break the loud-or-exact pinned
+      //-read contract for older generations — a gen naming a basename
+      // whose erased occurrence is gone but whose partition-sibling
+      // occurrence survives would read PARTIALLY (found-but-incomplete),
+      // the one failure mode readDirAt cannot detect at basename
+      // granularity. With the manifests gone, every pre-erasure pin
+      // fails loudly at the generation lookup instead.
+      val (curGen, live) = readManifest(fs, root).map(m => (m._1, m._2))
+        .getOrElse((-1L, Set.empty[String]))
+      fs.listStatus(root).map(_.getPath).foreach { p =>
+        val m = manifestRe.matcher(p.getName)
+        if (m.matches() && m.group(1).toLong < curGen) fs.delete(p, false)
+      }
       relDataFiles(fs, root).foreach { rel =>
         if (!live.contains(new org.apache.hadoop.fs.Path(rel).getName)) {
           val p = new org.apache.hadoop.fs.Path(root, rel)

@@ -98,6 +98,11 @@ object DriftStream {
     * joined on event_type (one row per type:
     * event_type, n1, n2, ks_ppm, psi_x1e6). Same persist lifecycle as
     * [[monitor]] (caller unpersists `refHist` after the query stops).
+    * Cost note: the two verdicts are independent plans, so the
+    * micro-batch aggregates twice per trigger — deliberate (a per-batch
+    * persist/unpersist of the joined histogram would buy one
+    * micro-batch-sized agg at the price of storage-lifecycle churn every
+    * trigger; the reference side is already persisted once).
     */
   def monitorBoth(stream: DataFrame, refHist: DataFrame, bins: Int = 16)(
       onBatch: (Long, DataFrame) => Unit): DataStreamWriter[Row] = {

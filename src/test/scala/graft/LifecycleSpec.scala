@@ -249,6 +249,10 @@ class LifecycleSpec extends GraftSuite {
       .parquet(allFiles.map(_.toString): _*)
       .where(col("id").isin(5L, 7L)).count()
     assert(residual == 0, "no surviving file may hold the erased keys' bytes")
+    // erasure resets history: only the post-erasure generation remains,
+    // so no pre-erasure pin can serve a partial (or victim-holding) epoch
+    assert(Layout.generations(spark, dir).size == 1,
+      s"superseded manifests must go with the erasure: ${Layout.generations(spark, dir)}")
     // dtype mismatch rejected loudly — never a silent cast
     assert(intercept[IllegalArgumentException] {
       Layout.forgetKeysDir(spark, dir, "id", Seq(5.0).toDF("uid"))
