@@ -36,6 +36,7 @@ object SparkEntry {
     "q_bucketed_join"      -> ((s, d) => Relational.bucketedJoin(s, d)),
     // B11 read path: Morton-clustered rewrite + range scan, oracle-lossless
     "q_zorder_scan"        -> ((s, d) => Relational.zorderScan(s, d)),
+    "q_zorder3_scan"       -> ((s, d) => Relational.zorder3Scan(s, d)),
     "q_cogroup"            -> ((s, d) => Relational.coGroup(s, d)),
     // 3 heterogeneous schemas, one tagged-union shuffle (TupleJob.coGroupMulti)
     "q_cogroup_multi"      -> ((s, d) => Relational.coGroupMultiCounts(s, d)),
@@ -416,6 +417,14 @@ object SparkEntry {
         |       CAST(sum(user_id) AS BIGINT) AS sum_uid,
         |       count(DISTINCT user_id) AS n_users
         |FROM events WHERE user_id BETWEEN 10 AND 60
+        |GROUP BY event_type""".stripMargin,
+    "q_zorder3_scan" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM (SELECT event_type, user_id,
+        |             CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |WHERE cents BETWEEN 100 AND 2000
         |GROUP BY event_type""".stripMargin,
     "q_join_broadcast" ->
       """SELECT n_name,

@@ -271,6 +271,54 @@ object Relational {
         sum(col("user_id")).cast("long").as("sum_uid"),
         countDistinct(col("user_id")).as("n_users"))
   }
+  /** B21 as a driver-visible query — the k-DIMENSIONAL z-ordered read
+    * path ([[graft.io.Layout.zorderWriteK]] at k = 3): events rewrite
+    * once per (dir, session) Morton-clustered on (user_id, event_id,
+    * cents), then a roll-up predicated on CENTS ALONE reads the clustered
+    * copy — the adversarial dimension: cents is the LAST (least-
+    * significant-bit) clustering column, so this query exercises exactly
+    * the dimension a 2-dim layout (or a linear sort) cannot skip on.
+    * LifecycleSpec measures the per-dimension skip rate; this query pins
+    * the k-dim rewrite LOSSLESS via the DuckDB oracle over the raw table
+    * (integer-only aggregates — FP-order-free hash).
+    */
+  def zorder3Scan(spark: SparkSession, dir: String): DataFrame = {
+    val tag = graft.io.Layout.dirTag(dir) + "_" +
+      graft.io.Layout.sourceFingerprint(spark, s"$dir/events.parquet")
+    val out = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"g_z3_events_$tag").toString
+    val marker = s"g_z3_events_done_$tag"
+    layoutLock.synchronized {
+      if (!spark.catalog.tableExists(marker)) {
+        // sweep rewrites/markers of previous fingerprints of this dir —
+        // same in-place-regeneration hygiene as zorderScan
+        val dt = graft.io.Layout.dirTag(dir)
+        val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+        val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith(s"g_z3_events_$dt") && n != s"g_z3_events_$tag")
+            fs.delete(st.getPath, true)
+        }
+        spark.catalog.listTables().collect().map(_.name)
+          .filter(n => n.startsWith(s"g_z3_events_done_$dt") && n != marker)
+          .foreach(spark.catalog.dropTempView(_))
+        graft.io.Layout.zorderWriteK(
+          Tables.events(spark, dir).select(col("event_id"), col("user_id"),
+            col("event_type"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents")),
+          out, Seq("user_id", "event_id", "cents"))
+        spark.range(1).createOrReplaceTempView(marker)
+      }
+    }
+    graft.io.Layout.readDir(spark, out)
+      .where(col("cents").between(100, 2000))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents")).cast("long").as("sum_cents"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   // serializes both layout queries' check-then-write: two concurrent
   // first calls would otherwise race a drop/delete into a half-written
   // table or double-write the z-ordered copy. The SHARED Layout monitor —
