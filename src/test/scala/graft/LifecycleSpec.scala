@@ -86,6 +86,52 @@ class LifecycleSpec extends GraftSuite {
     assert(Layout.readTable(spark, "b_ttv").count() == 40)
   }
 
+  test("readTableAt composes with exactly-once ingest: pin the exact snapshot between micro-batches") {
+    import spark.implicits._
+    // the training-pipeline shape B18 exists for: a live ingest cadence
+    // advances the table while an epoch trains on the file set it started
+    // from — the pin must keep serving that set across later batches
+    val base = (0L until 30L).map(k => (k, k * 2)).toDF("o_orderkey", "o_custkey")
+    Layout.writeBucketed(base, "b_ttb", "o_orderkey", 4)
+    assert(Layout.appendBucketedBatch(
+      (100L until 110L).map(k => (k, k)).toDF("o_orderkey", "o_custkey"),
+      "b_ttb", "o_orderkey", 4, batchId = 1L))
+    val epochGen = Layout.tableGenerations(spark, "b_ttb").max
+    assert(Layout.appendBucketedBatch(
+      (200L until 205L).map(k => (k, k)).toDF("o_orderkey", "o_custkey"),
+      "b_ttb", "o_orderkey", 4, batchId = 2L))
+    assert(Layout.readTable(spark, "b_ttb").count() == 45)
+    val pinned = Layout.readTableAt(spark, "b_ttb", epochGen)
+    assert(pinned.count() == 40, "the epoch sees batches 0-1, not batch 2")
+    assert(pinned.where(col("o_orderkey") >= 200L).count() == 0)
+    // appends never retire files, so ANY past ingest generation stays
+    // pinnable without a retention dependency
+    assert(Layout.readTableAt(spark, "b_ttb",
+      Layout.tableGenerations(spark, "b_ttb").min).count() == 30)
+  }
+
+  test("forgetKeysDir on a PARTITION-column key deletes whole partitions and their bytes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("forget-pk").toString + "/t"
+    val base = (0L until 30L).map(k => (k, s"u$k", (k % 3).toString)).toDF("id", "name", "p")
+    Layout.writePartitioned(base, dir, "p")
+    val root = new java.io.File(new java.io.File(dir).getCanonicalPath)
+    // the INFERRED partition-column dtype is what the id batch must match
+    // (partition discovery types "0"/"1"/"2" dir values as int — the same
+    // loud dtype contract as a data column, exercised here)
+    val pType = Layout.readDir(spark, dir).schema("p").dataType
+    assert(pType == org.apache.spark.sql.types.IntegerType)
+    val n = Layout.forgetKeysDir(spark, dir, "p", Seq(1).toDF("p"))
+    assert(n == 1)
+    val t = Layout.readDir(spark, dir)
+    assert(t.where(col("p") === 1).count() == 0)
+    assert(t.count() == 20)
+    assert(!new java.io.File(root, "p=1").exists(), "emptied partition dir pruned")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    assert(!walk(root).exists(_.getPath.contains("p=1")), "no residual bytes")
+  }
+
   test("readDirAt pins a partitioned swap generation with partition columns intact") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("tt-dir").toString + "/t"

@@ -791,4 +791,18 @@ class PlanSpec extends GraftSuite {
     // all ENTITY-sized exchanges; the record side contributes none
     assert(shuffles(p) <= 6, s"unexpected record-scale shuffles:\n$p")
   }
+
+  test("q_zorder3_scan: the cents predicate reaches the clustered scan; agg-only shuffles") {
+    val p = plan("q_zorder3_scan")
+    // the predicate on the LAST clustering dimension is pushed to the
+    // parquet scan of the k-dim clustered copy — at scale the footer
+    // min/max stats turn it into file skips (LifecycleSpec measures the
+    // rate; this pin keeps the pushdown from silently degrading)
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThanOrEqual(cents,100"), p.take(4000))
+    // read path: one scan of the clustered copy, then the group-by and
+    // the distinct-user rewrite — no join, no window, nothing row-scale
+    // beyond the aggregation
+    assert(shuffles(p) <= 2, s"unexpected shuffles:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p.take(4000))
+  }
 }
