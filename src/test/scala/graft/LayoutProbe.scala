@@ -44,6 +44,7 @@ object LayoutProbe {
     }
     if (args.length > 1 && args(1) == "merge") mergeProbe(spark, dir)
     else if (args.length > 1 && args(1) == "ingest") ingestProbe(spark, dir)
+    else if (args.length > 1 && args(1) == "timetravel") timeTravelProbe(spark, dir)
     else {
       run("call-1")
       run("call-2")
@@ -100,6 +101,54 @@ object LayoutProbe {
     require(baseUntouched, "the base table's files must be byte-identical after append")
     require(total == baseRows + batchRows, "re-delivery must not duplicate the batch")
     require(ex == 0, "zero-Exchange contract must survive the streamed append")
+    spark.sql(s"DROP TABLE `$table`")
+  }
+
+  /** B18 at scale: generation-pinned reads across a live CDC merge on the
+    * bucketed sf10 lineitem — times the pin RESOLUTION (driver-side: one
+    * manifest read + three directory walks, O(live+retired files)) apart
+    * from the pinned SCAN, and asserts the pinned epoch reproduces the
+    * pre-merge row count + content marker exactly while the live read
+    * serves the merged state. The claim this prices: "epoch N+1 re-reads
+    * what epoch N saw" costs metadata at plan time, a plain parquet scan
+    * at run time — nothing table-rewrite-shaped.
+    *
+    * Run: sbt -J-Xmx64g "Test/runMain graft.LayoutProbe testdata/sf10 timetravel"
+    */
+  private def timeTravelProbe(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.io.Layout
+    val table = "probe_tt_lineitem"
+    val buckets = 16
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val t0 = System.nanoTime()
+    Layout.writeBucketed(li, table, "l_orderkey", buckets)
+    val built = (System.nanoTime() - t0) / 1e9
+    val epochGen = Layout.tableGenerations(spark, table).max
+    val preCount = spark.table(table).count()
+    val delta = li.where(pmod(col("l_orderkey"), lit(97)) === 0)
+      .dropDuplicates("l_orderkey")
+      .withColumn("l_quantity", lit(-1.0))
+    val nDeltaKeys = delta.count()
+    val t1 = System.nanoTime()
+    Layout.mergeBucketed(spark, table, "l_orderkey", buckets, delta)
+    val merged = (System.nanoTime() - t1) / 1e9
+    // pin resolution (driver metadata) vs pinned scan (executor work)
+    val t2 = System.nanoTime()
+    val pinned = Layout.readTableAt(spark, table, epochGen)
+    val resolve = (System.nanoTime() - t2) / 1e9
+    val t3 = System.nanoTime()
+    val pinnedCount = pinned.count()
+    val pinnedMarkers = pinned.where(col("l_quantity") === -1.0).count()
+    val scan = (System.nanoTime() - t3) / 1e9
+    val liveMarkers = Layout.readTable(spark, table)
+      .where(col("l_quantity") === -1.0).count()
+    println(f"[probe] timetravel: rows=$preCount%,d deltaKeys=$nDeltaKeys%,d " +
+      f"build=$built%.1f s merge=$merged%.1f s pinResolve=$resolve%.3f s " +
+      f"pinnedScan=$scan%.1f s pinnedMarkers=$pinnedMarkers liveMarkers=$liveMarkers")
+    require(pinnedCount == preCount, "the pinned epoch must be the pre-merge table")
+    require(pinnedMarkers == 0L, "no post-merge row may leak into the pinned epoch")
+    require(liveMarkers == nDeltaKeys, "the live read serves the merged state")
     spark.sql(s"DROP TABLE `$table`")
   }
 
