@@ -299,6 +299,19 @@ class LifecycleSpec extends GraftSuite {
     // so no pre-erasure pin can serve a partial (or victim-holding) epoch
     assert(Layout.generations(spark, dir).size == 1,
       s"superseded manifests must go with the erasure: ${Layout.generations(spark, dir)}")
+    // a crashed earlier swap's UNMANIFESTED live file (not staging — a
+    // data file sitting in a partition dir that no manifest names) can
+    // hold a victim's bytes; the erasure's outside-the-manifest sweep
+    // must take it even though the manifest-pinned read never saw it
+    val ghostTmp = java.nio.file.Files.createTempDirectory("ghost").toString
+    Seq((7L, "user-7")).toDF("id", "name").write.mode("overwrite").parquet(ghostTmp)
+    val ghostSrc = new java.io.File(ghostTmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val ghostDst = new java.io.File(root, "p=odd/part-ghost-crashed.parquet")
+    java.nio.file.Files.move(ghostSrc.toPath, ghostDst.toPath)
+    assert(Layout.forgetKeysDir(spark, dir, "id", Seq(7L).toDF("uid")) == 1)
+    assert(!ghostDst.exists(), "an unmanifested crashed-swap file must be swept by erasure")
+    assert(Layout.readDir(spark, dir).count() == 38, "live view unchanged by the ghost sweep")
     // dtype mismatch rejected loudly — never a silent cast
     assert(intercept[IllegalArgumentException] {
       Layout.forgetKeysDir(spark, dir, "id", Seq(5.0).toDF("uid"))

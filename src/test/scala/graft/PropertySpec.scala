@@ -481,4 +481,48 @@ class PropertySpec extends GraftSuite {
     assert(out.intersect(tombstoned).isEmpty, "tombstoned users must vanish")
     assert(out ++ tombstoned == ev.map(_._1).toSet, "every user accounted for")
   }
+
+  /** Plain-Scala mirror of [[graft.functions.InterleaveBits.eval]] — the
+    * z-code contract checked against its mathematical properties rather
+    * than the expression's own arithmetic.
+    */
+  private def zRef(codes: Seq[Long], bits: Int): Long = {
+    val k = codes.length
+    var z = 0L
+    for (j <- 0 until k; i <- 0 until bits)
+      z |= ((((codes(j) & 0xffffL) >> (16 - bits)) >> i) & 1L) << (i * k + (k - 1 - j))
+    z
+  }
+
+  test("InterleaveBits: per-dim monotone with others fixed, sign-safe, k=2 == Interleave16 (300 trials)") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.VectorExpressions
+    for (_ <- 1 to 300) {
+      val k = 2 + rnd.nextInt(3)
+      val bits = math.min(16, 63 / k)
+      val codes = Seq.fill(k)(rnd.nextLong(65536))
+      val z = zRef(codes, bits)
+      // never touches the sign bit — a negative code would invert the
+      // range-partition order and scatter the curve
+      assert(z >= 0L, s"sign-safe: $codes -> $z")
+      // raising ONE dimension's (post-shift) code with the others fixed
+      // never lowers the z-code: per-dim order is what footer min/max
+      // skipping relies on
+      val j = rnd.nextInt(k)
+      val bumped = codes.updated(j, math.min(65535L, codes(j) + (1L << (16 - bits))))
+      assert(zRef(bumped, bits) >= z, s"monotone in dim $j: $codes")
+      // dim 0 outranks lower dims at equal shift — the documented bit layout
+      if (k == 2)
+        assert(zRef(Seq(codes.head, 0L), 16) >= zRef(Seq(0L, codes.head), 16))
+    }
+    // the Catalyst expression agrees with the mirror (interpreted eval)
+    import spark.implicits._
+    val rows = Seq.fill(64)((rnd.nextLong(65536), rnd.nextLong(65536), rnd.nextLong(65536)))
+    val got = rows.toDF("a", "b", "c")
+      .select(VectorExpressions.interleaveBits(Seq(col("a"), col("b"), col("c")), 16).as("z"))
+      .as[Long].collect()
+    rows.zip(got).foreach { case ((a, b, c), z) =>
+      assert(z == zRef(Seq(a, b, c), 16), s"expr vs mirror at ($a,$b,$c)")
+    }
+  }
 }
