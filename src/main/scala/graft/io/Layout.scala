@@ -835,15 +835,25 @@ object Layout {
   }
 
   /** [[readDirAt]] for a catalog table — the bucketed-table time-travel
-    * read. NOTE: a pinned read is a plain parquet scan (no bucketed-scan
-    * zero-Exchange contract — the catalog describes the CURRENT table,
-    * not a historical generation); and [[compactBucketed]]'s drop+rename
-    * rebuild RESETS the location's history (every pre-compact generation
-    * becomes unreachable and fails loudly here) — pin across merges and
-    * appends, not across a full rebuild.
+    * read. Pinning the CURRENT generation serves [[readTable]]'s plan —
+    * the manifest-pinned bucketed scan, zero-Exchange contract intact
+    * (the common cadence: pin now, train on the pin while ingest
+    * advances; only once a LATER write has actually moved the table does
+    * the pin pay the plain-parquet historical path). NOTE: a HISTORICAL
+    * pin is a plain parquet scan (the catalog describes the current
+    * table, not a past generation); and [[compactBucketed]]'s
+    * drop+rename rebuild RESETS the location's history (every
+    * pre-compact generation becomes unreachable and fails loudly here) —
+    * pin across merges and appends, not across a full rebuild.
     */
-  def readTableAt(spark: SparkSession, table: String, gen: Long): DataFrame =
-    readDirAt(spark, tablePath(spark, table).toString, gen)
+  def readTableAt(spark: SparkSession, table: String, gen: Long): DataFrame = {
+    val loc = tablePath(spark, table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readManifest(fs, loc) match {
+      case Some((cur, _, _)) if cur == gen => readTable(spark, table)
+      case _ => readDirAt(spark, loc.toString, gen)
+    }
+  }
 
   /** Compact a directory of small parquet files into ~`targetFileBytes`
     * outputs — the standard maintenance pass after streaming/incremental

@@ -42,10 +42,21 @@ class LifecycleSpec extends GraftSuite {
     assert(pinned.columns.toSeq == Seq("o_orderkey", "o_custkey", "name"))
     assert(pinned.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet == epoch1)
-    // pinning the CURRENT generation equals the live view
-    assert(Layout.readTableAt(spark, "b_tt", gen2).collect()
+    // pinning the CURRENT generation equals the live view — AND keeps the
+    // bucketed zero-Exchange plan (the pin-now-train-on-it cadence must
+    // not pay the historical plain-scan path while nothing has moved)
+    val curPin = Layout.readTableAt(spark, "b_tt", gen2)
+    assert(curPin.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
       == live.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet)
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = curPin.join(curPin.groupBy("o_orderkey").count(), "o_orderkey")
+        .queryExecution.explainString(FormattedMode)
+      assert(p.contains("Bucketed: true") && shuffles(p) == 0,
+        s"a current-generation pin must keep the bucketed plan:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
     // a generation never written fails loudly, listing what IS retained
     val e = intercept[RuntimeException] { Layout.readTableAt(spark, "b_tt", 99L) }
     assert(e.getMessage.contains("not retained"), e.getMessage)
