@@ -240,28 +240,28 @@ object Layout {
     // against merge/compact (which take it too) — an unserialized
     // interleave could write back a STALE hwm and reopen the window it
     // just preserved.
-    val (priorFiles, hwm) = readManifest(fs, loc)
-      .map(m => (m._2, m._3)).getOrElse((dataFileNames(fs, loc), -1L))
-    retireOrphans(fs, loc, dataFileNames(fs, loc) -- priorFiles)
+    val (gen, priorFiles, hwm) = readManifest(fs, loc)
+      .getOrElse((0L, dataFileNames(fs, loc), -1L))
+    retireOrphans(fs, loc, dataFileNames(fs, loc) -- priorFiles, gen)
     bucketWriter(df, table, key, buckets, "append", hwm)
   }
 
   /** Move root-relative data files into the `dirName` retirement dir
     * under `root`, preserving any subdir structure (partition values live
-    * in dir names). `replace = true` drops the previous retirement
-    * generation first — the policy for a SUCCESSFUL swap superseding the
-    * last one; crash-recovery retirement must pass false, because the
-    * leftovers may be the un-moved HALF of the same event whose other
-    * half already sits in the dir (r18 review — a replace there would
-    * delete the only copies). The one retire recipe all three retirement
-    * sites share.
+    * in dir names). ALWAYS additive (r19): retirement dirs are
+    * PER-GENERATION (`_pre_merge/g<gen>` / `_pre_swap/g<gen>`), retained
+    * until [[vacuum]] ages them out — the Delta discipline, and what
+    * makes [[readDirAt]]'s pin depth literally equal the retention
+    * policy. Within one generation dir, additive is also the crash rule:
+    * the rels may be the un-moved HALF of the same event whose other
+    * half already sits there (r18 review). The one retire recipe all
+    * retirement sites share.
     */
   private def retireTo(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, dirName: String,
-      rels: Iterable[String], replace: Boolean): Unit =
+      rels: Iterable[String]): Unit =
     if (rels.nonEmpty) {
       val retired = new org.apache.hadoop.fs.Path(root, dirName)
-      if (replace && fs.exists(retired)) fs.delete(retired, true)
       rels.foreach { rel =>
         val to = new org.apache.hadoop.fs.Path(retired, rel)
         fs.mkdirs(to.getParent)
@@ -270,17 +270,16 @@ object Layout {
       }
     }
 
-  /** Park data files no manifest names under `_pre_merge` (the crashed
-    * delivery/merge window) — excluded from every read, recoverable by
-    * hand, never silently re-manifested. ADDITIVE, not replacing: the
-    * orphans may be the second half of a crashed merge whose first half
-    * is already parked. Growth is bounded by the maintenance cadence — a
-    * successful [[mergeBucketed]] replaces the dir and a
-    * [[compactBucketed]] rebuild drops it with the old table dir.
+  /** Park data files no manifest names under `_pre_merge/g<gen>` (the
+    * crashed delivery/merge window, filed under the manifest generation
+    * that governed when the crash was discovered) — excluded from every
+    * read, recoverable by hand, never silently re-manifested. Growth is
+    * bounded by the [[vacuum]] retention, which reclaims aged generation
+    * dirs.
     */
   private def retireOrphans(fs: org.apache.hadoop.fs.FileSystem,
-      loc: org.apache.hadoop.fs.Path, orphans: Set[String]): Unit =
-    retireTo(fs, loc, "_pre_merge", orphans, replace = false)
+      loc: org.apache.hadoop.fs.Path, orphans: Set[String], gen: Long): Unit =
+    retireTo(fs, loc, s"_pre_merge/g$gen", orphans)
 
   /** EXACTLY-ONCE [[appendBucketed]] for a Structured Streaming
     * `foreachBatch` cadence (the B12→B10 ingest front door): Spark
@@ -324,9 +323,8 @@ object Layout {
     require(batchId >= 0, s"appendBucketedBatch needs a streaming batch id, got $batchId")
     val loc = tablePath(spark, table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (priorFiles, hwm) = readManifest(fs, loc)
-      .map(m => (m._2, m._3))
-      .getOrElse((dataFileNames(fs, loc), -1L))
+    val (gen, priorFiles, hwm) = readManifest(fs, loc)
+      .getOrElse((0L, dataFileNames(fs, loc), -1L))
     if (batchId <= hwm) {
       // ids at or below the mark are no-ops: the restart re-delivery
       // (batchId == hwm) and the backup/DR-restored checkpoint of the
@@ -346,7 +344,7 @@ object Layout {
       false
     } else {
       // retire a crashed delivery's unmanifested files before appending
-      retireOrphans(fs, loc, dataFileNames(fs, loc) -- priorFiles)
+      retireOrphans(fs, loc, dataFileNames(fs, loc) -- priorFiles, gen)
       bucketWriter(df, table, key, buckets, "append", hwm = batchId)
       true
     }
@@ -408,11 +406,13 @@ object Layout {
     * produces the replacement layout under a hidden staging sibling, then
     * new files move into `dir` (part names carry the job uuid — no
     * collisions with the old set), the manifest flips to name exactly the
-    * new files, and the old files retire WHOLE to `dir/_pre_swap`
-    * (replaced per swap — underscore-prefixed, invisible to scans, the
-    * last overwrite stays hand-recoverable; partition subdirectory
-    * structure is preserved because partitionBy strips those values from
-    * the file bytes). A [[readDir]] reader resolves the manifest first
+    * new files, and the old files retire WHOLE to
+    * `dir/_pre_swap/g<superseded gen>` (underscore-prefixed, invisible to
+    * scans; retained per generation until [[vacuum]] ages it out, so
+    * every overwrite back to the retention horizon stays hand-recoverable
+    * AND [[readDirAt]]-pinnable; partition subdirectory structure is
+    * preserved because partitionBy strips those values from the file
+    * bytes). A [[readDir]] reader resolves the manifest first
     * and sees the pre- or post-swap table, never a partial one; a raw
     * `spark.read.parquet` reader can transiently see the old+new union
     * between move-in and retirement — the same bounded-visibility
@@ -432,18 +432,21 @@ object Layout {
     // mid-write skipped the finally) are deleted, and data files the
     // manifest does not name (a crash between move-in and retirement —
     // the window where a RAW reader sees the old+new union; readDir
-    // never does) retire to `_pre_swap` ADDITIVELY — they may be the
-    // un-retired half of the same crashed event whose other half is
-    // already parked. Until some later swap runs, that union is the
-    // documented raw-reader residual of a crashed swap.
+    // never does) retire under the current generation's `_pre_swap/g<gen>`
+    // ADDITIVELY — they may be the un-retired half of the same crashed
+    // event whose other half is already parked. Until some later swap
+    // runs, that union is the documented raw-reader residual of a
+    // crashed swap.
     fs.listStatus(dst).filter(s => s.isDirectory
         && s.getPath.getName.startsWith(".swap-"))
       .foreach(s => fs.delete(s.getPath, true))
-    readManifest(fs, dst).foreach { case (_, valid, _) =>
-      retireTo(fs, dst, "_pre_swap",
-        relDataFiles(fs, dst)
-          .filter(rel => !valid.contains(new org.apache.hadoop.fs.Path(rel).getName)),
-        replace = false)
+    val genBefore = readManifest(fs, dst) match {
+      case Some((gen, valid, _)) =>
+        retireTo(fs, dst, s"_pre_swap/g$gen",
+          relDataFiles(fs, dst)
+            .filter(rel => !valid.contains(new org.apache.hadoop.fs.Path(rel).getName)))
+        gen
+      case None => 0L
     }
     val tmp = new org.apache.hadoop.fs.Path(dst,
       s".swap-${java.util.UUID.randomUUID()}")
@@ -462,8 +465,10 @@ object Layout {
       // view to the new set in one atomic rename
       writeManifest(fs, dst,
         fresh.map(rel => new org.apache.hadoop.fs.Path(rel).getName))
-      // a SUCCESSFUL swap supersedes the previous retirement generation
-      retireTo(fs, dst, "_pre_swap", prior, replace = true)
+      // the superseded file set retires under ITS generation's dir —
+      // retained for readDirAt pins until vacuum ages it out (r19: pin
+      // depth IS the retention policy, the Delta discipline)
+      retireTo(fs, dst, s"_pre_swap/g$genBefore", prior)
       if (prior.nonEmpty) {
         // partition dirs the swap emptied would linger as stale col=value
         // entries; prune fully-empty ones bottom-up
@@ -760,9 +765,12 @@ object Layout {
     * This is the reproducibility surface a training pipeline needs across
     * a live CDC cadence: "epoch N+1 reads the exact rows epoch N saw"
     * holds even after merges, compactions, and staged swaps, as long as
-    * the retention policy keeps the generation's bytes (retirement dirs
-    * hold the LAST maintenance pass's originals until the next pass or
-    * [[vacuum]] supersedes them — pin depth IS the retention policy).
+    * the retention policy keeps the generation's bytes: every
+    * maintenance pass retires its superseded files under a
+    * PER-GENERATION `_pre_merge/g<N>` / `_pre_swap/g<N>` dir, retained
+    * until [[vacuum]] ages that generation out — pin depth IS the
+    * retention policy, literally (the Delta discipline: run vacuum with
+    * a retention longer than your longest epoch).
     *
     * LOUD-OR-EXACT contract: a generation whose manifest or any named
     * file is gone (vacuumed, superseded twice, erased by [[forgetKeys]])
@@ -787,10 +795,24 @@ object Layout {
     val (wanted, hits, found) = dirLock(spark, dir).synchronized {
       val wanted = readManifestGen(fs, root, gen)
       // residences: live dir first, then the retirement dirs a later
-      // maintenance pass may have moved the generation's files to
-      val residences = Seq(root,
-        new org.apache.hadoop.fs.Path(root, "_pre_merge"),
-        new org.apache.hadoop.fs.Path(root, "_pre_swap"))
+      // maintenance pass may have moved the generation's files to — each
+      // per-generation `g<N>` subdir is its OWN residence (its own
+      // basePath, so `col=value` components under it parse as partition
+      // columns, never the gN component itself); the bare retirement
+      // root remains a residence for pre-r19 flat retirements, with gN
+      // subtrees excluded from its walk to avoid double-listing
+      val retRoots = Seq("_pre_merge", "_pre_swap")
+        .map(new org.apache.hadoop.fs.Path(root, _))
+      val genDirs = retRoots.flatMap { r =>
+        if (!fs.exists(r)) Seq.empty
+        else fs.listStatus(r).filter(s => s.isDirectory
+          && s.getPath.getName.matches("g\\d+")).map(_.getPath).toSeq
+      }
+      val residences = Seq(root) ++ retRoots ++ genDirs
+      def ownRels(r: org.apache.hadoop.fs.Path): Seq[String] = {
+        val rels = relDataFiles(fs, r)
+        if (retRoots.contains(r)) rels.filterNot(_.matches("g\\d+/.*")) else rels
+      }
       // ALL occurrences of each wanted basename, not first-wins: ONE write
       // job reuses a part name across `col=value` partition subdirs (task 0
       // writes `p=a/part-00000-<uuid>` AND `p=b/part-00000-<uuid>`), so a
@@ -805,7 +827,7 @@ object Layout {
       val found = scala.collection.mutable.Set.empty[String]
       val seenRel = scala.collection.mutable.Set.empty[String]
       residences.foreach { r =>
-        relDataFiles(fs, r).foreach { rel =>
+        ownRels(r).foreach { rel =>
           val n = new org.apache.hadoop.fs.Path(rel).getName
           if (wanted.contains(n) && seenRel.add(rel)) { hits += ((r, rel)); found += n }
         }
@@ -877,7 +899,9 @@ object Layout {
     * generations — never live data, never the CURRENT manifest, so
     * readers and the zero-Exchange contract are unaffected at any
     * retention. Three sweep classes:
-    *   1. `_pre_merge` / `_pre_swap` / `.swap-*` — this layer's own
+    *   1. `_pre_merge` / `_pre_swap` (PER-GENERATION `g<N>` subdirs,
+    *      each aged independently — old epochs reclaim while recent
+    *      ones stay pinnable) and `.swap-*` — this layer's own
     *      retirement and staging;
     *   2. `.spark-staging-*` / `_temporary` — a CRASHED Spark write
     *      job's hidden task staging under an append/merge target (r18
@@ -935,12 +959,31 @@ object Layout {
     var reclaimed = 0L
     entries.foreach { s =>
       val n = s.getPath.getName
-      val sweepableDir = s.isDirectory && (n == "_pre_merge" || n == "_pre_swap"
-        || n == "_temporary" || n.startsWith(".swap-")
-        || n.startsWith(".spark-staging-"))
+      val retirementDir = s.isDirectory && (n == "_pre_merge" || n == "_pre_swap")
+      val stagingDir = s.isDirectory && (n == "_temporary"
+        || n.startsWith(".swap-") || n.startsWith(".spark-staging-"))
       val m = manifestRe.matcher(n)
       val staleManifest = s.isFile && m.matches() && m.group(1).toLong < latestGen
-      if ((sweepableDir || staleManifest) && newest(s) <= cutoff) {
+      if (retirementDir) {
+        // retirement is PER-GENERATION (g<N> subdirs): each generation
+        // ages independently — old epochs reclaim while recent ones stay
+        // pinnable (pin depth IS the retention). Pre-r19 flat retirements
+        // age under the whole-dir rule; an emptied dir is deleted
+        // unconditionally (it holds no bytes).
+        fs.listStatus(s.getPath).foreach { c =>
+          if (c.isDirectory && c.getPath.getName.matches("g\\d+")
+              && newest(c) <= cutoff) {
+            reclaimed += countFiles(c.getPath)
+            fs.delete(c.getPath, true)
+          }
+        }
+        if (newest(s) <= cutoff) {
+          reclaimed += countFiles(s.getPath)
+          fs.delete(s.getPath, true)
+        } else if (fs.exists(s.getPath) && fs.listStatus(s.getPath).isEmpty) {
+          fs.delete(s.getPath, false)
+        }
+      } else if ((stagingDir || staleManifest) && newest(s) <= cutoff) {
         reclaimed += (if (s.isDirectory) countFiles(s.getPath) else 1L)
         fs.delete(s.getPath, s.isDirectory)
       }
@@ -1553,11 +1596,14 @@ object Layout {
     * agreement file-by-file); only those buckets' files are read, the
     * anti-join drops replaced keys, and the merged rows rewrite through
     * the shared [[bucketWriter]] recipe into a staging table whose files
-    * then swap in. Retired files move to the `_pre_merge` subdir
+    * then swap in. Retired files move to `_pre_merge/g<superseded gen>`
     * (underscore-prefixed → invisible to parquet scans) rather than
-    * being deleted, so the LAST merge stays recoverable by hand — one
-    * retirement generation, replaced per merge, so a continuous CDC
-    * cadence holds at most one affected-bucket set of extra bytes.
+    * being deleted — per-generation retirement (r19), retained until
+    * [[vacuum]] ages it out, so every merged-over epoch back to the
+    * retention horizon stays [[readTableAt]]-pinnable and recoverable by
+    * hand; under a continuous CDC cadence the extra bytes are bounded by
+    * retention × churn, managed by the vacuum cadence (the Delta
+    * discipline).
     *
     * SINGLE-WRITER, bounded-visibility contract (the no-transaction-log
     * price, same class as [[compactBucketed]]'s caveat): the swap moves
@@ -1621,11 +1667,11 @@ object Layout {
       // unaffected-bucket orphan would bless it forever. Orphans are
       // retired with this merge's old files instead — never read, never
       // re-manifested.
-      val (dataFiles, orphans, priorHwm) = readManifest(fs, loc) match {
-        case Some((_, valid, h)) =>
+      val (priorGen, dataFiles, orphans, priorHwm) = readManifest(fs, loc) match {
+        case Some((g, valid, h)) =>
           val (in, out) = listed.partition(s => valid.contains(s.getPath.getName))
-          (in, out, h)
-        case None => (listed, Array.empty[org.apache.hadoop.fs.FileStatus], -1L)
+          (g, in, out, h)
+        case None => (0L, listed, Array.empty[org.apache.hadoop.fs.FileStatus], -1L)
       }
       val (oldAffected, untouched) =
         dataFiles.partition(s => bucketIdOf(s.getPath.getName).exists(affected.contains))
@@ -1665,15 +1711,17 @@ object Layout {
       // exactly-once window for the append stream.
       writeManifest(fs, loc,
         untouched.map(_.getPath.getName).toSeq ++ movedIn, priorHwm)
-      // ONE retirement generation, replaced per merge: a per-call timestamped
-      // dir would grow the table directory without bound under the
-      // foreachBatch CDC cadence (review finding — one trigger per minute on
-      // a hot bucket accumulates that bucket's bytes forever). Keeping
-      // exactly the LAST merge's originals preserves the hand-recovery story
-      // for the swap most likely to have just gone wrong.
-      val retired = new org.apache.hadoop.fs.Path(loc, "_pre_merge")
-      if (fs.exists(retired)) fs.delete(retired, true)
+      // PER-GENERATION retirement (r19 — supersedes the r16 one-dir
+      // policy): the replaced files park under `_pre_merge/g<superseded
+      // gen>`, RETAINED until [[vacuum]] ages the generation out. Under a
+      // continuous CDC cadence growth is bounded by retention × churn —
+      // the Delta discipline, managed by the vacuum cadence instead of
+      // the next merge — and in exchange every merged-over epoch back to
+      // the retention horizon stays [[readTableAt]]-pinnable and
+      // hand-recoverable (the r16 bounded-growth rationale predates
+      // vacuum's existence).
       if (oldAffected.nonEmpty || orphans.nonEmpty) {
+        val retired = new org.apache.hadoop.fs.Path(loc, s"_pre_merge/g$priorGen")
         fs.mkdirs(retired)
         (oldAffected ++ orphans).foreach(s => mv(s.getPath,
           new org.apache.hadoop.fs.Path(retired, s.getPath.getName)))

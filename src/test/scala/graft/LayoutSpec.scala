@@ -681,8 +681,12 @@ class LayoutSpec extends GraftSuite {
     // physical: the orphan is retired, not merged and not re-manifested
     val names = loc.listFiles().map(_.getName).toSet
     assert(!names.contains(orphan), "orphan must leave the data dir")
-    val retired = new java.io.File(loc, "_pre_merge").listFiles().map(_.getName).toSet
-    assert(retired.contains(orphan), "orphan parks under _pre_merge")
+    // r19: retirement is per-generation — the orphan parks under
+    // _pre_merge/g<superseded gen>
+    def walkNames(f: java.io.File): Set[String] =
+      if (f.isDirectory) f.listFiles().toSet.flatMap(walkNames) else Set(f.getName)
+    assert(walkNames(new java.io.File(loc, "_pre_merge")).contains(orphan),
+      "orphan parks under _pre_merge")
     val fsLoc = new org.apache.hadoop.fs.Path(loc.toURI)
     val fs = fsLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!Layout.readManifest(fs, fsLoc).get._2.contains(orphan))

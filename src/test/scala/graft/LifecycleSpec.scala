@@ -71,22 +71,21 @@ class LifecycleSpec extends GraftSuite {
     Layout.mergeBucketed(spark, "b_ttv", "o_orderkey", 4,
       Seq((5L, 555L)).toDF("o_orderkey", "o_custkey"))
     val gen2 = Layout.tableGenerations(spark, "b_ttv").max
-    // still reachable: _pre_merge retains the replaced file
+    // still reachable: _pre_merge/g<gen1> retains the replaced file
     assert(Layout.readTableAt(spark, "b_ttv", gen1).count() == 40)
-    // a SECOND merge on the same bucket replaces the retirement
-    // generation — gen1's manifest survives but its bytes are gone:
-    // missing-files guard, loud with the missing names
+    // r19 per-generation retirement: a SECOND merge on the same bucket
+    // retires into ITS OWN generation dir — BOTH prior epochs stay
+    // pinnable until vacuum (pin depth IS the retention policy)
     Layout.mergeBucketed(spark, "b_ttv", "o_orderkey", 4,
       Seq((5L, 777L)).toDF("o_orderkey", "o_custkey"))
-    val e1 = intercept[IllegalArgumentException] {
-      Layout.readTableAt(spark, "b_ttv", gen1).count()
-    }
-    assert(e1.getMessage.contains("no longer fully retained"), e1.getMessage)
-    // gen2 is one maintenance pass back — still reachable
+    assert(Layout.readTableAt(spark, "b_ttv", gen1)
+      .where(col("o_orderkey") === 5L).select("o_custkey").as[Long].head() == 50L)
     assert(Layout.readTableAt(spark, "b_ttv", gen2)
-      .where(col("o_custkey") === 555L).count() == 1)
-    // vacuum(0) reclaims retirement AND superseded manifests → the pin
-    // fails loudly at the manifest (RuntimeException from the gen lookup)
+      .where(col("o_orderkey") === 5L).select("o_custkey").as[Long].head() == 555L)
+    assert(Layout.readTable(spark, "b_ttv")
+      .where(col("o_orderkey") === 5L).select("o_custkey").as[Long].head() == 777L)
+    // vacuum(0) reclaims every aged generation (bytes + superseded
+    // manifests) → the pins fail LOUDLY, never partially
     assert(Layout.vacuumTable(spark, "b_ttv", retentionMs = 0L) > 0L)
     val e2 = intercept[RuntimeException] {
       Layout.readTableAt(spark, "b_ttv", gen2).count()
@@ -161,14 +160,18 @@ class LifecycleSpec extends GraftSuite {
     assert(Layout.readDirAt(spark, dir, gens.last).select("id").as[Long].collect().toSet
       == (100L until 110L).toSet)
     assert(Layout.readDir(spark, dir).count() == 10)
-    // a COMPACTION between reads: the pinned epoch survives one more
-    // maintenance pass (its files move to _pre_swap), while the epoch the
-    // compaction's retirement superseded fails loudly
+    // a COMPACTION between reads: EVERY prior epoch stays pinnable (r19
+    // per-generation retirement — each pass retires under its own g<N>
+    // dir, so history depth is the vacuum retention, not one pass)
     Layout.compact(spark, dir, dir)
     val gens2 = Layout.generations(spark, dir)
     assert(gens2.size == 3)
     assert(Layout.readDirAt(spark, dir, gens.last).select("id").as[Long].collect().toSet
       == (100L until 110L).toSet, "pre-compact epoch pinned from retirement")
+    assert(Layout.readDirAt(spark, dir, gens.head).select("id").as[Long].collect().toSet
+      == (0L until 30L).toSet, "the epoch TWO passes back pins too")
+    // only vacuum ends the history — and loudly
+    assert(Layout.vacuum(spark, dir, retentionMs = 0L) > 0L)
     val e = intercept[RuntimeException] { Layout.readDirAt(spark, dir, gens.head).count() }
     assert(e.getMessage.contains("retained"), e.getMessage)
   }
