@@ -37,6 +37,14 @@ object SparkEntry {
     // B11 read path: Morton-clustered rewrite + range scan, oracle-lossless
     "q_zorder_scan"        -> ((s, d) => Relational.zorderScan(s, d)),
     "q_zorder3_scan"       -> ((s, d) => Relational.zorder3Scan(s, d)),
+    // B18 read path: pinned pre-merge generation vs the raw-table oracle —
+    // a leaked or lost row from the corrupting CDC merge hash-mismatches
+    "q_timetravel"         -> ((s, d) => Relational.timetravelRead(s, d)),
+    // B14 landing: seed + 2 micro-batches with batch 1 delivered TWICE —
+    // a broken exactly-once dedupe doubles batch 1 and hash-mismatches
+    "q_ingest_read"        -> ((s, d) => Relational.ingestRead(s, d)),
+    // B16 landing: every 89th custkey erased; oracle = raw MINUS victims
+    "q_erasure_read"       -> ((s, d) => Relational.erasureRead(s, d)),
     "q_cogroup"            -> ((s, d) => Relational.coGroup(s, d)),
     // 3 heterogeneous schemas, one tagged-union shuffle (TupleJob.coGroupMulti)
     "q_cogroup_multi"      -> ((s, d) => Relational.coGroupMultiCounts(s, d)),
@@ -426,6 +434,31 @@ object SparkEntry {
         |             CAST(round(value * 100) AS BIGINT) AS cents FROM events)
         |WHERE cents BETWEEN 100 AND 2000
         |GROUP BY event_type""".stripMargin,
+    // the Spark side reads the PINNED pre-merge generation of a bucketed
+    // copy that a CDC merge then corrupted — matching the raw table is
+    // exactly the time-travel guarantee under test
+    "q_timetravel" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       count(DISTINCT o_custkey) AS n_custs
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    // the Spark side read a bucketed table fed by seed + 2 micro-batches
+    // with batch 1 re-delivered — equality with the raw table IS the
+    // exactly-once property
+    "q_ingest_read" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
+    // the Spark side erased the %89 keys from its bucketed copy — the
+    // oracle subtracts them from the raw table: victims gone AND every
+    // other row intact, or the hash mismatches
+    "q_erasure_read" ->
+      """SELECT c_mktsegment, count(*) AS n_custs,
+        |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_cents,
+        |       count(DISTINCT c_nationkey) AS n_nations
+        |FROM customer WHERE c_custkey % 89 <> 0
+        |GROUP BY c_mktsegment""".stripMargin,
     "q_join_broadcast" ->
       """SELECT n_name,
         |       CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))

@@ -319,6 +319,171 @@ object Relational {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** B18 as a driver-visible query — the generation-pinned read path
+    * (time travel). Once per (dir, session): orders land bucketed
+    * ([[graft.io.Layout.writeBucketed]] — the pre-merge generation), then
+    * a CDC merge deliberately CORRUPTS the live table — every 97th order
+    * key gets its priority renamed to a value outside the domain and its
+    * cents zeroed, and every 194th is tombstoned outright
+    * ([[graft.io.Layout.mergeBucketed]]). The query then aggregates the
+    * PINNED pre-merge generation ([[graft.io.Layout.readTableAt]]) while
+    * the DuckDB oracle runs over the RAW table: a pin that leaks even one
+    * merged row (foreign group key, zeroed sum) or loses one tombstoned
+    * row hash-mismatches, so the gate checks epoch exactness end to end —
+    * the "train epoch N+1 on the exact rows epoch N saw" guarantee that
+    * motivated B18. LayoutQuerySpec pins non-vacuity: the LIVE read's
+    * aggregate genuinely differs from the pinned one at test scale.
+    * Integer-only aggregates keep the hash FP-order-free. Repeated calls
+    * (bench iterations) measure only the pinned read, the serving shape.
+    */
+  def timetravelRead(spark: SparkSession, dir: String): DataFrame = {
+    val src = s"$dir/orders.parquet"
+    val tag = graft.io.Layout.dirTag(dir) + "_" +
+      graft.io.Layout.sourceFingerprint(spark, src)
+    val tbl = s"g_tt_orders_$tag"
+    // memo marker lands LAST (after the merge): a crash mid-setup leaves
+    // no marker and the next call rebuilds from scratch — same semantics
+    // as zorderScan's
+    val marker = s"g_tt_done_$tag"
+    layoutLock.synchronized {
+      if (!spark.catalog.tableExists(marker)) {
+        // sweep tables + markers of previous fingerprints of this dir (and
+        // any half-built table of THIS fingerprint — no marker yet means
+        // the setup never completed)
+        val dt = graft.io.Layout.dirTag(dir)
+        spark.catalog.listTables().collect()
+          .filter(t => t.name.startsWith(s"g_tt_orders_$dt")
+            || t.name.startsWith(s"g_tt_done_$dt"))
+          .foreach { t =>
+            if (t.isTemporary) spark.catalog.dropTempView(t.name)
+            else spark.sql(s"DROP TABLE IF EXISTS `${t.name}`")
+          }
+        val buckets = graft.io.Layout.deriveBuckets(spark, Seq(src))
+        val base = Tables.orders(spark, dir).select(col("o_orderkey"),
+          col("o_custkey"), col("o_orderpriority"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        graft.io.Layout.writeBucketed(base, tbl, "o_orderkey", buckets)
+        // the corrupting delta: half the touched keys update (foreign
+        // priority + zeroed cents — leaks shift BOTH group keys and sums),
+        // the other half tombstone (a pin that dropped them undercounts)
+        val delta = base
+          .where(pmod(col("o_orderkey"), lit(97)) === 0)
+          .withColumn("o_orderpriority", lit("9-POST-PIN"))
+          .withColumn("cents", lit(0L))
+          .withColumn("_del", pmod(col("o_orderkey"), lit(194)) === 0)
+        graft.io.Layout.mergeBucketed(spark, tbl, "o_orderkey", buckets,
+          delta, deleteCol = Some("_del"))
+        spark.range(1).createOrReplaceTempView(marker)
+      }
+    }
+    val pin = graft.io.Layout.tableGenerations(spark, tbl).min
+    graft.io.Layout.readTableAt(spark, tbl, pin)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("cents")).cast("long").as("sum_cents"),
+        countDistinct(col("o_custkey")).as("n_custs"))
+  }
+
+  /** B14 as a driver-visible query — the exactly-once ingest landing
+    * under the gate. Once per (dir, session): a third of events seeds the
+    * bucketed table ([[graft.io.Layout.writeBucketed]]), the other two
+    * thirds land as micro-batches via
+    * [[graft.io.Layout.appendBucketedBatch]] — with batch 1 DELIVERED
+    * TWICE, the crash-restart shape Structured Streaming's foreachBatch
+    * contract produces (the sink must dedupe on batchId; the second
+    * delivery must be a no-op, `require`d here so a regression fails the
+    * query loudly). The DuckDB oracle aggregates the RAW table: a
+    * re-delivery that appended would double batch 1's rows and
+    * hash-mismatch, so the gate itself now checks the exactly-once
+    * property end to end. Integer-only aggregates; repeated calls
+    * measure only the bucketed read.
+    */
+  def ingestRead(spark: SparkSession, dir: String): DataFrame = {
+    val src = s"$dir/events.parquet"
+    val tag = graft.io.Layout.dirTag(dir) + "_" +
+      graft.io.Layout.sourceFingerprint(spark, src)
+    val tbl = s"g_in_events_$tag"
+    val marker = s"g_in_done_$tag"
+    layoutLock.synchronized {
+      if (!spark.catalog.tableExists(marker)) {
+        val dt = graft.io.Layout.dirTag(dir)
+        spark.catalog.listTables().collect()
+          .filter(t => t.name.startsWith(s"g_in_events_$dt")
+            || t.name.startsWith(s"g_in_done_$dt"))
+          .foreach { t =>
+            if (t.isTemporary) spark.catalog.dropTempView(t.name)
+            else spark.sql(s"DROP TABLE IF EXISTS `${t.name}`")
+          }
+        val buckets = graft.io.Layout.deriveBuckets(spark, Seq(src))
+        val ev = Tables.events(spark, dir).select(col("event_id"),
+          col("user_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        def slice(i: Int): DataFrame = ev.where(pmod(col("event_id"), lit(3)) === i)
+        graft.io.Layout.writeBucketed(slice(0), tbl, "user_id", buckets)
+        require(graft.io.Layout.appendBucketedBatch(slice(1), tbl, "user_id",
+          buckets, batchId = 1L), "q_ingest_read: first delivery of batch 1 must land")
+        require(!graft.io.Layout.appendBucketedBatch(slice(1), tbl, "user_id",
+          buckets, batchId = 1L),
+          "q_ingest_read: RE-delivery of batch 1 must be a no-op (exactly-once)")
+        require(graft.io.Layout.appendBucketedBatch(slice(2), tbl, "user_id",
+          buckets, batchId = 2L), "q_ingest_read: batch 2 must land")
+        spark.range(1).createOrReplaceTempView(marker)
+      }
+    }
+    graft.io.Layout.readTable(spark, tbl)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents")).cast("long").as("sum_cents"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** B16 as a driver-visible query — right-to-erasure under the gate.
+    * Once per (dir, session): customer lands bucketed, then every 89th
+    * custkey is erased via [[graft.io.Layout.forgetKeys]] (tombstone-merge
+    * + hard purge of every retained recovery copy). The DuckDB oracle
+    * aggregates the raw table MINUS the erased keys: a surviving victim
+    * row inflates its segment's count/sum, a lost innocent row deflates
+    * it — either hash-mismatches, so the gate checks both halves of the
+    * erasure contract (victims gone, everyone else byte-intact).
+    * LayoutSpec's raw-byte grep separately pins that the bytes (not just
+    * the rows) are unrecoverable.
+    */
+  def erasureRead(spark: SparkSession, dir: String): DataFrame = {
+    val src = s"$dir/customer.parquet"
+    val tag = graft.io.Layout.dirTag(dir) + "_" +
+      graft.io.Layout.sourceFingerprint(spark, src)
+    val tbl = s"g_er_cust_$tag"
+    val marker = s"g_er_done_$tag"
+    layoutLock.synchronized {
+      if (!spark.catalog.tableExists(marker)) {
+        val dt = graft.io.Layout.dirTag(dir)
+        spark.catalog.listTables().collect()
+          .filter(t => t.name.startsWith(s"g_er_cust_$dt")
+            || t.name.startsWith(s"g_er_done_$dt"))
+          .foreach { t =>
+            if (t.isTemporary) spark.catalog.dropTempView(t.name)
+            else spark.sql(s"DROP TABLE IF EXISTS `${t.name}`")
+          }
+        val buckets = graft.io.Layout.deriveBuckets(spark, Seq(src))
+        val cust = Tables.customer(spark, dir).select(col("c_custkey"),
+          col("c_nationkey"), col("c_mktsegment"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+        graft.io.Layout.writeBucketed(cust, tbl, "c_custkey", buckets)
+        val victims = cust.select(col("c_custkey"))
+          .where(pmod(col("c_custkey"), lit(89)) === 0)
+        val erased = graft.io.Layout.forgetKeys(spark, tbl, "c_custkey", victims)
+        require(erased > 0, "q_erasure_read: the victim set must be non-empty " +
+          "(a vacuous erasure would pass the oracle without testing anything)")
+        spark.range(1).createOrReplaceTempView(marker)
+      }
+    }
+    graft.io.Layout.readTable(spark, tbl)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_custs"),
+        sum(col("bal_cents")).cast("long").as("sum_bal_cents"),
+        countDistinct(col("c_nationkey")).as("n_nations"))
+  }
+
   // serializes both layout queries' check-then-write: two concurrent
   // first calls would otherwise race a drop/delete into a half-written
   // table or double-write the z-ordered copy. The SHARED Layout monitor —

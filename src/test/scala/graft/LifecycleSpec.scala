@@ -417,4 +417,35 @@ class LifecycleSpec extends GraftSuite {
       .select(VectorExpressions.interleaveBits(Seq(col("a"), col("b")), 16).as("z"))
     assert(withNull.where(col("z").isNull).count() == 1)
   }
+
+  test("q_timetravel is non-vacuous: the merge corrupts the live table; the pin restores the epoch") {
+    // the oracle gate would pass VACUOUSLY if the corrupting merge
+    // silently no-opped (pin == live == raw) — this spec pins that the
+    // LIVE table genuinely differs from the pinned epoch at test scale
+    val pinned = SparkEntry.queries("q_timetravel")(spark, sf)
+    val tag = Layout.dirTag(sf) + "_" +
+      Layout.sourceFingerprint(spark, s"$sf/orders.parquet")
+    val agg = (df: org.apache.spark.sql.DataFrame) => df
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("cents")).cast("long").as("sum_cents"),
+        countDistinct(col("o_custkey")).as("n_custs"))
+    val live = agg(Layout.readTable(spark, s"g_tt_orders_$tag"))
+    // updates leaked INTO the live view: the out-of-domain group exists
+    // there (8 keys at sf0.001: %97==0 and not %194==0), zeroed cents
+    val foreign = live.where(col("o_orderpriority") === "9-POST-PIN").collect()
+    assert(foreign.length == 1 && foreign.head.getLong(1) == 8L
+      && foreign.head.getLong(2) == 0L, foreign.mkString(","))
+    // ...and tombstones left it: 8 of 1500 rows gone from live
+    val liveTotal = live.agg(sum(col("n_orders"))).first().getLong(0)
+    assert(liveTotal == 1492L, s"live total $liveTotal")
+    // the PIN sees none of that: no foreign group, full row count, and
+    // value-identical to the same aggregate over the raw source (the
+    // in-Spark twin of the DuckDB oracle)
+    assert(pinned.where(col("o_orderpriority") === "9-POST-PIN").isEmpty)
+    val raw = agg(graft.io.Tables.orders(spark, sf).select(col("o_custkey"),
+      col("o_orderpriority"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents")))
+    assert(pinned.exceptAll(raw).isEmpty && raw.exceptAll(pinned).isEmpty)
+  }
 }

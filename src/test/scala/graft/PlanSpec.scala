@@ -805,4 +805,26 @@ class PlanSpec extends GraftSuite {
     assert(shuffles(p) <= 2, s"unexpected shuffles:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p.take(4000))
   }
+
+  test("q_timetravel: the pinned historical read is a plain scan — no join, agg-only shuffles") {
+    val p = plan("q_timetravel")
+    // a historical pin resolves to parquet scans over the generation's
+    // files (live-dir survivors ∪ _pre_merge retirees) — reproducibility
+    // surface, not a join: nothing row-scale beyond the group-by and the
+    // distinct-customer rewrite
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("Window"), p.take(4000))
+    assert(shuffles(p) <= 2, s"unexpected shuffles:\n$p")
+  }
+
+  test("q_ingest_read / q_erasure_read: plain bucketed-table reads — no join, agg-only shuffles") {
+    for (q <- Seq("q_ingest_read", "q_erasure_read")) {
+      val p = plan(q)
+      // serving shape after the lifecycle pass: ONE scan of the bucketed
+      // table (manifest-pinned), then the group-by + distinct rewrite
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), s"$q:\n${p.take(4000)}")
+      assert(!p.contains("Window"), s"$q:\n${p.take(4000)}")
+      assert(shuffles(p) <= 2, s"$q — unexpected shuffles:\n$p")
+    }
+  }
 }
