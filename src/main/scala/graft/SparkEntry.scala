@@ -45,6 +45,8 @@ object SparkEntry {
     "q_ingest_read"        -> ((s, d) => Relational.ingestRead(s, d)),
     // B16 landing: every 89th custkey erased; oracle = raw MINUS victims
     "q_erasure_read"       -> ((s, d) => Relational.erasureRead(s, d)),
+    // B19 landing: file-granular erasure across a partitioned event log
+    "q_erasure_dir"        -> ((s, d) => Relational.erasureDirRead(s, d)),
     "q_cogroup"            -> ((s, d) => Relational.coGroup(s, d)),
     // 3 heterogeneous schemas, one tagged-union shuffle (TupleJob.coGroupMulti)
     "q_cogroup_multi"      -> ((s, d) => Relational.coGroupMultiCounts(s, d)),
@@ -459,6 +461,15 @@ object SparkEntry {
         |       count(DISTINCT c_nationkey) AS n_nations
         |FROM customer WHERE c_custkey % 89 <> 0
         |GROUP BY c_mktsegment""".stripMargin,
+    // the Spark side erased the %83 users from its partitioned event-log
+    // copy (file-granular forgetKeysDir) — victims gone, every other row
+    // and the partition column intact, or the hash mismatches
+    "q_erasure_dir" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events WHERE user_id % 83 <> 0
+        |GROUP BY event_type""".stripMargin,
     "q_join_broadcast" ->
       """SELECT n_name,
         |       CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))

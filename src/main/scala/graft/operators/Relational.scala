@@ -484,6 +484,61 @@ object Relational {
         countDistinct(col("c_nationkey")).as("n_nations"))
   }
 
+  /** B19 as a driver-visible query — partitioned-directory erasure under
+    * the gate, completing the lifecycle family (B14 q_ingest_read, B16
+    * q_erasure_read, B18 q_timetravel). Once per (dir, session): events
+    * land partitioned by event_type ([[graft.io.Layout.writePartitioned]]
+    * — the event-log layout erasure must handle), then every 83rd user_id
+    * is erased via [[graft.io.Layout.forgetKeysDir]] — the FILE-granular
+    * path: the erasure key deliberately CROSSES every partition (user
+    * rows scatter over all event_type dirs), so only the files actually
+    * holding victims rewrite while clean files keep their inodes. The
+    * DuckDB oracle aggregates the raw table MINUS the victims — a
+    * surviving victim row or a lost innocent row hash-mismatches; the
+    * partition column itself must survive the rewrite for the group keys
+    * to match at all.
+    */
+  def erasureDirRead(spark: SparkSession, dir: String): DataFrame = {
+    val src = s"$dir/events.parquet"
+    val tag = graft.io.Layout.dirTag(dir) + "_" +
+      graft.io.Layout.sourceFingerprint(spark, src)
+    val out = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"g_ed_events_$tag").toString
+    val marker = s"g_ed_done_$tag"
+    layoutLock.synchronized {
+      if (!spark.catalog.tableExists(marker)) {
+        // sweep layouts/markers of previous fingerprints of this dir —
+        // same in-place-regeneration hygiene as zorderScan
+        val dt = graft.io.Layout.dirTag(dir)
+        val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+        val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith(s"g_ed_events_$dt") && n != s"g_ed_events_$tag")
+            fs.delete(st.getPath, true)
+        }
+        spark.catalog.listTables().collect().map(_.name)
+          .filter(n => n.startsWith(s"g_ed_done_$dt") && n != marker)
+          .foreach(spark.catalog.dropTempView(_))
+        val ev = Tables.events(spark, dir).select(col("event_id"),
+          col("user_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        graft.io.Layout.writePartitioned(ev, out, "event_type")
+        val victims = ev.select(col("user_id"))
+          .where(pmod(col("user_id"), lit(83)) === 0)
+        val erased = graft.io.Layout.forgetKeysDir(spark, out, "user_id", victims)
+        require(erased > 0, "q_erasure_dir: the victim set must be non-empty " +
+          "(a vacuous erasure would pass the oracle without testing anything)")
+        spark.range(1).createOrReplaceTempView(marker)
+      }
+    }
+    graft.io.Layout.readDir(spark, out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents")).cast("long").as("sum_cents"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   // serializes both layout queries' check-then-write: two concurrent
   // first calls would otherwise race a drop/delete into a half-written
   // table or double-write the z-ordered copy. The SHARED Layout monitor —

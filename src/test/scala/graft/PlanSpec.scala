@@ -817,8 +817,8 @@ class PlanSpec extends GraftSuite {
     assert(shuffles(p) <= 2, s"unexpected shuffles:\n$p")
   }
 
-  test("q_ingest_read / q_erasure_read: plain bucketed-table reads — no join, agg-only shuffles") {
-    for (q <- Seq("q_ingest_read", "q_erasure_read")) {
+  test("q_ingest_read / q_erasure_read / q_erasure_dir: plain layout reads — no join, agg-only shuffles") {
+    for (q <- Seq("q_ingest_read", "q_erasure_read", "q_erasure_dir")) {
       val p = plan(q)
       // serving shape after the lifecycle pass: ONE scan of the bucketed
       // table (manifest-pinned), then the group-by + distinct rewrite
