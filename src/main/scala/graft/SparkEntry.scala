@@ -47,6 +47,9 @@ object SparkEntry {
     "q_erasure_read"       -> ((s, d) => Relational.erasureRead(s, d)),
     // B19 landing: file-granular erasure across a partitioned event log
     "q_erasure_dir"        -> ((s, d) => Relational.erasureDirRead(s, d)),
+    // B22 serving read: incrementally-maintained per-user aggregate —
+    // a bare bucketed scan (zero shuffles, zero agg work at serve time)
+    "q_incremental_agg"    -> ((s, d) => Relational.incrementalAgg(s, d)),
     "q_cogroup"            -> ((s, d) => Relational.coGroup(s, d)),
     // 3 heterogeneous schemas, one tagged-union shuffle (TupleJob.coGroupMulti)
     "q_cogroup_multi"      -> ((s, d) => Relational.coGroupMultiCounts(s, d)),
@@ -470,6 +473,13 @@ object SparkEntry {
         |       count(DISTINCT user_id) AS n_users
         |FROM events WHERE user_id % 83 <> 0
         |GROUP BY event_type""".stripMargin,
+    // the Spark side serves a maintained aggregate table (seed + two
+    // incremental batches); the oracle recomputes from raw — any
+    // maintenance drift (double count, missed key) hash-mismatches
+    "q_incremental_agg" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY user_id""".stripMargin,
     "q_join_broadcast" ->
       """SELECT n_name,
         |       CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))

@@ -1731,6 +1731,81 @@ object Layout {
     } finally deltaRdd.unpersist(blocking = false)
   }}
 
+  /** Incrementally maintain an ADDITIVE per-key aggregate table — the
+    * materialized-view upsert (Materialize/Flink's incremental
+    * aggregation, scoped to what a batch cadence needs): `table` is a
+    * bucketed layout holding one row per `key` whose non-key columns are
+    * all additive aggregates (counts, sums — every numeric type), and
+    * `batch` brings the SAME schema of per-key contributions from new
+    * data. The maintenance pass folds them in without touching the rest
+    * of the table:
+    *
+    *   1. current values for ONLY the batch's keys (left-semi against
+    *      the bucketed table — the table side joins with zero Exchange,
+    *      the batch's distinct keys are the shuffled side),
+    *   2. union + re-aggregate (one shuffle of batch-sized data; a key's
+    *      old row and its contribution sum columnwise — `sum` ignores
+    *      nulls on either side, matching a recompute-from-raw's
+    *      semantics),
+    *   3. [[mergeBucketed]] the updated rows (only buckets containing
+    *      batch keys rewrite; O(batch + affected buckets), never
+    *      O(table)).
+    *
+    * Cost model at 100 TB: a maintained aggregate is read with a plain
+    * bucketed scan — ZERO work at serve time — while each maintenance
+    * pass costs the batch's own aggregation plus the affected-bucket
+    * rewrite, the same bill [[mergeBucketed]] already pays for CDC.
+    * RETRACTIONS are free by construction: negative contributions
+    * subtract (a count column reaching 0 keeps its 0-row — row deletion
+    * is a policy call, compose with [[forgetKeys]] if needed). NOT for
+    * non-additive aggregates (min/max/distinct survive inserts but not
+    * retractions; maintain those as sketches or recompute).
+    *
+    * The batch must be pre-aggregated per key (one row per key — enforce
+    * upstream with the same groupBy that shaped the table; duplicate
+    * keys are rejected by [[mergeBucketed]]'s contract). Schema must
+    * match the table's EXACTLY (names and types): a silently-cast column
+    * would corrupt sums with no oracle in sight.
+    */
+  def maintainAdditive(spark: SparkSession, table: String, key: String,
+      buckets: Int, batch: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{col, sum}
+    val schema = spark.table(table).schema
+    require(batch.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"maintainAdditive batch schema ${batch.schema.simpleString} must equal " +
+        s"the table's ${schema.simpleString} — additive maintenance on a " +
+        "mismatched column would corrupt the aggregate silently")
+    val aggFields = schema.fields.filterNot(_.name == key)
+    require(aggFields.nonEmpty, "maintainAdditive: nothing to maintain")
+    aggFields.foreach(f => require(
+      f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"maintainAdditive: '${f.name}' is ${f.dataType.simpleString}, not numeric — " +
+        "only additive aggregates (counts/sums) can be maintained incrementally"))
+    // Pin the batch ONCE (localCheckpoint): it is read twice below (keys
+    // + union) and then a third time inside mergeBucketed's own pin — a
+    // non-deterministic batch plan re-evaluating across those uses could
+    // fold one contribution set and merge another. Pinning here also
+    // freezes the batch BEFORE the table mutates: the union reads the
+    // table's pre-merge rows by construction (mergeBucketed pins its
+    // delta — `updated` — with its own localCheckpoint before any write).
+    val bRdd = batch.rdd
+    bRdd.localCheckpoint()
+    val pinned = spark.createDataFrame(bRdd, batch.schema)
+    try {
+      val keys = pinned.select(col(key)).distinct()
+      // current rows for the batch's keys only: the bucketed side joins
+      // Exchange-free; untouched keys are never read here or rewritten
+      val cur = readTable(spark, table).join(keys, Seq(key), "left_semi")
+      val aggExprs = aggFields.toSeq.map(f =>
+        sum(col(f.name)).cast(f.dataType).as(f.name))
+      val updated = cur.unionByName(pinned)
+        .groupBy(col(key))
+        .agg(aggExprs.head, aggExprs.tail: _*)
+      mergeBucketed(spark, table, key, buckets, updated)
+    } finally bRdd.unpersist(blocking = false)
+  }
+
   def compactBucketed(spark: SparkSession, table: String, key: String,
       buckets: Int): Unit =
     layoutLock.synchronized { tableLock(table).synchronized {

@@ -539,6 +539,54 @@ object Relational {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** B22 as a driver-visible query — incremental aggregate maintenance
+    * (the materialized-view upsert,
+    * [[graft.io.Layout.maintainAdditive]]). Once per (dir, session): the
+    * per-user (count, cents-sum) aggregate of a third of events seeds a
+    * bucketed table, then the other two thirds fold in as maintenance
+    * batches — each pass costs its batch plus the affected buckets,
+    * never a table rewrite. The DuckDB oracle recomputes the SAME
+    * aggregate from the raw table, so any maintenance drift (double
+    * count, missed new key, lost contribution) hash-mismatches. The
+    * serve-time property is the point at 100 TB — the query's own plan
+    * is a bare bucketed scan: ZERO shuffles, zero aggregation at read
+    * time (PlanSpec pins it), where the recompute pays a full scan +
+    * shuffle on every consumer.
+    */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val src = s"$dir/events.parquet"
+    val tag = graft.io.Layout.dirTag(dir) + "_" +
+      graft.io.Layout.sourceFingerprint(spark, src)
+    val tbl = s"g_ia_events_$tag"
+    val marker = s"g_ia_done_$tag"
+    layoutLock.synchronized {
+      if (!spark.catalog.tableExists(marker)) {
+        val dt = graft.io.Layout.dirTag(dir)
+        spark.catalog.listTables().collect()
+          .filter(t => t.name.startsWith(s"g_ia_events_$dt")
+            || t.name.startsWith(s"g_ia_done_$dt"))
+          .foreach { t =>
+            if (t.isTemporary) spark.catalog.dropTempView(t.name)
+            else spark.sql(s"DROP TABLE IF EXISTS `${t.name}`")
+          }
+        val buckets = graft.io.Layout.deriveBuckets(spark, Seq(src))
+        val ev = Tables.events(spark, dir).select(col("event_id"),
+          col("user_id"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        def sliceAgg(i: Int): DataFrame = ev
+          .where(pmod(col("event_id"), lit(3)) === i)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+        graft.io.Layout.writeBucketed(sliceAgg(0), tbl, "user_id", buckets)
+        // batch 1 folds into existing keys; batch 2 exercises the
+        // new-key path too (users absent from earlier slices insert)
+        graft.io.Layout.maintainAdditive(spark, tbl, "user_id", buckets, sliceAgg(1))
+        graft.io.Layout.maintainAdditive(spark, tbl, "user_id", buckets, sliceAgg(2))
+        spark.range(1).createOrReplaceTempView(marker)
+      }
+    }
+    graft.io.Layout.readTable(spark, tbl)
+  }
+
   // serializes both layout queries' check-then-write: two concurrent
   // first calls would otherwise race a drop/delete into a half-written
   // table or double-write the z-ordered copy. The SHARED Layout monitor —

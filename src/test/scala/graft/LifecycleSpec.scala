@@ -418,6 +418,47 @@ class LifecycleSpec extends GraftSuite {
     assert(withNull.where(col("z").isNull).count() == 1)
   }
 
+  test("maintainAdditive equals a full recompute across inserts, folds, retractions, and new keys") {
+    import spark.implicits._
+    // raw contributions in four batches: keys overlap, batch 2 brings a
+    // NEW key, batch 3 RETRACTS (negative deltas — the CDC correction
+    // shape); doubles + longs exercise both numeric families
+    val batches = Seq(
+      Seq((1L, 2L, 10.0), (2L, 1L, 5.5), (3L, 4L, -2.0)),
+      Seq((1L, 1L, 3.0), (3L, 2L, 8.0)),
+      Seq((9L, 5L, 100.25), (2L, 3L, 0.0)),
+      Seq((1L, -1L, -3.0), (9L, -2L, -50.0)))
+    def agg(rows: Seq[(Long, Long, Double)]) =
+      rows.toDF("k", "n", "v").groupBy(col("k"))
+        .agg(sum(col("n")).as("n"), sum(col("v")).as("v"))
+    Layout.writeBucketed(agg(batches.head), "b_ma", "k", 4)
+    batches.tail.foreach(b => Layout.maintainAdditive(spark, "b_ma", "k", 4, agg(b)))
+    val got = Layout.readTable(spark, "b_ma").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = agg(batches.flatten).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want, s"maintained $got vs recompute $want")
+    // the retraction zeroed key 9's count to 3: present, not deleted —
+    // row retirement is a policy call (compose with forgetKeys)
+    assert(got.exists(_._1 == 9L))
+  }
+
+  test("maintainAdditive rejects a mismatched batch schema and non-numeric aggregates") {
+    import spark.implicits._
+    Layout.writeBucketed(Seq((1L, 2L)).toDF("k", "n"), "b_ma2", "k", 2)
+    // silently-castable but MISMATCHED type (int vs bigint) must reject —
+    // a cast here would corrupt sums with no oracle in sight
+    val wrongType = Seq((1, 2)).toDF("k", "n")
+    intercept[IllegalArgumentException] {
+      Layout.maintainAdditive(spark, "b_ma2", "k", 2, wrongType)
+    }
+    // a non-numeric aggregate column cannot be maintained additively
+    Layout.writeBucketed(Seq((1L, "x")).toDF("k", "s"), "b_ma3", "k", 2)
+    intercept[IllegalArgumentException] {
+      Layout.maintainAdditive(spark, "b_ma3", "k", 2, Seq((2L, "y")).toDF("k", "s"))
+    }
+  }
+
   test("q_timetravel is non-vacuous: the merge corrupts the live table; the pin restores the epoch") {
     // the oracle gate would pass VACUOUSLY if the corrupting merge
     // silently no-opped (pin == live == raw) — this spec pins that the

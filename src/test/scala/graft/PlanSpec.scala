@@ -827,4 +827,15 @@ class PlanSpec extends GraftSuite {
       assert(shuffles(p) <= 2, s"$q — unexpected shuffles:\n$p")
     }
   }
+
+  test("q_incremental_agg: the maintained aggregate serves with ZERO shuffles and zero agg work") {
+    val p = plan("q_incremental_agg")
+    // the whole point of incremental maintenance: serve time is a bare
+    // bucketed scan — the recompute's full scan + shuffle was paid once,
+    // incrementally, at maintenance time
+    assert(shuffles(p) == 0, s"serve-time shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"serve-time aggregation:\n${p.take(4000)}")
+  }
 }
