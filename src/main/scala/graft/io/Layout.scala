@@ -1616,7 +1616,8 @@ object Layout {
     */
   def mergeBucketed(spark: SparkSession, table: String, key: String,
       buckets: Int, delta: DataFrame,
-      deleteCol: Option[String] = None): Unit =
+      deleteCol: Option[String] = None,
+      stampHwm: Option[Long] = None): Unit =
     layoutLock.synchronized { tableLock(table).synchronized {
     import org.apache.spark.sql.functions._
     require(spark.catalog.tableExists(table),
@@ -1708,9 +1709,12 @@ object Layout {
       // set (all still present); after it → untouched + new files. At no
       // instant does a manifest-aware reader see a replaced key twice.
       // The ingest hwm carries forward — a CDC merge must not reopen the
-      // exactly-once window for the append stream.
+      // exactly-once window for the append stream — unless this merge IS
+      // a gated maintenance batch ([[maintainAdditiveBatch]]) stamping
+      // its own id.
       writeManifest(fs, loc,
-        untouched.map(_.getPath.getName).toSeq ++ movedIn, priorHwm)
+        untouched.map(_.getPath.getName).toSeq ++ movedIn,
+        stampHwm.getOrElse(priorHwm))
       // PER-GENERATION retirement (r19 — supersedes the r16 one-dir
       // policy): the replaced files park under `_pre_merge/g<superseded
       // gen>`, RETAINED until [[vacuum]] ages the generation out. Under a
@@ -1768,7 +1772,8 @@ object Layout {
     * would corrupt sums with no oracle in sight.
     */
   def maintainAdditive(spark: SparkSession, table: String, key: String,
-      buckets: Int, batch: DataFrame): Unit = {
+      buckets: Int, batch: DataFrame,
+      stampHwm: Option[Long] = None): Unit = {
     import org.apache.spark.sql.functions.{col, sum}
     val schema = spark.table(table).schema
     require(batch.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
@@ -1802,9 +1807,61 @@ object Layout {
       val updated = cur.unionByName(pinned)
         .groupBy(col(key))
         .agg(aggExprs.head, aggExprs.tail: _*)
-      mergeBucketed(spark, table, key, buckets, updated)
+      mergeBucketed(spark, table, key, buckets, updated, stampHwm = stampHwm)
     } finally bRdd.unpersist(blocking = false)
   }
+
+  /** EXACTLY-ONCE [[maintainAdditive]] — the streaming-cadence form.
+    * Unlike an append, a maintenance fold is NOT naturally idempotent: a
+    * foreachBatch crash-restart re-delivering a committed batch would
+    * fold its contributions in TWICE and silently corrupt every touched
+    * sum — the same silent-duplication class B14 closed for appends, but
+    * worse (an appended duplicate is at least visible as an extra row; a
+    * double-folded sum is indistinguishable from real data). Same
+    * bookkeeping as [[appendBucketedBatch]]: the manifest's ingest hwm
+    * gates the batch id — at-or-below-mark ids no-op (the restart
+    * re-delivery and the DR-restored same-stream catch-up), batch 0
+    * against a positive mark rejects loudly (a fresh checkpoint must
+    * target a fresh table), and the applying merge stamps its id into
+    * the manifest atomically with the fold itself (crash before the
+    * manifest flip = batch not applied AND not marked; after = applied
+    * AND marked — no window where a re-delivery could double-fold).
+    * Returns true if the batch applied, false for the no-op.
+    */
+  def maintainAdditiveBatch(spark: SparkSession, table: String, key: String,
+      buckets: Int, batch: DataFrame, batchId: Long): Boolean =
+    layoutLock.synchronized { tableLock(table).synchronized {
+      require(spark.catalog.tableExists(table),
+        s"maintainAdditiveBatch target '$table' does not exist — seed it with writeBucketed first")
+      require(batchId >= 0, s"maintainAdditiveBatch needs a streaming batch id, got $batchId")
+      val loc = tablePath(spark, table)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hwm = readManifest(fs, loc).map(_._3).getOrElse(-1L)
+      if (batchId <= hwm) {
+        // same blind spot as appendBucketedBatch at hwm == 0, same loud
+        // reject for a fresh checkpoint's batch 0 against a positive mark
+        require(batchId > 0 || hwm <= 0,
+          s"maintainAdditiveBatch got batch id 0 but '$table' has ingest hwm $hwm — " +
+            "a fresh checkpoint must target a fresh table (or carry the old checkpoint)")
+        false
+      } else {
+        maintainAdditive(spark, table, key, buckets, batch, stampHwm = Some(batchId))
+        true
+      }
+    }}
+
+  /** The `foreachBatch` form of [[maintainAdditiveBatch]]:
+    * `.writeStream.foreachBatch(Layout.maintainSink(table, key, buckets)(aggOf))`
+    * — `aggOf` shapes the raw micro-batch into the table's per-key
+    * aggregate schema (the same groupBy that seeded the table), then the
+    * gated fold applies it exactly once.
+    */
+  def maintainSink(table: String, key: String, buckets: Int)(
+      aggOf: DataFrame => DataFrame): (DataFrame, Long) => Unit =
+    (batch, id) => {
+      maintainAdditiveBatch(batch.sparkSession, table, key, buckets, aggOf(batch), id)
+      ()
+    }
 
   def compactBucketed(spark: SparkSession, table: String, key: String,
       buckets: Int): Unit =

@@ -443,6 +443,44 @@ class LifecycleSpec extends GraftSuite {
     assert(got.exists(_._1 == 9L))
   }
 
+  test("maintainAdditiveBatch: a re-delivered maintenance batch cannot double-fold") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // a maintenance fold is NOT naturally idempotent (unlike an append, a
+    // double-fold is invisible in the row count) — the hwm gate is the
+    // only defense, so drive it through the real foreachBatch cadence
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("k")).agg(sum(col("n")).as("n"))
+    Layout.writeBucketed(agg(Seq((1L, 5L), (2L, 7L)).toDF("k", "n")), "b_mab", "k", 2)
+    val input = MemoryStream[(Long, Long)]
+    val q = input.toDF().toDF("k", "n").writeStream
+      .foreachBatch(Layout.maintainSink("b_mab", "k", 2)(agg)).start()
+    input.addData(Seq((1L, 1L), (3L, 2L))); q.processAllAvailable()
+    input.addData(Seq((2L, 10L), (3L, 1L))); q.processAllAvailable()
+    q.stop()
+    def state = Layout.readTable(spark, "b_mab").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = Set((1L, 6L), (2L, 17L), (3L, 3L))
+    assert(state == expect, s"streamed folds: $state")
+    // crash-restart re-delivery of the last committed id — no-op even
+    // with a different payload (a double-fold would be silent sum
+    // corruption, indistinguishable from real data)
+    assert(!Layout.maintainAdditiveBatch(spark, "b_mab", "k", 2,
+      agg(Seq((1L, 100L)).toDF("k", "n")), 1L))
+    assert(state == expect, "a re-delivered maintenance batch must not re-fold")
+    // the next id applies…
+    assert(Layout.maintainAdditiveBatch(spark, "b_mab", "k", 2,
+      agg(Seq((1L, 1L)).toDF("k", "n")), 2L))
+    assert(state == Set((1L, 7L), (2L, 17L), (3L, 3L)))
+    // …and a fresh checkpoint's batch 0 against the marked table rejects
+    val e = intercept[IllegalArgumentException] {
+      Layout.maintainAdditiveBatch(spark, "b_mab", "k", 2,
+        agg(Seq((1L, 1L)).toDF("k", "n")), 0L)
+    }
+    assert(e.getMessage.contains("fresh checkpoint"), e.getMessage)
+  }
+
   test("maintainAdditive rejects a mismatched batch schema and non-numeric aggregates") {
     import spark.implicits._
     Layout.writeBucketed(Seq((1L, 2L)).toDF("k", "n"), "b_ma2", "k", 2)
