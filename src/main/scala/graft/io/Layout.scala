@@ -1769,7 +1769,11 @@ object Layout {
     * upstream with the same groupBy that shaped the table; duplicate
     * keys are rejected by [[mergeBucketed]]'s contract). Schema must
     * match the table's EXACTLY (names and types): a silently-cast column
-    * would corrupt sums with no oracle in sight.
+    * would corrupt sums with no oracle in sight. Floating-point columns
+    * fold in a DIFFERENT association order than a from-raw recompute —
+    * integer units (the ExactMoney discipline q_incremental_agg uses)
+    * give exact parity; double columns carry the usual reassociation
+    * tolerance.
     */
   def maintainAdditive(spark: SparkSession, table: String, key: String,
       buckets: Int, batch: DataFrame,
