@@ -45,6 +45,7 @@ object LayoutProbe {
     if (args.length > 1 && args(1) == "merge") mergeProbe(spark, dir)
     else if (args.length > 1 && args(1) == "ingest") ingestProbe(spark, dir)
     else if (args.length > 1 && args(1) == "timetravel") timeTravelProbe(spark, dir)
+    else if (args.length > 1 && args(1) == "maintain") maintainProbe(spark, dir)
     else {
       run("call-1")
       run("call-2")
@@ -101,6 +102,58 @@ object LayoutProbe {
     require(baseUntouched, "the base table's files must be byte-identical after append")
     require(total == baseRows + batchRows, "re-delivery must not duplicate the batch")
     require(ex == 0, "zero-Exchange contract must survive the streamed append")
+    spark.sql(s"DROP TABLE `$table`")
+  }
+
+  /** B22 at scale: incremental aggregate maintenance over sf10 events —
+    * times the seed build vs ONE maintenance fold of a ~1%-of-rows batch
+    * (the batch's own aggregation + the affected-bucket rewrite) vs the
+    * re-delivery no-op (metadata only) vs the SERVE read, and asserts
+    * exact integer parity with a from-raw recompute plus the
+    * zero-Exchange serve plan.
+    *
+    * Run: sbt "Test/runMain graft.LayoutProbe testdata/sf10 maintain"
+    * (64g via SPARK_DRIVER_MEM for sf10)
+    */
+  private def maintainProbe(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.io.Layout
+    val table = "probe_maintain_events"
+    val buckets = 16
+    // through Tables.events: the generated dirs' ts physical type is
+    // TIMESTAMP(NANOS), which a plain spark.read.parquet rejects
+    val ev = graft.io.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    def aggOf(df: org.apache.spark.sql.DataFrame) = df.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+    val (seed, batch) = (ev.where(pmod(col("event_id"), lit(97)) =!= 0),
+      ev.where(pmod(col("event_id"), lit(97)) === 0))
+    val t0 = System.nanoTime()
+    Layout.writeBucketed(aggOf(seed), table, "user_id", buckets)
+    val built = (System.nanoTime() - t0) / 1e9
+    val batchRows = batch.count()
+    val t1 = System.nanoTime()
+    require(Layout.maintainAdditiveBatch(spark, table, "user_id", buckets,
+      aggOf(batch), 0L))
+    val folded = (System.nanoTime() - t1) / 1e9
+    val t2 = System.nanoTime()
+    require(!Layout.maintainAdditiveBatch(spark, table, "user_id", buckets,
+      aggOf(batch), 0L))
+    val noop = (System.nanoTime() - t2) / 1e9
+    val t3 = System.nanoTime()
+    val served = Layout.readTable(spark, table)
+    served.write.format("noop").mode("overwrite").save()
+    val serve = (System.nanoTime() - t3) / 1e9
+    val full = aggOf(ev)
+    val exact = served.exceptAll(full).isEmpty && full.exceptAll(served).isEmpty
+    val sp = served.queryExecution.explainString(FormattedMode)
+    val ex = sp.linesIterator.count(_.matches("""^\(\d+\) Exchange\s*$"""))
+    println(f"[probe] maintain: batchRows=$batchRows%,d build=$built%.1f s " +
+      f"fold=$folded%.2f s redeliveryNoop=$noop%.3f s serve=$serve%.2f s " +
+      f"exact=$exact exchanges=$ex")
+    require(exact, "maintained aggregate must equal the from-raw recompute")
+    require(ex == 0, "serve read must plan zero Exchanges")
     spark.sql(s"DROP TABLE `$table`")
   }
 

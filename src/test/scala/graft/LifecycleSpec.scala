@@ -481,6 +481,29 @@ class LifecycleSpec extends GraftSuite {
     assert(e.getMessage.contains("fresh checkpoint"), e.getMessage)
   }
 
+  test("a maintained aggregate's epochs stay pinnable: readTableAt reproduces the pre-fold state") {
+    import spark.implicits._
+    // B18 × B22: every maintenance fold is a merge, so the generation log
+    // retains each aggregate EPOCH — "score this model against the exact
+    // counts epoch N saw" keeps working while the maintenance cadence runs
+    def agg(rows: Seq[(Long, Long)]) =
+      rows.toDF("k", "n").groupBy(col("k")).agg(sum(col("n")).as("n"))
+    Layout.writeBucketed(agg(Seq((1L, 5L), (2L, 7L))), "b_map", "k", 2)
+    Layout.maintainAdditive(spark, "b_map", "k", 2, agg(Seq((1L, 1L), (3L, 2L))))
+    val gen1 = Layout.tableGenerations(spark, "b_map").max
+    val epoch1 = Layout.readTable(spark, "b_map").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Layout.maintainAdditive(spark, "b_map", "k", 2, agg(Seq((1L, 10L), (2L, -7L))))
+    // live moved on…
+    assert(Layout.readTable(spark, "b_map").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 16L), (2L, 0L), (3L, 2L)))
+    // …the pinned epoch did not
+    assert(Layout.readTableAt(spark, "b_map", gen1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == epoch1)
+    assert(epoch1 == Set((1L, 6L), (2L, 7L), (3L, 2L)))
+  }
+
   test("maintainAdditive rejects a mismatched batch schema and non-numeric aggregates") {
     import spark.implicits._
     Layout.writeBucketed(Seq((1L, 2L)).toDF("k", "n"), "b_ma2", "k", 2)
