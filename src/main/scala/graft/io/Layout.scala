@@ -1636,12 +1636,33 @@ object Layout {
     // staging write) re-evaluating a non-deterministic delta plan could
     // disagree — the collected bucket set vs the rows actually written —
     // leaving a replaced key alive in a bucket that was never read.
-    val deltaRdd = delta.rdd
+    // FRESH lineage via map(identity): Dataset.rdd is a CACHED lazy val,
+    // so checkpointing and later unpersisting the shared instance would
+    // poison every subsequent use of the same Dataset — an in-session
+    // retry of a rejected merge (the documented recovery) died with
+    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND before this wrapper.
+    val deltaRdd = delta.rdd.map(identity)
     deltaRdd.localCheckpoint()
     val pinned = spark.createDataFrame(deltaRdd, delta.schema)
     try {
-      val dupes = pinned.groupBy(col(key)).count().where(col("count") > 1).limit(1).count()
-      require(dupes == 0,
+      // ONE full-scan aggregate validates the delta — deliberately NOT a
+      // limit(1) probe: the first action on the just-localCheckpointed
+      // delta must compute EVERY partition (a short-circuiting CollectLimit
+      // materializes only the partitions it touches, truncates the lineage,
+      // and every later full read dies with CHECKPOINT_RDD_BLOCK_ID_NOT_
+      // FOUND). Checks: (a) NULL keys are unsound, not merely odd — the
+      // replace semantics ride key-equality joins (the anti-join below,
+      // maintainAdditive's semi-join) and null never equals null, so a
+      // null-keyed delta row would land NEXT TO an existing null-keyed
+      // table row instead of replacing it; (b) duplicate keys mean the
+      // caller skipped latest-wins resolution.
+      val s = pinned.agg(count(lit(1)).as("rows"),
+        count(col(key)).as("non_null"),
+        countDistinct(col(key)).as("uniq")).first()
+      require(s.getLong(0) == s.getLong(1),
+        s"mergeBucketed delta has a NULL '$key' — key-equality joins cannot " +
+          "match null, so the replace contract breaks; filter nulls upstream")
+      require(s.getLong(2) == s.getLong(1),
         s"mergeBucketed delta has >1 row for some '$key' — resolve latest-wins upstream")
       val loc = tablePath(spark, table)
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1798,7 +1819,9 @@ object Layout {
     // freezes the batch BEFORE the table mutates: the union reads the
     // table's pre-merge rows by construction (mergeBucketed pins its
     // delta — `updated` — with its own localCheckpoint before any write).
-    val bRdd = batch.rdd
+    // map(identity) for the same reason as mergeBucketed's pin: the
+    // Dataset's cached `.rdd` must never be checkpointed+unpersisted.
+    val bRdd = batch.rdd.map(identity)
     bRdd.localCheckpoint()
     val pinned = spark.createDataFrame(bRdd, batch.schema)
     try {

@@ -504,6 +504,41 @@ class LifecycleSpec extends GraftSuite {
     assert(epoch1 == Set((1L, 6L), (2L, 7L), (3L, 2L)))
   }
 
+  test("a NULL-keyed delta is rejected: key-equality joins cannot honor the replace contract") {
+    import spark.implicits._
+    // null never equals null in the anti/semi joins the merge and the
+    // maintenance fold ride — a null-keyed row would duplicate instead of
+    // replace (merge) or replace instead of fold (maintenance). The
+    // shared chokepoint rejects both paths loudly.
+    Layout.writeBucketed(Seq((Some(1L), 2L), (None, 5L)).toDF("k", "n"), "b_nk", "k", 2)
+    val nullDelta = Seq((None: Option[Long], 9L)).toDF("k", "n")
+    val e1 = intercept[IllegalArgumentException] {
+      Layout.mergeBucketed(spark, "b_nk", "k", 2, nullDelta)
+    }
+    assert(e1.getMessage.contains("NULL"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.maintainAdditive(spark, "b_nk", "k", 2, nullDelta)
+    }
+    assert(e2.getMessage.contains("NULL"), e2.getMessage)
+    // the reject left the table untouched
+    assert(Layout.readTable(spark, "b_nk").count() == 2)
+  }
+
+  test("a DataFrame instance survives reuse across layout calls (pinning must not poison the caller's plan)") {
+    import spark.implicits._
+    // Dataset.rdd is a cached lazy val: before the fresh-lineage pin, the
+    // first call's checkpoint+unpersist left the SAME instance's second
+    // use reading evicted blocks (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND) —
+    // exactly the documented re-run-after-failure recovery shape
+    val delta = Seq((1L, 100L)).toDF("k", "n")
+    Layout.writeBucketed(Seq((1L, 2L), (2L, 3L)).toDF("k", "n"), "b_reuse", "k", 2)
+    Layout.mergeBucketed(spark, "b_reuse", "k", 2, delta)
+    Layout.mergeBucketed(spark, "b_reuse", "k", 2, delta) // same instance — the retry
+    val got = Layout.readTable(spark, "b_reuse").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 100L), (2L, 3L)), got.toString)
+  }
+
   test("maintainAdditive rejects a mismatched batch schema and non-numeric aggregates") {
     import spark.implicits._
     Layout.writeBucketed(Seq((1L, 2L)).toDF("k", "n"), "b_ma2", "k", 2)
