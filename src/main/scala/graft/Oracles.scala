@@ -2280,6 +2280,56 @@ object Oracles {
        |       count(DISTINCT sens) >= 3 AS diverse
        |FROM rs GROUP BY 1, 2, 3, 4, 5""".stripMargin
 
+  /** C57 q_t_closeness — the C54 CTE chain extended with the
+    * exact-integer ordered-domain EMD: dense group×domain grid (absent
+    * cells count 0), cumulative `cnt·N − gcnt·N_g` over the
+    * lexically-ordered sensitive domain, |cum| summed per group; the
+    * t = 1/5 verdict is the integer comparison num·5 ≤ N_g·N·(m−1).
+    */
+  val tCloseness: String =
+    s"""WITH rel AS MATERIALIZED (
+       |$kAnonymize
+       |),
+       |sens AS MATERIALIZED (
+       |  SELECT o_custkey AS c_custkey, min(o_orderpriority) AS sens
+       |  FROM orders GROUP BY 1),
+       |rs AS MATERIALIZED (
+       |  SELECT rel.nation, rel.segment, rel.lo_cents, rel.hi_cents, rel.level,
+       |         coalesce(sens.sens, 'NONE') AS sens
+       |  FROM rel LEFT JOIN sens USING (c_custkey)),
+       |gdist AS MATERIALIZED (SELECT sens, count(*) AS gcnt FROM rs GROUP BY 1),
+       |tot AS MATERIALIZED (
+       |  SELECT count(*) AS n_total, count(DISTINCT sens) AS m FROM rs),
+       |grp AS MATERIALIZED (
+       |  SELECT nation, segment, lo_cents, hi_cents, level, count(*) AS n_g
+       |  FROM rs GROUP BY 1, 2, 3, 4, 5),
+       |cell AS MATERIALIZED (
+       |  SELECT nation, segment, lo_cents, hi_cents, level, sens,
+       |         count(*) AS cnt
+       |  FROM rs GROUP BY 1, 2, 3, 4, 5, 6),
+       |dense AS MATERIALIZED (
+       |  SELECT g.nation, g.segment, g.lo_cents, g.hi_cents, g.level,
+       |         g.n_g, gl.sens, gl.gcnt, coalesce(c.cnt, 0) AS cnt,
+       |         t.n_total, t.m
+       |  FROM grp g CROSS JOIN gdist gl CROSS JOIN tot t
+       |  LEFT JOIN cell c
+       |    ON c.nation = g.nation AND c.segment = g.segment
+       |   AND c.lo_cents = g.lo_cents AND c.hi_cents = g.hi_cents
+       |   AND c.level = g.level AND c.sens = gl.sens),
+       |cum AS MATERIALIZED (
+       |  SELECT nation, segment, lo_cents, hi_cents, level, n_g, n_total, m,
+       |         sum(cnt * n_total - gcnt * n_g) OVER
+       |           (PARTITION BY nation, segment, lo_cents, hi_cents, level
+       |            ORDER BY sens
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM dense)
+       |SELECT nation, segment, lo_cents, hi_cents, level,
+       |       CAST(n_g AS BIGINT) AS n_records,
+       |       CAST(sum(abs(cum)) AS BIGINT) AS emd_num,
+       |       CAST(n_g * n_total * (m - 1) AS BIGINT) AS emd_den,
+       |       sum(abs(cum)) * 5 <= n_g * n_total * (m - 1) AS t_close
+       |FROM cum GROUP BY 1, 2, 3, 4, 5, n_g, n_total, m""".stripMargin
+
   /** D17 q_gap_fill — per-user daily grid (generate_series returns
     * TIMESTAMP → cast back to DATE) with IGNORE NULLS forward fill; sums
     * cast out of HUGEINT.

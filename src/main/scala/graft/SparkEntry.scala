@@ -351,6 +351,10 @@ object SparkEntry {
     // per released QI group, exact distinct count of the sensitive
     // attribute (customer's most urgent order priority) and the >= l verdict
     "q_l_diversity"        -> ((s, d) => Privacy.lDiversity(s, d)),
+    // q_t_closeness: distribution-skew check completing the release
+    // trilogy — exact-integer ordered-domain EMD vs the global sensitive
+    // distribution, census-sized after the shared fact scan
+    "q_t_closeness"        -> ((s, d) => Privacy.tCloseness(s, d)),
     // q_gap_fill: per-user daily resample + forward fill — span-bounded
     // sequence explode, one user window, all integer/date
     "q_gap_fill"           -> ((s, d) => Events.gapFill(s, d)),
@@ -717,6 +721,7 @@ object SparkEntry {
     "q_merge_upsert"    -> Oracles.mergeUpsert,
     "q_k_anonymize"     -> Oracles.kAnonymize,
     "q_l_diversity"     -> Oracles.lDiversity,
+    "q_t_closeness"     -> Oracles.tCloseness,
     "q_gap_fill"        -> Oracles.gapFill,
     "q_peak_concurrency" -> Oracles.peakConcurrency,
   )

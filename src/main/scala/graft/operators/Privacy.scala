@@ -129,4 +129,86 @@ object Privacy {
     lDiversityOn(withSens,
       Seq("nation", "segment", "lo_cents", "hi_cents", "level"), "sens", l)
   }
+
+  /** C57 — q_t_closeness: the distribution-skew attack check that
+    * completes the release trilogy [Li/Li/Venkatasubramanian, ICDE'07 —
+    * public model]. l-diversity (C54) counts DISTINCT sensitive values
+    * per released group, but a group can be "diverse" while its
+    * distribution still leaks (99% urgent + a token spread passes l=3);
+    * t-closeness bounds the Earth Mover's Distance between each group's
+    * sensitive distribution and the GLOBAL one. The order priorities are
+    * naturally ORDERED, so the ordered-domain EMD applies: with
+    * cumulative sums over the lexically-ordered domain
+    * (`'1-URGENT'…'5-LOW' < 'NONE'` — plain ASCII, identical ordering in
+    * both engines), EMD = (1/(m−1)) · Σᵢ |Σ_{j≤i} (p_j − q_j)|.
+    *
+    * EXACT-INTEGER formulation (the E20 money rule applied to
+    * probability): scale away both divisions —
+    * `emd_num = Σᵢ |Σ_{j≤i} (cnt_j·N − gcnt_j·N_g)|` and
+    * `emd_den = N_g·N·(m−1)`, so EMD = num/den exactly, and the verdict
+    * `t_close` at t = tNum/tDen is the integer comparison
+    * `num·tDen ≤ den·tNum` — no FP anywhere, the DuckDB hash matches
+    * bit-for-bit. Bounds: N ≤ 1.5M·sf, so num ≤ m·N_g·N ≈ 10¹⁴ at sf10
+    * — comfortably BIGINT.
+    *
+    * Scale shape: the C52 ladder + sens join (the lDiversity cost,
+    * shared scan), then everything is CENSUS-sized — the global
+    * distribution (m rows) broadcasts, the per-group×domain dense grid
+    * is |groups|·m rows, and the cumulative window partitions by group
+    * over m rows. The fact is scanned once; no fact-scale shuffle
+    * follows the first aggregation.
+    */
+  def tCloseness(spark: SparkSession, dir: String, k: Int = 5,
+      tNum: Int = 1, tDen: Int = 5): DataFrame = {
+    val released = kAnonymize(spark, dir, k)
+    val sens = spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(min(col("o_orderpriority")).as("sens"))
+    // localCheckpoint (lazy), not cache: rs feeds FOUR census aggregations
+    // in [[tClosenessOn]] — re-running the ladder + join per consumer
+    // would quadruple the fact scans (the Dedup shingle-table rationale)
+    val rs = released.join(sens, Seq("c_custkey"), "left")
+      .withColumn("sens", coalesce(col("sens"), lit("NONE")))
+      .select(col("nation"), col("segment"), col("lo_cents"),
+        col("hi_cents"), col("level"), col("sens"))
+      .localCheckpoint(false)
+    tClosenessOn(rs, Seq("nation", "segment", "lo_cents", "hi_cents", "level"),
+      "sens", tNum, tDen)
+  }
+
+  /** The EMD core of [[tCloseness]] over an arbitrary released frame —
+    * `(qiCols…, sensCol)` rows in, one verdict row per QI group out.
+    * Factored like [[lDiversityOn]] so release pipelines with their own
+    * generalization scheme get the same gate.
+    */
+  def tClosenessOn(rs0: DataFrame, qi: Seq[String], sensCol: String,
+      tNum: Int, tDen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rs = rs0.select(qi.map(col) :+ col(sensCol).as("sens"): _*)
+    val glob = rs.groupBy(col("sens")).agg(count(lit(1)).as("gcnt"))
+    val tot = rs.agg(count(lit(1)).as("n_total"),
+      countDistinct(col("sens")).as("m"))
+    val grp = rs.groupBy(qi.map(col): _*).agg(count(lit(1)).as("n_g"))
+    val cell = rs.groupBy(qi.map(col) :+ col("sens"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    // dense grid: every group × every domain value (absent cells count 0 —
+    // they still move mass in the EMD), global counts riding along
+    val dense = grp.crossJoin(broadcast(glob))
+      .join(cell, qi :+ "sens", "left")
+      .na.fill(0L, Seq("cnt"))
+      .crossJoin(broadcast(tot))
+    val w = Window.partitionBy(qi.map(col): _*).orderBy(col("sens"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = dense
+      .withColumn("diff", col("cnt") * col("n_total") - col("gcnt") * col("n_g"))
+      .withColumn("cum", sum(col("diff")).over(w))
+    cum.groupBy(qi.map(col) :+ col("n_g") :+ col("n_total") :+ col("m"): _*)
+      .agg(sum(abs(col("cum"))).as("raw"))
+      .select(qi.map(col) :+
+        col("n_g").cast("long").as("n_records") :+
+        col("raw").cast("long").as("emd_num") :+
+        (col("n_g") * col("n_total") * (col("m") - 1)).cast("long").as("emd_den") :+
+        (col("raw") * tDen <=
+          col("n_g") * col("n_total") * (col("m") - 1) * tNum).as("t_close"): _*)
+  }
 }
