@@ -2198,6 +2198,56 @@ object Oracles {
       |       CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN 1000000000 ELSE psi END AS BIGINT) AS psi_x1e6
       |FROM a""".stripMargin
 
+  /** E24 q_drift_chi2 — the E23 CTE chain with the Pearson χ²
+    * contribution in place of PSI's: expected counts per cell of the
+    * 2×bins table, (O−e)²/e summed, 1e-6 units. Pure IEEE arithmetic
+    * (no ln) — the expression mirrors the Spark side token-for-token.
+    */
+  val driftChi2: String =
+    """WITH e AS MATERIALIZED (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents, epoch_ms(ts) AS ms FROM events),
+      |bnd AS MATERIALIZED (SELECT (min(ms) + max(ms)) // 2 AS mid FROM e),
+      |g AS MATERIALIZED (
+      |  SELECT event_type, cents,
+      |         sum(CASE WHEN ms < (SELECT mid FROM bnd) THEN 1 ELSE 0 END)::BIGINT AS c1,
+      |         sum(CASE WHEN ms >= (SELECT mid FROM bnd) THEN 1 ELSE 0 END)::BIGINT AS c2
+      |  FROM e GROUP BY 1, 2),
+      |w AS MATERIALIZED (
+      |  SELECT event_type, c1, c2,
+      |         sum(c1) OVER (PARTITION BY event_type ORDER BY cents) AS cum1,
+      |         sum(c1) OVER (PARTITION BY event_type) AS n1,
+      |         sum(c2) OVER (PARTITION BY event_type) AS n2
+      |  FROM g),
+      |bb AS MATERIALIZED (
+      |  SELECT event_type,
+      |         CASE WHEN n1 = 0 THEN 0
+      |              ELSE least(15, (16 * (cum1 - c1)) // n1) END AS bin,
+      |         c1, c2, n1, n2
+      |  FROM w),
+      |bins_ AS MATERIALIZED (
+      |  SELECT event_type, bin, sum(c1)::BIGINT AS b1, sum(c2)::BIGINT AS b2,
+      |         CAST(any_value(n1) AS BIGINT) AS n1, CAST(any_value(n2) AS BIGINT) AS n2
+      |  FROM bb GROUP BY 1, 2),
+      |x AS MATERIALIZED (
+      |  SELECT event_type, n1, n2,
+      |         CAST(n1 AS DOUBLE) * (b1 + b2) / (n1 + n2) AS e1,
+      |         CAST(n2 AS DOUBLE) * (b1 + b2) / (n1 + n2) AS e2,
+      |         b1, b2
+      |  FROM bins_),
+      |c AS MATERIALIZED (
+      |  SELECT event_type, n1, n2,
+      |         CAST(round((CASE WHEN n1 = 0 OR n2 = 0 THEN 0.0 ELSE
+      |           (b1 - e1) * (b1 - e1) / e1 + (b2 - e2) * (b2 - e2) / e2
+      |         END) * 1000000) AS BIGINT) AS contrib
+      |  FROM x),
+      |a AS MATERIALIZED (
+      |  SELECT event_type, any_value(n1) AS n1, any_value(n2) AS n2,
+      |         sum(contrib) AS chi2
+      |  FROM c GROUP BY 1)
+      |SELECT event_type, n1, n2,
+      |       CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN 1000000000 ELSE chi2 END AS BIGINT) AS chi2_x1e6
+      |FROM a""".stripMargin
+
   /** E21 q_copurchase — the basket-size cap applies per order BEFORE pair
     * generation (mirrors the Spark plan's maxBasket guard; never binds on
     * this corpus), then a distinct-pair self-join stands in for the in-row

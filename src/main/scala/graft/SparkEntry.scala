@@ -331,6 +331,9 @@ object SparkEntry {
     "q_drift_ks"           -> ((s, d) => Analytics.driftKs(s, d)),
     // q_drift_psi: PSI — the mass-of-shift companion to KS's worst-point
     "q_drift_psi"          -> ((s, d) => Analytics.driftPsi(s, d)),
+    // q_drift_chi2: Pearson χ² over the same baseline-quantile bins —
+    // the drift trio's classical significance-testable member
+    "q_drift_chi2"         -> ((s, d) => Analytics.driftChi2(s, d)),
     // q_validate_release: the composed data-validation gate — one verdict
     // row per check (profile, dup rate, outlier mass, drift KS), all
     // exact-integer, five checks on one documents scan
@@ -715,6 +718,7 @@ object SparkEntry {
     "q_event_transitions" -> Oracles.eventTransitions,
     "q_drift_ks"        -> Oracles.driftKs,
     "q_drift_psi"       -> Oracles.driftPsi,
+    "q_drift_chi2"      -> Oracles.driftChi2,
     "q_validate_release" -> Oracles.validateRelease,
     "q_copurchase"      -> Oracles.copurchase,
     "q_entity_resolve"  -> Oracles.entityResolve,

@@ -405,12 +405,16 @@ object Analytics {
     * ±1-tolerant comparison would weaken the gate for every query to
     * absorb a failure mode never observed.
     */
-  private[graft] def psiFromCounts(g: DataFrame, bins: Int = 16): DataFrame = {
+  /** The baseline-quantile two-sample binning [[psiFromCounts]] and
+    * [[chi2FromCounts]] share: (event_type, cents, c1, c2) histogram in,
+    * per-(type, bin) counts (b1, b2) + per-type totals (n1, n2) out,
+    * with c1 (the baseline) defining the equal-mass bin grid.
+    */
+  private def binnedTwoSample(g: DataFrame, bins: Int): DataFrame = {
     val cum = Window.partitionBy(col("event_type")).orderBy(col("cents"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val whole = Window.partitionBy(col("event_type"))
-    val binned = g
-      .withColumn("cum1", sum(col("c1")).over(cum))
+    g.withColumn("cum1", sum(col("c1")).over(cum))
       .withColumn("n1", sum(col("c1")).over(whole))
       .withColumn("n2", sum(col("c2")).over(whole))
       // rank of values STRICTLY below v in the baseline = cum1 − c1
@@ -420,7 +424,10 @@ object Analytics {
       .groupBy(col("event_type"), col("bin"))
       .agg(sum(col("c1")).as("b1"), sum(col("c2")).as("b2"),
         max(col("n1")).as("n1"), max(col("n2")).as("n2"))
-    binned
+  }
+
+  private[graft] def psiFromCounts(g: DataFrame, bins: Int = 16): DataFrame = {
+    binnedTwoSample(g, bins)
       .withColumn("p", (col("b1") + 1).cast("double") / (col("n1") + bins))
       .withColumn("q", (col("b2") + 1).cast("double") / (col("n2") + bins))
       .withColumn("contrib",
@@ -438,6 +445,55 @@ object Analytics {
       .select(col("event_type"), col("n1"), col("n2"),
         when(col("n1") === 0L || col("n2") === 0L, lit(1000000000L))
           .otherwise(col("psi")).as("psi_x1e6"))
+  }
+
+  /** E24 — q_drift_chi2: the two-sample Pearson χ² over the same
+    * baseline-quantile bins as E23, completing the drift scorecard trio
+    * (KS = worst single cdf point, PSI = mass of the shift, χ² = the
+    * classical significance-testable statistic dashboards already know
+    * how to threshold against a χ²(bins−1) table). Same half-split
+    * construction as [[driftPsi]]; shared core below for the streaming
+    * twin ([[graft.streaming.DriftStream.batchChi2]]).
+    */
+  def driftChi2(spark: SparkSession, dir: String, bins: Int = 16): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        unix_millis(col("ts")).as("ms"))
+    val mid = ev.agg(expr("(min(ms) + max(ms)) div 2").as("mid"))
+    chi2FromCounts(ev.crossJoin(broadcast(mid))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(sum(when(col("ms") < col("mid"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("ms") >= col("mid"), 1L).otherwise(0L)).as("c2")), bins)
+  }
+
+  /** The exact-χ² core shared by [[driftChi2]] and the streaming monitor
+    * — [[psiFromCounts]]'s shape on the contingency-table statistic:
+    * expected counts eᵢ = nᵢ·c/N per cell of the 2×bins table, χ² =
+    * Σ (O−e)²/e, each bin's contribution rounded to 1e-6 units and
+    * BIGINT-summed. DETERMINISM, one class STRONGER than PSI's: the
+    * contribution uses only IEEE +,−,×,÷ — operations both engines round
+    * identically by spec (no `ln`, so even the accepted last-ulp libm
+    * risk is absent); the expression SHAPE below mirrors the oracle SQL
+    * token-for-token so association order cannot differ. Bins empty in
+    * both halves contribute zero mass exactly (no smoothing — the
+    * statistic is already finite there), and an empty half scores the
+    * 10⁹ sentinel like PSI (domination note on [[driftPsi]]).
+    */
+  private[graft] def chi2FromCounts(g: DataFrame, bins: Int = 16): DataFrame = {
+    binnedTwoSample(g, bins)
+      .withColumn("e1", expr("CAST(n1 AS DOUBLE) * (b1 + b2) / (n1 + n2)"))
+      .withColumn("e2", expr("CAST(n2 AS DOUBLE) * (b1 + b2) / (n1 + n2)"))
+      .withColumn("contrib", expr(
+        """CAST(round((CASE WHEN n1 = 0 OR n2 = 0 THEN 0.0d ELSE
+          |  (b1 - e1) * (b1 - e1) / e1 + (b2 - e2) * (b2 - e2) / e2
+          |END) * 1000000) AS BIGINT)""".stripMargin))
+      .groupBy(col("event_type"))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum(col("contrib")).as("chi2"))
+      .select(col("event_type"), col("n1"), col("n2"),
+        when(col("n1") === 0L || col("n2") === 0L, lit(1000000000L))
+          .otherwise(col("chi2")).as("chi2_x1e6"))
   }
 
   /** The exact-KS core shared by [[driftKs]] and the streaming monitor

@@ -114,4 +114,38 @@ object DriftStream {
           Seq("event_type")))
     }
   }
+
+  /** One micro-batch's Pearson-χ² verdict vs the reference — the third
+    * member of the scorecard (E24's streaming twin; χ² is the one with a
+    * textbook significance table, so an alerting rule can carry an
+    * actual p-value threshold against χ²(bins−1)). Same shared core as
+    * the oracle-gated batch query ([[graft.operators.Analytics.chi2FromCounts]],
+    * spec-pinned equal on the same histogram); empty halves score the
+    * 10⁹ sentinel. Output: (event_type, n1, n2, chi2_x1e6).
+    */
+  def batchChi2(refHist: DataFrame, batch: DataFrame, bins: Int = 16): DataFrame = {
+    val g = refHist.withColumnRenamed("cnt", "c1")
+      .join(referenceHistogram(batch).withColumnRenamed("cnt", "c2"),
+        Seq("event_type", "cents"), "full_outer")
+      .na.fill(0L, Seq("c1", "c2"))
+    Analytics.chi2FromCounts(g, bins)
+  }
+
+  /** The FULL scorecard per micro-batch — KS + PSI + χ² joined on
+    * event_type (one row per type: event_type, n1, n2, ks_ppm,
+    * psi_x1e6, chi2_x1e6). Same persist lifecycle and same
+    * independent-plans cost note as [[monitorBoth]].
+    */
+  def monitorScorecard(stream: DataFrame, refHist: DataFrame, bins: Int = 16)(
+      onBatch: (Long, DataFrame) => Unit): DataStreamWriter[Row] = {
+    val ref = refHist.persist()
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[Row], id: Long) =>
+        onBatch(id, batchKs(ref, batch)
+          .join(batchPsi(ref, batch, bins).select("event_type", "psi_x1e6"),
+            Seq("event_type"))
+          .join(batchChi2(ref, batch, bins).select("event_type", "chi2_x1e6"),
+            Seq("event_type")))
+    }
+  }
 }

@@ -636,6 +636,85 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  /** Independent brute-force two-sample Pearson χ² in plain Scala — the
+    * [[psiRef]] pattern for E24: same baseline-quantile bins, expected
+    * counts per contingency cell, per-bin 1e-6 rounding summed exactly.
+    */
+  private def chi2Ref(ref: Map[Long, Long], smp: Map[Long, Long], bins: Int): Long = {
+    val n1 = ref.values.sum; val n2 = smp.values.sum
+    if (n1 == 0L || n2 == 0L) return 1000000000L
+    val b1 = Array.fill(bins)(0L); val b2 = Array.fill(bins)(0L)
+    var below = 0L
+    (ref.keySet ++ smp.keySet).toSeq.sorted.foreach { v =>
+      val bin = math.min(bins - 1L, bins * below / n1).toInt
+      b1(bin) += ref.getOrElse(v, 0L); b2(bin) += smp.getOrElse(v, 0L)
+      below += ref.getOrElse(v, 0L)
+    }
+    (0 until bins).map { i =>
+      val c = b1(i) + b2(i)
+      if (c == 0L) 0L
+      else {
+        val e1 = n1.toDouble * c / (n1 + n2)
+        val e2 = n2.toDouble * c / (n1 + n2)
+        math.round(((b1(i) - e1) * (b1(i) - e1) / e1
+          + (b2(i) - e2) * (b2(i) - e2) / e2) * 1000000)
+      }
+    }.sum
+  }
+
+  test("drift scorecard: monitorScorecard carries KS + PSI + χ² per type; χ² equals brute force") {
+    import spark.implicits._
+    import graft.streaming.DriftStream
+    implicit val sqlCtx = spark.sqlContext
+    val ref = (1 to 100).flatMap(c => Seq(("click", c / 100.0), ("view", c / 100.0)))
+      .map { case (t, v) => Event(0, ts(0), 0, t, v) }
+      .toDF().select(col("ts"), col("event_type"), col("value"))
+    val refHist = DriftStream.referenceHistogram(ref).localCheckpoint()
+    val verdicts = scala.collection.concurrent.TrieMap[Long, Map[String, (Long, Long, Long)]]()
+    val q = {
+      val input = MemoryStream[Event]
+      val w = DriftStream.monitorScorecard(input.toDF(), refHist) { (id, v) =>
+        verdicts(id) = v.collect()
+          .map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      }.start()
+      input.addData((1 to 50).map(c => Event(c, ts(c), 1, "click", (2 * c) / 100.0)): _*)
+      w.processAllAvailable()
+      input.addData((1 to 50).map(c => Event(c, ts(c), 1, "click", 500.0 + c)): _*)
+      w.processAllAvailable()
+      w
+    }
+    try {
+      val b0 = verdicts(0L); val b1 = verdicts(1L)
+      val refCounts = (1L to 100L).map(c => c -> 1L).toMap
+      val smp0 = (1 to 50).map(c => 2L * c).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val smp1 = (1 to 50).map(c => 50000L + 100L * c).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // χ² equals the independent plain-Scala recomputation exactly
+      assert(b0("click")._3 == chi2Ref(refCounts, smp0, 16), b0("click").toString)
+      assert(b1("click")._3 == chi2Ref(refCounts, smp1, 16), b1("click").toString)
+      // a support shift raises every member of the scorecard
+      assert(b1("click")._1 > b0("click")._1, "KS must rise")
+      assert(b1("click")._2 > b0("click")._2, "PSI must rise")
+      assert(b1("click")._3 > b0("click")._3, "χ² must rise")
+      // the type with no batch rows scores every sentinel at once
+      assert(b0("view") == ((1000000L, 1000000000L, 1000000000L)), b0("view").toString)
+    } finally q.stop()
+  }
+
+  test("batchChi2 shares the oracle-gated core: reproduces q_drift_chi2 when fed the same halves") {
+    import graft.operators.Analytics
+    import graft.io.Tables
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("value"), unix_millis(col("ts")).as("ms"))
+    val mid = ev.agg(expr("(min(ms) + max(ms)) div 2").as("mid")).first().getLong(0)
+    val refHist = graft.streaming.DriftStream.referenceHistogram(
+      ev.where(col("ms") < mid))
+    val streamed = graft.streaming.DriftStream.batchChi2(refHist, ev.where(col("ms") >= mid))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = Analytics.driftChi2(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch, s"streamed $streamed vs batch $batch")
+  }
+
   test("batchPsi shares the oracle-gated core: reproduces q_drift_psi when fed the same halves") {
     import graft.operators.Analytics
     import graft.io.Tables
