@@ -113,6 +113,68 @@ object Layout {
     tableLock("dir:" + q.toString)
   }
 
+  /** CROSS-PROCESS writer lease — best-effort mutual exclusion on the
+    * location itself (r19). The monitors above serialize mutators within
+    * one session, but the single-writer contract across PROCESSES was
+    * documentation only: two drivers merging one table could interleave
+    * mid-sequence and corrupt it silently (the no-transaction-log price,
+    * restated on every maintenance scaladoc). The lease turns that
+    * contract into an enforced check: a `_writer.lock` file created
+    * ATOMICALLY at the location (`create` with overwrite = false —
+    * atomic on local filesystems and HDFS; an object store without
+    * atomic create keeps the documented contract and nothing regresses),
+    * deleted on release. A crashed writer leaves the file behind; a
+    * later writer BREAKS it once its mtime ages past [[leaseStaleMs]]
+    * (default 15 min — longer than any single maintenance pass here) and
+    * takes over. Best-effort by design: clock skew or a >staleMs pause
+    * can still double-grant (the residual class of every lease without
+    * fencing tokens) — the upgrade over documentation is that the COMMON
+    * failure, two live writers, now fails loudly instead of corrupting
+    * silently. RE-ENTRANT per session: nested maintenance (forgetKeys →
+    * mergeBucketed, maintainAdditiveBatch → maintainAdditive →
+    * mergeBucketed, erasure inside an ingest cadence) re-enters the held
+    * lease rather than self-deadlocking — safe because the in-session
+    * monitors already serialize same-location mutators, so only one
+    * thread is ever inside a location's lease scope.
+    *
+    * Invisible everywhere by the underscore convention: scans, manifests,
+    * `relDataFiles` walks, vacuum's sweepable set, and the erasure purges
+    * all skip `_`-prefixed names.
+    */
+  private[graft] var leaseStaleMs: Long = 15 * 60 * 1000L
+  private val heldLeases =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def withWriterLease[T](spark: SparkSession,
+      loc: org.apache.hadoop.fs.Path)(f: => T): T = {
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val key = fs.makeQualified(loc).toString
+    if (heldLeases.contains(key)) return f // nested maintenance, same session
+    val lock = new org.apache.hadoop.fs.Path(loc, "_writer.lock")
+    def tryAcquire(): Boolean =
+      try { fs.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!tryAcquire()) {
+      val age = try Some(System.currentTimeMillis()
+        - fs.getFileStatus(lock).getModificationTime)
+      catch { case _: java.io.FileNotFoundException => None } // raced a release
+      val stale = age.forall(_ > leaseStaleMs)
+      if (stale) {
+        try fs.delete(lock, false) catch { case _: java.io.FileNotFoundException => }
+        if (!tryAcquire())
+          throw new IllegalStateException(s"writer lease on $key: lost the " +
+            "takeover race for a stale lock — another writer is active; retry")
+      } else throw new IllegalStateException(s"another writer holds the lease " +
+        s"on $key (age ${age.getOrElse(0L)} ms < stale threshold $leaseStaleMs ms) — " +
+        "the layout layer is single-writer per location; quiesce the other " +
+        "writer or let a crashed one's lock age out")
+    }
+    heldLeases.add(key)
+    try f finally {
+      heldLeases.remove(key)
+      try fs.delete(lock, false) catch { case _: Exception => () }
+    }
+  }
+
   // memoized fingerprints: paths-key -> (expiry millis, fp). The listing +
   // per-file tail sample is driver-side O(#files); without a memo every
   // layout query pays it on every call.
@@ -323,6 +385,7 @@ object Layout {
     require(batchId >= 0, s"appendBucketedBatch needs a streaming batch id, got $batchId")
     val loc = tablePath(spark, table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withWriterLease(spark, loc) {
     val (gen, priorFiles, hwm) = readManifest(fs, loc)
       .getOrElse((0L, dataFileNames(fs, loc), -1L))
     if (batchId <= hwm) {
@@ -347,6 +410,7 @@ object Layout {
       retireOrphans(fs, loc, dataFileNames(fs, loc) -- priorFiles, gen)
       bucketWriter(df, table, key, buckets, "append", hwm = batchId)
       true
+    }
     }
   }
 
@@ -427,6 +491,7 @@ object Layout {
     val dst = new org.apache.hadoop.fs.Path(dir)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dst)
+    withWriterLease(spark, dst) {
     // self-heal a CRASHED previous swap before writing (r18 review —
     // nothing else ever would): stale `.swap-*` staging dirs (a crash
     // mid-write skipped the finally) are deleted, and data files the
@@ -483,6 +548,7 @@ object Layout {
         prune(dst)
       }
     } finally if (fs.exists(tmp)) fs.delete(tmp, true)
+    }
   }
 
   /** Manifest-aware read of a plain parquet DIRECTORY — [[readTable]] for
@@ -931,6 +997,7 @@ object Layout {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0L
+    withWriterLease(spark, root) {
     def newest(st: org.apache.hadoop.fs.FileStatus): Long =
       try {
         val kids = if (st.isDirectory) fs.listStatus(st.getPath)
@@ -947,8 +1014,14 @@ object Layout {
     val refInstant = {
       // newest() reports Long.MaxValue for a path that vanished mid-walk —
       // the SAFE sentinel on the sweep side (never old enough to sweep),
-      // but poison as the reference instant (everything would age out)
-      val seen = entries.map(newest).filter(_ != Long.MaxValue)
+      // but poison as the reference instant (everything would age out).
+      // Our OWN just-created `_writer.lock` is excluded: its fresh mtime
+      // is this process's clock, not the location's timeline — including
+      // it would silently shift every age by (now − newest-data-mtime)
+      // exactly when the two clocks disagree, the case the
+      // storage-relative gate exists for.
+      val seen = entries.filter(_.getPath.getName != "_writer.lock")
+        .map(newest).filter(_ != Long.MaxValue)
       if (seen.isEmpty) System.currentTimeMillis() else seen.max
     }
     val cutoff = refInstant - retentionMs
@@ -989,6 +1062,7 @@ object Layout {
       }
     }
     reclaimed
+    }
   }
 
   /** [[vacuum]] for a bucketed catalog table (resolves the location and
@@ -1200,6 +1274,10 @@ object Layout {
       s"forgetKeys ids are ${inType.simpleString} but the table key is " +
         s"${keyType.simpleString} — cast the id batch EXACTLY upstream " +
         "(a silent cast could truncate/wrap and erase the wrong key)")
+    // ONE lease spans tombstone-merge AND purge: the erasure guarantee is
+    // their conjunction, and a foreign writer landing between them could
+    // re-park recoverable copies the purge already swept
+    withWriterLease(spark, tablePath(spark, table)) {
     val kRdd = keys.select(col(keys.columns.head).as(key))
       .where(col(key).isNotNull).distinct().rdd
     kRdd.localCheckpoint()
@@ -1226,6 +1304,7 @@ object Layout {
       }
       nKeys
     } finally kRdd.unpersist(blocking = false)
+    }
   }
 
   /** [[forgetKeys]] for a PARTITIONED (or plain) parquet directory — the
@@ -1271,6 +1350,7 @@ object Layout {
       s"forgetKeysDir ids are ${inType.simpleString} but the key column is " +
         s"${keyType.simpleString} — cast the id batch EXACTLY upstream " +
         "(a silent cast could truncate/wrap and erase the wrong key)")
+    withWriterLease(spark, root) {
     val kRdd = keys.select(col(keys.columns.head).as(key))
       .where(col(key).isNotNull).distinct().rdd
     kRdd.localCheckpoint()
@@ -1375,6 +1455,7 @@ object Layout {
       prune(root)
       nKeys
     } finally kRdd.unpersist(blocking = false)
+    }
   }
 
   /** Delete-and-verify every dir under `loc` that can hold residual ROW
@@ -1631,6 +1712,12 @@ object Layout {
       s"mergeBucketed delta '$key' is ${delta.schema(key).dataType.simpleString} but the " +
         s"table's is ${tableSchema(key).dataType.simpleString} — cast the delta key first " +
         "(bucket hashing is type-sensitive)")
+    // the lease spans the WHOLE pin→validate→merge sequence: the delta
+    // plan can read this table (maintainAdditive's fold does), and that
+    // read materializes at the validation aggregate below — a foreign
+    // writer landing between that read and the move-in would be silently
+    // overwritten (lost update) if the lease started any later
+    withWriterLease(spark, tablePath(spark, table)) {
     // Pin the delta ONCE (localCheckpoint, loud-on-loss): four derived
     // uses below (dupes check, affected-bucket collect, anti-join,
     // staging write) re-evaluating a non-deterministic delta plan could
@@ -1754,6 +1841,7 @@ object Layout {
       spark.sql(s"DROP TABLE `$staging`")
       spark.catalog.refreshTable(table)
     } finally deltaRdd.unpersist(blocking = false)
+    }
   }}
 
   /** Incrementally maintain an ADDITIVE per-key aggregate table — the
@@ -1863,6 +1951,10 @@ object Layout {
       require(batchId >= 0, s"maintainAdditiveBatch needs a streaming batch id, got $batchId")
       val loc = tablePath(spark, table)
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // lease spans the hwm READ and the nested fold (which re-enters it):
+      // a foreign appender between the read and the merge could otherwise
+      // advance the mark we just checked
+      withWriterLease(spark, loc) {
       val hwm = readManifest(fs, loc).map(_._3).getOrElse(-1L)
       if (batchId <= hwm) {
         // same blind spot as appendBucketedBatch at hwm == 0, same loud
@@ -1874,6 +1966,7 @@ object Layout {
       } else {
         maintainAdditive(spark, table, key, buckets, batch, stampHwm = Some(batchId))
         true
+      }
       }
     }}
 
@@ -1931,6 +2024,7 @@ object Layout {
     // — the fresh staging table carries no droppedColumns property),
     // added columns materialize as real null columns.
     val tblSchema = spark.table(table).schema
+    withWriterLease(spark, locPath) {
     val (src, hwm) = readManifest(fs, locPath) match {
       case Some((_, valid, h)) =>
         (spark.read.schema(tblSchema).parquet(valid.toSeq.sorted
@@ -1940,5 +2034,6 @@ object Layout {
     writeBucketed(src, staging, key, buckets, hwm)
     spark.sql(s"DROP TABLE `$table`")
     spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+    }
   }}
 }

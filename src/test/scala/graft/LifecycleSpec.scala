@@ -524,6 +524,30 @@ class LifecycleSpec extends GraftSuite {
     assert(Layout.readTable(spark, "b_nk").count() == 2)
   }
 
+  test("writer lease: a live foreign lease rejects maintenance loudly; a stale one is broken") {
+    import spark.implicits._
+    // cross-process single-writer enforcement: another process's live
+    // `_writer.lock` must fail the op BEFORE any mutation; a crashed
+    // process's stale lock must age out and be taken over
+    Layout.writeBucketed(Seq((1L, 2L), (2L, 3L)).toDF("k", "n"), "b_ws", "k", 2)
+    val lock = new java.io.File(tableLoc("b_ws"), "_writer.lock")
+    assert(lock.createNewFile(), "plant a foreign live lease")
+    val delta = Seq((1L, 9L)).toDF("k", "n")
+    val e = intercept[IllegalStateException] {
+      Layout.mergeBucketed(spark, "b_ws", "k", 2, delta)
+    }
+    assert(e.getMessage.contains("another writer"), e.getMessage)
+    assert(Layout.readTable(spark, "b_ws").where(col("k") === 1L)
+      .select("n").first().getLong(0) == 2L, "the reject must precede any mutation")
+    // crash recovery: age the foreign lock past the stale threshold —
+    // broken, taken over, and the op completes
+    assert(lock.setLastModified(System.currentTimeMillis() - Layout.leaseStaleMs - 60000L))
+    Layout.mergeBucketed(spark, "b_ws", "k", 2, delta)
+    assert(Layout.readTable(spark, "b_ws").where(col("k") === 1L)
+      .select("n").first().getLong(0) == 9L)
+    assert(!lock.exists(), "a completed pass must release the lease")
+  }
+
   test("a DataFrame instance survives reuse across layout calls (pinning must not poison the caller's plan)") {
     import spark.implicits._
     // Dataset.rdd is a cached lazy val: before the fresh-lineage pin, the
