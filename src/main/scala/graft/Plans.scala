@@ -18,20 +18,35 @@ object Plans {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val out = args.lift(1).getOrElse("/tmp/plans.txt")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val sb = new StringBuilder
-    Headline.foreach { name =>
-      sb.append(s"==== $name ====\n")
-      sb.append(SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
-      sb.append("\n")
+    def planOf(name: String): String =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    // per-query dump mode (the optimization-round plan artifacts):
+    //   runMain graft.Plans <sfDir> --dir <outDir> <suffix> q1 q2 ...
+    // writes <outDir>/<query>_<suffix>.txt for each named query.
+    if (args.lift(1).contains("--dir")) {
+      val outDir = Paths.get(args(2))
+      Files.createDirectories(outDir)
+      val suffix = args(3)
+      args.drop(4).foreach { name =>
+        Files.writeString(outDir.resolve(s"${name}_$suffix.txt"), planOf(name))
+        println(s"[plans] wrote $outDir/${name}_$suffix.txt")
+      }
+    } else {
+      val out = args.lift(1).getOrElse("/tmp/plans.txt")
+      val sb = new StringBuilder
+      Headline.foreach { name =>
+        sb.append(s"==== $name ====\n")
+        sb.append(planOf(name))
+        sb.append("\n")
+      }
+      Files.writeString(Paths.get(out), sb.toString)
+      println(s"[plans] wrote $out")
     }
-    Files.writeString(Paths.get(out), sb.toString)
-    println(s"[plans] wrote $out")
     spark.stop()
   }
 }

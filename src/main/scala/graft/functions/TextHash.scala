@@ -59,11 +59,22 @@ object TextHash {
     */
   def minhashSignature(h0s: Column): Column = VectorExpressions.minhashSig(h0s)
 
-  /** LSH band keys: Bands structs of (bid, "sig[2j],sig[2j+1]"). */
+  /** LSH band keys: Bands structs of (bid, sig[2j]·2³¹ + sig[2j+1]).
+    *
+    * The packed LONG replaces the former "sig0,sig1" string key: sig
+    * values are minima mod P < 2³¹, so the packing is injective and the
+    * (bid, bkey) buckets are EXACTLY the buckets the string form produced
+    * — same candidates, same pairs, same query output — while each key
+    * shuffles as 8 fixed bytes instead of a ~13–21 char string (guide
+    * §2.3 "narrower types") and the per-row concat/format work disappears
+    * from the band fan-out, the hottest narrow stage of the whole dedup
+    * family. (The DuckDB oracles keep their own string keys: bucket
+    * equality is representation-independent.)
+    */
   def bandKeys(sig: Column): Column =
     array((0 until Bands).map { j =>
       struct(lit(j).as("bid"),
-        concat_ws(",", sig(2 * j).cast("string"), sig(2 * j + 1).cast("string")).as("bkey"))
+        (sig(2 * j) * lit(2147483648L) + sig(2 * j + 1)).as("bkey"))
     }: _*)
 
   /** 60-bit SimHash over the token multiset (counts weigh the ±1 votes):

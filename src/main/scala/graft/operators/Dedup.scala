@@ -103,10 +103,10 @@ object Dedup {
         array_sort(array_distinct(col("h0"))).as("hh"))
       .select(col("doc_id"), col("hh"), explode(bandKeys(col("sig"))).as("b"))
       .select(col("b.bid"), col("b.bkey"), col("doc_id"), col("hh"))
-      .as[(Int, String, Long, Array[Long])]
+      .as[(Int, Long, Long, Array[Long])]
     bands
       .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (_: (Int, String), it: Iterator[(Int, String, Long, Array[Long])]) =>
+      .flatMapGroups { (_: (Int, Long), it: Iterator[(Int, Long, Long, Array[Long])]) =>
         val ds = it.toArray.sortBy(_._3)
         val out = Seq.newBuilder[(Long, Long, Double)]
         var j = 1
@@ -253,10 +253,10 @@ object Dedup {
         col("doc_id"), col("hh"))
       .join(broadcast(hot), Seq("bid", "bkey"))
       .select(col("bid"), col("bkey"), col("doc_id"), col("hh"))
-      .as[(Int, String, Long, Array[Long])]
+      .as[(Int, Long, Long, Array[Long])]
     val candBands = bands
       .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (_: (Int, String), it: Iterator[(Int, String, Long, Array[Long])]) =>
+      .flatMapGroups { (_: (Int, Long), it: Iterator[(Int, Long, Long, Array[Long])]) =>
         val ds = it.toArray.sortBy(_._3)
         val out = Seq.newBuilder[(Long, Long, Long, Long, Long)]
         var j = 1

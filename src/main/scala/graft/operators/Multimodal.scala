@@ -61,12 +61,26 @@ object Multimodal {
   private[graft] def pngBytes(d: Long, w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // Write straight into the backing int raster: BufferedImage.setRGB goes
+    // through ColorModel.getDataElements, which allocates a transfer array
+    // PER PIXEL — on the video path that was ~40M allocations per bench
+    // run. TYPE_INT_RGB's raster is one int per pixel, scanline stride = w,
+    // so the direct fill stores bit-identical pixel data (setRGB masks the
+    // ignored alpha byte exactly like the packed write below) and
+    // ImageIO.write emits byte-identical PNGs (q_multimodal_features'
+    // n_bytes depends on that).
+    val px = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
     var y = 0
+    var o = 0
     while (y < h) {
+      // the row base (d·31 + y·13) mod 256 once per row; x advances by 7
+      var v = (((d * 31 + y * 13) % 256 + 256) % 256).toInt
       var x = 0
       while (x < w) {
-        val v = (((d * 31 + x * 7 + y * 13) % 256 + 256) % 256).toInt
-        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        px(o) = (v << 16) | (v << 8) | v
+        v += 7; if (v >= 256) v -= 256
+        o += 1
         x += 1
       }
       y += 1
@@ -74,6 +88,88 @@ object Multimodal {
     val bos = new ByteArrayOutputStream()
     ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** Per-pixel integer Rec.601 luminance of a decoded image, row-major —
+    * the shared hot kernel of [[decodeImage]] and [[dhash64]]. Reads the
+    * raster directly for the two layouts ImageIO actually produces for
+    * truecolor PNGs (TYPE_3BYTE_BGR) and for in-memory sources
+    * (TYPE_INT_RGB/ARGB): BufferedImage.getRGB allocates a ColorModel
+    * transfer array per CALL, which dominated the media family's decode
+    * cost. Any other layout falls back to ONE bulk getRGB (same values by
+    * definition — the packed sRGB int is what the per-pixel path read).
+    */
+  private[graft] def luminances(img: java.awt.image.BufferedImage): Array[Int] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Int](w * h)
+    val raster = img.getRaster
+    img.getType match {
+      case java.awt.image.BufferedImage.TYPE_3BYTE_BGR =>
+        val sm = raster.getSampleModel
+          .asInstanceOf[java.awt.image.ComponentSampleModel]
+        val data = raster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferByte].getData
+        val ss = sm.getScanlineStride
+        val ps = sm.getPixelStride
+        val offs = sm.getBandOffsets // bands are R,G,B; offsets {2,1,0}
+        val (ro, go, bo) = (offs(0), offs(1), offs(2))
+        // getOffset(x, y) already includes bandOffsets(0) — subtract it so
+        // `base` addresses the pixel START and the per-band offsets below
+        // are not double-counted
+        val base = raster.getDataBuffer.getOffset +
+          sm.getOffset(-raster.getSampleModelTranslateX,
+            -raster.getSampleModelTranslateY) - ro
+        var y = 0
+        var oi = 0
+        while (y < h) {
+          var p = base + y * ss
+          var x = 0
+          while (x < w) {
+            out(oi) = ((data(p + ro) & 0xff) * 299 + (data(p + go) & 0xff) * 587 +
+              (data(p + bo) & 0xff) * 114) / 1000
+            p += ps
+            oi += 1
+            x += 1
+          }
+          y += 1
+        }
+      case java.awt.image.BufferedImage.TYPE_INT_RGB |
+           java.awt.image.BufferedImage.TYPE_INT_ARGB =>
+        val sm = raster.getSampleModel
+          .asInstanceOf[java.awt.image.SinglePixelPackedSampleModel]
+        val data = raster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferInt].getData
+        val base = raster.getDataBuffer.getOffset +
+          sm.getOffset(-raster.getSampleModelTranslateX,
+            -raster.getSampleModelTranslateY)
+        val ss = sm.getScanlineStride
+        var y = 0
+        var oi = 0
+        while (y < h) {
+          var p = base + y * ss
+          var x = 0
+          while (x < w) {
+            val rgb = data(p)
+            out(oi) = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            p += 1
+            oi += 1
+            x += 1
+          }
+          y += 1
+        }
+      case _ =>
+        val rgbs = img.getRGB(0, 0, w, h, null, 0, w)
+        var i = 0
+        while (i < rgbs.length) {
+          val rgb = rgbs(i)
+          out(i) = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          i += 1
+        }
+    }
+    out
   }
 
   /** REAL image decode: PNG/BMP/GIF bytes → pixels (JDK ImageIO) → 16-bin
@@ -89,20 +185,13 @@ object Multimodal {
     if (img == null) None
     else {
       val hist = new Array[Float](16)
-      val (w, h) = (img.getWidth, img.getHeight)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-            (rgb & 0xff) * 114) / 1000
-          hist(lum >> 4) += 1f
-          x += 1
-        }
-        y += 1
+      val lums = luminances(img)
+      var i = 0
+      while (i < lums.length) {
+        hist(lums(i) >> 4) += 1f
+        i += 1
       }
-      val n = math.max(1, w * h).toFloat
+      val n = math.max(1, lums.length).toFloat
       Some(hist.map(_ / n))
     }
   }
@@ -334,19 +423,21 @@ object Multimodal {
     if (img == null || img.getWidth < 9 || img.getHeight < 8) None
     else {
       val (w, h) = (img.getWidth, img.getHeight)
+      val lums = luminances(img)
       val sums = Array.ofDim[Long](8, 9)
       val cnts = Array.ofDim[Long](8, 9)
       var y = 0
+      var i = 0
       while (y < h) {
         val gy = (y * 8) / h
+        val srow = sums(gy)
+        val crow = cnts(gy)
         var x = 0
         while (x < w) {
           val gx = (x * 9) / w
-          val rgb = img.getRGB(x, y)
-          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-            (rgb & 0xff) * 114) / 1000
-          sums(gy)(gx) += lum
-          cnts(gy)(gx) += 1
+          srow(gx) += lums(i)
+          crow(gx) += 1
+          i += 1
           x += 1
         }
         y += 1
