@@ -35,8 +35,24 @@ object Bench {
       sys.exit(2)
     }
 
-    // JVM/codegen warmup so the first measured query isn't charged for it
+    // JVM/codegen warmup so the first measured query isn't charged for it.
+    // The entry query alone left most of the engine cold: the
+    // alphabetically-first measured query (q_agg_groupby) absorbed the
+    // first-ever WindowExec / typed-Dataset codec / ImageIO static init and
+    // read ~1.2 s over its own steady state (measured r19-opt). Warm those
+    // machinery classes explicitly with three representative sf0.001
+    // queries (sub-second total, same tiny data the smoke entry uses);
+    // the timed region, sink, iteration rule and per-query isolation are
+    // unchanged — this only stops the first query from paying for shared
+    // JVM state every later query gets for free.
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    Seq("q_secondary_sort", "q_dedup_minhash", "q_image_dedup").foreach { w =>
+      SparkEntry.queries(w)(spark, "/root/testdata/sf0.001")
+        .write.format("noop").mode("overwrite").save()
+    }
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    System.gc()
 
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     // optional args = bench only these queries (dev loop); default = all

@@ -44,6 +44,18 @@ object Tables {
     */
   val MinFanOutBytes: Long = 4L << 20
 
+  /** The media family's fan-out gate. Media derivation pays ~100× more
+    * CPU per input byte than tokenize (a PNG encode + decode per row —
+    * measured ~0.17 ms/frame encode + ~0.08 ms/frame decode vs the ~4 MB/s
+    * tokenize+shingle throughput [[MinFanOutBytes]] was tuned for), so its
+    * single-task break-even is ~50 KB of document bytes, not 4 MB. At
+    * sf0.1 the 584 KB documents table ran the WHOLE video pipeline (20k
+    * PNG encodes + decodes, ~5 s of kernel CPU) in one task while 31
+    * cores idled — exactly the q_dedup_containment sf10 lesson one tier
+    * down the byte scale.
+    */
+  val MinMediaFanOutBytes: Long = 48L << 10
+
   /** Memoized fan-out decision per (table path, core count): probing the
     * scan's partition count (`df.rdd.getNumPartitions`) plans the physical
     * scan — ~100 ms of driver work that, paid on EVERY Tables.documents
@@ -54,11 +66,12 @@ object Tables {
     */
   private val fanOutNeeded = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
-  private def cpuFanOutCached(df: DataFrame, path: String): DataFrame = {
+  private def cpuFanOutCached(df: DataFrame, path: String,
+      minBytes: Long = MinFanOutBytes): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    val need = fanOutNeeded.computeIfAbsent(s"$path@$cores", _ =>
+    val need = fanOutNeeded.computeIfAbsent(s"$path@$cores@$minBytes", _ =>
       java.lang.Boolean.valueOf(
-        pathBytes(df.sparkSession, path) >= MinFanOutBytes &&
+        pathBytes(df.sparkSession, path) >= minBytes &&
           df.rdd.getNumPartitions < cores))
     if (need) df.repartition(cores) else df
   }
@@ -152,6 +165,15 @@ object Tables {
     */
   def documents(s: SparkSession, d: String): DataFrame =
     cpuFanOutCached(load(s, d, "documents"), s"$d/documents.parquet")
+  /** [[documents]] for media-synthesis/decode consumers ([[graft.operators
+    * .Multimodal]]): same loader, same memoized probe, but the
+    * [[MinMediaFanOutBytes]] gate — per-row codec cost reaches break-even
+    * ~80× earlier than tokenize. Self-disabling at real scale exactly like
+    * the text gate (enough scan splits → no repartition).
+    */
+  def documentsMedia(s: SparkSession, d: String): DataFrame =
+    cpuFanOutCached(load(s, d, "documents"), s"$d/documents.parquet",
+      MinMediaFanOutBytes)
   def embeddings(s: SparkSession, d: String): DataFrame =
     cpuFanOutCached(load(s, d, "embeddings"), s"$d/embeddings.parquet")
 }

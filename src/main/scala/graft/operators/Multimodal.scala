@@ -36,14 +36,29 @@ object Multimodal {
     * from the upstream store; every downstream op only sees
     * (binary, metadata).
     */
-  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] =
+    mediaTable(spark, dir, onlyKind = null)
+
+  /** `onlyKind` pushes a single-modality consumer's kind filter BELOW the
+    * synthesis (the select computing `kind` is narrow, so the filter rides
+    * the scan): [[audioDedup]] previously filtered AFTER the opaque
+    * mapPartitions and therefore ENCODED every image row's PNG just to
+    * drop it (~1 s of wasted single-task codec CPU per bench run at
+    * sf0.1; the mirror waste for [[imageDedup]] was the WAV synth).
+    * Filtering the same deterministic `kind` column before or after the
+    * synthesis selects identical rows, so outputs are unchanged.
+    */
+  private[graft] def mediaTable(spark: SparkSession, dir: String,
+      onlyKind: String): Dataset[MediaRow] = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    val keyed = Tables.documentsMedia(spark, dir)
       .select(col("doc_id"),
         when(col("doc_id") % 2 === 0, lit("image")).otherwise(lit("audio")).as("kind"),
         col("text").cast("binary").as("media"),
         (col("n_chars") % 64 + 16).cast("int").as("width"),
         (col("n_chars") % 48 + 9).cast("int").as("height"))
+    val gated = if (onlyKind == null) keyed else keyed.where(col("kind") === onlyKind)
+    gated
       .as[(Long, String, Array[Byte], Int, Int)]
       .mapPartitions { it =>
         it.map { case (d, kind, text, w, h) =>
@@ -490,8 +505,7 @@ object Multimodal {
   def imageDedup(spark: SparkSession, dir: String,
       maxHamming: Int = 3): DataFrame = {
     import spark.implicits._
-    val hashes = mediaTable(spark, dir)
-      .filter(col("kind") === "image")
+    val hashes = mediaTable(spark, dir, onlyKind = "image")
       .mapPartitions { it =>
         it.grouped(64).flatMap { batch =>
           ImageIO.setUseCache(false)
@@ -592,8 +606,7 @@ object Multimodal {
   def audioDedup(spark: SparkSession, dir: String,
       maxHamming: Int = 3): DataFrame = {
     import spark.implicits._
-    val hashes = mediaTable(spark, dir)
-      .filter(col("kind") === "audio")
+    val hashes = mediaTable(spark, dir, onlyKind = "audio")
       .mapPartitions { it =>
         it.grouped(64).flatMap { batch =>
           batch.iterator.flatMap(m => audioHash64(m.media).map(h => (m.doc_id, h)))
@@ -665,7 +678,7 @@ object Multimodal {
     */
   def videoTable(spark: SparkSession, dir: String, nFrames: Int = 4): Dataset[MediaRow] = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    Tables.documentsMedia(spark, dir)
       .select(col("doc_id"), (col("n_chars") % 64 + 16).cast("int").as("w"),
         (col("n_chars") % 48 + 9).cast("int").as("h"))
       .as[(Long, Int, Int)]
