@@ -892,6 +892,14 @@ object Dedup {
     */
   def substringIntervals(spark: SparkSession, dir: String, w: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // `pos` feeds BOTH the repeated-hash aggregate and the probe join, so
+    // the fused shingle pass runs twice (Catalyst does not reuse
+    // differently-pruned subtrees). Pinning it with a localCheckpoint was
+    // MEASURED AND REJECTED (r19-opt): materializing the corpus-sized
+    // (doc_id, pos, h) position table cost more than the recompute at
+    // sf1 (2.7 → 4.0 s; sf0.1 was a small win) — ShingleHashN is cheap
+    // enough that store+reread loses, and the imbalance only grows with
+    // corpus size.
     val pos = Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .where(size(col("toks")) >= w)

@@ -1266,14 +1266,23 @@ object Relational {
       .where(col("o_orderstatus") === "F")
       .select(col("o_orderkey"), col("o_orderdate"))
     val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
+    // Two-level exact aggregation instead of the twin countDistincts: the
+    // (orderkey, suppkey) pre-aggregate collapses line items to supplier
+    // participations map-side (plain codegen HashAggregate), and the
+    // per-order counts over it need no distinct machinery at all — the
+    // distinct-aggregate form paid a set-buffer per group for the same
+    // numbers. n_supp = rows per order, n_late = suppliers with ANY late
+    // line, late_supp = max such supplier: identical values by definition
+    // (oracle re-verified hash-identical).
     val perOrder = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_orderkey"), col("l_suppkey"), late.as("late"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(late).as("slate"))
       .groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"),
-        max(when(col("late"), col("l_suppkey"))).as("late_supp"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(when(col("slate"), 1L).otherwise(0L)).as("n_late"),
+        max(when(col("slate"), col("l_suppkey"))).as("late_supp"))
     perOrder
       .where(col("n_supp") >= 2 && col("n_late") === 1)
       .groupBy(col("late_supp"))
