@@ -61,6 +61,9 @@ object Bench {
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
     // per query: Right(best seconds) on success, Left(error) if any iter threw
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // guide §1.5: label every query's jobs so the UI/event logs are
+      // attributable (thread-local, zero timing impact)
+      spark.sparkContext.setJobDescription(s"bench:$name")
       var err: Option[String] = None
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
