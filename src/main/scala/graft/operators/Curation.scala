@@ -45,15 +45,25 @@ object Curation {
     */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
       maxIter: Int = 60): DataFrame = {
-    // Materialize the edge list ONCE before anything branches. The edge
-    // plan is the caller's whole upstream pipeline (for dedupCluster, the
-    // full MinHash-LSH verify), and the fallback path used to rebuild from
+    // Materialize ONE symmetric edge table before anything branches. The
+    // edge plan is the caller's whole upstream pipeline (for dedupCluster,
+    // the full MinHash-LSH verify); the fallback path used to rebuild from
     // that raw plan — recomputing the pipeline twice more (working edge
-    // set + node set). Invisible at SFs where propagation converges, a
-    // measured 72→322 s cliff at sf10 the first time a component's
-    // diameter pushed past the propagate budget.
-    val e0 = edges.select(col(src).as("u"), col(dst).as("v")).localCheckpoint()
-    val (labels, converged) = propagateRounds(e0, "u", "v", rounds = 4)
+    // set + node set), a measured 72→322 s cliff at sf10 the first time a
+    // component's diameter pushed past the propagate budget. r19-opt: the
+    // former shape paid TWO materialization barriers (raw e0 checkpoint,
+    // then propagate's symmetrized union checkpointed on top of it); the
+    // explode emits both directions in a single narrow scan of the
+    // upstream plan, so the pipeline runs exactly once and the working
+    // (symmetric) set is the only one stored. The star fallback's quotient
+    // maps these rows through the labels — its parallel duplicates die in
+    // the existing distinct, and star is multiplicity-insensitive.
+    val und = edges.select(col(src).as("u"), col(dst).as("v"))
+      .select(explode(array(struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .localCheckpoint()
+    val (labels, converged) = propagateRoundsSym(und, rounds = 4)
     if (converged) labels
     else {
       // CONTRACT the graph through the partial labels instead of re-running
@@ -71,7 +81,7 @@ object Curation {
       // propagate label via the left join.
       val lu = labels.select(col("id").as("u"), col("label").as("lu"))
       val lv = labels.select(col("id").as("v"), col("label").as("lv"))
-      val quotient = e0.join(lu, "u").join(lv, "v")
+      val quotient = und.join(lu, "u").join(lv, "v")
         .select(col("lu").as("u"), col("lv").as("v"))
         .where(col("u") =!= col("v"))
         .distinct() // parallel edges collapse before the first star groupBy
@@ -170,10 +180,24 @@ object Curation {
     propagateRounds(edges, src, dst, maxIter)._1
 
   private def propagateRounds(edges: DataFrame, src: String, dst: String,
+      rounds: Int): (DataFrame, Boolean) =
+    propagateRoundsSym(
+      edges.select(col(src).as("u"), col(dst).as("v"))
+        .select(explode(array(struct(col("u"), col("v")),
+          struct(col("v").as("u"), col("u").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .localCheckpoint(),
+      rounds)
+
+  /** The propagate loop over an ALREADY-SYMMETRIZED AND MATERIALIZED
+    * (u, v) edge table — [[connectedComponents]] passes its one
+    * checkpointed working set straight in (the former path checkpointed
+    * the raw list and the symmetrized union separately: two
+    * materialization barriers for one working set).
+    */
+  private def propagateRoundsSym(und0: DataFrame,
       rounds: Int): (DataFrame, Boolean) = {
-    val und = edges.select(col(src).as("src"), col(dst).as("dst"))
-      .union(edges.select(col(dst).as("src"), col(src).as("dst")))
-      .localCheckpoint()
+    val und = und0.select(col("u").as("src"), col("v").as("dst"))
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(false) // lazy: the fused probe below materializes it
