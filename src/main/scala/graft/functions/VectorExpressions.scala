@@ -45,6 +45,13 @@ object VectorExpressions {
     ColumnBridge.column(PqEncodeCell(ColumnBridge.expression(e),
       ColumnBridge.expression(cid), cen, cc, m, k, dsub))
 
+  def pqDtab(e: Column, cen: Array[Double], cc: Array[Double],
+      m: Int, k: Int, dsub: Int): Column =
+    ColumnBridge.column(PqDtab(ColumnBridge.expression(e), cen, cc, m, k, dsub))
+
+  def adcSum(dtab: Column, codes: Column): Column =
+    ColumnBridge.column(AdcSum(ColumnBridge.expression(dtab), ColumnBridge.expression(codes)))
+
   def rollingHash31(text: Column, seed: Long, mod: Long): Column =
     ColumnBridge.column(RollingHash31(ColumnBridge.expression(text), seed, mod))
 
@@ -840,6 +847,124 @@ case class PqEncode(child: Expression, cen: Array[Double], cc: Array[Double],
        """.stripMargin
     })
   }
+}
+
+/** Fused ADC distance-table builder: the M×K table of
+  * floor(10⁶·(|s|² − 2·s·c + |c|²)) longs a PQ query broadcasts — one pass,
+  * one per-subspace |s|², zero per-(m,k) allocations. Replaces the composed
+  * `array(array(floor(subSqDist(..)·10⁶)...))` forest (M·K = 128 subtrees,
+  * each slicing the vector and re-deriving |s|²), which dominated the ANN
+  * family's per-run planning cost and ran as a wall of generated
+  * sub-expressions. Arithmetic — per-term order included — is EXACTLY the
+  * composed dot(s,s) − 2·dot(s,c) + cc form (|s|² is the same value
+  * whichever k re-derived it, so hoisting it per subspace is bit-identical),
+  * and the scale/floor matches Spark's `floor(x·1e6)` on doubles
+  * ((long) Math.floor). `cen`/`cc` are laid out exactly like [[PqEncode]]'s.
+  */
+case class PqDtab(child: Expression, cen: Array[Double], cc: Array[Double],
+    m: Int, k: Int, dsub: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val e = v.asInstanceOf[ArrayData]
+    val out = new Array[Any](m)
+    var mi = 0
+    while (mi < m) {
+      val base = mi * dsub
+      var ss = 0.0
+      var d = 0
+      while (d < dsub) { val x = e.getDouble(base + d); ss += x * x; d += 1 }
+      val row = new Array[Long](k)
+      var ki = 0
+      while (ki < k) {
+        val coff = (mi * k + ki) * dsub
+        var sc = 0.0
+        d = 0
+        while (d < dsub) { sc += e.getDouble(base + d) * cen(coff + d); d += 1 }
+        val dist = ss - 2.0 * sc + cc(mi * k + ki)
+        row(ki) = math.floor(dist * 1000000.0).toLong
+        ki += 1
+      }
+      out(mi) = new GenericArrayData(row)
+      mi += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cenRef = ctx.addReferenceObj("dtabCen", cen, "double[]")
+    val ccRef = ctx.addReferenceObj("dtabCc", cc, "double[]")
+    nullSafeCodeGen(ctx, ev, in => {
+      val out = ctx.freshName("out"); val row = ctx.freshName("row")
+      val mi = ctx.freshName("mi"); val ki = ctx.freshName("ki")
+      val ss = ctx.freshName("ss"); val sc = ctx.freshName("sc")
+      val d = ctx.freshName("d"); val base = ctx.freshName("base")
+      val coff = ctx.freshName("coff"); val dist = ctx.freshName("dist")
+      val x = ctx.freshName("x")
+      s"""
+         |Object[] $out = new Object[$m];
+         |for (int $mi = 0; $mi < $m; $mi++) {
+         |  int $base = $mi * $dsub;
+         |  double $ss = 0.0;
+         |  for (int $d = 0; $d < $dsub; $d++) {
+         |    double $x = $in.getDouble($base + $d); $ss += $x * $x;
+         |  }
+         |  long[] $row = new long[$k];
+         |  for (int $ki = 0; $ki < $k; $ki++) {
+         |    int $coff = ($mi * $k + $ki) * $dsub;
+         |    double $sc = 0.0;
+         |    for (int $d = 0; $d < $dsub; $d++) {
+         |      $sc += $in.getDouble($base + $d) * $cenRef[$coff + $d];
+         |    }
+         |    double $dist = $ss - 2.0 * $sc + $ccRef[$mi * $k + $ki];
+         |    $row[$ki] = (long) java.lang.Math.floor($dist * 1000000.0);
+         |  }
+         |  $out[$mi] = new org.apache.spark.sql.catalyst.util.GenericArrayData($row);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+}
+
+/** The ADC lookup-sum Σₘ dtab[m][codes[m]] — the per-candidate scan kernel
+  * of every PQ search. Replaces the composed chain of M
+  * `element_at(element_at(dtab, m+1), element_at(codes, m+1) + 1)` adds
+  * (3·M element_at evaluations, each re-deriving null/boundary checks) with
+  * one loop over the codes array. Long additions in the same order →
+  * identical values; codes are always in [0, K) by construction
+  * ([[PqEncode]] emits argmin indices), so the boundary behavior the
+  * element_at chain had for invalid indices is unreachable.
+  */
+case class AdcSum(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val dt = a.asInstanceOf[ArrayData]
+    val cs = b.asInstanceOf[ArrayData]
+    val n = cs.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) { s += dt.getArray(i).getLong(cs.getInt(i)); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (dt, cs) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      s"""
+         |int $n = $cs.numElements();
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $dt.getArray($i).getLong($cs.getInt($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
 }
 
 /** [[PqEncode]] with PER-CELL codebooks (local/residual sub-codebooks — the

@@ -151,22 +151,16 @@ object IvfPq {
       struct(Ivf.sqDist(col("qe"), ce).as("d"), lit(cid).as("cid"))
     }: _*))
     val rq = residual(col("qe"), col("cid"))
-    val dtab = array((0 until Pq.M).map { m =>
-      array((0 until Pq.Ksub).map { kk =>
-        floor(Pq.subSqDist(col("rq"), m, mdl.cenR(m)(kk)) * lit(1000000.0)).cast("long")
-      }: _*)
-    }: _*)
     val q = broadcast(queries
       .select(col("query_id"), col("qe"),
         explode(slice(probeArr, 1, nprobe)).as("p"))
       .select(col("query_id"), col("qe"), col("p.cid").as("cid"))
-      // rq materialized in its own projection: the 128 dtab entries each
-      // reference it (the explode-inlining trap from minhash applies)
+      // rq materialized in its own projection before the dtab kernel
+      // consumes it (the explode-inlining trap from minhash applies)
       .select(col("query_id"), col("cid"), rq.as("rq"))
-      .select(col("query_id"), col("cid"), dtab.as("dtab")))
-    val adc = (0 until Pq.M).map { m =>
-      element_at(element_at(col("dtab"), m + 1), element_at(col("codes"), m + 1) + 1)
-    }.reduce(_ + _)
+      .select(col("query_id"), col("cid"),
+        Pq.dtabCol(col("rq"), mdl.cenR).as("dtab")))
+    val adc = graft.functions.VectorExpressions.adcSum(col("dtab"), col("codes"))
     val scored = q.join(idx.corpus, Seq("cid"))
       .where(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), adc.as("adc_scaled"))
@@ -322,9 +316,7 @@ object IvfPq {
       }
     }
     val q = broadcast(qRows.toDF("query_id", "cid", "dtab"))
-    val adc = (0 until Pq.M).map { m =>
-      element_at(element_at(col("dtab"), m + 1), element_at(col("codes"), m + 1) + 1)
-    }.reduce(_ + _)
+    val adc = graft.functions.VectorExpressions.adcSum(col("dtab"), col("codes"))
     val scored = q.join(corpus, Seq("cid"))
       .where(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), adc.as("adc_scaled"))
@@ -355,18 +347,11 @@ object IvfPq {
     val probeArr = array_sort(array(centroids.map { case (cid, ce) =>
       struct(Ivf.sqDist(col("e"), ce).as("d"), lit(cid).as("cid"))
     }: _*))
-    val dtab = array((0 until Pq.M).map { m =>
-      array((0 until Pq.Ksub).map { kk =>
-        floor(Pq.subSqDist(col("e"), m, cen(m)(kk)) * lit(1000000.0)).cast("long")
-      }: _*)
-    }: _*)
     val q = broadcast(v.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), dtab.as("dtab"),
+      .select(col("vec_id").as("query_id"), Pq.dtabCol(col("e"), cen).as("dtab"),
         explode(slice(probeArr, 1, nprobe)).as("p"))
       .select(col("query_id"), col("dtab"), col("p.cid").as("cid")))
-    val adc = (0 until Pq.M).map { m =>
-      element_at(element_at(col("dtab"), m + 1), element_at(col("codes"), m + 1) + 1)
-    }.reduce(_ + _)
+    val adc = graft.functions.VectorExpressions.adcSum(col("dtab"), col("codes"))
     val scored = q.join(corpus, Seq("cid"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), adc.as("adc_scaled"))

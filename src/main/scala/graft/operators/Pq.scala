@@ -91,12 +91,30 @@ object Pq {
     * interpreted.
     */
   private[operators] def codesCol(e: Column, cen: IndexedSeq[IndexedSeq[Seq[Double]]]): Column = {
+    val (cenFlat, ccFlat) = flatCodebook(cen)
+    VectorExpressions.pqEncode(e, cenFlat, ccFlat, M, Ksub, Dsub)
+  }
+
+  /** Flat [(m·K + k)·Dsub + d] centroid matrix + per-(m,k) |c|² constants —
+    * |c|² exactly as the literal form computed it (left-to-right Σx²).
+    */
+  private def flatCodebook(cen: IndexedSeq[IndexedSeq[Seq[Double]]]): (Array[Double], Array[Double]) = {
     val cenFlat = (for { m <- 0 until M; k <- 0 until Ksub; d <- 0 until Dsub }
       yield cen(m)(k)(d)).toArray
-    // |c|² exactly as the literal form computed it (left-to-right Σx²)
     val ccFlat = (for { m <- 0 until M; k <- 0 until Ksub }
       yield cen(m)(k).map(x => x * x).sum).toArray
-    VectorExpressions.pqEncode(e, cenFlat, ccFlat, M, Ksub, Dsub)
+    (cenFlat, ccFlat)
+  }
+
+  /** Query-side M×K scaled ADC table as ONE fused kernel
+    * ([[graft.functions.PqDtab]]) — bit-identical to the composed
+    * `array(array(floor(subSqDist(e,m,c)·10⁶)...))` forest it replaces
+    * (same per-term FP order; [[subSqDist]] stays as the documented
+    * reference arithmetic).
+    */
+  private[operators] def dtabCol(e: Column, cen: IndexedSeq[IndexedSeq[Seq[Double]]]): Column = {
+    val (cenFlat, ccFlat) = flatCodebook(cen)
+    VectorExpressions.pqDtab(e, cenFlat, ccFlat, M, Ksub, Dsub)
   }
 
   /** Top-k by asymmetric-distance (ADC): queries precompute an M×K table of
@@ -124,16 +142,9 @@ object Pq {
   private[operators] def searchCodes(codes: DataFrame,
       cen: IndexedSeq[IndexedSeq[Seq[Double]]], queries: DataFrame,
       k: Int = 5, excludeSelf: Boolean = true): DataFrame = {
-    val dtab = array((0 until M).map { m =>
-      array((0 until Ksub).map { kk =>
-        floor(subSqDist(col("qe"), m, cen(m)(kk)) * lit(1000000.0)).cast("long")
-      }: _*)
-    }: _*)
     val q = broadcast(queries.select(col("query_id"), col("qe"))
-      .select(col("query_id"), dtab.as("dtab")))
-    val adc = (0 until M).map { m =>
-      element_at(element_at(col("dtab"), m + 1), element_at(col("codes"), m + 1) + 1)
-    }.reduce(_ + _)
+      .select(col("query_id"), dtabCol(col("qe"), cen).as("dtab")))
+    val adc = VectorExpressions.adcSum(col("dtab"), col("codes"))
     val scored = q.join(codes,
         if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), adc.as("adc_scaled"))

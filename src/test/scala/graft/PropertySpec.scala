@@ -96,6 +96,63 @@ class PropertySpec extends GraftSuite {
     }
   }
 
+  test("PqDtab + AdcSum match the composed subSqDist/element_at forms bit-exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    val M = 8; val K = 16; val D = 8
+    val cen = IndexedSeq.fill(M, K)(Seq.fill(D)(rnd.nextDouble() * 2 - 1))
+    val cenFlat = (for { m <- 0 until M; k <- 0 until K; d <- 0 until D }
+      yield cen(m)(k)(d)).toArray
+    val ccFlat = (for { m <- 0 until M; k <- 0 until K }
+      yield cen(m)(k).map(x => x * x).sum).toArray
+    // the composed query-side forms the kernels replaced, re-built verbatim
+    def subSq(e: Column, m: Int, c: Seq[Double]): Column = {
+      val sub = slice(e, m * D + 1, D)
+      graft.functions.VectorExpressions.dot(sub, sub) -
+        lit(2.0) * graft.functions.VectorExpressions.dot(sub, typedlit(c)) +
+        lit(c.map(x => x * x).sum)
+    }
+    val composedDtab = array((0 until M).map { m =>
+      array((0 until K).map { kk =>
+        floor(subSq(col("e"), m, cen(m)(kk)) * lit(1000000.0)).cast("long")
+      }: _*)
+    }: _*)
+    val composedAdc = (0 until M).map { m =>
+      element_at(element_at(col("dtab"), m + 1), element_at(col("codes"), m + 1) + 1)
+    }.reduce(_ + _)
+    val vecs = Seq.fill(50)(Seq.fill(M * D)(rnd.nextDouble() * 2 - 1))
+    val rows = vecs.toDF("e")
+      .select(col("e"),
+        composedDtab.as("dtab"),
+        graft.functions.VectorExpressions.pqDtab(col("e"), cenFlat, ccFlat, M, K, D)
+          .as("fused"),
+        graft.functions.VectorExpressions.pqEncode(col("e"), cenFlat, ccFlat, M, K, D)
+          .as("codes"))
+      .select(col("dtab"), col("fused"), col("codes"),
+        composedAdc.as("adc_composed"),
+        graft.functions.VectorExpressions.adcSum(col("dtab"), col("codes"))
+          .as("adc_fused"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Seq[Long]](0) == r.getSeq[Seq[Long]](1),
+        "fused dtab diverges from the composed subSqDist forest")
+      assert(r.getLong(3) == r.getLong(4),
+        "fused ADC sum diverges from the element_at chain")
+    }
+    // interpreted path too (CodegenFallback contexts / filter pushdown)
+    val lit0 = graft.functions.PqDtab(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        vecs.head, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      cenFlat, ccFlat, M, K, D)
+    val interp = lit0.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert((0 until M).forall { m =>
+      interp.getArray(m).toLongArray.toSeq == rows.head.getSeq[Seq[Long]](0)(m)
+    }, "PqDtab interpreted path diverges from codegen/composed")
+  }
+
   private def unionFindLabels(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
