@@ -88,13 +88,14 @@ object Graph {
     * Scale shape: the edge list with its out-degree folded in,
     * `(u, v, deg)`, is built ONCE and localCheckpoint'd; each iteration is
     * exactly one join (scores on u — both sides hash-partitioned on u, and
-    * AQE reuses the partitioning) + one aggregation by v, with per-pass
-    * checkpoints so lineage stays O(1). That is the classic
+    * AQE reuses the partitioning) + one aggregation by v, with a bounded
+    * checkpoint cadence (every 5 passes + the final one) so lineage depth
+    * is capped for any iteration count. That is the classic
     * pregel-as-dataflow layout: at 100 TB the edge table partitioning is
     * the stable asset every pass reuses.
     */
   def pageRank(spark: SparkSession, dir: String, iters: Int = 5,
-      checkpointEvery: Int = 1): DataFrame = {
+      checkpointEvery: Int = 5): DataFrame = {
     val sym = bipartiteSym(spark, dir)
     // hash-partition AND sort by u BEFORE checkpointing: localCheckpoint
     // preserves outputPartitioning/outputOrdering, so every iteration's
@@ -122,13 +123,16 @@ object Graph {
         .groupBy(col("v").as("id"))
         .agg((lit(150000L) + expr("(85 * sum(c)) div 100")).as("score"))
         .select(col("id"), col("score"))
-      // Checkpoint cadence: every pass by default, including the last (a
-      // caller running multiple actions on the result otherwise replays the
-      // final join+agg on top of the previous checkpoint each time). Lazy,
-      // so single-action callers still see exactly one job.
-      // `checkpointEvery` exists for cadence A/B measurement (PLANS.md r10):
-      // fewer checkpoints = fewer stored block sets but deeper replayed
-      // lineage per stored pass.
+      // Checkpoint cadence: every 5 passes by default, ALWAYS including the
+      // last (a caller running multiple actions on the result otherwise
+      // replays the final join+agg on top of the previous checkpoint each
+      // time). Lazy, so single-action callers still see exactly one job.
+      // r10's per-pass default was re-A/B'd in r20 (PageRankAB, hashes
+      // identical): per-pass materializes a |V|-row block set per pass that
+      // the next pass immediately supersedes — cadence 5 measured 2.68→2.09 s
+      // at sf0.1 and 11.27→7.40 s at sf1 (best-of-N, one window each). The
+      // cadence still bounds lineage depth at 5 joins for any `iters`, so
+      // plans stay O(1)-ish and failure replay is capped.
       if (i % checkpointEvery == 0 || i == iters)
         scores = scores.localCheckpoint(false)
     }
