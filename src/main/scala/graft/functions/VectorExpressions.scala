@@ -77,6 +77,10 @@ object VectorExpressions {
   def nearestCell(e: Column, cen: Array[Double], sumsq: Array[Double], dim: Int): Column =
     ColumnBridge.column(NearestCellExpr(ColumnBridge.expression(e), cen, sumsq, dim))
 
+  def nearestCells(e: Column, cen: Array[Double], sumsq: Array[Double],
+      dim: Int, nprobe: Int): Column =
+    ColumnBridge.column(NearestCellsExpr(ColumnBridge.expression(e), cen, sumsq, dim, nprobe))
+
   def interleave16(a: Column, b: Column): Column =
     ColumnBridge.column(Interleave16(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
@@ -512,6 +516,67 @@ case class NearestCellExpr(child: Expression, cen: Array[Double],
       c0 += 1
     }
     InternalRow(bestC, best)
+  }
+}
+
+/** The nprobe nearest centroid ids, ordered by (distance, cid) ascending —
+  * the IVF probe list as ONE kernel. Replaces the composed
+  * `slice(array_sort(array(struct(sqDist(e, c), cid)...)), 1, nprobe)`
+  * forest (C sqDist subtrees, each re-deriving |e|², plus a C-struct
+  * array allocation and sort per query row). Bit-identical order: the
+  * same |e|² − 2·e·c + |c|² per-term arithmetic as [[NearestCidExpr]]
+  * (|e|² is the same value whichever centroid's subtree re-derived it),
+  * and the (d, cid) comparison uses java.lang.Double.compare — exactly
+  * array_sort's lexicographic struct order on (double, int), including
+  * the −0.0 < 0.0 and ties-to-lower-cid cases. CodegenFallback like
+  * [[NearestCidExpr]]: this runs on the (bounded) query side only.
+  */
+case class NearestCellsExpr(child: Expression, cen: Array[Double],
+    sumsq: Array[Double], dim: Int, nprobe: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val in = v.asInstanceOf[ArrayData]
+    val a = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { a(i) = in.getDouble(i); i += 1 }
+    var ee = 0.0
+    i = 0
+    while (i < dim) { ee += a(i) * a(i); i += 1 }
+    val c = sumsq.length
+    val d = new Array[Double](c)
+    var c0 = 0
+    while (c0 < c) {
+      var dc = 0.0
+      var j = 0
+      val base = c0 * dim
+      while (j < dim) { dc += a(j) * cen(base + j); j += 1 }
+      d(c0) = ee - 2.0 * dc + sumsq(c0)
+      c0 += 1
+    }
+    // selection of the nprobe smallest by (d, cid): cids start in ascending
+    // order, so a strict-< selection scan keeps ties on the lower cid —
+    // the same order array_sort's lexicographic struct compare produces
+    val n = math.min(nprobe, c)
+    val idx = Array.tabulate(c)(identity)
+    val out = new Array[Int](n)
+    var k = 0
+    while (k < n) {
+      var best = k
+      var t = k + 1
+      while (t < c) {
+        if (java.lang.Double.compare(d(idx(t)), d(idx(best))) < 0 ||
+          (java.lang.Double.compare(d(idx(t)), d(idx(best))) == 0 &&
+            idx(t) < idx(best))) best = t
+        t += 1
+      }
+      val tmp = idx(k); idx(k) = idx(best); idx(best) = tmp
+      out(k) = idx(k)
+      k += 1
+    }
+    new GenericArrayData(out)
   }
 }
 

