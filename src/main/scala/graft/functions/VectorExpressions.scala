@@ -81,6 +81,14 @@ object VectorExpressions {
       dim: Int, nprobe: Int): Column =
     ColumnBridge.column(NearestCellsExpr(ColumnBridge.expression(e), cen, sumsq, dim, nprobe))
 
+  def lshTableBuckets(e: Column, planes: Array[Double],
+      nPlanes: Int, nTables: Int): Column =
+    ColumnBridge.column(LshTableBuckets(ColumnBridge.expression(e), planes, nPlanes, nTables))
+
+  def multiProbeBuckets(e: Column, planes: Array[Double],
+      nPlanes: Int, nTables: Int): Column =
+    ColumnBridge.column(MultiProbeBuckets(ColumnBridge.expression(e), planes, nPlanes, nTables))
+
   def interleave16(a: Column, b: Column): Column =
     ColumnBridge.column(Interleave16(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
@@ -575,6 +583,120 @@ case class NearestCellsExpr(child: Expression, cen: Array[Double],
       val tmp = idx(k); idx(k) = idx(best); idx(best) = tmp
       out(k) = idx(k)
       k += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** All nTables LSH sign-bucket codes of a vector in ONE kernel — the
+  * corpus/query bucketing pass of the LSH family. Replaces the composed
+  * per-table forest (nTables·nPlanes [[DotProduct]] subtrees, each against
+  * its own 64-double literal, summed into a bucket via when/otherwise) —
+  * ~50 KB of literal-heavy plan text planned and codegen'd per run, on
+  * BOTH sides of the bucket join. Bit-identical: each plane's dot is the
+  * same left-to-right accumulation over min(|e|, dim) elements as
+  * [[DotProduct]], the sign test is the same `dot > 0`, and the bucket is
+  * the same sum of distinct `1L << j` bits (exact long adds, order-free).
+  * `planes` is the flat [(table·nPlanes + plane)·dim + d] matrix of the
+  * SAME deterministic plane constants the composed form inlined.
+  * CodegenFallback like [[NearestCidExpr]]: the per-row loop dominates.
+  */
+case class LshTableBuckets(child: Expression, planes: Array[Double],
+    nPlanes: Int, nTables: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  private val dim = planes.length / (nPlanes * nTables)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val in = v.asInstanceOf[ArrayData]
+    val n = math.min(in.numElements(), dim)
+    val a = new Array[Double](n)
+    var i = 0
+    while (i < n) { a(i) = in.getDouble(i); i += 1 }
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var j = 0
+      while (j < nPlanes) {
+        val base = (t * nPlanes + j) * dim
+        var dot = 0.0
+        var d = 0
+        while (d < n) { dot += a(d) * planes(base + d); d += 1 }
+        if (dot > 0) bucket += (1L << j)
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** The multi-probe LSH probe list [Lv et al., VLDB'07] as ONE kernel:
+  * per table {base, flip b₁, flip b₂, flip b₁b₂} where b₁/b₂ are the two
+  * lowest-|margin| planes — 4·nTables (tbl, bucket) structs in table
+  * order. Replaces the composed planeDotCols + multiProbeStructs forest
+  * (nTables·nPlanes dot literals materialized as columns, then per table
+  * an array_sort over (|dot|, j) structs). Bit-identical: same dot
+  * accumulation as [[DotProduct]], same `dot > 0` base bits, and the two
+  * minima are selected by (java.lang.Double.compare on |dot|, then j) —
+  * exactly array_sort's lexicographic struct order (|dot| is never NaN on
+  * finite inputs and never −0.0, so Double.compare ≡ the SQL double
+  * order; ties fall to the lower plane index in both forms). Probe order
+  * within a table matches the composed Seq exactly.
+  */
+case class MultiProbeBuckets(child: Expression, planes: Array[Double],
+    nPlanes: Int, nTables: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  private val dim = planes.length / (nPlanes * nTables)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("tbl", IntegerType, nullable = false),
+    StructField("bucket", LongType, nullable = false))), containsNull = false)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val in = v.asInstanceOf[ArrayData]
+    val n = math.min(in.numElements(), dim)
+    val a = new Array[Double](n)
+    var i = 0
+    while (i < n) { a(i) = in.getDouble(i); i += 1 }
+    val dots = new Array[Double](nPlanes)
+    val out = new Array[Any](nTables * 4)
+    var t = 0
+    while (t < nTables) {
+      var base = 0L
+      var j = 0
+      while (j < nPlanes) {
+        val pbase = (t * nPlanes + j) * dim
+        var dot = 0.0
+        var d = 0
+        while (d < n) { dot += a(d) * planes(pbase + d); d += 1 }
+        dots(j) = dot
+        if (dot > 0) base += (1L << j)
+        j += 1
+      }
+      // the two lowest (|dot|, j): strict-< selection, ties to lower j —
+      // array_sort's lexicographic (m, j) struct order
+      var j1 = -1; var j2 = -1
+      j = 0
+      while (j < nPlanes) {
+        val m = math.abs(dots(j))
+        if (j1 < 0 || java.lang.Double.compare(m, math.abs(dots(j1))) < 0) {
+          j2 = j1; j1 = j
+        } else if (j2 < 0 || java.lang.Double.compare(m, math.abs(dots(j2))) < 0) {
+          j2 = j
+        }
+        j += 1
+      }
+      val m1 = 1L << j1
+      val m2 = 1L << j2
+      out(t * 4) = InternalRow(t, base)
+      out(t * 4 + 1) = InternalRow(t, base ^ m1)
+      out(t * 4 + 2) = InternalRow(t, base ^ m2)
+      out(t * 4 + 3) = InternalRow(t, base ^ m1 ^ m2)
+      t += 1
     }
     new GenericArrayData(out)
   }

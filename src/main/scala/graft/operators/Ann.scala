@@ -115,26 +115,29 @@ object Ann {
     * k=4, L=8 measures ~0.8 even on near-uniform vectors, and →1.0 on real
     * clustered embeddings where near-dup cosines are ≥0.9).
     */
-  /** Per-table (tbl, bucket) structs for a vector column — the same plane
-    * constants whether the vector is a corpus row or an external query
-    * batch (how [[AnnIndex]] buckets incoming queries).
+  /** The flat [(table·nPlanes + plane)·64 + d] plane-constant matrix the
+    * fused bucket kernels embed — the same [[planeComponent]] values the
+    * old composed per-table struct forest inlined as 32 separate 64-double
+    * literals (which planned + codegen'd ~50 KB of plan text per run, on
+    * BOTH sides of the bucket join). [[graft.functions.LshTableBuckets]] /
+    * [[graft.functions.MultiProbeBuckets]] bake the same constants into
+    * one kernel each with bit-identical dot order — property-tested
+    * against the composed forms rebuilt verbatim, oracle re-verified.
     */
-  private[operators] def tableBucketStructs(e: Column, nPlanes: Int = 4,
-      nTables: Int = 8): Seq[Column] =
-    (0 until nTables).map { t =>
-      val bucket = (0 until nPlanes).map { j =>
-        // codegen DotProduct against the constant plane — the HOF form
-        // (aggregate(zip_with)) is interpreted per element and was the last
-        // surviving instance of that round-1 trap (1.52 s → 1.35 s solo at
-        // sf0.1; the candidate join dominates this query, not the planes);
-        // summation order is identical, so the doubles (and the oracle's
-        // bucket bits) are unchanged
-        val dot = VectorExpressions.dot(e,
-          typedlit((0 until 64).map(planeComponent(t * nPlanes + j, _))))
-        when(dot > 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(t).as("tbl"), bucket.as("bucket"))
-    }
+  private[graft] def planesArray(nPlanes: Int = 4, nTables: Int = 8): Array[Double] =
+    Array.tabulate(nPlanes * nTables * 64)(i => planeComponent(i / 64, i % 64))
+
+  /** All nTables bucket codes for a vector column as ONE fused kernel
+    * (array<long>, table-ordinal order) — the same plane constants whether
+    * the vector is a corpus row or an external query batch (how
+    * [[AnnIndex]] buckets incoming queries). posexplode over it yields the
+    * (tbl, bucket) rows value-identical to the old
+    * explode(array(struct(lit(t), bucket)…)) form: the ordinal IS the
+    * table id.
+    */
+  private[operators] def tableBucketsCol(e: Column, nPlanes: Int = 4,
+      nTables: Int = 8): Column =
+    VectorExpressions.lshTableBuckets(e, planesArray(nPlanes, nTables), nPlanes, nTables)
 
   def lshBuckets(spark: SparkSession, dir: String, nPlanes: Int = 4, nTables: Int = 8): DataFrame =
     lshBucketsOf(normed(spark, dir), nPlanes, nTables)
@@ -143,11 +146,10 @@ object Ann {
     * constants for the dir corpus, a [[AnnIndex.buildOn]] corpus, or an
     * [[AnnIndex.append]] ingest batch.
     */
-  def lshBucketsOf(v: DataFrame, nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
-    val buckets = tableBucketStructs(col("e"), nPlanes, nTables)
-    v.select(col("vec_id"), col("label"), explode(array(buckets: _*)).as("tb"))
-      .select(col("vec_id"), col("label"), col("tb.tbl"), col("tb.bucket"))
-  }
+  def lshBucketsOf(v: DataFrame, nPlanes: Int = 4, nTables: Int = 8): DataFrame =
+    v.select(col("vec_id"), col("label"),
+      posexplode(tableBucketsCol(col("e"), nPlanes, nTables)))
+      .toDF("vec_id", "label", "tbl", "bucket")
 
   /** C7 query — bucketed ANN: candidates = corpus vectors sharing any LSH
     * table bucket with the query, then exact re-rank top-k. The bucket join
@@ -193,55 +195,27 @@ object Ann {
     * DotProduct both engines compute bit-identically, the margin ranking
     * breaks ties by plane index, and bucket arithmetic is integer XOR —
     * the DuckDB oracle re-derives probes → candidates → re-rank exactly.
-    * The per-table dots are materialized as columns BEFORE the probe
-    * fan-out references them (the Generate-inlining trap).
     */
-  /** Per-plane dot projections for a query vector column, named
-    * `d_<table>_<plane>` — materialize these as columns BEFORE building
-    * [[multiProbeStructs]] over them (the Generate-inlining trap: an
-    * unmaterialized dot would be re-evaluated once per probe variant).
+  /** The per-table probe list {base, flip b₁, flip b₂, flip b₁b₂} as ONE
+    * fused kernel (4·nTables (tbl, bucket) structs, table order). Replaces
+    * the composed planeDotCols + multiProbeStructs forest — nTables·nPlanes
+    * materialized dot columns (each against its own 64-double literal) plus
+    * a per-table array_sort over (|dot|, j) structs. Same dot order, same
+    * sign test, same lexicographic (|dot|, j) minima selection (ties to the
+    * lower plane index) — property-tested against the composed forms
+    * rebuilt verbatim, oracle re-verified.
     */
-  private[operators] def planeDotCols(e: Column, nPlanes: Int = 4,
-      nTables: Int = 8): Seq[Column] =
-    for { t <- 0 until nTables; j <- 0 until nPlanes } yield
-      VectorExpressions.dot(e,
-        typedlit((0 until 64).map(planeComponent(t * nPlanes + j, _))))
-        .as(s"d_${t}_$j")
-
-  /** Multi-probe (tbl, bucket) structs over the [[planeDotCols]]
-    * attributes: per table {base, flip b₁, flip b₂, flip b₁b₂} where
-    * b₁/b₂ are the two lowest-|margin| planes (ties to the lower index —
-    * array_sort on (|dot|, j) structs is lexicographic, the same order as
-    * the oracle's ORDER BY abs(dot), j).
-    */
-  private[operators] def multiProbeStructs(nPlanes: Int = 4,
-      nTables: Int = 8): Seq[Column] = {
-    val masks = typedlit((0 until nPlanes).map(j => 1L << j))
-    (0 until nTables).flatMap { t =>
-      val dots = (0 until nPlanes).map(j => col(s"d_${t}_$j"))
-      val base = dots.zipWithIndex
-        .map { case (d, j) => when(d > 0, lit(1L << j)).otherwise(lit(0L)) }
-        .reduce(_ + _)
-      val sortedM = array_sort(array(dots.zipWithIndex.map { case (d, j) =>
-        struct(abs(d).as("m"), lit(j).as("j"))
-      }: _*))
-      val m1 = element_at(masks, sortedM.getItem(0).getField("j") + 1)
-      val m2 = element_at(masks, sortedM.getItem(1).getField("j") + 1)
-      Seq(base, base.bitwiseXOR(m1), base.bitwiseXOR(m2),
-        base.bitwiseXOR(m1).bitwiseXOR(m2))
-        .map(bk => struct(lit(t).as("tbl"), bk.as("bucket")))
-    }
-  }
+  private[operators] def multiProbesCol(e: Column, nPlanes: Int = 4,
+      nTables: Int = 8): Column =
+    VectorExpressions.multiProbeBuckets(e, planesArray(nPlanes, nTables), nPlanes, nTables)
 
   def lshMultiProbeTopK(spark: SparkSession, dir: String, nQueries: Int = 20,
       k: Int = 5, nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
     val v = normed(spark, dir)
     val b = lshBucketsOf(v, nPlanes, nTables) // corpus: ONE bucket per table
-    val withDots = v.where(col("vec_id") < nQueries).select(
-      col("vec_id") +: planeDotCols(col("e"), nPlanes, nTables): _*)
-    val qb = broadcast(withDots
+    val qb = broadcast(v.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"),
-        explode(array(multiProbeStructs(nPlanes, nTables): _*)).as("tb"))
+        explode(multiProbesCol(col("e"), nPlanes, nTables)).as("tb"))
       .select(col("query_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket")))
     val cand = qb.join(b, Seq("tbl", "bucket"))
       .where(col("vec_id") =!= col("query_id"))

@@ -83,25 +83,27 @@ object AnnIndex {
         .withColumn("qn", sqrt(VectorExpressions.dot(col("qe"), col("qe"))))
       val cand = method match {
         case "lsh" =>
+          // fused bucket kernels — same plane constants / dot order as the
+          // corpus-side build pass (Ann.lshBucketsOf), so query buckets hit
+          // the persisted index bit-identically
           val probes =
             if (multiProbe)
-              q0.select(col("query_id") +: Ann.planeDotCols(col("qe")): _*)
-                .select(col("query_id"),
-                  explode(array(Ann.multiProbeStructs(): _*)).as("tb"))
+              q0.select(col("query_id"),
+                  explode(Ann.multiProbesCol(col("qe"))).as("tb"))
+                .select(col("query_id"), col("tb.tbl"), col("tb.bucket"))
             else
               q0.select(col("query_id"),
-                explode(array(Ann.tableBucketStructs(col("qe")): _*)).as("tb"))
-          val qb = broadcast(
-            probes.select(col("query_id"), col("tb.tbl"), col("tb.bucket")))
+                  posexplode(Ann.tableBucketsCol(col("qe"))))
+                .toDF("query_id", "tbl", "bucket")
+          val qb = broadcast(probes)
           qb.join(buckets.get, Seq("tbl", "bucket"))
             .select(col("query_id"), col("vec_id")).distinct()
         case "ivf" =>
-          val probeArr = array_sort(array(centroids.map { case (cid, cen) =>
-            struct(Ivf.sqDist(col("qe"), cen).as("d"), lit(cid).as("cid"))
-          }: _*))
+          // fused top-nprobe kernel — bit-identical probe order to the
+          // composed slice(array_sort(struct(sqDist, cid))) forest it
+          // replaces (the same Ivf.probeCids the declared queries plan)
           val qc = broadcast(q0.select(col("query_id"),
-              explode(slice(probeArr, 1, nprobe)).as("p"))
-            .select(col("query_id"), col("p.cid").as("cid")))
+            explode(Ivf.probeCids(col("qe"), centroids, nprobe)).as("cid")))
           qc.join(corpus.select(col("vec_id"), col("cid")), Seq("cid"))
             .select(col("query_id"), col("vec_id")).distinct()
         case other => throw new IllegalArgumentException(

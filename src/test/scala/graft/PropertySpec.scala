@@ -192,6 +192,73 @@ class PropertySpec extends GraftSuite {
       s"tie must order (d, cid) lexicographically: $tied")
   }
 
+  test("LshTableBuckets + MultiProbeBuckets match the composed dot/array_sort forms, ties included") {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    val nPlanes = 4; val nTables = 8; val dim = 64
+    // the real operator constants, plus a doctored matrix forcing |dot|
+    // ties (planes 1 and 3 of every table identical)
+    val realPlanes = graft.operators.Ann.planesArray(nPlanes, nTables)
+    val tiedPlanes = realPlanes.clone()
+    (0 until nTables).foreach { t =>
+      val src = (t * nPlanes + 1) * dim; val dst = (t * nPlanes + 3) * dim
+      System.arraycopy(tiedPlanes, src, tiedPlanes, dst, dim)
+    }
+    // random vectors + the all-zero vector (every dot exactly 0.0: sign
+    // test false, all margins tied) + one short (32-dim) vector
+    val vecs = Seq.fill(40)(Seq.fill(dim)(rnd.nextDouble() * 2 - 1)) ++
+      Seq(Seq.fill(dim)(0.0), Seq.fill(32)(rnd.nextDouble() * 2 - 1))
+    for (planes <- Seq(realPlanes, tiedPlanes)) {
+      def planeLit(t: Int, j: Int): Column =
+        typedlit(planes.slice((t * nPlanes + j) * dim, (t * nPlanes + j + 1) * dim).toSeq)
+      // composed single-probe form (the old tableBucketStructs), verbatim
+      val composedBuckets = array((0 until nTables).map { t =>
+        (0 until nPlanes).map { j =>
+          val dot = graft.functions.VectorExpressions.dot(col("e"), planeLit(t, j))
+          when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _)
+      }: _*)
+      // composed multi-probe form (the old planeDotCols + multiProbeStructs),
+      // verbatim: dots materialized as columns before the probe structs
+      val dotCols = for { t <- 0 until nTables; j <- 0 until nPlanes } yield
+        graft.functions.VectorExpressions.dot(col("e"), planeLit(t, j)).as(s"d_${t}_$j")
+      val masks = typedlit((0 until nPlanes).map(j => 1L << j))
+      val probeStructs = (0 until nTables).flatMap { t =>
+        val dots = (0 until nPlanes).map(j => col(s"d_${t}_$j"))
+        val base = dots.zipWithIndex
+          .map { case (d, j) => when(d > 0, lit(1L << j)).otherwise(lit(0L)) }
+          .reduce(_ + _)
+        val sortedM = array_sort(array(dots.zipWithIndex.map { case (d, j) =>
+          struct(abs(d).as("m"), lit(j).as("j"))
+        }: _*))
+        val m1 = element_at(masks, sortedM.getItem(0).getField("j") + 1)
+        val m2 = element_at(masks, sortedM.getItem(1).getField("j") + 1)
+        Seq(base, base.bitwiseXOR(m1), base.bitwiseXOR(m2),
+          base.bitwiseXOR(m1).bitwiseXOR(m2))
+          .map(bk => struct(lit(t).as("tbl"), bk.as("bucket")))
+      }
+      val rows = vecs.toDF("e")
+        .select(col("e") +: dotCols: _*)
+        .select(
+          composedBuckets.as("want_b"),
+          graft.functions.VectorExpressions
+            .lshTableBuckets(col("e"), planes, nPlanes, nTables).as("got_b"),
+          array(probeStructs: _*).as("want_p"),
+          graft.functions.VectorExpressions
+            .multiProbeBuckets(col("e"), planes, nPlanes, nTables).as("got_p"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+          "fused table buckets diverge from the composed dot forest")
+        val want = r.getSeq[org.apache.spark.sql.Row](2).map(p => (p.getInt(0), p.getLong(1)))
+        val got = r.getSeq[org.apache.spark.sql.Row](3).map(p => (p.getInt(0), p.getLong(1)))
+        assert(want == got,
+          s"fused multi-probe list diverges: want=$want got=$got")
+      }
+    }
+  }
+
   private def unionFindLabels(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
