@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
@@ -312,13 +312,20 @@ object Curation {
     * md5-prefix hash is the same engine-portable construction the dedup
     * oracles use), no shuffle, no RNG state.
     */
+  /** The 0–9 split bucket of a doc id — the salted md5-prefix hash shared
+    * by [[hashSplit]] (the declared query) and [[trainingBatchesSorted]]
+    * (which gates on it INLINE instead of semi-joining a second documents
+    * scan; membership is a pure function of the id, so the filter form is
+    * value-identical).
+    */
+  private[graft] def splitBucket(docId: Column): Column = pmod(
+    conv(substring(md5(concat(lit("split:"), docId.cast("string"))), 1, 15), 16, 10)
+      .cast("long"),
+    lit(10))
+
   def hashSplit(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(
-      conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
-        .cast("long"),
-      lit(10))
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), bucket.as("bucket"))
+      .select(col("doc_id"), col("source"), splitBucket(col("doc_id")).as("bucket"))
       .withColumn("split",
         when(col("bucket") < 8, "train")
           .when(col("bucket") === 8, "val")
@@ -377,13 +384,16 @@ object Curation {
   private[graft] def trainingBatchesSorted(spark: SparkSession, dir: String,
       seed: String = "epoch0"): DataFrame = {
     val curated = curatePipeline(spark, dir).where(col("keep")).select("doc_id")
-    val train = hashSplit(spark, dir).where(col("split") === "train").select("doc_id")
     val skey = conv(substring(md5(
         concat(lit(s"shuffle:$seed:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
       .cast("long")
     Tables.documents(spark, dir)
       .join(curated, Seq("doc_id"), "left_semi")
-      .join(train, Seq("doc_id"), "left_semi")
+      // train membership is a pure function of doc_id ([[splitBucket]] < 8
+      // ≡ hashSplit's split = 'train'): gate inline on the scan instead of
+      // semi-joining a SECOND full documents pass (guide §2.1 — one fewer
+      // corpus scan and one fewer exchange at any scale; value-identical)
+      .where(splitBucket(col("doc_id")) < 8)
       .select(col("doc_id"), skey.as("skey"),
         size(graft.functions.TextHash.tokens(col("text"))).cast("long").as("n_tokens"))
       .where(col("n_tokens") > 0)
