@@ -29,6 +29,12 @@ object Plans {
     //   runMain graft.Plans <sfDir> --dir <outDir> <suffix> q1 q2 ...
     // writes <outDir>/<query>_<suffix>.txt for each named query.
     if (args.lift(1).contains("--dir")) {
+      if (args.length < 4) {
+        System.err.println(
+          "usage: runMain graft.Plans <sfDir> --dir <outDir> <suffix> [q1 q2 ...]")
+        spark.stop()
+        sys.exit(2)
+      }
       val outDir = Paths.get(args(2))
       Files.createDirectories(outDir)
       val suffix = args(3)

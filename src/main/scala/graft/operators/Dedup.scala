@@ -46,6 +46,12 @@ object Dedup {
   /** LSH band keys (doc_id, bid, bkey) of a shingle-hashed frame — the
     * materialized index layout [[graft.streaming.DedupStream]] and
     * [[minhashIncremental]] probe.
+    *
+    * INDEX-FORMAT NOTE: bkey changed from the "sig0,sig1" STRING to the
+    * packed LONG sig[2j]·2³¹ + sig[2j+1] (r19 optimization — injective, so
+    * buckets are identical). A deployment that PERSISTED a string-keyed
+    * band index from an earlier version must rebuild it; all in-repo
+    * consumers derive the index in-session, so nothing here breaks.
     */
   private[graft] def bandsOf(sh: DataFrame): DataFrame = sh
     .select(col("doc_id"), minhashSignature(col("h0")).as("sig"))

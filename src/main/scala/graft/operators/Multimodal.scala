@@ -4,7 +4,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import javax.imageio.ImageIO
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
@@ -48,15 +48,27 @@ object Multimodal {
     * Filtering the same deterministic `kind` column before or after the
     * synthesis selects identical rows, so outputs are unchanged.
     */
+  /** The (n_chars → width, height) synthesis dims, ONE definition shared
+    * by [[mediaTable]]'s column form and the in-JVM
+    * [[graft.MediaKernelProbe]] (which otherwise re-derived the formulas
+    * by hand and would silently measure the wrong shapes if they drifted
+    * — r19 advice). Column overload mirrors the Int one exactly.
+    */
+  private[graft] def mediaDims(nChars: Int): (Int, Int) =
+    (nChars % 64 + 16, nChars % 48 + 9)
+  private def mediaDimCols(nChars: Column): (Column, Column) =
+    ((nChars % 64 + 16).cast("int"), (nChars % 48 + 9).cast("int"))
+
   private[graft] def mediaTable(spark: SparkSession, dir: String,
       onlyKind: String): Dataset[MediaRow] = {
     import spark.implicits._
+    val (wCol, hCol) = mediaDimCols(col("n_chars"))
     val keyed = Tables.documentsMedia(spark, dir)
       .select(col("doc_id"),
         when(col("doc_id") % 2 === 0, lit("image")).otherwise(lit("audio")).as("kind"),
         col("text").cast("binary").as("media"),
-        (col("n_chars") % 64 + 16).cast("int").as("width"),
-        (col("n_chars") % 48 + 9).cast("int").as("height"))
+        wCol.as("width"),
+        hCol.as("height"))
     val gated = if (onlyKind == null) keyed else keyed.where(col("kind") === onlyKind)
     gated
       .as[(Long, String, Array[Byte], Int, Int)]

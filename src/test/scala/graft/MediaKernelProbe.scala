@@ -13,11 +13,10 @@ object MediaKernelProbe {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toInt else 5000
     // n_chars distribution at sf0.1: 44..577, avg 297 → dims via the
-    // mediaTable formulas
-    def dims(d: Long): (Int, Int) = {
-      val nc = 44 + ((d * 131) % 534).toInt
-      (nc % 64 + 16, nc % 48 + 9)
-    }
+    // SHARED mediaTable mapping (Multimodal.mediaDims), so a formula
+    // change there can't silently skew what this probe measures
+    def dims(d: Long): (Int, Int) =
+      Multimodal.mediaDims(44 + ((d * 131) % 534).toInt)
     for (round <- 1 to 3) {
       var t0 = System.nanoTime()
       val clips = Array.tabulate(n) { i =>

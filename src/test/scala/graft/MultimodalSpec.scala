@@ -25,6 +25,16 @@ class MultimodalSpec extends GraftSuite {
       assert(img != null, s"doc ${r.doc_id}: payload is not a decodable image")
       assert(img.getWidth == r.width && img.getHeight == r.height)
     }
+    // the column-form dims stay locked to the shared Int mapping that
+    // MediaKernelProbe measures with (a drift here = the probe silently
+    // measuring wrong shapes)
+    val dims = graft.io.Tables.documentsMedia(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> Multimodal.mediaDims(r.getLong(1).toInt)).toMap
+    m.collect().foreach { r =>
+      assert(dims(r.doc_id) == (r.width, r.height),
+        s"doc ${r.doc_id}: mediaTable dims diverge from Multimodal.mediaDims")
+    }
   }
 
   test("audio rows are real parseable WAVs; decodeAudio reads actual samples") {
