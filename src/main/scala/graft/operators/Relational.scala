@@ -1499,8 +1499,15 @@ object Relational {
       .where(col("p_brand") =!= "Brand#1" &&
         col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
       .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
-    derivedPartsupp(Tables.lineitem(spark, dir))
-      .select(col("ps_partkey"), col("ps_suppkey"))
+    // RAW (partkey, suppkey) projection, NOT derivedPartsupp: the pair
+    // groupBy's whole-lineitem exchange is redundant here — countDistinct
+    // dedups suppliers per group itself (duplicate pair rows can't change
+    // a distinct count; deny is an anti-join and pf is unique per partkey,
+    // so join multiplicity is untouched) — and dropping it lets the ~6×
+    // brand/size part filter prune BEFORE the one remaining agg shuffle
+    // instead of after a full-pairs shuffle (guide §2.1/§2.3).
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
       .join(broadcast(deny), col("ps_suppkey") === col("s_suppkey"), "left_anti")
       .join(broadcast(pf), col("ps_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
